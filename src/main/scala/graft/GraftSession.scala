@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session + table helpers shared by the engine entry points.
+  *
+  * Settings mirror the determinism requirements of the reference pipeline
+  * (UTC everywhere — reference pins TZ in connectors/s3-sink.json:27) and
+  * local[N] benchmarking (shuffle partitions sized to cores, AQE on —
+  * designed so the same plans scale to a real cluster where AQE coalesces
+  * and skew-splits post-shuffle partitions at runtime).
+  */
+object GraftSession {
+
+  /** Build a local session with scale-appropriate defaults. */
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+
+  /** Read one of the driver-provided testdata tables. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+}

@@ -1,13 +1,38 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{CdcQueries, DedupQueries, RelationalQueries, SimilarityQueries, TextQueries}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Query inventory: CDC/SCD2 semantics (SURVEY.md §2.2/2.5/2.7 over the
+  * `events` change log), relational surface (§2.3/2.4/2.6), and the
+  * LLM-pipeline extensions (text analysis, dedup, similarity — §7.2 step 8).
+  * The envelope-level NDJSON path (§2.1 sources) is exercised by the
+  * ScalaTest suite on synthetic Debezium fixtures; its window algebra is the
+  * same `graft.cdc.Scd2` code checked here through `scd2_history`.
+  */
 object SparkEntry {
+
+  val all: Seq[QueryDef] =
+    CdcQueries.defs ++ RelationalQueries.defs ++ TextQueries.defs ++
+      DedupQueries.defs ++ SimilarityQueries.defs
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("scd2_history")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.spark).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** Headline queries for the sf0.1 bench (excludes the deliberately
+    * quadratic oracle-baseline queries). */
+  def benchQueries: Seq[String] = all.filter(_.bench).map(_.name)
 }

@@ -1,0 +1,74 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Sources for CDC envelope NDJSON lakes (SURVEY.md §2.1 S1/S2/S4).
+  *
+  * The reference's lake is gzipped NDJSON under Hive-style
+  * `topics/<topic>/year=/month=/day=/` partitions written by the Confluent
+  * S3 sink (/root/reference/connectors/s3-sink.json:15,20-21) and consumed by
+  * DuckDB's `read_ndjson_objects` glob
+  * (/root/reference/duckdb/analytics/transform_scd2.py:38). Spark reads
+  * `.json.gz` natively and discovers the partition columns from the dir
+  * layout; filters on year/month/day prune partitions for free.
+  */
+object EnvelopeReader {
+
+  /** Explicit-schema NDJSON scan — the `read_ndjson_objects` + json_extract
+    * path (transform_scd2.py:38) collapsed into a single schema'd parse.
+    * PERMISSIVE mode: malformed lines become all-null rows, which the
+    * downstream `op IS NOT NULL` filter drops (transform_scd2.py:39),
+    * matching the reference's tolerance for junk lines.
+    */
+  def readEnvelopes(spark: SparkSession, path: String, rowSchema: StructType): DataFrame =
+    spark.read
+      .schema(CdcSchemas.envelope(rowSchema))
+      .option("mode", "PERMISSIVE")
+      .json(path)
+
+  /** Schema-inference scan — the `read_json_auto` path
+    * (/root/reference/duckdb/analytics/init_duckdb.sh:23-25). Costs an extra
+    * inference pass; prefer [[readEnvelopes]] at scale.
+    */
+  def readEnvelopesAuto(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
+  /** Raw-line scan: one string column `json` per line — byte-for-byte what
+    * `read_ndjson_objects` yields before extraction. Useful for quarantine /
+    * replay flows where the original line must survive.
+    */
+  def readRaw(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path).withColumnRenamed("value", "json")
+
+  /** S3A configuration mirroring the reference's MinIO setup
+    * (transform_scd2.py:10-16): path-style access against a custom endpoint.
+    */
+  def configureS3a(spark: SparkSession, endpoint: String, accessKey: String,
+                   secretKey: String, sslEnabled: Boolean = false): Unit = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.s3a.endpoint", endpoint)
+    hc.set("fs.s3a.path.style.access", "true")
+    hc.set("fs.s3a.access.key", accessKey)
+    hc.set("fs.s3a.secret.key", secretKey)
+    hc.set("fs.s3a.connection.ssl.enabled", sslEnabled.toString)
+  }
+
+  /** Write an envelope lake the way the reference's S3 sink lays it out:
+    * Hive `year=/month=/day=` partitions, gzipped JSON
+    * (s3-sink.json:15,20-24). `tsCol` is an epoch-millis column used to
+    * derive the partition values (the sink partitions on record time).
+    */
+  def writeLake(df: DataFrame, path: String, tsCol: String = "payload.ts_ms"): Unit = {
+    val ts = timestamp_millis(col(tsCol))
+    df.withColumn("year", date_format(ts, "yyyy"))
+      .withColumn("month", date_format(ts, "MM"))
+      .withColumn("day", date_format(ts, "dd"))
+      .write
+      .partitionBy("year", "month", "day")
+      .option("compression", "gzip")
+      .mode("append")
+      .json(path)
+  }
+}

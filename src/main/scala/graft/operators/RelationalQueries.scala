@@ -1,0 +1,245 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.QueryDef.t
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational surface (SURVEY.md §2.3 joins, §2.4 aggregates, §2.6
+  * sorts/limits/set-ops, §2.7 CTE composition) over the TPC-H-ish testdata.
+  *
+  * Float-exactness policy for the DuckDB oracle: every SUM over non-integral
+  * doubles goes through a per-row DECIMAL cast (per-row double arithmetic is
+  * IEEE-deterministic and engine-identical; decimal summation is exact and
+  * order-independent), then the final value is cast back to DOUBLE (exact).
+  * Sums of integral doubles (quantities, counts) are exact in double below
+  * 2^53 regardless of order, so they stay plain.
+  *
+  * Scale notes: aggregations are partial-aggregated map-side by Spark
+  * automatically; the dimension sides of every join here (region, nation,
+  * customer-filtered) are broadcast — verified via explain in the test
+  * suite — so the only shuffles are the agg exchanges on the fact table.
+  */
+object RelationalQueries {
+
+  /** revenue term: l_extendedprice * (1 - l_discount), decimal-exact. */
+  private def revDec = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+    .cast(DecimalType(18, 4))
+  private val revSql =
+    "CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(18,4))"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // TPC-H Q1 shape: the full scan+agg workhorse. Exercises multi-key
+    // groupBy, sum/avg/count, arithmetic. Filter prunes by shipdate so the
+    // parquet scan sees a pushed predicate.
+    QueryDef(
+      "q1_pricing_summary",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("2001-09-02 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_base_price"),
+          sum(revDec).cast("double").as("sum_disc_price"),
+          avg("l_quantity").as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  sum(l_quantity) AS sum_qty,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             |  CAST(sum(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+             |  avg(l_quantity) AS avg_qty,
+             |  count(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // TPC-H Q3 shape: selective dim filter → join fact → agg → top-k.
+    // customer(filtered) is broadcast; orders⋈lineitem shuffles on orderkey.
+    QueryDef(
+      "q3_shipping_priority",
+      (s, d) => {
+        val cut = lit(java.sql.Timestamp.valueOf("1998-06-01 00:00:00"))
+        val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val o = t(s, d, "orders").filter(col("o_orderdate") < cut)
+        val l = t(s, d, "lineitem").filter(col("l_shipdate") > cut)
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy("l_orderkey", "o_orderdate")
+          .agg(sum(revDec).cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some(s"""SELECT l_orderkey, o_orderdate,
+              |  CAST(sum($revSql) AS DOUBLE) AS revenue
+              |FROM customer, orders, lineitem
+              |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+              |  AND l_orderkey = o_orderkey
+              |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+              |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+              |GROUP BY l_orderkey, o_orderdate
+              |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
+
+    // TPC-H Q5 shape: 6-way join snowflake → per-nation revenue. The
+    // region→nation→supplier chain is broadcast end-to-end.
+    QueryDef(
+      "q5_local_supplier_volume",
+      (s, d) => {
+        val r = t(s, d, "region").filter(col("r_name") === "ASIA")
+        val n = t(s, d, "nation")
+        val c = t(s, d, "customer")
+        val sup = t(s, d, "supplier")
+        val o = t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+                  col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+        val l = t(s, d, "lineitem")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(c, col("o_custkey") === col("c_custkey") &&
+                   col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("n_name")
+          .agg(sum(revDec).cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some(s"""SELECT n_name, CAST(sum($revSql) AS DOUBLE) AS revenue
+              |FROM customer, orders, lineitem, supplier, nation, region
+              |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              |  AND r_name = 'ASIA'
+              |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+              |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)),
+
+    // J3/J4: EXISTS → left-semi (init_duckdb.sh:64-68 shape).
+    QueryDef(
+      "semi_join_exists",
+      (s, d) => {
+        val big = t(s, d, "lineitem").filter(col("l_quantity") >= 49)
+        t(s, d, "orders")
+          .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      },
+      Some("""SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+             |WHERE EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49)""".stripMargin)),
+
+    // J1/J2/P4: NOT EXISTS → left-anti (scd2.sql:8-12, init_duckdb.sh:48-53).
+    QueryDef(
+      "anti_join_not_exists",
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+              col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal"),
+      Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin)),
+
+    // J4: IN (subquery) → left-semi through a broadcast dim chain.
+    QueryDef(
+      "in_subquery_semi",
+      (s, d) => {
+        val asiaNations = t(s, d, "nation")
+          .join(broadcast(t(s, d, "region").filter(col("r_name") === "ASIA")),
+                col("n_regionkey") === col("r_regionkey"), "left_semi")
+        t(s, d, "supplier")
+          .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"), "left_semi")
+          .select("s_suppkey", "s_name", "s_acctbal")
+      },
+      Some("""SELECT s_suppkey, s_name, s_acctbal FROM supplier
+             |WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey IN
+             |  (SELECT r_regionkey FROM region WHERE r_name = 'ASIA'))""".stripMargin)),
+
+    // O1/O2: deterministic top-k (unique tiebreak on the key).
+    QueryDef(
+      "sort_limit_topk",
+      (s, d) => t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    // O3: UNION / INTERSECT / EXCEPT (set semantics).
+    QueryDef(
+      "set_ops",
+      (s, d) => {
+        val buyers = t(s, d, "orders").select(col("o_custkey").as("c_custkey")).distinct()
+        val building = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey")
+        val machinery = t(s, d, "customer").filter(col("c_mktsegment") === "MACHINERY")
+          .select("c_custkey")
+        building.union(machinery).distinct()
+          .intersect(buyers)
+          .except(t(s, d, "customer").filter(col("c_acctbal") < 0).select("c_custkey"))
+      },
+      Some("""(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+             | UNION SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+             |INTERSECT SELECT DISTINCT o_custkey AS c_custkey FROM orders
+             |EXCEPT SELECT c_custkey FROM customer WHERE c_acctbal < 0""".stripMargin)),
+
+    // §2.4: distinct aggregates (exact).
+    QueryDef(
+      "distinct_counts",
+      (s, d) => t(s, d, "lineitem").agg(
+        countDistinct(col("l_partkey")).as("distinct_parts"),
+        countDistinct(col("l_suppkey")).as("distinct_supps"),
+        count(lit(1)).as("n_rows")),
+      Some("""SELECT count(DISTINCT l_partkey) AS distinct_parts,
+             |  count(DISTINCT l_suppkey) AS distinct_supps,
+             |  count(*) AS n_rows FROM lineitem""".stripMargin)),
+
+    // §2.5 framed window: running per-customer spend (ROWS UNBOUNDED
+    // PRECEDING..CURRENT), decimal-exact.
+    QueryDef(
+      "window_running_sum",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "orders").select(
+          col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+            .cast("double").as("running_spend"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             |    PARTITION BY o_custkey ORDER BY o_orderkey
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+             |FROM orders""".stripMargin)),
+
+    // §2.7 CTE chain (WITH a AS (...), b AS (...) SELECT …): per-segment
+    // order stats via two chained derived tables, mirroring the reference's
+    // cdc_events→ranked_events structure.
+    QueryDef(
+      "cte_chain",
+      (s, d) => {
+        val perCust = t(s, d, "orders")
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"),
+               sum(col("o_totalprice").cast(DecimalType(18, 2))).as("spend_dec"))
+        val joined = perCust.join(t(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        joined.groupBy("c_mktsegment")
+          .agg(sum("n_orders").as("total_orders"),
+               sum("spend_dec").cast("double").as("total_spend"),
+               count(lit(1)).as("n_customers"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""WITH per_cust AS (
+             |  SELECT o_custkey, count(*) AS n_orders,
+             |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend_dec
+             |  FROM orders GROUP BY o_custkey),
+             |joined AS (
+             |  SELECT c_mktsegment, n_orders, spend_dec
+             |  FROM per_cust JOIN customer ON o_custkey = c_custkey)
+             |SELECT c_mktsegment, sum(n_orders) AS total_orders,
+             |       CAST(sum(spend_dec) AS DOUBLE) AS total_spend,
+             |       count(*) AS n_customers
+             |FROM joined GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)))
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.QueryDef.t
+import graft.text.TextOps
+
+import org.apache.spark.sql.functions._
+
+/** Text-analysis queries over `documents` with DuckDB oracles. The corpus is
+  * single-space tokenized (verified at build time), so token counts and
+  * length stats are integer-exact on both engines.
+  */
+object TextQueries {
+
+  private def stopList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** DuckDB multiset stopword count over space-split tokens. */
+  private def hitsSql(ws: Seq[String]): String =
+    s"len(list_filter(string_split(text, ' '), w -> w IN ${stopList(ws)}))"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Token counting + length stats (exact integer arithmetic both sides).
+    QueryDef(
+      "text_token_stats",
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).as("n_chars_measured"),
+        TextOps.avgTokenLength(col("text")).as("avg_token_len")),
+      Some("""SELECT doc_id,
+             |  len(string_split(text, ' ')) AS n_tokens,
+             |  length(text) AS n_chars_measured,
+             |  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+             |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len
+             |FROM documents""".stripMargin)),
+
+    // Stopword-argmax language ID (TextOps.langId), fixed precedence.
+    QueryDef(
+      "text_lang_id",
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"),
+        TextOps.langId(col("text")).as("lang_pred")),
+      Some(s"""SELECT doc_id,
+              |  CASE
+              |    WHEN en > 0 AND en >= es AND en >= de AND en >= fr THEN 'en'
+              |    WHEN es > 0 AND es >= de AND es >= fr THEN 'es'
+              |    WHEN de > 0 AND de >= fr THEN 'de'
+              |    WHEN fr > 0 THEN 'fr'
+              |    ELSE 'und' END AS lang_pred
+              |FROM (SELECT doc_id,
+              |        ${hitsSql(TextOps.EnStop)} AS en,
+              |        ${hitsSql(TextOps.EsStop)} AS es,
+              |        ${hitsSql(TextOps.DeStop)} AS de,
+              |        ${hitsSql(TextOps.FrStop)} AS fr
+              |      FROM documents)""".stripMargin)),
+
+    // Quality scoring: per-row double arithmetic, engine-identical.
+    QueryDef(
+      "text_quality_score",
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"),
+        TextOps.qualityScore(col("text")).as("quality")),
+      Some(s"""SELECT doc_id,
+              |  0.4 * least(n_tok / 64.0, 1.0)
+              |  + 0.3 * least((en_hits / n_tok) * 5.0, 1.0)
+              |  + 0.3 * (CASE WHEN awl >= 3.0 AND awl <= 10.0 THEN 1.0 ELSE 0.0 END) AS quality
+              |FROM (SELECT doc_id,
+              |        CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+              |        CAST(${hitsSql(TextOps.EnStop)} AS DOUBLE) AS en_hits,
+              |        CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+              |          / CAST(len(string_split(text, ' ')) AS DOUBLE) AS awl
+              |      FROM documents)""".stripMargin)),
+
+    // Rolling-hash fingerprint: exact modular integer arithmetic both sides.
+    QueryDef(
+      "text_fingerprint",
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"),
+        TextOps.fingerprintRolling(col("text")).as("fp_rolling"),
+        TextOps.fingerprintMd5(col("text")).as("fp_md5")),
+      Some("""SELECT doc_id,
+             |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+             |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp_rolling,
+             |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5
+             |FROM documents""".stripMargin)))
+}
