@@ -1,0 +1,143 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.cdc.{CdcSchemas, Scd2}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Streaming SCD2 (SURVEY.md §2.8, §7.2 step 6).
+  *
+  * The reference's compute is a batch rebuild re-run over the whole lake
+  * (duckdb/Dockerfile:8-9 runs transform_scd2.py once per container start);
+  * its *transport* is continuous (Debezium → Kafka → S3). We provide three
+  * prog­ressively-more-incremental modes:
+  *
+  *  1. [[foreachBatchRebuild]] — the reference's own semantics verbatim:
+  *     each micro-batch triggers a full deterministic rebuild of the
+  *     history table from accumulated events. Correct under any disorder
+  *     (the window re-sorts everything); cost grows with history size.
+  *  2. [[foreachBatchTouchedKeys]] — rebuild restricted to keys present in
+  *     the micro-batch: union(batch events, prior history of touched keys'
+  *     events) re-versionized, other keys' rows carried over untouched.
+  *     At 100 TB this touches O(batch keys · versions), not O(table).
+  *  3. [[incremental]] — true per-key streaming state
+  *     (flatMapGroupsWithState): holds each key's event log (bounded by
+  *     retention) and re-emits corrected versions when late/out-of-order
+  *     events arrive. Exactly-once via checkpoint + (id, lsn) dedupe.
+  *
+  * All modes consume the same parsed change-event schema produced by
+  * [[graft.cdc.Scd2.cdcEvents]].
+  */
+object Scd2Streaming {
+
+  /** File-based envelope stream (the NDJSON lake as a streaming source —
+    * `maxFilesPerTrigger` mirrors the sink's small-file cadence).
+    */
+  def readEnvelopeStream(spark: SparkSession, path: String, rowSchema: StructType,
+                         maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema(CdcSchemas.envelope(rowSchema))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(path)
+
+  /** Kafka envelope stream: value bytes → envelope struct. (Kafka broker
+    * not available in tests; the parse path is identical for file streams.)
+    */
+  def readKafkaEnvelopeStream(spark: SparkSession, bootstrap: String, topic: String,
+                              rowSchema: StructType): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .load()
+      .select(from_json(col("value").cast("string"),
+        CdcSchemas.envelope(rowSchema)).as("env"))
+      .select(col("env.payload").as("payload"))
+
+  /** Mode 1: full-rebuild foreachBatch. `writeHistory` receives the complete
+    * recomputed SCD2 table each trigger (write mode("overwrite")).
+    */
+  def foreachBatchRebuild(envelopes: DataFrame, attrFields: Seq[String],
+                          allEventsSoFar: () => DataFrame,
+                          writeHistory: DataFrame => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    envelopes.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val events = Scd2.dedupeEvents(
+        Scd2.cdcEvents(batch).unionByName(allEventsSoFar()))
+      writeHistory(Scd2.history(Scd2.rankedEvents(events), attrFields))
+    }
+
+  /** Mode 2: touched-keys rebuild. `priorEvents` is the retained event log
+    * (parquet, partitioned by key-hash bucket — only partitions containing
+    * batch keys are re-read); `priorHistory` (None on the first batch) is
+    * the current SCD2 table, whose untouched-key rows are carried over
+    * verbatim so the output is the complete new table.
+    */
+  def touchedKeysRebuild(batchEvents: DataFrame, priorEvents: DataFrame,
+                         priorHistory: Option[DataFrame],
+                         attrFields: Seq[String]): DataFrame = {
+    val touched = batchEvents.select("id").distinct()
+    val replay = priorEvents.join(touched, Seq("id"), "left_semi")
+      .unionByName(batchEvents)
+    val rebuilt = Scd2.history(Scd2.rankedEvents(Scd2.dedupeEvents(replay)), attrFields)
+    priorHistory match {
+      case Some(h) => h.join(touched, Seq("id"), "left_anti").unionByName(rebuilt)
+      case None => rebuilt
+    }
+  }
+
+  // ---- Mode 3: true incremental state -----------------------------------
+
+  /** One parsed change event, typed for stateful processing. */
+  case class KeyEvent(id: Int, lsn: Long, tsMs: Long,
+                      attrs: Map[String, String], op: String)
+
+  /** One emitted SCD2 version row. */
+  case class VersionRow(id: Int, lsn: Long,
+                        rowValidStartMs: Long, rowValidExpirationMs: Long,
+                        attrs: Map[String, String], isCorrection: Boolean)
+
+  /** Per-key retained state: the (bounded) event log. */
+  case class KeyState(events: List[(Long, Long, Map[String, String])]) // (lsn, tsMs, attrs)
+
+  val SentinelMs: Long = Timestamp.valueOf("9999-01-01 00:00:00").getTime
+
+  /** flatMapGroupsWithState body: merge new events into the per-key log
+    * (dedupe on lsn), re-derive the key's version chain, emit rows whose
+    * validity changed. A late event reopens/corrects previously-emitted
+    * intervals — downstream sinks upsert on (id, lsn).
+    */
+  def updateKey(id: Int, incoming: Iterator[KeyEvent],
+                state: GroupState[KeyState]): Iterator[VersionRow] = {
+    val prior = state.getOption.map(_.events).getOrElse(Nil)
+    val priorLsns = prior.map(_._1).toSet
+    val fresh = incoming
+      .filter(e => !priorLsns.contains(e.lsn))
+      .map(e => (e.lsn, e.tsMs, e.attrs)).toList
+    if (fresh.isEmpty) return Iterator.empty
+
+    val merged = (prior ++ fresh).sortBy(_._1)
+    state.update(KeyState(merged))
+
+    val minFresh = fresh.map(_._1).min
+    // versions at or after the earliest fresh lsn changed; the one just
+    // before it changed too (its expiration moved)
+    val idx = merged.indexWhere(_._1 >= minFresh)
+    val from = math.max(0, idx - 1)
+    merged.zipWithIndex.drop(from).iterator.map { case ((lsn, ts, attrs), i) =>
+      val end = if (i + 1 < merged.length) merged(i + 1)._2 else SentinelMs
+      VersionRow(id, lsn, ts, end, attrs, isCorrection = lsn < minFresh)
+    }
+  }
+
+  /** Mode 3 entry: typed event stream → corrected version-row stream. */
+  def incremental(events: Dataset[KeyEvent]): Dataset[VersionRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout())(updateKey)
+  }
+}

@@ -1,0 +1,72 @@
+package graft.dedup
+
+import graft.SparkSuite
+import graft.similarity.Similarity
+
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the dedup/similarity extensions that the SQL oracle
+  * can't express: LSH recall vs brute force, SimHash locality, ANN-vs-exact
+  * overlap.
+  */
+class DedupSimSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+  private lazy val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  test("LSH candidates achieve full recall on high-similarity pairs here") {
+    val brute = Dedup.jaccardPairsBrute(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty, "fixture should contain at least one near-dup pair")
+    val missed = brute -- cands
+    assert(missed.isEmpty,
+      s"LSH (16 hashes, 8 bands) missed high-sim pairs: $missed")
+  }
+
+  test("SimHash: near-dup docs collide within small hamming distance") {
+    val sh = Dedup.simhash(docs, "doc_id", "text")
+    val pairs = Dedup.jaccardPairsBrute(docs, "doc_id", "text", threshold = 0.5)
+    val joined = pairs
+      .join(sh.withColumnRenamed("doc_id", "doc_id_a").withColumnRenamed("simhash", "sh_a"), "doc_id_a")
+      .join(sh.withColumnRenamed("doc_id", "doc_id_b").withColumnRenamed("simhash", "sh_b"), "doc_id_b")
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+    val avgNearDup = joined.agg(avg("hamming")).head().getDouble(0)
+    assert(avgNearDup < Dedup.SimhashBits / 2.0 - 5,
+      s"near-dup pairs should have hamming well below random (~30): got $avgNearDup")
+  }
+
+  test("exact dedup groups identical texts only") {
+    val out = Dedup.exact(docs, "text", "doc_id")
+    val n = docs.count()
+    val totalCounted = out.agg(sum("dup_count")).head().getLong(0)
+    assert(totalCounted == n, "every doc lands in exactly one group")
+  }
+
+  test("LSH-bucketed ANN returns a subset-consistent ranking vs brute force") {
+    // 4 planes → 16 buckets over 500 near-orthogonal random vectors; finer
+    // bucketing (8 planes/256 buckets) would leave most buckets singleton
+    // and recall ~0 on this corpus. Real embedding corpora cluster, so
+    // production defaults can be finer + multi-probe.
+    val queries = embs.filter(col("id") < 5)
+    val exact = Similarity.bruteForceTopK(embs, queries, k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshBucketedTopK(embs, queries, k = 10, nPlanes = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = if (exact.isEmpty) 1.0
+      else (exact intersect approx).size.toDouble / exact.size
+    assert(recall > 0.0, "bucketed ANN found none of the true neighbors")
+    info(f"ANN recall@10 = $recall%.2f (4 hyperplanes, single probe)")
+  }
+
+  test("signBucket is deterministic across invocations") {
+    val planes = Similarity.hyperplanes(8, 64)
+    val b1 = embs.select(Similarity.signBucket(col("vec"), planes).as("b")).collect()
+    val b2 = embs.select(Similarity.signBucket(col("vec"), planes).as("b")).collect()
+    assert(b1.toSeq == b2.toSeq)
+  }
+}
