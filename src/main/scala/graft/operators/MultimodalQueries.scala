@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.QueryDef.t
+import graft.multimodal.Multimodal
+
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column queries. The testdata has no real media, so the
+  * `documents` text bytes stand in as the opaque binary payload — the
+  * binary-column plumbing (encode → binary ops → decode) is exactly what a
+  * real image/audio table exercises.
+  */
+object MultimodalQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Cheap metadata pass over binary columns (no decode): byte length,
+    // header fingerprint, content hash — all codegen'd built-ins.
+    QueryDef(
+      "multimodal_binary_stats",
+      (s, d) => Multimodal.binaryStats(
+          t(s, d, "documents").select(col("doc_id"), encode(col("text"), "UTF-8").as("media")),
+          "media")
+        .select("doc_id", "n_bytes", "header_hex", "content_md5"),
+      Some("""SELECT doc_id,
+             |  octet_length(encode(text)) AS n_bytes,
+             |  lower(substr(hex(encode(text)), 1, 16)) AS header_hex,
+             |  md5(text) AS content_md5
+             |FROM documents""".stripMargin)),
+
+    // Deterministic frame sampling (explode shape of keyframe selection).
+    QueryDef(
+      "multimodal_frame_sample",
+      (s, d) => Multimodal.sampleFrames(
+          t(s, d, "documents")
+            .select(col("doc_id").as("media_id"), lit("video").as("kind"),
+                    encode(col("text"), "UTF-8").as("bytes"))
+            .as[Multimodal.MediaRecord](org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord]),
+          stride = 16)
+        .select(col("media_id").as("doc_id"),
+                col("frame_no").cast("long").as("frame_no"),
+                col("byte_offset").cast("long").as("byte_offset")),
+      Some("""SELECT doc_id, byte_offset // 16 AS frame_no, byte_offset
+             |FROM (SELECT doc_id,
+             |        unnest(range(0, CAST(octet_length(encode(text)) AS BIGINT), 16)) AS byte_offset
+             |      FROM documents)""".stripMargin)),
+
+    // Partition-batched stub decode (mapPartitions; no SQL equivalent —
+    // driver records the weaker rows-only check).
+    QueryDef(
+      "multimodal_decode_features",
+      (s, d) => Multimodal.decodeFeatures(
+          t(s, d, "documents")
+            .select(col("doc_id").as("media_id"), lit("image").as("kind"),
+                    encode(col("text"), "UTF-8").as("bytes"))
+            .as[Multimodal.MediaRecord](org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord]))
+        .toDF(),
+      None))
+}

@@ -1,0 +1,52 @@
+package graft.serving
+
+import java.sql.Timestamp
+
+import graft.cdc.Scd2
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Serving layer (SURVEY.md §3 E3, §2.1 S8-S11): the reference's contract is
+  * "SCD2 + current-state tables queryable by name" (DuckDB file + Superset);
+  * ours is managed Spark tables + views over them.
+  */
+object ServingLayer {
+
+  /** S8: CREATE OR REPLACE TABLE … AS SELECT (transform_scd2.py:20). */
+  def saveHistory(df: DataFrame, table: String): Unit =
+    df.write.mode("overwrite").format("parquet").saveAsTable(table)
+
+  /** S9: INSERT INTO … SELECT (scd2.sql:7-12). */
+  def appendRows(df: DataFrame, table: String): Unit =
+    df.write.mode("append").format("parquet").saveAsTable(table)
+
+  /** S11 rewrite: the UPDATE-closeout becomes read-modify-overwrite — the
+    * new full table state is computed as a DataFrame and replaces the old
+    * (vanilla parquet has no in-place mutation; this is also the
+    * reference's own flagship shape, a full CREATE OR REPLACE).
+    *
+    * Implemented as stage-and-swap: the new state is written to a staging
+    * table first (Spark refuses to overwrite a table the plan reads from,
+    * and caching wouldn't survive executor loss at 100 TB), then renamed
+    * over the target. Never materializes on the driver.
+    */
+  def overwriteWith(spark: SparkSession, table: String,
+                    newState: DataFrame): Unit = {
+    val staging = table + "__staging"
+    newState.write.mode("overwrite").format("parquet").saveAsTable(staging)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+  }
+
+  /** S10: view over the history table exposing the `is_current` derivation
+    * (init_duckdb.sh:28-35 variant schema).
+    */
+  def createCurrentStateView(spark: SparkSession, historyTable: String,
+                             viewName: String,
+                             sentinel: Timestamp = Scd2.DefaultSentinel): Unit =
+    spark.table(historyTable)
+      .withColumn("is_current",
+        col("row_valid_expiration_timestamp") === lit(sentinel))
+      .createOrReplaceTempView(viewName)
+}
