@@ -20,6 +20,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the session (codegen compiler, parquet footer reads, shuffle
+    // machinery) so the first measured query doesn't absorb JVM startup.
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000)
+      .groupBy("l_returnflag").count().collect()
     val fns = SparkEntry.queries
     val results = SparkEntry.benchQueries.map { name =>
       val t0 = System.nanoTime()

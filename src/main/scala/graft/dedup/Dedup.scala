@@ -17,15 +17,12 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word n-gram shingles (multiset, in document order). */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = TextOps.tokens(text)
-    when(size(toks) >= n,
-      transform(
-        sequence(lit(0), size(toks) - lit(n)),
-        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Word n-gram shingles (multiset, in document order). Custom codegen
+    * expression — see [[graft.functions.WordShingles]] for why the HOF
+    * formulation was replaced.
+    */
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.functions.WordShingles.word_shingles(text, n)
 
   /** Distinct shingle set — the Jaccard universe. */
   def shingleSet(text: Column, n: Int = 3): Column = array_distinct(shingles(text, n))
@@ -38,57 +35,88 @@ object Dedup {
     df.groupBy(TextOps.fingerprintMd5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
-  /** MinHash signature: `numHashes` simulated hash functions, each the
-    * lexicographic min of md5("h:" + shingle). Returns an array<string>
-    * column. Min over a multiset equals min over the set, so no distinct
-    * pass is needed.
-    *
-    * NOTE: this is the single-expression form (handy for ad-hoc column
-    * use); the pipeline path is [[minhashSignatures]], which computes each
-    * md5 exactly once via explode + aggregation — Catalyst inlines
-    * projections, so embedding this expression into several downstream
-    * band digests would re-hash every shingle per digest.
+  /** Modulus for the numeric minhash space (fits all intermediates in
+    * exact Long arithmetic: h1 + 15·h2 < 2^35).
+    */
+  val MinhashMod: Long = 1000000007L
+
+  /** MinHash signature (single-expression form, for ad-hoc column use):
+    * array of `numHashes` numeric minima. The pipeline path is
+    * [[minhashSignatures]] — Catalyst inlines projections, so embedding
+    * this expression into several downstream band digests would re-hash
+    * every shingle per digest.
     */
   def minhashSignature(text: Column, numHashes: Int, shingleN: Int = 3): Column = {
     val sh = shingles(text, shingleN)
-    array((0 until numHashes).map { h =>
-      array_min(transform(sh, s => md5(concat(lit(s"$h:"), s))))
+    array((0 until numHashes).map { i =>
+      array_min(transform(sh, s => hashFn(md5(s), i)))
     }: _*)
   }
 
-  /** MinHash signatures as a DataFrame: (idCol, m0..m{numHashes-1}).
-    * Shape: explode(shingles) → hash-partitioned min-aggregation — md5 is
-    * computed once per (shingle, hash-fn), partials combine map-side, and
-    * the shuffle carries only numHashes×32-byte digests per doc. Docs with
-    * fewer than `shingleN` tokens have no shingles and are dropped (they
-    * can never be LSH candidates).
+  /** The i-th simulated hash of a shingle's md5 hex digest: two 60-bit
+    * halves of the digest, affine-combined mod [[MinhashMod]] (the
+    * classic h1 + i·h2 construction). Pure integer arithmetic on a hex
+    * substring parse — byte-for-byte reproducible in DuckDB via
+    * ('0x'||substr(md5(s),…))::BIGINT.
+    */
+  private def hashFn(m: Column, i: Int): Column = {
+    val h1 = conv(substring(m, 1, 15), 16, 10).cast("long") % MinhashMod
+    val h2 = conv(substring(m, 17, 15), 16, 10).cast("long") % MinhashMod
+    (h1 + lit(i.toLong) * h2) % MinhashMod
+  }
+
+  /** MinHash signatures as a DataFrame: (idCol, m0..m{numHashes-1}), each a
+    * Long. Shape: explode(shingles) → ONE md5 per shingle → numHashes
+    * affine-derived values → min(long) aggregation. All-primitive
+    * aggregation buffers keep Spark on the HashAggregate fast path
+    * (min over strings would fall back to SortAggregate and sort the
+    * exploded universe). Docs with fewer than `shingleN` tokens have no
+    * shingles and are dropped (they can never be LSH candidates).
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int, shingleN: Int = 3): DataFrame = {
+    // Repartition by id BEFORE exploding: the shuffle then carries whole
+    // texts (small) instead of the exploded shingle rows, spreads the md5
+    // work across all cores even when the source is one parquet split, and
+    // the groupBy(id) below reuses the partitioning — zero extra
+    // exchanges in the plan.
     val exploded = df
       .filter(size(TextOps.tokens(col(textCol))) >= shingleN)
+      .select(col(idCol), col(textCol))
+      .repartition(col(idCol))
       .select(col(idCol), explode(shingles(col(textCol), shingleN)).as("s"))
-    val aggs = (0 until numHashes).map { h =>
-      min(md5(concat(lit(s"$h:"), col("s")))).as(s"m$h")
+      .select(col(idCol), md5(col("s")).as("m"))
+      // project h1/h2 once per shingle — each agg below reuses them
+      // instead of re-parsing the hex digest (2 parses vs 2·numHashes)
+      .select(col(idCol),
+        (conv(substring(col("m"), 1, 15), 16, 10).cast("long") % MinhashMod).as("h1"),
+        (conv(substring(col("m"), 17, 15), 16, 10).cast("long") % MinhashMod).as("h2"))
+    val aggs = (0 until numHashes).map { i =>
+      min((col("h1") + lit(i.toLong) * col("h2")) % MinhashMod).as(s"m$i")
     }
     exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH band digests: signature rows grouped into `bands` bands of
-    * `rows` hashes; the band index is hashed into the digest so a single
-    * equality join on the digest implies (same band, same slice).
+    * `rows` hashes; the band index is prefixed so equality on the digest
+    * implies (same band, same slice). Plain string concat — the minhash
+    * values are already uniform, no extra hashing needed.
     */
   def lshBandDigests(sig: Column, bands: Int, rows: Int): Column =
     array((0 until bands).map { b =>
-      val slice = (0 until rows).map(r => element_at(sig, b * rows + r + 1))
-      md5(concat_ws("|", lit(b.toString) +: slice: _*))
+      val slice = (0 until rows).map(r => element_at(sig, b * rows + r + 1).cast("string"))
+      concat_ws("|", lit(b.toString) +: slice: _*)
     }: _*)
 
   /** MinHash/LSH candidate pairs: docs sharing ≥1 band digest.
-    * Plan shape: project(signature) → explode(bands) → shuffle on digest →
-    * self-equi-join → distinct pairs. No cross product anywhere; at 100 TB
-    * the join keys are 32-byte digests with ~uniform distribution (AQE
-    * splits any hot bucket).
+    * Plan shape: signatures → explode(bands) → ONE shuffle on digest →
+    * per-bucket pair expansion → distinct pairs. Bucketing via
+    * groupBy+collect_list (not a self-join: Spark would recompute the
+    * whole signature pipeline for each join side — no exchange reuse under
+    * AQE with a broadcast side). No cross product anywhere; bucket pair
+    * expansion is quadratic only within a bucket, which band selectivity
+    * keeps tiny (production deployments additionally cap bucket size; kept
+    * exact here for oracle parity).
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 16, bands: Int = 8,
@@ -100,11 +128,14 @@ object Dedup {
     val banded = sigDf.select(
       col(idCol).as("doc"),
       explode(lshBandDigests(sig, bands, rows)).as("band"))
-    val a = banded.alias("a")
-    val b = banded.alias("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("doc_id_a"), col("b.doc").as("doc_id_b"))
-      .distinct()
+    val buckets = banded.groupBy("band")
+      .agg(sort_array(collect_list(col("doc"))).as("docs"))
+      .filter(size(col("docs")) > 1)
+    // all ordered pairs (docs[i], docs[j]) with i < j from each bucket
+    val pairs = buckets.select(explode(flatten(transform(col("docs"), (x, i) =>
+      transform(slice(col("docs"), i + lit(2), size(col("docs"))),
+        y => struct(x.as("a"), y.as("b")))))).as("p"))
+    pairs.select(col("p.a").as("doc_id_a"), col("p.b").as("doc_id_b")).distinct()
   }
 
   /** Exact n-gram Jaccard similarity between two shingle-set columns. */
@@ -119,7 +150,10 @@ object Dedup {
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
                      threshold: Double, numHashes: Int = 16, bands: Int = 8,
                      shingleN: Int = 3): DataFrame = {
+    // Candidate pairs are tiny (band-collision survivors); persist them so
+    // the verification joins don't re-run the signature pipeline per side.
     val cands = minhashCandidates(df, idCol, textCol, numHashes, bands, shingleN)
+      .persist()
     val sets = df.select(col(idCol).as("sid"), shingleSet(col(textCol), shingleN).as("sset"))
     cands
       .join(sets.withColumnRenamed("sid", "doc_id_a").withColumnRenamed("sset", "set_a"), "doc_id_a")
@@ -154,9 +188,11 @@ object Dedup {
     * Input: (idCol, textCol); output: (idCol, simhash).
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tokenHash = df.select(
-      col(idCol),
-      explode(array_distinct(TextOps.tokens(col(textCol)))).as("tok"))
+    val tokenHash = df.select(col(idCol), col(textCol))
+      .repartition(col(idCol)) // see minhashSignatures: pre-explode shuffle
+      .select(
+        col(idCol),
+        explode(array_distinct(TextOps.tokens(col(textCol)))).as("tok"))
       .withColumn("h", md5(col("tok")))
     val votes = (0 until SimhashBits).map { j =>
       val nibble = conv(substring(col("h"), j / 4 + 1, 1), 16, 10).cast("long")

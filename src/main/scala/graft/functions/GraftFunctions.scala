@@ -1,0 +1,58 @@
+package graft.functions
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.functions.{call_function, lit}
+
+/** Registration point for graft's custom Catalyst expressions.
+  *
+  * Spark 4 removed the public Column(Expression) constructor, so custom
+  * expressions enter plans through the session FunctionRegistry +
+  * `call_function` — which also makes them available to SQL users
+  * (`SELECT word_shingles(text, 3) FROM docs`).
+  */
+object GraftFunctions {
+
+  private val registered = ConcurrentHashMap.newKeySet[String]()
+
+  /** Idempotently register all graft functions in `spark`'s registry. */
+  def register(spark: SparkSession): Unit = {
+    if (!registered.add(spark.sessionState.toString)) return
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_shingles",
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(text, n) => WordShingles(text, intLiteral(n, "word_shingles(text, n)"))
+        case other => throw new IllegalArgumentException(
+          s"word_shingles(text, n) takes 2 arguments, got ${other.size}")
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "array_dot",
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(a, b) => ArrayDot(a, b)
+        case other => throw new IllegalArgumentException(
+          s"array_dot(a, b) takes 2 arguments, got ${other.size}")
+      },
+      "built-in")
+  }
+
+  private def intLiteral(e: Expression, ctx: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other if other.foldable => other.eval().asInstanceOf[Number].intValue()
+    case _ => throw new IllegalArgumentException(s"$ctx: n must be a literal")
+  }
+
+  /** Column-API wrapper; auto-registers in the active session. */
+  def wordShingles(text: Column, n: Int): Column = {
+    register(SparkSession.active)
+    call_function("word_shingles", text, lit(n))
+  }
+
+  /** Column-API wrapper; auto-registers in the active session. */
+  def arrayDot(a: Column, b: Column): Column = {
+    register(SparkSession.active)
+    call_function("array_dot", a, b)
+  }
+}

@@ -16,23 +16,31 @@ object DedupQueries {
     "list_transform(range(0, len(string_split(text, ' ')) - 2), " +
       "i -> array_to_string((string_split(text, ' '))[i+1:i+3], ' '))"
 
-  private def minhashSigSql(numHashes: Int): String =
-    s"list_transform(range(0, $numHashes), h -> list_aggregate(" +
-      s"list_transform(sh, s -> md5(CAST(h AS VARCHAR) || ':' || s)), 'min'))"
+  /** Mirrors graft.dedup.Dedup numeric minhash: one md5 per shingle, two
+    * 60-bit hex halves, h1 + i·h2 mod 1e9+7, min per hash fn.
+    */
+  private def sigAggsSql(numHashes: Int): String =
+    (0 until numHashes)
+      .map(i => s"min((h1 + $i * h2) % ${graft.dedup.Dedup.MinhashMod}) AS m$i")
+      .mkString(",\n          ")
 
-  private def bandsSql(bands: Int, rows: Int): String = {
-    val slices = (0 until bands).map { b =>
-      val elems = (1 to rows).map(r => s"g[${b * rows + r}]").mkString(", ")
-      s"md5(concat_ws('|', CAST($b AS VARCHAR), $elems))"
-    }
-    slices.mkString("[", ", ", "]")
-  }
+  private def bandsSql(bands: Int, rows: Int): String =
+    (0 until bands).map { b =>
+      val elems = (0 until rows).map(r => s"m${b * rows + r}").mkString(", ")
+      s"concat_ws('|', '$b', $elems)"
+    }.mkString("[", ", ", "]")
 
   /** Shared candidate-pair CTE chain (MinHash 16 hashes, 8 bands × 2). */
   private val candidatesCte: String =
-    s"""WITH tok AS (SELECT doc_id, $shinglesSql AS sh FROM documents
-       |             WHERE len(string_split(text, ' ')) >= 3),
-       |sig AS (SELECT doc_id, ${minhashSigSql(16)} AS g FROM tok),
+    s"""WITH sh AS (SELECT doc_id, unnest($shinglesSql) AS s FROM documents
+       |            WHERE len(string_split(text, ' ')) >= 3),
+       |hh AS (SELECT doc_id,
+       |         CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % ${graft.dedup.Dedup.MinhashMod} AS h1,
+       |         CAST(('0x' || substr(md5(s), 17, 15)) AS BIGINT) % ${graft.dedup.Dedup.MinhashMod} AS h2
+       |       FROM sh),
+       |sig AS (SELECT doc_id,
+       |          ${sigAggsSql(16)}
+       |        FROM hh GROUP BY doc_id),
        |bands AS (SELECT doc_id, unnest(${bandsSql(8, 2)}) AS band FROM sig),
        |cands AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
        |          FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)""".stripMargin

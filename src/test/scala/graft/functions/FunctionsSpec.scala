@@ -1,0 +1,75 @@
+package graft.functions
+
+import graft.SparkSuite
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** The custom codegen expressions must be drop-in equivalent to the
+  * (slower) built-in HOF formulations they replaced — checked on random
+  * inputs including the edge cases (repeated/leading/trailing spaces,
+  * unicode, short strings, empty arrays).
+  */
+class FunctionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def hofShingles(text: org.apache.spark.sql.Column, n: Int) = {
+    val toks = split(text, " ")
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - lit(n)),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  test("word_shingles == HOF formulation on random strings") {
+    val wordGen = Gen.oneOf(Gen.alphaNumStr.map(_.take(6)), Gen.const(""), Gen.const("é漢"))
+    val textGen = Gen.listOf(wordGen).map(_.mkString(" "))
+    val texts = (1 to 200).flatMap(i => textGen(Gen.Parameters.default, Seed(i.toLong))) ++
+      Seq("", "a", "a b", "a b c", "a  b  c", " leading", "trailing ", "  ")
+    val df = texts.toDF("text")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val diff = df.select(
+        GraftFunctions.wordShingles(col("text"), n).as("custom"),
+        hofShingles(col("text"), n).as("hof"))
+        .filter(col("custom") =!= col("hof"))
+      assert(diff.count() == 0, s"n=$n: custom shingles diverge from HOF; e.g. " +
+        diff.limit(1).collect().mkString)
+    }
+  }
+
+  test("word_shingles is usable from SQL") {
+    GraftFunctions.register(spark)
+    val out = spark.sql("SELECT word_shingles('a b c d', 2) AS s").head().getSeq[String](0)
+    assert(out == Seq("a b", "b c", "c d"))
+  }
+
+  test("array_dot == HOF fold bit-for-bit on random float vectors") {
+    val vecGen = Gen.listOfN(64, Gen.chooseNum(-1e3f, 1e3f))
+    val rows = (1 to 200).flatMap(i => vecGen(Gen.Parameters.default, Seed(i.toLong)))
+      .grouped(2).collect { case Seq(a, b) => (a.toArray, b.toArray) }.toSeq
+    val df = rows.toDF("a", "b")
+    val hofDot = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val diff = df.select(
+      GraftFunctions.arrayDot(col("a"), col("b")).as("custom"), hofDot.as("hof"))
+      .filter(col("custom") =!= col("hof")) // bitwise: NaN-free inputs
+    assert(diff.count() == 0)
+  }
+
+  test("array_dot handles double arrays and empty arrays") {
+    val df = Seq((Array(1.0, 2.0), Array(3.0, 4.0)),
+                 (Array.empty[Double], Array.empty[Double])).toDF("a", "b")
+    val out = df.select(GraftFunctions.arrayDot(col("a"), col("b"))).as[Double].collect()
+    assert(out.toSeq == Seq(11.0, 0.0))
+  }
+
+  test("array_dot rejects length mismatch with a clear error") {
+    val df = Seq((Array(1.0, 2.0), Array(3.0))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(GraftFunctions.arrayDot(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage != null)
+  }
+}
