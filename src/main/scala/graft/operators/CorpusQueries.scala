@@ -1,0 +1,142 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.QueryDef.t
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+import graft.text.TextOps
+
+import org.apache.spark.sql.functions._
+
+/** Corpus-level analytics: as-of joins against the change log, token/bigram
+  * frequency, log-free TF-IDF, and IVF-style similarity search. All
+  * oracle-checked.
+  */
+object CorpusQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // As-of join: latest event per customer at order time (the SCD2 lookup
+    // operator — see AsOfJoin for why it's a window, not a join).
+    QueryDef(
+      "asof_join_last_event",
+      (s, d) => AsOfJoin.asOf(
+        left = t(s, d, "orders").select("o_orderkey", "o_custkey", "o_orderdate"),
+        right = t(s, d, "events"),
+        leftKey = "o_custkey", rightKey = "user_id",
+        leftT = "o_orderdate", rightT = "ts", rightSeq = "event_id",
+        payload = Seq("event_id"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+                col("asof_event_id")),
+      Some("""SELECT o_orderkey, o_custkey, o_orderdate,
+             |  (SELECT event_id FROM events
+             |   WHERE user_id = o_custkey AND ts <= o_orderdate
+             |   ORDER BY ts DESC, event_id DESC LIMIT 1) AS asof_event_id
+             |FROM orders""".stripMargin)),
+
+    // Classic distributed wordcount over the corpus (map-side partial agg).
+    QueryDef(
+      "text_wordcount",
+      (s, d) => t(s, d, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token"))
+        .limit(100),
+      Some("""SELECT token, count(*) AS freq
+             |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+             |GROUP BY token ORDER BY freq DESC, token LIMIT 100""".stripMargin)),
+
+    // Bigram frequency via the codegen shingle expression.
+    QueryDef(
+      "text_bigram_freq",
+      (s, d) => t(s, d, "documents")
+        .select(explode(Dedup.shingles(col("text"), 2)).as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("bigram"))
+        .limit(50),
+      Some("""SELECT bigram, count(*) AS freq
+             |FROM (SELECT unnest(list_transform(range(0, len(string_split(text, ' ')) - 1),
+             |        i -> array_to_string((string_split(text, ' '))[i+1:i+2], ' '))) AS bigram
+             |      FROM documents WHERE len(string_split(text, ' ')) >= 2)
+             |GROUP BY bigram ORDER BY freq DESC, bigram LIMIT 50""".stripMargin)),
+
+    // Log-free TF-IDF: tf · (N/df) — exact double arithmetic (a log-based
+    // idf would hinge on libm-vs-JVM last-ulp agreement; the ranking is
+    // monotone-equivalent). Top 5 terms per doc for the first 50 docs.
+    QueryDef(
+      "text_tfidf_topterms",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val n = docs.agg(count(lit(1)).cast("double").as("n_docs")) // stays lazy — no driver count
+        val tf = docs
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+          .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("tfidf").desc, col("token"))
+        tf.join(df, "token").crossJoin(broadcast(n))
+          .withColumn("tfidf",
+            col("tf").cast("double") * (col("n_docs") / col("df").cast("double")))
+          .filter(col("doc_id") < 50)
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select("doc_id", "token", "tfidf", "rank")
+      },
+      Some("""WITH tf AS (
+             |  SELECT doc_id, token, count(*) AS tf
+             |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+             |  GROUP BY doc_id, token),
+             |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+             |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+             |scored AS (
+             |  SELECT doc_id, tf.token,
+             |         CAST(tf AS DOUBLE) * (n_docs / CAST(df AS DOUBLE)) AS tfidf
+             |  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+             |  WHERE doc_id < 50)
+             |SELECT doc_id, token, tfidf, rank FROM (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+             |            ORDER BY tfidf DESC, token) AS rank
+             |  FROM scored) WHERE rank <= 5""".stripMargin)),
+
+    // IVF coarse quantization: assign every vector to its nearest centroid
+    // (the first 8 vectors stand in for trained centroids). This is the
+    // partitioning step of IVF ANN search: at 100 TB the corpus is
+    // bucketed by centroid_id once, and queries probe 1-2 buckets.
+    QueryDef(
+      "sim_ivf_assign",
+      (s, d) => {
+        val emb = t(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val cents = broadcast(emb.filter(col("id") < 8)
+          .select(col("id").as("centroid_id"), col("vec").as("cvec"),
+                  Similarity.l2Norm(col("vec")).as("cnorm")))
+        val scored = emb
+          .withColumn("vnorm", Similarity.l2Norm(col("vec")))
+          .crossJoin(cents)
+          .withColumn("sim", Similarity.dot(col("vec"), col("cvec")) /
+            (col("vnorm") * col("cnorm")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("id").orderBy(col("sim").desc, col("centroid_id"))
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("id").as("vec_id"), col("centroid_id"), col("sim").as("centroid_sim"))
+      },
+      Some { // mirrors the norm-precomputed arithmetic: dot/(vnorm*cnorm)
+        val dotSql = "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+          "list_transform(range(1, len(%s) + 1), i -> CAST(%s[i] AS DOUBLE) * CAST(%s[i] AS DOUBLE))), (acc, x) -> acc + x)"
+        def dot(a: String, b: String) = dotSql.format(a, a, b)
+        s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cvec,
+           |                      sqrt(${dot("embedding", "embedding")}) AS cnorm
+           |               FROM embeddings WHERE vec_id < 8),
+           |scored AS (
+           |  SELECT e.vec_id, centroid_id,
+           |         ${dot("e.embedding", "cvec")} /
+           |           (sqrt(${dot("e.embedding", "e.embedding")}) * cnorm) AS sim
+           |  FROM embeddings e CROSS JOIN cents)
+           |SELECT vec_id, centroid_id, sim AS centroid_sim FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+           |            ORDER BY sim DESC, centroid_id) AS rn
+           |  FROM scored) WHERE rn = 1""".stripMargin
+      }))
+}
