@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AnalyticsQueries, CdcQueries, CorpusQueries, DedupQueries, MultimodalQueries, RelationalQueries, SimilarityQueries, TextQueries}
+import graft.operators.{AnalyticsQueries, CdcQueries, CorpusQueries, DedupQueries, EnvelopeQueries, MultimodalQueries, RelationalQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +16,7 @@ import graft.operators.{AnalyticsQueries, CdcQueries, CorpusQueries, DedupQuerie
 object SparkEntry {
 
   val all: Seq[QueryDef] =
-    CdcQueries.defs ++ RelationalQueries.defs ++ AnalyticsQueries.defs ++
+    EnvelopeQueries.defs ++ CdcQueries.defs ++ RelationalQueries.defs ++ AnalyticsQueries.defs ++
       TextQueries.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
       MultimodalQueries.defs ++ CorpusQueries.defs
 

@@ -156,6 +156,31 @@ object RelationalQueries {
              |WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey IN
              |  (SELECT r_regionkey FROM region WHERE r_name = 'ASIA'))""".stripMargin)),
 
+    // J1 verbatim shape (scd2.sql:8-12): LEFT OUTER equi+theta join with a
+    // null-rejecting residual filter (P4) — written as the reference wrote
+    // it; Catalyst's RewritePredicateSubquery/join planning turns the
+    // null-filtered outer join into an anti join.
+    QueryDef(
+      "left_join_null_residual",
+      (s, d) => {
+        val l = t(s, d, "lineitem").filter(col("l_linenumber") === 1)
+          .select("l_orderkey", "l_shipdate", "l_extendedprice")
+        val o = t(s, d, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey").as("h_orderkey"), col("o_orderdate"))
+        l.join(o, col("l_orderkey") === col("h_orderkey") &&
+                  col("o_orderdate") <= col("l_shipdate"), "left_outer")
+          .filter(col("h_orderkey").isNull)
+          .select("l_orderkey", "l_extendedprice")
+      },
+      Some("""SELECT l_orderkey, l_extendedprice
+             |FROM (SELECT l_orderkey, l_shipdate, l_extendedprice
+             |      FROM lineitem WHERE l_linenumber = 1) l
+             |LEFT JOIN (SELECT o_orderkey AS h_orderkey, o_orderdate
+             |           FROM orders WHERE o_orderpriority = '1-URGENT') h
+             |  ON l.l_orderkey = h.h_orderkey AND h.o_orderdate <= l.l_shipdate
+             |WHERE h.h_orderkey IS NULL""".stripMargin)),
+
     // O1/O2: deterministic top-k (unique tiebreak on the key).
     QueryDef(
       "sort_limit_topk",
