@@ -2,7 +2,7 @@ package graft.cdc
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Sources for CDC envelope NDJSON lakes (SURVEY.md §2.1 S1/S2/S4).
   *
@@ -41,6 +41,29 @@ object EnvelopeReader {
     */
   def readRaw(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path).withColumnRenamed("value", "json")
+
+  /** Envelope scan that captures undecodable lines instead of silently
+    * nulling them: PERMISSIVE parse with `_corrupt_record` retained. Returns
+    * (clean envelopes, quarantine rows) — the operational pattern for a
+    * 100 TB lake where a junk line must neither kill the job (FAILFAST)
+    * nor vanish (plain PERMISSIVE). The split is two filters over one scan;
+    * write the quarantine side to a replay sink.
+    */
+  def readEnvelopesWithQuarantine(spark: SparkSession, path: String,
+                                  rowSchema: StructType): (DataFrame, DataFrame) = {
+    val schema = CdcSchemas.envelope(rowSchema)
+      .add(StructField("_corrupt_record", org.apache.spark.sql.types.StringType))
+    val raw = spark.read
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .cache() // one scan feeds both splits; caching keeps the split consistent
+    val clean = raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+    val quarantine = raw.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("json"))
+    (clean, quarantine)
+  }
 
   /** S3A configuration mirroring the reference's MinIO setup
     * (transform_scd2.py:10-16): path-style access against a custom endpoint.

@@ -138,5 +138,69 @@ object CorpusQueries {
            |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
            |            ORDER BY sim DESC, centroid_id) AS rn
            |  FROM scored) WHERE rn = 1""".stripMargin
+      }),
+
+    // IVF probe search: queries scored only against their own centroid's
+    // bucket — the sub-linear ANN path (scan cost /= nlist). Recall < 1 by
+    // construction; the oracle replays the identical two-stage plan so the
+    // approximation itself is hash-checked.
+    QueryDef(
+      "sim_ivf_topk",
+      (s, d) => {
+        val emb = t(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val cents = broadcast(emb.filter(col("id") < 8)
+          .select(col("id").as("centroid_id"), col("vec").as("cvec"),
+                  Similarity.l2Norm(col("vec")).as("cnorm")))
+        def assign(df: org.apache.spark.sql.DataFrame) = {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("id").orderBy(col("csim").desc, col("centroid_id"))
+          df.withColumn("vnorm", Similarity.l2Norm(col("vec")))
+            .crossJoin(cents)
+            .withColumn("csim", Similarity.dot(col("vec"), col("cvec")) /
+              (col("vnorm") * col("cnorm")))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select(col("id"), col("vec"), col("vnorm"), col("centroid_id"))
+        }
+        val corpus = assign(emb)
+        val queries = broadcast(assign(emb.filter(col("id") < 10))
+          .select(col("id").as("query_id"), col("vec").as("qvec"),
+                  col("vnorm").as("qnorm"), col("centroid_id")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("cosine_sim").desc, col("id"))
+        corpus.join(queries, "centroid_id")
+          .filter(col("query_id") =!= col("id"))
+          .withColumn("cosine_sim", Similarity.dot(col("qvec"), col("vec")) /
+            (col("qnorm") * col("vnorm")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("id").as("neighbor_id"), col("cosine_sim"), col("rank"))
+      },
+      Some {
+        val dotSql = "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+          "list_transform(range(1, len(%s) + 1), i -> CAST(%s[i] AS DOUBLE) * CAST(%s[i] AS DOUBLE))), (acc, x) -> acc + x)"
+        def dot(a: String, b: String) = dotSql.format(a, a, b)
+        s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cvec,
+           |                      sqrt(${dot("embedding", "embedding")}) AS cnorm
+           |               FROM embeddings WHERE vec_id < 8),
+           |assigned AS (
+           |  SELECT id, vec, vnorm, centroid_id FROM (
+           |    SELECT e.vec_id AS id, e.embedding AS vec,
+           |           sqrt(${dot("e.embedding", "e.embedding")}) AS vnorm,
+           |           centroid_id,
+           |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+           |             ${dot("e.embedding", "cvec")} /
+           |               (sqrt(${dot("e.embedding", "e.embedding")}) * cnorm) DESC,
+           |             centroid_id) AS rn
+           |    FROM embeddings e CROSS JOIN cents) WHERE rn = 1),
+           |scored AS (
+           |  SELECT q.id AS query_id, c.id AS neighbor_id,
+           |         ${dot("q.vec", "c.vec")} / (q.vnorm * c.vnorm) AS cosine_sim
+           |  FROM assigned q JOIN assigned c ON q.centroid_id = c.centroid_id
+           |  WHERE q.id < 10 AND c.id != q.id)
+           |SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+           |            ORDER BY cosine_sim DESC, neighbor_id) AS rank
+           |  FROM scored) WHERE rank <= 5""".stripMargin
       }))
 }

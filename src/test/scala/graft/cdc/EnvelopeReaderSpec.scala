@@ -1,0 +1,52 @@
+package graft.cdc
+
+import graft.SparkSuite
+import graft.cdc.CdcFixtures._
+
+import org.apache.spark.sql.functions._
+
+class EnvelopeReaderSpec extends SparkSuite {
+
+  private val t0 = 1733333333000L
+  private def lines = Seq(
+    envelope("null", productRow(Some(1), "a", "d1", 1.5), "c", t0, 10),
+    envelope(productRow(Some(1), "a", "d1", 1.5), productRow(Some(1), "a", "d2", 2.5), "u", t0 + 1000, 20))
+
+  test("S2: schema-inference path (read_json_auto analogue) sees the same events") {
+    val d = tempDir("autolake")
+    writeLake(d, lines)
+    val auto = EnvelopeReader.readEnvelopesAuto(spark, d.getAbsolutePath)
+    // inference finds payload.* nested fields; values must round-trip
+    val ids = auto.select(col("payload.after.id")).collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 1L))
+    val ops = auto.select("payload.op").collect().map(_.getString(0)).sorted
+    assert(ops.toSeq == Seq("c", "u"))
+  }
+
+  test("S4: S3A configuration helper sets the MinIO-style conf") {
+    EnvelopeReader.configureS3a(spark, "http://localhost:9000", "ak", "sk")
+    val hc = spark.sparkContext.hadoopConfiguration
+    assert(hc.get("fs.s3a.endpoint") == "http://localhost:9000")
+    assert(hc.get("fs.s3a.path.style.access") == "true")
+    assert(hc.get("fs.s3a.access.key") == "ak")
+  }
+
+  test("raw-line scan preserves lines byte-for-byte") {
+    val d = tempDir("rawlake")
+    writeLake(d, lines)
+    val raw = EnvelopeReader.readRaw(spark, d.getAbsolutePath + "/year=*/month=*/day=*/*.json")
+    assert(raw.collect().map(_.getString(0)).toSet == lines.toSet)
+  }
+
+  test("quarantine split: junk lines survive for replay, clean lines parse") {
+    val d = tempDir("quarlake")
+    writeLake(d, lines ++ Seq("{broken json", "also not json }"))
+    val (clean, quarantine) = EnvelopeReader.readEnvelopesWithQuarantine(
+      spark, d.getAbsolutePath + "/year=*/month=*/day=*/*.json", CdcSchemas.productsRow)
+    assert(clean.count() == 2)
+    assert(quarantine.collect().map(_.getString(0)).toSet ==
+           Set("{broken json", "also not json }"))
+    // clean side feeds the normal pipeline
+    assert(Scd2.transform(clean, Seq("name", "description", "price")).count() == 2)
+  }
+}

@@ -83,4 +83,31 @@ class Scd2StreamingSpec extends SparkSuite {
       "late lsn-200 event must re-close lsn-100's interval and chain into lsn-300")
     assert(finalChain.map(_.attrs("name")) == Seq("a", "b", "c"))
   }
+
+  test("watermarked tumbling-window aggregation over an envelope stream") {
+    implicit val sqlCtx = spark.sqlContext
+    case class Ev(ts: java.sql.Timestamp, k: String, v: Double)
+    val input = MemoryStream[(Long, String, Double)]
+    val agg = input.toDS()
+      .select(timestamp_millis(col("_1")).as("ts"), col("_2").as("k"), col("_3").as("v"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("k"))
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+    val q = agg.writeStream.format("memory").queryName("wm_out")
+      .outputMode("append").start()
+
+    val base = 1733333100000L // aligned 5-min boundary
+    input.addData((base + 1000, "a", 1.0), (base + 2000, "a", 2.0), (base + 1000, "b", 5.0))
+    q.processAllAvailable()
+    // advance event time past watermark so the first window closes in append mode
+    input.addData((base + 20 * 60 * 1000, "a", 9.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("wm_out")
+      .select(col("k"), col("n"), col("sv")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows == Set(("a", 2L, 3.0), ("b", 1L, 5.0)),
+      "first-window aggregates must emit exactly once after the watermark passes")
+  }
 }
