@@ -73,6 +73,25 @@ object TextQueries {
               |          / CAST(len(string_split(text, ' ')) AS DOUBLE) AS awl
               |      FROM documents)""".stripMargin)),
 
+    // Manual pivot via conditional aggregation (the portable PIVOT shape:
+    // Spark's .pivot and DuckDB's PIVOT both desugar to this).
+    QueryDef(
+      "text_lang_pivot",
+      (s, d) => {
+        val langs = Seq("en", "es", "de", "fr", "zh")
+        t(s, d, "documents").groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            langs.map(l => count(when(col("lang") === l, 1)).as(s"n_$l")): _*)
+          .orderBy("source")
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+             |  count(*) FILTER (lang = 'en') AS n_en,
+             |  count(*) FILTER (lang = 'es') AS n_es,
+             |  count(*) FILTER (lang = 'de') AS n_de,
+             |  count(*) FILTER (lang = 'fr') AS n_fr,
+             |  count(*) FILTER (lang = 'zh') AS n_zh
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
     // Rolling-hash fingerprint: exact modular integer arithmetic both sides.
     QueryDef(
       "text_fingerprint",

@@ -39,6 +39,20 @@ object ServingLayer {
     spark.sql(s"ALTER TABLE $staging RENAME TO $table")
   }
 
+  /** Bucketed managed table: pre-shuffles once at write time so that
+    * subsequent equi-joins/aggregations on `bucketCol` between tables with
+    * matching bucketing read co-located data and plan with NO exchange —
+    * the 100 TB answer to repeated fact⋈fact joins (verified shuffle-free
+    * in PlanSpec). `sortCol` additionally makes the join merge-ready
+    * without a per-task sort.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    numBuckets: Int, sortCol: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+    sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
+  }
+
   /** S10: view over the history table exposing the `is_current` derivation
     * (init_duckdb.sh:28-35 variant schema).
     */

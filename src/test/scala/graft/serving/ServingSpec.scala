@@ -58,6 +58,34 @@ class ServingSpec extends SparkSuite {
       "lake files must be gzipped like the reference sink")
   }
 
+  test("bucketed tables join without any shuffle") {
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    val sf = "/root/testdata/sf0.001"
+    ServingLayer.writeBucketed(
+      spark.read.parquet(s"$sf/lineitem.parquet"), "li_bucketed", "l_orderkey", 8)
+    ServingLayer.writeBucketed(
+      spark.read.parquet(s"$sf/orders.parquet"), "ord_bucketed", "o_orderkey", 8)
+    val joined = spark.table("li_bucketed")
+      .join(spark.table("ord_bucketed"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus").count()
+    val plan = joined.queryExecution.executedPlan
+    val norm = plan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val shufflesBeforeAgg = norm.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // the join itself must be exchange-free; only the final groupBy may shuffle
+    assert(shufflesBeforeAgg.size <= 1,
+      s"bucketed join should not shuffle; found ${shufflesBeforeAgg.size} exchanges")
+    assert(joined.count() > 0)
+    spark.sql("DROP TABLE li_bucketed")
+    spark.sql("DROP TABLE ord_bucketed")
+  }
+
   test("approx_count_distinct lands within rsd of exact") {
     val events = graft.QueryDef.t(spark, "/root/testdata/sf0.001", "events")
     val approx = events.agg(approx_count_distinct(col("user_id"), 0.02)).head().getLong(0)
