@@ -1,0 +1,34 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+/** Plan-audit main: dumps every catalog query's formatted physical plan to
+  * one file and flags scale red-flags (cartesian products without an
+  * explicit crossJoin rationale, full-schema scans).
+  *
+  *   sbt 'runMain graft.ExplainAll [sfDir] [outFile]'
+  */
+object ExplainAll {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val out = args.lift(1).getOrElse("/tmp/graft_plans.md")
+    val spark = GraftSession.local(8)
+    spark.sparkContext.setLogLevel("ERROR")
+    val sb = new StringBuilder
+    SparkEntry.all.foreach { q =>
+      val plan = try {
+        q.spark(spark, sfDir).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+      } catch { case e: Throwable => s"ERROR: ${e.getMessage}" }
+      sb.append(s"\n## ${q.name}\n\n```\n$plan```\n")
+      val flags = Seq(
+        "CartesianProduct" -> plan.contains("CartesianProduct"),
+        "BroadcastNestedLoopJoin" -> plan.contains("BroadcastNestedLoopJoin"))
+        .collect { case (f, true) => f }
+      if (flags.nonEmpty) println(s"[flag] ${q.name}: ${flags.mkString(", ")}")
+    }
+    Files.writeString(Paths.get(out), sb.toString)
+    println(s"plans -> $out")
+    spark.stop()
+  }
+}

@@ -105,12 +105,27 @@ object Scd2Streaming {
 
   val SentinelMs: Long = Timestamp.valueOf("9999-01-01 00:00:00").getTime
 
+  /** Retention bound for per-key state: events whose wall-clock timestamp
+    * trails the key's max seen ts by more than this are compacted away
+    * (the latest event always survives — it anchors the open interval).
+    * Bounds state to O(events inside the lateness horizon) per key instead
+    * of O(all versions ever): the difference between state that fits and
+    * state that grows forever at 100 TB. Late events older than the
+    * horizon merge with reduced correction fidelity (documented trade-off,
+    * same contract as a watermark).
+    */
+  val DefaultRetentionMs: Long = 7L * 24 * 3600 * 1000
+
   /** flatMapGroupsWithState body: merge new events into the per-key log
     * (dedupe on lsn), re-derive the key's version chain, emit rows whose
     * validity changed. A late event reopens/corrects previously-emitted
     * intervals — downstream sinks upsert on (id, lsn).
     */
   def updateKey(id: Int, incoming: Iterator[KeyEvent],
+                state: GroupState[KeyState]): Iterator[VersionRow] =
+    updateKeyWithRetention(DefaultRetentionMs)(id, incoming, state)
+
+  def updateKeyWithRetention(retentionMs: Long)(id: Int, incoming: Iterator[KeyEvent],
                 state: GroupState[KeyState]): Iterator[VersionRow] = {
     val prior = state.getOption.map(_.events).getOrElse(Nil)
     val priorLsns = prior.map(_._1).toSet
@@ -119,7 +134,13 @@ object Scd2Streaming {
       .map(e => (e.lsn, e.tsMs, e.attrs)).toList
     if (fresh.isEmpty) return Iterator.empty
 
-    val merged = (prior ++ fresh).sortBy(_._1)
+    val mergedAll = (prior ++ fresh).sortBy(_._1)
+    // compact: keep events within the retention horizon of the max ts,
+    // plus unconditionally the highest-lsn event (open-interval anchor)
+    val horizon = mergedAll.map(_._2).max - retentionMs
+    val merged = mergedAll.zipWithIndex.collect {
+      case (e, i) if e._2 >= horizon || i == mergedAll.length - 1 => e
+    }
     state.update(KeyState(merged))
 
     val minFresh = fresh.map(_._1).min

@@ -84,6 +84,39 @@ class Scd2StreamingSpec extends SparkSuite {
     assert(finalChain.map(_.attrs("name")) == Seq("a", "b", "c"))
   }
 
+  test("per-key state is compacted to the retention horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Scd2Streaming.KeyEvent]
+    val out = input.toDS()
+      .groupByKey(_.id)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())(
+        Scd2Streaming.updateKeyWithRetention(retentionMs = 1000L))
+    val q = out.writeStream.format("memory").queryName("ret_out")
+      .outputMode("append").start()
+
+    // three old events, then one far in the future: the old ones fall out
+    // of the horizon but the chain stays correct for fresh data
+    input.addData(
+      Scd2Streaming.KeyEvent(1, 10, t0, Map("name" -> "a"), "c"),
+      Scd2Streaming.KeyEvent(1, 20, t0 + 100, Map("name" -> "b"), "u"),
+      Scd2Streaming.KeyEvent(1, 30, t0 + 200, Map("name" -> "c"), "u"))
+    q.processAllAvailable()
+    input.addData(Scd2Streaming.KeyEvent(1, 40, t0 + 100000, Map("name" -> "d"), "u"))
+    q.processAllAvailable()
+    // an event after compaction must still chain against the surviving tail
+    input.addData(Scd2Streaming.KeyEvent(1, 50, t0 + 100500, Map("name" -> "e"), "u"))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("ret_out").as[Scd2Streaming.VersionRow].collect()
+    val last = rows.groupBy(_.lsn).map(_._2.last).toSeq.sortBy(_.lsn)
+    assert(last.map(_.lsn).takeRight(2) == Seq(40L, 50L))
+    assert(last.find(_.lsn == 40).get.rowValidExpirationMs == t0 + 100500)
+    assert(last.find(_.lsn == 50).get.rowValidExpirationMs == Scd2Streaming.SentinelMs)
+  }
+
   test("watermarked tumbling-window aggregation over an envelope stream") {
     implicit val sqlCtx = spark.sqlContext
     case class Ev(ts: java.sql.Timestamp, k: String, v: Double)
