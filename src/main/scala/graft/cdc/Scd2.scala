@@ -97,11 +97,12 @@ object Scd2 {
   def history(ranked: DataFrame, attrFields: Seq[String],
               sentinel: Timestamp = DefaultSentinel): DataFrame = {
     val attrs = attrFields.map(f => col(s"after_row_value.$f").as(f))
+    val sentinelLit = lit(sentinel).cast(ranked.schema("source_timestamp").dataType)
     ranked.select(
       col("id") +:
       attrs :+
       col("source_timestamp").as("row_valid_start_timestamp") :+
-      coalesce(col("next_change_timestamp"), lit(sentinel))
+      coalesce(col("next_change_timestamp"), sentinelLit)
         .as("row_valid_expiration_timestamp"): _*)
   }
 
@@ -127,10 +128,14 @@ object Scd2 {
   def versionize(changeLog: DataFrame, keyCol: String, seqCol: String,
                  tsCol: String, sentinel: Timestamp = DefaultSentinel): DataFrame = {
     val w = Window.partitionBy(keyCol).orderBy(seqCol)
+    // cast the sentinel to the ts column's own type: a bare Timestamp
+    // literal is TIMESTAMP_LTZ and would coerce an NTZ validity chain to
+    // LTZ (which parquet then stores as legacy INT96)
+    val sentinelLit = lit(sentinel).cast(changeLog.schema(tsCol).dataType)
     changeLog
       .withColumn("version_num", row_number().over(w))
       .withColumn("valid_from", col(tsCol))
-      .withColumn("valid_to", coalesce(lead(tsCol, 1).over(w), lit(sentinel)))
+      .withColumn("valid_to", coalesce(lead(tsCol, 1).over(w), sentinelLit))
   }
 
   /** Latest version per key of any keyed change log — the current-state
