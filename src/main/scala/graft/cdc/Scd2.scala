@@ -161,4 +161,14 @@ object Scd2 {
     */
   def dedupeEvents(events: DataFrame): DataFrame =
     events.dropDuplicates("id", "log_seq_num")
+
+  /** Current state with deleted keys removed. The reference's history keeps
+    * a NULL-attribute version for deletes (§2.8 quirk, preserved in
+    * [[history]]); serving users usually want the live rows only — a key is
+    * live iff its open version has any non-null attribute.
+    */
+  def currentStateLive(scd2: DataFrame, attrFields: Seq[String],
+                       sentinel: Timestamp = DefaultSentinel): DataFrame =
+    currentState(scd2, sentinel)
+      .filter(attrFields.map(col(_).isNotNull).reduce(_ || _))
 }

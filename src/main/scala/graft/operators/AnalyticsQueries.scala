@@ -69,6 +69,25 @@ object AnalyticsQueries {
              |        LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
              |      FROM events)""".stripMargin)),
 
+    // GROUPING SETS through the raw spark.sql entry point (the E3 serving
+    // contract: tables queryable by name; Catalyst expands the sets the
+    // same way DuckDB does).
+    QueryDef(
+      "grouping_sets_sql",
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("orders_v")
+        s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+                |FROM orders_v
+                |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+                |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+             |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
+
     // HLL sketch distincts — the 100 TB path for cardinality (no exact
     // shuffle-the-universe). Sketch internals differ across engines, so no
     // SQL oracle: the driver records the rows-only check; the test suite

@@ -44,19 +44,27 @@ object Scd2Streaming {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(path)
 
-  /** Kafka envelope stream: value bytes → envelope struct. (Kafka broker
-    * not available in tests; the parse path is identical for file streams.)
+  /** Kafka record value (binary JSON) → envelope columns. Factored out of
+    * the stream builder so the parse is testable without a broker — the
+    * expression is identical for batch Kafka reads and file streams.
+    */
+  def parseKafkaValue(df: DataFrame, rowSchema: StructType): DataFrame =
+    df.select(from_json(col("value").cast("string"),
+        CdcSchemas.envelope(rowSchema)).as("env"))
+      .select(col("env.payload").as("payload"))
+
+  /** Kafka envelope stream: subscribe + value parse (S5/S6 — the
+    * `subscribe` list is the capture-side include filter).
     */
   def readKafkaEnvelopeStream(spark: SparkSession, bootstrap: String, topic: String,
                               rowSchema: StructType): DataFrame =
-    spark.readStream
-      .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topic)
-      .load()
-      .select(from_json(col("value").cast("string"),
-        CdcSchemas.envelope(rowSchema)).as("env"))
-      .select(col("env.payload").as("payload"))
+    parseKafkaValue(
+      spark.readStream
+        .format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .load(),
+      rowSchema)
 
   /** Mode 1: full-rebuild foreachBatch. `writeHistory` receives the complete
     * recomputed SCD2 table each trigger (write mode("overwrite")).

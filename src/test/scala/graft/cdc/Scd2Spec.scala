@@ -116,6 +116,28 @@ class Scd2Spec extends SparkSuite {
     assert(ts.getTime == t0 + 123)
   }
 
+  test("Kafka value parse == file envelope parse (no broker needed)") {
+    import spark.implicits._
+    val kafkaShaped = standardLines.toDF("v")
+      .select(col("v").cast("binary").as("value"))
+    val parsed = graft.streaming.Scd2Streaming.parseKafkaValue(
+      kafkaShaped, CdcSchemas.productsRow)
+    val out = Scd2.transform(parsed, Seq("name", "description", "price"))
+    val fileOut = Scd2.transform(
+      EnvelopeReader.readEnvelopes(spark, lake(standardLines), CdcSchemas.productsRow),
+      Seq("name", "description", "price"))
+    assert(out.orderBy("id", "row_valid_start_timestamp").collect().toSeq ==
+           fileOut.orderBy("id", "row_valid_start_timestamp").collect().toSeq)
+  }
+
+  test("currentStateLive drops deleted keys, keeps live ones") {
+    val env = EnvelopeReader.readEnvelopes(spark, lake(standardLines), CdcSchemas.productsRow)
+    val hist = Scd2.transform(env, Seq("name", "description", "price"))
+    val live = Scd2.currentStateLive(hist, Seq("name", "description", "price"))
+    // id 1 was deleted (NULL-attr open version) → excluded; 2 and 3 live
+    assert(live.select("id").collect().map(_.getInt(0)).sorted.toSeq == Seq(2, 3))
+  }
+
   test("current-state view and latestByKey agree") {
     val env = EnvelopeReader.readEnvelopes(spark, lake(standardLines), CdcSchemas.productsRow)
     val hist = Scd2.transform(env, Seq("name", "description", "price"))
