@@ -21,38 +21,43 @@ import org.apache.spark.sql.functions._
   */
 object EnvelopeQueries {
 
-  /** Fixed scratch path: the oracle SQL is dumped before the driver picks a
-    * scale factor, so the lake lives at one well-known dir, overwritten by
-    * each run (verify runs are per-sf and sequential; the oracle always
-    * reads the lake its paired Spark run just wrote).
+  /** Fixed scratch path + fixed content: the oracle SQL is dumped before
+    * the driver picks a scale factor, and verify/bench runs at different
+    * sfs may interleave with the DuckDB compare — so the lake is fully
+    * synthetic (spark.range, no dependence on sfDir) and byte-identical
+    * whichever run wrote it last.
     */
-  private def lakeDir(sfDir: String): String = "/tmp/graft_cdc_lake"
+  private val LakeDir = "/tmp/graft_cdc_lake"
+  private val LakeEvents = 20000L
+  private val LakeKeys = LakeEvents / 5 // ~5 versions per key
 
-  /** Derive Debezium envelopes from `events`: signup→c, purchase/click→u,
-    * error→d (before image only), view→r. ~events-per-user versions.
+  /** Deterministic Debezium envelope lake: per key, a create followed by
+    * updates; every 17th event is a delete (before image only, null
+    * `after` — the NULL-attr-version quirk), every 13th a snapshot read,
+    * every 97th an unknown op code (kept: the reference only drops null
+    * ops). Sub-second ts_ms exercises the ms-precision path.
     */
   private def buildLake(s: SparkSession, sfDir: String): String = {
-    val dir = lakeDir(sfDir)
-    val ev = t(s, sfDir, "events")
+    val id = col("id") % LakeKeys
     val row = struct(
-      col("user_id").cast("int").as("id"),
-      col("event_type").as("name"),
-      col("props").as("description"),
-      col("value").as("price"))
-    val op = when(col("event_type") === "signup", "c")
-      .when(col("event_type") === "error", "d")
-      .when(col("event_type") === "view", "r")
+      id.cast("int").as("id"),
+      concat(lit("name-"), (col("id") % 997).cast("string")).as("name"),
+      concat(lit("desc-"), (col("id") % 31).cast("string")).as("description"),
+      ((col("id") % 10000).cast("double") / 100.0).as("price"))
+    val op = when(col("id") < LakeKeys, "c")
+      .when(col("id") % 97 === 0, "x")
+      .when(col("id") % 17 === 0, "d")
+      .when(col("id") % 13 === 0, "r")
       .otherwise("u")
     val nullRow = lit(null).cast(CdcSchemas.productsRow)
-    val env = ev.select(to_json(struct(struct(
+    val env = s.range(LakeEvents).select(to_json(struct(struct(
       when(op === "d", row).otherwise(nullRow).as("before"),
       when(op =!= "d", row).otherwise(nullRow).as("after"),
       op.as("op"),
-      unix_millis(col("ts").cast("timestamp")).as("ts_ms"),
-      struct(col("event_id").as("lsn")).as("source")).as("payload"))).as("value"))
-    env.coalesce(4).write.mode("overwrite").text(dir)
-    // .text writes part-*.txt… actually .txt files; rename glob handled below
-    dir
+      (lit(1733333333000L) + col("id") * 321L + col("id") % 7).as("ts_ms"),
+      struct(col("id").as("lsn")).as("source")).as("payload"))).as("value"))
+    env.coalesce(4).write.mode("overwrite").text(LakeDir)
+    LakeDir
   }
 
   val defs: Seq[QueryDef] = Seq(
