@@ -97,6 +97,24 @@ object Scd2Streaming {
     }
   }
 
+  /** Idempotent micro-batch sink: each batch lands in `basePath/batch=<id>`
+    * and a batch already marked complete (`_SUCCESS` present) is skipped —
+    * so foreachBatch replays after a failure/restart write nothing twice.
+    * Combined with checkpointing (offsets) and (id, lsn) dedupe upstream,
+    * this is the end-to-end exactly-once story the reference's S3 sink
+    * claims (plugins/kafka-connect-s3/manifest.json:6, SURVEY.md §2.8).
+    * Returns true if the batch was written, false if skipped.
+    */
+  def writeBatchIdempotent(batch: DataFrame, batchId: Long, basePath: String): Boolean = {
+    val dir = new org.apache.hadoop.fs.Path(s"$basePath/batch=$batchId")
+    val fs = dir.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))) false
+    else {
+      batch.write.mode("overwrite").parquet(dir.toString)
+      true
+    }
+  }
+
   // ---- Mode 3: true incremental state -----------------------------------
 
   /** One parsed change event, typed for stateful processing. */

@@ -84,6 +84,44 @@ class Scd2StreamingSpec extends SparkSuite {
     assert(finalChain.map(_.attrs("name")) == Seq("a", "b", "c"))
   }
 
+  test("mode 1 full-rebuild foreachBatch == batch rebuild") {
+    val lakeDir = tempDir("rebuildlake")
+    writeLake(lakeDir, batch1 ++ batch2)
+    val attrs = Seq("name", "description", "price")
+
+    // the reference's own semantics: every trigger re-reads the whole lake
+    // glob and rebuilds (transform_scd2.py is a full CREATE OR REPLACE)
+    var result: Option[org.apache.spark.sql.DataFrame] = None
+    val stream = Scd2Streaming.readEnvelopeStream(
+      spark, lakeDir.getAbsolutePath, CdcSchemas.productsRow, maxFilesPerTrigger = 1)
+    val q = Scd2Streaming.foreachBatchRebuild(
+      stream, attrs,
+      allEventsSoFar = () => Scd2.cdcEvents(
+        spark.read.schema(CdcSchemas.envelope(CdcSchemas.productsRow))
+          .json(lakeDir.getAbsolutePath)),
+      writeHistory = h => {
+        val cached = h.cache(); cached.count(); result = Some(cached)
+      }).start()
+    q.processAllAvailable()
+    q.stop()
+
+    val batchOut = Scd2.transform(
+      EnvelopeReader.readEnvelopes(spark, lakeDir.getAbsolutePath, CdcSchemas.productsRow),
+      attrs)
+    assert(result.get.orderBy("id", "row_valid_start_timestamp").collect().toSeq ==
+           batchOut.orderBy("id", "row_valid_start_timestamp").collect().toSeq)
+  }
+
+  test("idempotent batch sink skips already-committed batches") {
+    import spark.implicits._
+    val dir = tempDir("idempsink").getAbsolutePath
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    assert(Scd2Streaming.writeBatchIdempotent(df, 7L, dir))
+    assert(!Scd2Streaming.writeBatchIdempotent(df, 7L, dir), "replay must be skipped")
+    assert(Scd2Streaming.writeBatchIdempotent(df, 8L, dir))
+    assert(spark.read.parquet(s"$dir/batch=7").count() == 2)
+  }
+
   test("per-key state is compacted to the retention horizon") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Scd2Streaming.KeyEvent]
