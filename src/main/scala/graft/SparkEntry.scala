@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AnalyticsQueries, CdcQueries, CorpusQueries, DedupQueries, EnvelopeQueries, MultimodalQueries, RelationalQueries, SimilarityQueries, TextQueries}
+import graft.operators.{AnalyticsQueries, CdcQueries, CorpusQueries, DedupQueries, EnvelopeQueries, MultimodalQueries, RelationalQueries, ScalarQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,7 +18,7 @@ object SparkEntry {
   val all: Seq[QueryDef] =
     EnvelopeQueries.defs ++ CdcQueries.defs ++ RelationalQueries.defs ++ AnalyticsQueries.defs ++
       TextQueries.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
-      MultimodalQueries.defs ++ CorpusQueries.defs
+      MultimodalQueries.defs ++ CorpusQueries.defs ++ ScalarQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Defensive: the driver may hand us a session built without the

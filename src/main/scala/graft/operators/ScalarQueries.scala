@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.QueryDef.t
+
+import org.apache.spark.sql.functions._
+
+/** Scalar-function breadth (beyond the reference's authored surface, which
+  * uses no string or date functions at all — SURVEY.md §2.2 "No math
+  * beyond /"): string, date/time, and null-handling built-ins with exact
+  * oracles, as serving-layer parity evidence.
+  */
+object ScalarQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "scalar_string_funcs",
+      (s, d) => t(s, d, "customer").select(
+        col("c_custkey"),
+        upper(col("c_name")).as("name_upper"),
+        lower(col("c_mktsegment")).as("seg_lower"),
+        substring(col("c_name"), 1, 8).as("name_prefix"),
+        length(col("c_name")).cast("long").as("name_len"),
+        concat_ws("/", col("c_mktsegment"), col("c_name")).as("seg_name"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("key_padded"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("name_digits"),
+        replace(col("c_name"), lit("Customer"), lit("Cust")).as("name_replaced"),
+        reverse(col("c_mktsegment")).as("seg_rev")),
+      Some("""SELECT c_custkey,
+             |  upper(c_name) AS name_upper,
+             |  lower(c_mktsegment) AS seg_lower,
+             |  substr(c_name, 1, 8) AS name_prefix,
+             |  CAST(length(c_name) AS BIGINT) AS name_len,
+             |  concat_ws('/', c_mktsegment, c_name) AS seg_name,
+             |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+             |  coalesce(regexp_extract(c_name, '([0-9]+)', 1), '') AS name_digits,
+             |  replace(c_name, 'Customer', 'Cust') AS name_replaced,
+             |  reverse(c_mktsegment) AS seg_rev
+             |FROM customer""".stripMargin)),
+
+    QueryDef(
+      "scalar_datetime_funcs",
+      (s, d) => t(s, d, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("d"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        date_trunc("month", col("o_orderdate")).cast("timestamp_ntz").as("month_start"),
+        (col("o_orderdate").cast("timestamp_ntz") + expr("INTERVAL 30 DAYS")).as("due_date")),
+      Some("""SELECT o_orderkey,
+             |  CAST(date_part('year', o_orderdate) AS BIGINT) AS y,
+             |  CAST(date_part('month', o_orderdate) AS BIGINT) AS m,
+             |  CAST(date_part('day', o_orderdate) AS BIGINT) AS d,
+             |  CAST(date_part('quarter', o_orderdate) AS BIGINT) AS q,
+             |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+             |  o_orderdate + INTERVAL 30 DAY AS due_date
+             |FROM orders""".stripMargin)),
+
+    QueryDef(
+      "scalar_null_funcs",
+      (s, d) => {
+        val seg = when(col("c_mktsegment") === "BUILDING", lit(null).cast("string"))
+          .otherwise(col("c_mktsegment"))
+        t(s, d, "customer").select(
+          col("c_custkey"),
+          coalesce(seg, lit("UNKNOWN")).as("seg_filled"),
+          nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_nullified"),
+          when(seg.isNull, 1L).otherwise(0L).as("is_building"),
+          greatest(col("c_acctbal"), lit(0.0)).as("bal_floor"),
+          least(col("c_acctbal"), lit(1000.0)).as("bal_cap"))
+      },
+      Some("""SELECT c_custkey,
+             |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'UNKNOWN') AS seg_filled,
+             |  nullif(c_mktsegment, 'BUILDING') AS seg_nullified,
+             |  CASE WHEN nullif(c_mktsegment, 'BUILDING') IS NULL THEN 1 ELSE 0 END AS is_building,
+             |  greatest(c_acctbal, 0.0) AS bal_floor,
+             |  least(c_acctbal, 1000.0) AS bal_cap
+             |FROM customer""".stripMargin)))
+}
