@@ -20,6 +20,10 @@ object SparkEntry {
       TextQueries.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
       MultimodalQueries.defs ++ CorpusQueries.defs ++ ScalarQueries.defs
 
+  require(all.map(_.name).distinct.size == all.size,
+    s"duplicate query names would silently drop catalog entries: " +
+      all.groupBy(_.name).collect { case (n, ds) if ds.size > 1 => n }.mkString(", "))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Defensive: the driver may hand us a session built without the
     * nanos-as-long flag that `events.parquet` (TIMESTAMP NANOS) needs —

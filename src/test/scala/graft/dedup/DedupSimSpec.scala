@@ -61,6 +61,14 @@ class DedupSimSpec extends SparkSuite {
       else (exact intersect approx).size.toDouble / exact.size
     assert(recall > 0.0, "bucketed ANN found none of the true neighbors")
     info(f"ANN recall@10 = $recall%.2f (4 hyperplanes, single probe)")
+
+    // Hamming-1 multi-probe must not lose recall, and usually gains it
+    val multi = Similarity.lshBucketedTopK(embs, queries, k = 10, nPlanes = 4, probes = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val multiRecall = (exact intersect multi).size.toDouble / exact.size
+    assert(multiRecall >= recall,
+      f"multi-probe recall $multiRecall%.2f < single-probe $recall%.2f")
+    info(f"ANN recall@10 = $multiRecall%.2f (4 hyperplanes, 4 probes)")
   }
 
   test("signBucket is deterministic across invocations") {
