@@ -88,6 +88,63 @@ object AnalyticsQueries {
              |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
              |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
 
+    // Exact interpolated quantiles. Restricted to an integral-valued
+    // column with dyadic fractions so the interpolation arithmetic is
+    // exact in both engines (Spark percentile ↔ DuckDB quantile_cont use
+    // algebraically equal but differently-associated formulas — only
+    // exact inputs make them bit-equal).
+    QueryDef(
+      "stats_quantiles",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("qs"),
+             count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qs,
+             |  count(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Histogram via explicit floor bucketing (DuckDB 1.0 has no
+    // width_bucket; the formula below is engine-identical double math).
+    QueryDef(
+      "value_histogram",
+      (s, d) => t(s, d, "events")
+        .groupBy(floor(col("value") / 10.0).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+               .cast("double").as("sum_value"))
+        .orderBy("bucket"),
+      Some("""SELECT CAST(floor(value / 10.0) AS BIGINT) AS bucket, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // Conversion funnel: first-touch ordering per user (product-analytics
+    // shape: two-level aggregation, timestamp comparisons, exact ratio).
+    QueryDef(
+      "funnel_signup_purchase",
+      (s, d) => {
+        val perUser = t(s, d, "events").groupBy("user_id").agg(
+          min(when(col("event_type") === "signup", col("ts"))).as("first_signup"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"))
+        perUser.agg(
+          count(when(col("first_signup").isNotNull, 1)).as("n_signed"),
+          count(when(col("first_signup").isNotNull &&
+                     col("first_purchase") > col("first_signup"), 1)).as("n_converted"))
+          .withColumn("conversion_rate",
+            col("n_converted").cast("double") / col("n_signed").cast("double"))
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id,
+             |    min(ts) FILTER (event_type = 'signup') AS first_signup,
+             |    min(ts) FILTER (event_type = 'purchase') AS first_purchase
+             |  FROM events GROUP BY user_id)
+             |SELECT
+             |  count(*) FILTER (first_signup IS NOT NULL) AS n_signed,
+             |  count(*) FILTER (first_signup IS NOT NULL AND first_purchase > first_signup) AS n_converted,
+             |  CAST(count(*) FILTER (first_signup IS NOT NULL AND first_purchase > first_signup) AS DOUBLE)
+             |    / CAST(count(*) FILTER (first_signup IS NOT NULL) AS DOUBLE) AS conversion_rate
+             |FROM u""".stripMargin)),
+
     // HLL sketch distincts — the 100 TB path for cardinality (no exact
     // shuffle-the-universe). Sketch internals differ across engines, so no
     // SQL oracle: the driver records the rows-only check; the test suite
