@@ -69,6 +69,50 @@ object AnalyticsQueries {
              |        LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
              |      FROM events)""".stripMargin)),
 
+    // The ranking-function family over one deterministic total order
+    // (unique tiebreak keys keep ties — and therefore rank/ntile output —
+    // engine-independent).
+    QueryDef(
+      "window_rank_family",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, d, "orders").select(
+          col("o_custkey"), col("o_orderkey"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          first_value(col("o_orderkey")).over(w).as("biggest_order"),
+          percent_rank().over(w).as("prnk"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  CAST(rank() OVER w AS BIGINT) AS rnk,
+             |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+             |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+             |  first_value(o_orderkey) OVER w AS biggest_order,
+             |  percent_rank() OVER w AS prnk
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin)),
+
+    // RANGE frame over event-time seconds: trailing-30-day spend per
+    // customer (range frames include peers — engine-identical given the
+    // integer ordering key and decimal-exact sum).
+    QueryDef(
+      "window_range_frame",
+      (s, d) => {
+        val epochS = col("o_orderdate").cast("timestamp").cast("long")
+        val w = Window.partitionBy("o_custkey").orderBy(epochS)
+          .rangeBetween(-2592000L, 0L)
+        t(s, d, "orders").select(
+          col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+            .cast("double").as("spend_30d"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             |    PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+             |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d
+             |FROM orders""".stripMargin)),
+
     // GROUPING SETS through the raw spark.sql entry point (the E3 serving
     // contract: tables queryable by name; Catalyst expands the sets the
     // same way DuckDB does).
