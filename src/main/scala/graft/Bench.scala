@@ -33,16 +33,17 @@ object Bench {
     val results = SparkEntry.benchQueries.map { name =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fns(name)(spark, sfDir).count() }
+        try { fns(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
-        (System.nanoTime() - t0) / 1e9
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0 // failure marker — must not masquerade as a fast run
+        }
       }
-      name -> times.min
+      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -25,7 +25,10 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
 
-  /** Read one of the driver-provided testdata tables. */
+  /** Read one of the driver-provided testdata tables (delegates to
+    * [[graft.QueryDef.t]], which also normalizes the `events.ts`
+    * nanosecond column — keep one reader so the semantics can't diverge).
+    */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    QueryDef.t(spark, sfDir, name)
 }

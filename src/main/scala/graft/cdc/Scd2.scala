@@ -38,7 +38,7 @@ import org.apache.spark.sql.types._
 object Scd2 {
 
   /** Sentinel closing open validity intervals (transform_scd2.py:58). */
-  val DefaultSentinel: Timestamp = Timestamp.valueOf("9999-01-01 00:00:00")
+  val DefaultSentinel: Timestamp = graft.Ts.utc("9999-01-01 00:00:00")
 
   /** op-code → label mapping (transform_scd2.py:29-35). Note P14
     * (SURVEY.md §2.2): the reference matches json-quoted `'"c"'` because
@@ -168,7 +168,10 @@ object Scd2 {
     * live iff its open version has any non-null attribute.
     */
   def currentStateLive(scd2: DataFrame, attrFields: Seq[String],
-                       sentinel: Timestamp = DefaultSentinel): DataFrame =
+                       sentinel: Timestamp = DefaultSentinel): DataFrame = {
+    require(attrFields.nonEmpty,
+      "currentStateLive needs at least one attribute column to detect deletes")
     currentState(scd2, sentinel)
       .filter(attrFields.map(col(_).isNotNull).reduce(_ || _))
+  }
 }

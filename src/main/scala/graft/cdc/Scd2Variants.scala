@@ -17,7 +17,7 @@ object Scd2Variants {
   /** Sentinel used by the compare-and-close variant
     * (/root/reference/duckdb/analytics/init_duckdb.sh:45,63).
     */
-  val VariantSentinel: Timestamp = Timestamp.valueOf("9999-12-31 23:59:59")
+  val VariantSentinel: Timestamp = graft.Ts.utc("9999-12-31 23:59:59")
 
   /** Anti-join append variant (/root/reference/duckdb/analytics/scd2.sql:7-12):
     * append incoming rows that are strictly newer than everything already in
@@ -35,12 +35,19 @@ object Scd2Variants {
   }
 
   /** Compare-and-close variant (init_duckdb.sh:39-68) as one deterministic
-    * read-modify-overwrite. Semantics preserved:
-    *  - rows whose current version differs (or that have no current version)
-    *    are inserted as new open versions (NOT EXISTS dedupe, :48-53 → anti
-    *    join on the (key, attrs) compare);
-    *  - current versions of keys present in the batch whose attrs differ are
-    *    closed (IN + EXISTS, :56-68 → semi join);
+    * read-modify-overwrite. Semantics preserved — including the
+    * reference's surprising ones (its own comment claims updates "insert a
+    * new one"; its SQL does not — the SQL wins, verified in
+    * Scd2VariantsSpec):
+    *  - a CHANGED key is NOT re-inserted: the INSERT's NOT EXISTS (:48-53)
+    *    blocks any key that has a differing current version, so changed
+    *    keys only get their current version closed — the incoming value is
+    *    dropped;
+    *  - an IDENTICAL row IS re-inserted and the old version stays open
+    *    (the predicate only blocks differing rows);
+    *  - new keys insert an open version;
+    *  - current versions of keys present in the batch whose attrs differ
+    *    are closed (IN + EXISTS, :56-68 → semi join);
     *  - `asOf` replaces CURRENT_TIMESTAMP (:44,57) so runs are reproducible.
     *
     * Input schemas: incoming `(product_id, name, price)`; history

@@ -20,6 +20,11 @@ object ArrayDotUtil {
     var acc = 0.0
     var i = 0
     while (i < n) {
+      // a null element would read as 0.0 from UnsafeArrayData and silently
+      // corrupt the score — fail loudly instead (the HOF this replaced
+      // yielded a null result; a thrown error is the safer divergence)
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(s"array_dot: null element at index $i")
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       acc += x * y

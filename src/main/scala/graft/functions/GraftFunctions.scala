@@ -1,7 +1,5 @@
 package graft.functions
 
-import java.util.concurrent.ConcurrentHashMap
-
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.functions.{call_function, lit}
@@ -15,11 +13,12 @@ import org.apache.spark.sql.functions.{call_function, lit}
   */
 object GraftFunctions {
 
-  private val registered = ConcurrentHashMap.newKeySet[String]()
-
-  /** Idempotently register all graft functions in `spark`'s registry. */
+  /** Register all graft functions in `spark`'s registry.
+    * createOrReplaceTempFunction is itself idempotent and cheap, so no
+    * registered-session bookkeeping (an identity-based cache here risked
+    * skipping a fresh session on hash collision and grew unboundedly).
+    */
   def register(spark: SparkSession): Unit = {
-    if (!registered.add(spark.sessionState.toString)) return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_shingles",
       (exprs: Seq[Expression]) => exprs match {

@@ -70,8 +70,13 @@ object Multimodal {
     */
   def sampleFrames(media: Dataset[MediaRecord], stride: Int): DataFrame = {
     val df = media.toDF()
-    df.select(col("media_id"),
-        posexplode(sequence(lit(0), greatest(length(col("bytes")) - 1, lit(0)), lit(stride))))
+    // zero-byte payloads sample no frames (sequence(0, -1) would count
+    // DOWN in Spark and a bare greatest() guard emitted a phantom frame
+    // at offset 0 for empty media)
+    val offsets = when(length(col("bytes")) > 0,
+      sequence(lit(0), length(col("bytes")) - 1, lit(stride)))
+      .otherwise(array().cast("array<int>"))
+    df.select(col("media_id"), posexplode(offsets))
       .withColumnRenamed("pos", "frame_no")
       .withColumnRenamed("col", "byte_offset")
   }

@@ -38,7 +38,7 @@ object RelationalQueries {
     QueryDef(
       "q1_pricing_summary",
       (s, d) => t(s, d, "lineitem")
-        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("2001-09-02 00:00:00")))
+        .filter(col("l_shipdate") <= lit(graft.Ts.utc("2001-09-02 00:00:00")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           sum("l_quantity").as("sum_qty"),
@@ -63,7 +63,7 @@ object RelationalQueries {
     QueryDef(
       "q3_shipping_priority",
       (s, d) => {
-        val cut = lit(java.sql.Timestamp.valueOf("1998-06-01 00:00:00"))
+        val cut = lit(graft.Ts.utc("1998-06-01 00:00:00"))
         val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
         val o = t(s, d, "orders").filter(col("o_orderdate") < cut)
         val l = t(s, d, "lineitem").filter(col("l_shipdate") > cut)
@@ -94,8 +94,8 @@ object RelationalQueries {
         val c = t(s, d, "customer")
         val sup = t(s, d, "supplier")
         val o = t(s, d, "orders")
-          .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
-                  col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+          .filter(col("o_orderdate") >= lit(graft.Ts.utc("1996-01-01 00:00:00")) &&
+                  col("o_orderdate") < lit(graft.Ts.utc("1998-01-01 00:00:00")))
         val l = t(s, d, "lineitem")
         l.join(o, col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))

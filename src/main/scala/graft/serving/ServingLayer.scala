@@ -34,7 +34,13 @@ object ServingLayer {
   def overwriteWith(spark: SparkSession, table: String,
                     newState: DataFrame): Unit = {
     val staging = table + "__staging"
+    spark.sql(s"DROP TABLE IF EXISTS $staging") // leftover from a failed run
     newState.write.mode("overwrite").format("parquet").saveAsTable(staging)
+    // NOTE: the drop→rename pair is not atomic — a crash in between leaves
+    // the data under the staging name and readers see a missing table until
+    // it is renamed back. True atomic swap needs a transactional catalog
+    // (Delta/Iceberg), out of scope on vanilla parquet; the window is
+    // metadata-only (no data rewrite happens inside it).
     spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.sql(s"ALTER TABLE $staging RENAME TO $table")
   }

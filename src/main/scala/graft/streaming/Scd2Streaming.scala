@@ -129,7 +129,7 @@ object Scd2Streaming {
   /** Per-key retained state: the (bounded) event log. */
   case class KeyState(events: List[(Long, Long, Map[String, String])]) // (lsn, tsMs, attrs)
 
-  val SentinelMs: Long = Timestamp.valueOf("9999-01-01 00:00:00").getTime
+  val SentinelMs: Long = graft.Ts.utc("9999-01-01 00:00:00").getTime
 
   /** Retention bound for per-key state: events whose wall-clock timestamp
     * trails the key's max seen ts by more than this are compacted away
