@@ -58,6 +58,69 @@ object ScalarQueries {
              |  o_orderdate + INTERVAL 30 DAY AS due_date
              |FROM orders""".stripMargin)),
 
+    // Unpivot/melt (Dataset.unpivot ↔ portable UNION ALL oracle): the
+    // per-language counts of text_lang_pivot turned back into rows.
+    QueryDef(
+      "unpivot_lang_counts",
+      (s, d) => {
+        val langs = Seq("en", "es", "de", "fr", "zh")
+        val wide = t(s, d, "documents").groupBy("source")
+          .agg(count(when(col("lang") === langs.head, 1)).as(s"n_${langs.head}"),
+            langs.tail.map(l => count(when(col("lang") === l, 1)).as(s"n_$l")): _*)
+        wide.unpivot(
+          ids = Array(col("source")),
+          values = langs.map(l => col(s"n_$l")).toArray,
+          variableColumnName = "lang_col",
+          valueColumnName = "n_docs")
+          .withColumn("lang", expr("substr(lang_col, 3)"))
+          .select("source", "lang", "n_docs")
+      },
+      Some {
+        val arms = Seq("en", "es", "de", "fr", "zh").map { l =>
+          s"SELECT source, '$l' AS lang, count(*) FILTER (lang = '$l') AS n_docs FROM documents GROUP BY source"
+        }
+        arms.mkString("", "\nUNION ALL\n", "")
+      }),
+
+    // JSON → typed map (P9 extended): parse the props JSON object into a
+    // map and inspect keys/values.
+    QueryDef(
+      "json_map_extract",
+      (s, d) => t(s, d, "events").select(
+        col("event_id"),
+        array_sort(map_keys(from_json(col("props"), org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType))))
+          .as("prop_keys"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_value")),
+      Some("""SELECT event_id,
+             |  list_sort(json_keys(props)) AS prop_keys,
+             |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+             |FROM events""".stripMargin)),
+
+    // Array-function breadth over tokenized text: sort, dedupe, slice,
+    // membership, flatten-free sizing.
+    QueryDef(
+      "array_funcs",
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        t(s, d, "documents").select(
+          col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          size(array_distinct(toks)).cast("long").as("n_distinct"),
+          slice(array_sort(array_distinct(toks)), 1, 5).as("first5_sorted"),
+          array_contains(toks, "the").as("has_the"),
+          element_at(toks, 1).as("first_token"),
+          element_at(toks, -1).as("last_token"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+             |  (list_sort(list_distinct(string_split(text, ' '))))[1:5] AS first5_sorted,
+             |  list_contains(string_split(text, ' '), 'the') AS has_the,
+             |  (string_split(text, ' '))[1] AS first_token,
+             |  (string_split(text, ' '))[-1] AS last_token
+             |FROM documents""".stripMargin)),
+
     QueryDef(
       "scalar_null_funcs",
       (s, d) => {
