@@ -92,6 +92,32 @@ object TextQueries {
              |  count(*) FILTER (lang = 'zh') AS n_zh
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
 
+    // BPE-style pre-tokenization (the GPT-2 pretokenizer shape): contraction
+    // suffixes, space-prefixed letter/digit runs, punctuation runs. The
+    // pattern uses only constructs with identical semantics in Java regex
+    // (Spark) and RE2 (DuckDB): alternation, non-capturing groups, ASCII
+    // classes, \s. Non-ASCII codepoints fall into the punctuation arm on
+    // both engines (both match per-codepoint on BMP text).
+    QueryDef(
+      "text_bpe_tokens",
+      (s, d) => {
+        val pat = "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^\\sa-z0-9']+"
+        val toks = regexp_extract_all(lower(col("text")), lit(pat), lit(0))
+        t(s, d, "documents").select(
+          col("doc_id"),
+          size(toks).cast("long").as("n_bpe"),
+          size(array_distinct(toks)).cast("long").as("n_distinct_bpe"),
+          slice(toks, 1, 3).as("bpe_head"))
+      },
+      Some("""SELECT doc_id,
+             |  len(regexp_extract_all(lower(text),
+             |    '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9'']+')) AS n_bpe,
+             |  len(list_distinct(regexp_extract_all(lower(text),
+             |    '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9'']+'))) AS n_distinct_bpe,
+             |  (regexp_extract_all(lower(text),
+             |    '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9'']+'))[1:3] AS bpe_head
+             |FROM documents""".stripMargin)),
+
     // Rolling-hash fingerprint: exact modular integer arithmetic both sides.
     QueryDef(
       "text_fingerprint",
