@@ -155,6 +155,34 @@ class Scd2StreamingSpec extends SparkSuite {
     assert(last.find(_.lsn == 50).get.rowValidExpirationMs == Scd2Streaming.SentinelMs)
   }
 
+  test("at-least-once delivery is deduped on (id, lsn) within the watermark") {
+    // SURVEY §2.8 delivery row: the reference's S3 sink claims exactly-once
+    // but the engine-side guarantee is dedupe by (id, lsn) — redelivered
+    // envelopes in later micro-batches must not produce duplicate rows,
+    // with state bounded by the watermark (not the full history).
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long)] // (id, log_seq_num, ts_ms)
+    val deduped = input.toDS()
+      .select(col("_1").as("id"), col("_2").as("log_seq_num"),
+        timestamp_millis(col("_3")).as("ts"))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("id", "log_seq_num")
+    val q = deduped.writeStream.format("memory").queryName("dd_out")
+      .outputMode("append").start()
+
+    input.addData((1L, 100L, t0), (1L, 110L, t0 + 1000))
+    q.processAllAvailable()
+    // redelivery of (1, 100) in a later micro-batch, plus a fresh event
+    input.addData((1L, 100L, t0), (2L, 120L, t0 + 2000))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("dd_out").select("id", "log_seq_num").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows.size == 3 && rows.toSet == Set((1L, 100L), (1L, 110L), (2L, 120L)),
+      s"redelivered (id, lsn) must be suppressed exactly once: $rows")
+  }
+
   test("watermarked tumbling-window aggregation over an envelope stream") {
     implicit val sqlCtx = spark.sqlContext
     case class Ev(ts: java.sql.Timestamp, k: String, v: Double)
