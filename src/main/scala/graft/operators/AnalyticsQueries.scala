@@ -189,6 +189,30 @@ object AnalyticsQueries {
              |    / CAST(count(*) FILTER (first_signup IS NOT NULL) AS DOUBLE) AS conversion_rate
              |FROM u""".stripMargin)),
 
+    // Cohort retention: users bucketed by first-activity week, distinct
+    // actives counted per weeks-since-cohort offset. Weeks are encoded as
+    // epoch-day DIV 7 integers so both engines group on exact ints (no
+    // date_trunc return-type divergence; the testdata spans ~4 weeks).
+    QueryDef(
+      "cohort_retention",
+      (s, d) => {
+        val ev = t(s, d, "events").select(
+          col("user_id"),
+          expr("CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') DIV 7 AS BIGINT)").as("wk"))
+        val cohort = ev.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+        ev.join(cohort, "user_id")
+          .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("weeks_since"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+      },
+      Some("""WITH ev AS (SELECT user_id,
+             |  CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS BIGINT) AS wk
+             |  FROM events),
+             |coh AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY user_id)
+             |SELECT cohort_wk, wk - cohort_wk AS weeks_since,
+             |  count(DISTINCT ev.user_id) AS n_active
+             |FROM ev JOIN coh USING (user_id)
+             |GROUP BY cohort_wk, weeks_since""".stripMargin)),
+
     // HLL sketch distincts — the 100 TB path for cardinality (no exact
     // shuffle-the-universe). Sketch internals differ across engines, so no
     // SQL oracle: the driver records the rows-only check; the test suite
