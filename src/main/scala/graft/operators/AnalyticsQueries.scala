@@ -213,6 +213,38 @@ object AnalyticsQueries {
              |FROM ev JOIN coh USING (user_id)
              |GROUP BY cohort_wk, weeks_since""".stripMargin)),
 
+    // Interval-overlap via sweep-line: max concurrent open orders per
+    // customer, where each order is open [o_orderdate, +30 days). The
+    // scale-safe shape for interval overlap counting — one shuffle and a
+    // running sum instead of a quadratic interval self-join. End events
+    // sort before starts at equal timestamps (delta ASC ⇒ end-exclusive).
+    QueryDef(
+      "interval_overlap_sweep",
+      (s, d) => {
+        val o = t(s, d, "orders").select(col("o_custkey"), col("o_orderdate"))
+        val sweep = o.select(col("o_custkey"), col("o_orderdate").as("ts"), lit(1L).as("delta"))
+          .unionByName(o.select(col("o_custkey"),
+            (col("o_orderdate") + expr("INTERVAL 30 DAY")).as("ts"), lit(-1L).as("delta")))
+        val run = Window.partitionBy("o_custkey").orderBy(col("ts"), col("delta"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        sweep.withColumn("open", sum(col("delta")).over(run))
+          .groupBy("o_custkey")
+          .agg(max(col("open")).as("max_open"),
+               sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_orders"))
+      },
+      Some("""WITH sweep AS (
+             |  SELECT o_custkey, o_orderdate AS ts, 1 AS delta FROM orders
+             |  UNION ALL
+             |  SELECT o_custkey, o_orderdate + INTERVAL 30 DAY AS ts, -1 AS delta FROM orders),
+             |run AS (
+             |  SELECT o_custkey, delta,
+             |    CAST(sum(delta) OVER (PARTITION BY o_custkey ORDER BY ts, delta
+             |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS open
+             |  FROM sweep)
+             |SELECT o_custkey, max(open) AS max_open,
+             |  CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_orders
+             |FROM run GROUP BY o_custkey""".stripMargin)),
+
     // HLL sketch distincts — the 100 TB path for cardinality (no exact
     // shuffle-the-universe). Sketch internals differ across engines, so no
     // SQL oracle: the driver records the rows-only check; the test suite
