@@ -209,6 +209,23 @@ object RelationalQueries {
              |INTERSECT SELECT DISTINCT o_custkey AS c_custkey FROM orders
              |EXCEPT SELECT c_custkey FROM customer WHERE c_acctbal < 0""".stripMargin)),
 
+    // O3 multiset variants: INTERSECT ALL / EXCEPT ALL keep duplicate
+    // multiplicities (min-count / count-difference semantics). Parenthesized
+    // in the oracle — INTERSECT binds tighter than EXCEPT in DuckDB.
+    QueryDef(
+      "set_ops_all",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        li.filter(col("l_returnflag") === "R").select("l_suppkey")
+          .intersectAll(li.filter(col("l_linestatus") === "F").select("l_suppkey"))
+          .exceptAll(li.filter(col("l_discount") > 0.08).select("l_suppkey"))
+      },
+      Some("""(SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+             | INTERSECT ALL
+             | SELECT l_suppkey FROM lineitem WHERE l_linestatus = 'F')
+             |EXCEPT ALL
+             |SELECT l_suppkey FROM lineitem WHERE l_discount > 0.08""".stripMargin)),
+
     // §2.4: distinct aggregates (exact).
     QueryDef(
       "distinct_counts",

@@ -121,6 +121,19 @@ object ScalarQueries {
              |  (string_split(text, ' '))[-1] AS last_token
              |FROM documents""".stripMargin)),
 
+    // Positional generator (posexplode): token with its 0-based position.
+    // DuckDB 1.0 has no WITH ORDINALITY — the oracle unnests range(len)
+    // and indexes the list (memory-cheap, same rows).
+    QueryDef(
+      "posexplode_tokens",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("tok")),
+      Some("""SELECT doc_id, i AS pos, (string_split(text, ' '))[i + 1] AS tok
+             |FROM (SELECT doc_id, text,
+             |        unnest(range(len(string_split(text, ' ')))) AS i
+             |      FROM documents)""".stripMargin)),
+
     QueryDef(
       "scalar_null_funcs",
       (s, d) => {
