@@ -220,18 +220,10 @@ object AnalyticsQueries {
     // sort before starts at equal timestamps (delta ASC ⇒ end-exclusive).
     QueryDef(
       "interval_overlap_sweep",
-      (s, d) => {
-        val o = t(s, d, "orders").select(col("o_custkey"), col("o_orderdate"))
-        val sweep = o.select(col("o_custkey"), col("o_orderdate").as("ts"), lit(1L).as("delta"))
-          .unionByName(o.select(col("o_custkey"),
-            (col("o_orderdate") + expr("INTERVAL 30 DAY")).as("ts"), lit(-1L).as("delta")))
-        val run = Window.partitionBy("o_custkey").orderBy(col("ts"), col("delta"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        sweep.withColumn("open", sum(col("delta")).over(run))
-          .groupBy("o_custkey")
-          .agg(max(col("open")).as("max_open"),
-               sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_orders"))
-      },
+      (s, d) => SweepLine.maxConcurrent(
+        t(s, d, "orders").select(col("o_custkey"), col("o_orderdate")),
+        "o_custkey", "o_orderdate", expr("INTERVAL 30 DAY"))
+        .withColumnRenamed("n_intervals", "n_orders"),
       Some("""WITH sweep AS (
              |  SELECT o_custkey, o_orderdate AS ts, 1 AS delta FROM orders
              |  UNION ALL
