@@ -61,10 +61,10 @@ object AnalyticsQueries {
           .select("user_id", "event_id", "session_seq")
       },
       Some("""SELECT user_id, event_id,
-             |  SUM(CASE WHEN prev_ts IS NULL
+             |  CAST(SUM(CASE WHEN prev_ts IS NULL
              |           OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000 THEN 1 ELSE 0 END)
              |    OVER (PARTITION BY user_id ORDER BY ts, event_id
-             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
              |FROM (SELECT user_id, event_id, ts,
              |        LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
              |      FROM events)""".stripMargin)),
@@ -141,10 +141,18 @@ object AnalyticsQueries {
       "stats_quantiles",
       (s, d) => t(s, d, "lineitem")
         .groupBy("l_returnflag")
-        .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("qs"),
+        // Three scalar columns, not one array column: the driver's pandas
+        // comparator cannot sort array cells (round-1 comparator crash), and
+        // scalar doubles also avoid cross-engine array-repr drift.
+        .agg(expr("percentile(l_quantity, 0.25D)").as("q25"),
+             expr("percentile(l_quantity, 0.5D)").as("q50"),
+             expr("percentile(l_quantity, 0.75D)").as("q75"),
              count(lit(1)).as("n"))
         .orderBy("l_returnflag"),
-      Some("""SELECT l_returnflag, quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qs,
+      Some("""SELECT l_returnflag,
+             |  quantile_cont(l_quantity, 0.25) AS q25,
+             |  quantile_cont(l_quantity, 0.5) AS q50,
+             |  quantile_cont(l_quantity, 0.75) AS q75,
              |  count(*) AS n
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 

@@ -280,7 +280,7 @@ object RelationalQueries {
              |joined AS (
              |  SELECT c_mktsegment, n_orders, spend_dec
              |  FROM per_cust JOIN customer ON o_custkey = c_custkey)
-             |SELECT c_mktsegment, sum(n_orders) AS total_orders,
+             |SELECT c_mktsegment, CAST(sum(n_orders) AS BIGINT) AS total_orders,
              |       CAST(sum(spend_dec) AS DOUBLE) AS total_spend,
              |       count(*) AS n_customers
              |FROM joined GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)))

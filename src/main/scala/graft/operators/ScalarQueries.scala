@@ -88,12 +88,14 @@ object ScalarQueries {
       "json_map_extract",
       (s, d) => t(s, d, "events").select(
         col("event_id"),
-        array_sort(map_keys(from_json(col("props"), org.apache.spark.sql.types.MapType(
-          org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType))))
+        // Joined to a scalar string: the driver's pandas comparator cannot
+        // sort raw array columns (round-1 comparator crash).
+        array_join(array_sort(map_keys(from_json(col("props"), org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType)))), ",")
           .as("prop_keys"),
         get_json_object(col("props"), "$.k").cast("long").as("k_value")),
       Some("""SELECT event_id,
-             |  list_sort(json_keys(props)) AS prop_keys,
+             |  array_to_string(list_sort(json_keys(props)), ',') AS prop_keys,
              |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
              |FROM events""".stripMargin)),
 
@@ -107,7 +109,7 @@ object ScalarQueries {
           col("doc_id"),
           size(toks).cast("long").as("n_tokens"),
           size(array_distinct(toks)).cast("long").as("n_distinct"),
-          slice(array_sort(array_distinct(toks)), 1, 5).as("first5_sorted"),
+          array_join(slice(array_sort(array_distinct(toks)), 1, 5), ",").as("first5_sorted"),
           array_contains(toks, "the").as("has_the"),
           element_at(toks, 1).as("first_token"),
           element_at(toks, -1).as("last_token"))
@@ -115,7 +117,7 @@ object ScalarQueries {
       Some("""SELECT doc_id,
              |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
              |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
-             |  (list_sort(list_distinct(string_split(text, ' '))))[1:5] AS first5_sorted,
+             |  array_to_string((list_sort(list_distinct(string_split(text, ' '))))[1:5], ',') AS first5_sorted,
              |  list_contains(string_split(text, ' '), 'the') AS has_the,
              |  (string_split(text, ' '))[1] AS first_token,
              |  (string_split(text, ' '))[-1] AS last_token

@@ -107,15 +107,17 @@ object TextQueries {
           col("doc_id"),
           size(toks).cast("long").as("n_bpe"),
           size(array_distinct(toks)).cast("long").as("n_distinct_bpe"),
-          slice(toks, 1, 3).as("bpe_head"))
+          // Joined to a scalar string: the driver's comparator cannot sort
+          // raw array columns (round-1 comparator crash).
+          array_join(slice(toks, 1, 3), ",").as("bpe_head"))
       },
       Some("""SELECT doc_id,
              |  len(regexp_extract_all(lower(text),
              |    '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9'']+')) AS n_bpe,
              |  len(list_distinct(regexp_extract_all(lower(text),
              |    '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9'']+'))) AS n_distinct_bpe,
-             |  (regexp_extract_all(lower(text),
-             |    '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9'']+'))[1:3] AS bpe_head
+             |  array_to_string((regexp_extract_all(lower(text),
+             |    '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9'']+'))[1:3], ',') AS bpe_head
              |FROM documents""".stripMargin)),
 
     // Rolling-hash fingerprint: exact modular integer arithmetic both sides.
