@@ -46,21 +46,57 @@ object EnvelopeReader {
     * nulling them: PERMISSIVE parse with `_corrupt_record` retained. Returns
     * (clean envelopes, quarantine rows) — the operational pattern for a
     * 100 TB lake where a junk line must neither kill the job (FAILFAST)
-    * nor vanish (plain PERMISSIVE). The split is two filters over one scan;
-    * write the quarantine side to a replay sink.
+    * nor vanish (plain PERMISSIVE).
+    *
+    * Both sides are filters over a raw text scan + `from_json` parse (the
+    * same Jackson parser the JSON reader uses), so the split is consistent
+    * without caching — a `.cache()` of a 100 TB scan would thrash executor
+    * storage for no benefit. (The JSON *reader*'s corrupt-record column
+    * can't express this lazily: Spark rejects any query over it whose
+    * referenced columns prune down to only `_corrupt_record`, which is
+    * exactly what both `quarantine` and `clean.count()` do.) Callers that
+    * consume BOTH sides should use [[splitEnvelopeLake]], which
+    * materializes the two sides in one pass instead of two scans.
     */
   def readEnvelopesWithQuarantine(spark: SparkSession, path: String,
                                   rowSchema: StructType): (DataFrame, DataFrame) = {
     val schema = CdcSchemas.envelope(rowSchema)
       .add(StructField("_corrupt_record", org.apache.spark.sql.types.StringType))
-    val raw = spark.read
+    val opts = Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt_record")
+    val parsed = spark.read.text(path)
+      .select(from_json(col("value"), schema, opts).as("env"), col("value"))
+    val clean = parsed.filter(col("env._corrupt_record").isNull)
+      .select("env.*").drop("_corrupt_record")
+    val quarantine = parsed.filter(col("env._corrupt_record").isNotNull)
+      .select(col("value").as("json"))
+    (clean, quarantine)
+  }
+
+  /** Single-pass clean/quarantine materialization: the corrupt flag becomes
+    * a partition column, so ONE scan of the source produces both sides as
+    * parquet subdirectories (`quarantined=false` / `quarantined=true`) in
+    * one write job — the 100 TB shape (no cache, no second scan, split
+    * consistent by construction). Returns (clean DF, quarantine DF) read
+    * back from the materialized lake; partition pruning makes each side a
+    * scan of only its own files.
+    */
+  def splitEnvelopeLake(spark: SparkSession, path: String, rowSchema: StructType,
+                        outBase: String): (DataFrame, DataFrame) = {
+    val schema = CdcSchemas.envelope(rowSchema)
+      .add(StructField("_corrupt_record", org.apache.spark.sql.types.StringType))
+    spark.read
       .schema(schema)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
-      .cache() // one scan feeds both splits; caching keeps the split consistent
-    val clean = raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
-    val quarantine = raw.filter(col("_corrupt_record").isNotNull)
+      .withColumn("quarantined", col("_corrupt_record").isNotNull)
+      .write.partitionBy("quarantined").mode("overwrite").parquet(outBase)
+    // partition values come back as strings (Spark only type-infers
+    // numeric/date partition values) — cast once
+    val lake = spark.read.parquet(outBase)
+      .withColumn("quarantined", col("quarantined").cast("boolean"))
+    val clean = lake.filter(!col("quarantined")).drop("quarantined", "_corrupt_record")
+    val quarantine = lake.filter(col("quarantined"))
       .select(col("_corrupt_record").as("json"))
     (clean, quarantine)
   }

@@ -150,10 +150,12 @@ object Dedup {
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
                      threshold: Double, numHashes: Int = 16, bands: Int = 8,
                      shingleN: Int = 3): DataFrame = {
-    // Candidate pairs are tiny (band-collision survivors); persist them so
-    // the verification joins don't re-run the signature pipeline per side.
+    // No persist: the candidate DataFrame appears exactly once in the
+    // downstream plan (one join chain), so the signature pipeline runs once
+    // regardless — and an un-owned persist() here would leak executor
+    // storage across invocations in a long session. Callers that reuse the
+    // result many times own their caching.
     val cands = minhashCandidates(df, idCol, textCol, numHashes, bands, shingleN)
-      .persist()
     val sets = df.select(col(idCol).as("sid"), shingleSet(col(textCol), shingleN).as("sset"))
     cands
       .join(sets.withColumnRenamed("sid", "doc_id_a").withColumnRenamed("sset", "set_a"), "doc_id_a")

@@ -37,19 +37,25 @@ object Multimodal {
   }
 
   /** Deterministic stand-in for the codec: derives fake dimensions from the
-    * byte content (stable across runs/JVMs). A real implementation would
-    * parse the container header instead — the call shape is identical.
+    * md5 of the byte content (stable across runs/JVMs, and reproducible in
+    * SQL on any engine with an md5 function — which is what lets the
+    * driver's DuckDB oracle hash-check this path instead of a rows-only
+    * check). A real implementation would parse the container header
+    * instead — the call shape is identical. The digest instance is the
+    * "expensive per-partition init" stand-in: built once per partition
+    * (transient — never serialized from the driver), reused per record.
     */
   final class StubDecoder extends MediaDecoder {
+    @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
     override def decode(r: MediaRecord): MediaFeatures = {
-      val crc = new java.util.zip.CRC32
-      crc.update(r.bytes)
-      val h = crc.getValue
+      md.reset()
+      val fp = md.digest(r.bytes).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(fp.substring(0, 15), 16) // 60-bit positive
       MediaFeatures(r.media_id, r.kind, r.bytes.length,
         width = (h % 1920).toInt + 1,
         height = ((h >> 11) % 1080).toInt + 1,
         duration_ms = if (r.kind == "image") 0L else (h % 600000L),
-        fingerprint = f"$h%08x")
+        fingerprint = fp)
     }
   }
 

@@ -246,14 +246,25 @@ object AnalyticsQueries {
              |FROM run GROUP BY o_custkey""".stripMargin)),
 
     // HLL sketch distincts — the 100 TB path for cardinality (no exact
-    // shuffle-the-universe). Sketch internals differ across engines, so no
-    // SQL oracle: the driver records the rows-only check; the test suite
-    // asserts the estimate lands within rsd of the exact count.
+    // shuffle-the-universe). Sketch internals differ across engines, so the
+    // raw estimate can't be hash-compared; instead the output carries the
+    // exact count (hash-checked) plus a boolean asserting the estimate
+    // landed within 5% of it (rsd = 0.02, so the bound holds with wide
+    // margin) — the oracle emits the exact count and literal TRUE, making
+    // the sketch's accuracy contract itself the thing under test.
     QueryDef(
       "approx_distinct_users",
       (s, d) => t(s, d, "events")
         .groupBy("event_type")
         .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
-             count(lit(1)).as("n")),
-      None))
+             count_distinct(col("user_id")).as("exact_users"),
+             count(lit(1)).as("n"))
+        .select(col("event_type"), col("exact_users"), col("n"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            col("exact_users").cast("double") * 0.05).as("approx_within_5pct")),
+      Some("""SELECT event_type,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  TRUE AS approx_within_5pct
+             |FROM events GROUP BY event_type""".stripMargin)))
 }

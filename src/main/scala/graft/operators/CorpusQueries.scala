@@ -73,10 +73,16 @@ object CorpusQueries {
         val tf = docs
           .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
           .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-        val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+        // df derived from tf itself via a count window over token — the
+        // corpus is tokenized exactly ONCE (a tf-join-df formulation
+        // re-runs the explode+aggregate subtree per join side unless
+        // exchange reuse happens to fire). The doc_id filter must stay
+        // below this window: df counts the whole corpus.
+        val wDf = org.apache.spark.sql.expressions.Window.partitionBy("token")
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id").orderBy(col("tfidf").desc, col("token"))
-        tf.join(df, "token").crossJoin(broadcast(n))
+        tf.withColumn("df", count(lit(1)).over(wDf))
+          .crossJoin(broadcast(n))
           .withColumn("tfidf",
             col("tf").cast("double") * (col("n_docs") / col("df").cast("double")))
           .filter(col("doc_id") < 50)
@@ -116,11 +122,16 @@ object CorpusQueries {
           .crossJoin(cents)
           .withColumn("sim", Similarity.dot(col("vec"), col("cvec")) /
             (col("vnorm") * col("cnorm")))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("id").orderBy(col("sim").desc, col("centroid_id"))
-        scored.withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("id").as("vec_id"), col("centroid_id"), col("sim").as("centroid_sim"))
+        // argmax as an aggregate, not a row_number window: partial (map-side)
+        // aggregation shuffles ONE row per vector instead of nlist rows, and
+        // drops the per-partition sort. The struct ordinal makes the
+        // tie-break deterministic (highest sim, then lowest centroid_id) to
+        // match the oracle's ROW_NUMBER ordering.
+        scored.groupBy(col("id"))
+          .agg(max_by(struct(col("centroid_id"), col("sim")),
+            struct(col("sim"), (-col("centroid_id")).as("nc"))).as("best"))
+          .select(col("id").as("vec_id"), col("best.centroid_id").as("centroid_id"),
+                  col("best.sim").as("centroid_sim"))
       },
       Some { // mirrors the norm-precomputed arithmetic: dot/(vnorm*cnorm)
         val dotSql = "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
@@ -151,17 +162,18 @@ object CorpusQueries {
         val cents = broadcast(emb.filter(col("id") < 8)
           .select(col("id").as("centroid_id"), col("vec").as("cvec"),
                   Similarity.l2Norm(col("vec")).as("cnorm")))
-        def assign(df: org.apache.spark.sql.DataFrame) = {
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy("id").orderBy(col("csim").desc, col("centroid_id"))
+        // argmax-by-aggregation (see sim_ivf_assign): one shuffled row per
+        // vector; the vector payload rides in the max_by value struct
+        def assign(df: org.apache.spark.sql.DataFrame) =
           df.withColumn("vnorm", Similarity.l2Norm(col("vec")))
             .crossJoin(cents)
             .withColumn("csim", Similarity.dot(col("vec"), col("cvec")) /
               (col("vnorm") * col("cnorm")))
-            .withColumn("rn", row_number().over(w))
-            .filter(col("rn") === 1)
-            .select(col("id"), col("vec"), col("vnorm"), col("centroid_id"))
-        }
+            .groupBy(col("id"))
+            .agg(max_by(struct(col("vec"), col("vnorm"), col("centroid_id")),
+              struct(col("csim"), (-col("centroid_id")).as("nc"))).as("best"))
+            .select(col("id"), col("best.vec").as("vec"),
+                    col("best.vnorm").as("vnorm"), col("best.centroid_id").as("centroid_id"))
         val corpus = assign(emb)
         val queries = broadcast(assign(emb.filter(col("id") < 10))
           .select(col("id").as("query_id"), col("vec").as("qvec"),

@@ -24,8 +24,12 @@ object EnvelopeQueries {
   /** Fixed scratch path + fixed content: the oracle SQL is dumped before
     * the driver picks a scale factor, and verify/bench runs at different
     * sfs may interleave with the DuckDB compare — so the lake is fully
-    * synthetic (spark.range, no dependence on sfDir) and byte-identical
-    * whichever run wrote it last.
+    * synthetic (spark.range, no dependence on sfDir), byte-identical
+    * across builds, and published exactly once: built in a temp dir and
+    * atomically renamed into place, then skipped forever after via a
+    * completion marker. Concurrent readers (the DuckDB oracle, a second
+    * verify/bench process) never observe a half-written glob, and plan-only
+    * uses (ExplainAll) stop re-writing the lake as a side effect.
     */
   private val LakeDir = "/tmp/graft_cdc_lake"
   private val LakeEvents = 20000L
@@ -56,8 +60,35 @@ object EnvelopeQueries {
       op.as("op"),
       (lit(1733333333000L) + col("id") * 321L + col("id") % 7).as("ts_ms"),
       struct(col("id").as("lsn")).as("source")).as("payload"))).as("value"))
-    env.coalesce(4).write.mode("overwrite").text(LakeDir)
+    publishOnce(env)
     LakeDir
+  }
+
+  /** Build-and-publish with first-writer-wins semantics. The marker file
+    * lives inside the published dir (outside the `part-*` globs both
+    * engines read); a dir without the marker is a stale round-1 layout or
+    * a crashed writer and gets replaced.
+    */
+  private def publishOnce(env: DataFrame): Unit = {
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    val dst = Paths.get(LakeDir)
+    val marker = dst.resolve("_GRAFT_COMPLETE")
+    if (Files.exists(marker)) return
+
+    val tmp = Paths.get(s"$LakeDir.tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+    env.coalesce(4).write.mode("overwrite").text(tmp.toString)
+    Files.createFile(tmp.resolve("_GRAFT_COMPLETE"))
+
+    def deleteTree(p: Path): Unit = if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+    }
+    try Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileSystemException =>
+        if (Files.exists(marker)) deleteTree(tmp) // another writer won; content is identical
+        else { deleteTree(dst); Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE) }
+    }
   }
 
   val defs: Seq[QueryDef] = Seq(

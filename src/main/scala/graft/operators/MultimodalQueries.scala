@@ -46,8 +46,10 @@ object MultimodalQueries {
              |        unnest(range(0, CAST(octet_length(encode(text)) AS BIGINT), 16)) AS byte_offset
              |      FROM documents)""".stripMargin)),
 
-    // Partition-batched stub decode (mapPartitions; no SQL equivalent —
-    // driver records the weaker rows-only check).
+    // Partition-batched stub decode (mapPartitions). The stub derives its
+    // fake dimensions from md5(bytes), so the whole decode path — schema,
+    // partition batching, per-partition decoder init, feature arithmetic —
+    // is hash-checked against a DuckDB replica of the same arithmetic.
     QueryDef(
       "multimodal_decode_features",
       (s, d) => Multimodal.decodeFeatures(
@@ -56,5 +58,11 @@ object MultimodalQueries {
                     encode(col("text"), "UTF-8").as("bytes"))
             .as[Multimodal.MediaRecord](org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord]))
         .toDF(),
-      None))
+      Some("""SELECT doc_id AS media_id, 'image' AS kind,
+             |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+             |  CAST(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % 1920 + 1 AS INT) AS width,
+             |  CAST((CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) >> 11) % 1080 + 1 AS INT) AS height,
+             |  CAST(0 AS BIGINT) AS duration_ms,
+             |  md5(text) AS fingerprint
+             |FROM documents""".stripMargin)))
 }

@@ -155,9 +155,13 @@ object Scd2Streaming {
                 state: GroupState[KeyState]): Iterator[VersionRow] = {
     val prior = state.getOption.map(_.events).getOrElse(Nil)
     val priorLsns = prior.map(_._1).toSet
+    // dedupe both against prior state AND within the micro-batch itself —
+    // a redelivered (id, lsn) can land twice in one trigger, not only
+    // across triggers (first occurrence wins, matching Scd2.dedupeEvents)
     val fresh = incoming
       .filter(e => !priorLsns.contains(e.lsn))
       .map(e => (e.lsn, e.tsMs, e.attrs)).toList
+      .distinctBy(_._1)
     if (fresh.isEmpty) return Iterator.empty
 
     val mergedAll = (prior ++ fresh).sortBy(_._1)

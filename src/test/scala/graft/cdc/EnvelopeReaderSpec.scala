@@ -49,4 +49,19 @@ class EnvelopeReaderSpec extends SparkSuite {
     // clean side feeds the normal pipeline
     assert(Scd2.transform(clean, Seq("name", "description", "price")).count() == 2)
   }
+
+  test("single-pass split materializes clean + quarantine sides in one write") {
+    val d = tempDir("splitlake")
+    val out = tempDir("splitout")
+    writeLake(d, lines ++ Seq("{broken json"))
+    val (clean, quarantine) = EnvelopeReader.splitEnvelopeLake(
+      spark, d.getAbsolutePath + "/year=*/month=*/day=*/*.json",
+      CdcSchemas.productsRow, out.getAbsolutePath)
+    assert(clean.count() == 2)
+    assert(quarantine.collect().map(_.getString(0)).toSeq == Seq("{broken json"))
+    // the split landed as partition dirs: each side scans only its own files
+    val dirs = out.listFiles().map(_.getName).filter(_.startsWith("quarantined=")).sorted
+    assert(dirs.toSeq == Seq("quarantined=false", "quarantined=true"))
+    assert(Scd2.transform(clean, Seq("name", "description", "price")).count() == 2)
+  }
 }

@@ -26,4 +26,20 @@ class SaltingSpec extends SparkSuite {
     val distinctSalts = skewed.select(salt.as("s")).distinct().count()
     assert(distinctSalts == 8, "content-derived salt must hit all buckets")
   }
+
+  test("fully identical duplicate rows also spread (per-row salt component)") {
+    // 1000 byte-identical rows: a pure content hash would give all of them
+    // the same salt and the mitigation would fail exactly in the
+    // duplicate-row skew case
+    val dupes = Seq.fill(1000)((1L, "same")).toDF("k", "payload")
+    val dim = Seq((1L, "dim1")).toDF("k", "attr")
+    val out = Salting.saltedJoin(dupes, dim, Seq("k"), factor = 8)
+    assert(out.count() == 1000, "join multiplicity preserved")
+    // reconstruct the salt the join used and check the spread
+    val salt = pmod(xxhash64(col("k"), col("payload"), monotonically_increasing_id()),
+      lit(8L)).cast("int")
+    val spread = dupes.select(salt.as("s")).groupBy("s").count()
+      .agg(max("count")).head.getLong(0)
+    assert(spread < 500, s"identical rows must not all land in one salt bucket (max=$spread)")
+  }
 }

@@ -84,6 +84,35 @@ class Scd2StreamingSpec extends SparkSuite {
     assert(finalChain.map(_.attrs("name")) == Seq("a", "b", "c"))
   }
 
+  test("duplicate (id, lsn) within a single micro-batch enters state once") {
+    // redelivery can land twice in ONE trigger, not only across triggers:
+    // both copies pass the prior-state lsn filter, so the within-batch
+    // dedupe must suppress the second or state grows a duplicate entry
+    // producing zero-width version rows
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Scd2Streaming.KeyEvent]
+    val out = Scd2Streaming.incremental(input.toDS())
+    val q = out.writeStream.format("memory").queryName("dup_batch_out")
+      .outputMode("append").start()
+
+    input.addData(
+      Scd2Streaming.KeyEvent(1, 100, t0, Map("name" -> "a"), "c"),
+      Scd2Streaming.KeyEvent(1, 100, t0, Map("name" -> "a"), "c"),
+      Scd2Streaming.KeyEvent(1, 200, t0 + 1000, Map("name" -> "b"), "u"))
+    q.processAllAvailable()
+    input.addData(Scd2Streaming.KeyEvent(1, 300, t0 + 2000, Map("name" -> "c"), "u"))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("dup_batch_out").as[Scd2Streaming.VersionRow].collect()
+    val finalChain = rows.groupBy(_.lsn).map(_._2.last).toSeq.sortBy(_.lsn)
+    assert(finalChain.map(_.lsn) == Seq(100L, 200L, 300L),
+      s"duplicate lsn in one batch must yield one state entry: $finalChain")
+    assert(finalChain.map(_.rowValidExpirationMs) ==
+           Seq(t0 + 1000, t0 + 2000, Scd2Streaming.SentinelMs),
+      "no zero-width intervals from the duplicated event")
+  }
+
   test("mode 1 full-rebuild foreachBatch == batch rebuild") {
     val lakeDir = tempDir("rebuildlake")
     writeLake(lakeDir, batch1 ++ batch2)
