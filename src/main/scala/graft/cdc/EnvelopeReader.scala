@@ -65,9 +65,15 @@ object EnvelopeReader {
     val opts = Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt_record")
     val parsed = spark.read.text(path)
       .select(from_json(col("value"), schema, opts).as("env"), col("value"))
-    val clean = parsed.filter(col("env._corrupt_record").isNull)
+    // A blank/whitespace-only line (or a literal JSON `null`) parses to a
+    // NULL struct whose _corrupt_record is also null — it must land in
+    // quarantine, not pass the clean filter as an all-null envelope row
+    // (trailing newlines and replay-written quarantine files produce
+    // exactly these).
+    val bad = col("env").isNull || col("env._corrupt_record").isNotNull
+    val clean = parsed.filter(!bad)
       .select("env.*").drop("_corrupt_record")
-    val quarantine = parsed.filter(col("env._corrupt_record").isNotNull)
+    val quarantine = parsed.filter(bad)
       .select(col("value").as("json"))
     (clean, quarantine)
   }

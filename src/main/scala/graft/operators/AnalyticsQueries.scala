@@ -249,9 +249,12 @@ object AnalyticsQueries {
     // shuffle-the-universe). Sketch internals differ across engines, so the
     // raw estimate can't be hash-compared; instead the output carries the
     // exact count (hash-checked) plus a boolean asserting the estimate
-    // landed within 5% of it (rsd = 0.02, so the bound holds with wide
-    // margin) — the oracle emits the exact count and literal TRUE, making
-    // the sketch's accuracy contract itself the thing under test.
+    // landed within 10% of it — the oracle emits the exact count and
+    // literal TRUE, making the sketch's accuracy contract itself the thing
+    // under test. 10% is ~5 sigma at rsd = 0.02: tight enough to catch a
+    // broken sketch, far enough from the tail that a different scale
+    // factor or seed can't flip the boolean spuriously (5% was only
+    // ~2.5 sigma).
     QueryDef(
       "approx_distinct_users",
       (s, d) => t(s, d, "events")
@@ -261,10 +264,10 @@ object AnalyticsQueries {
              count(lit(1)).as("n"))
         .select(col("event_type"), col("exact_users"), col("n"),
           (abs(col("approx_users") - col("exact_users")) <=
-            col("exact_users").cast("double") * 0.05).as("approx_within_5pct")),
+            col("exact_users").cast("double") * 0.10).as("approx_within_10pct")),
       Some("""SELECT event_type,
              |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
              |  CAST(count(*) AS BIGINT) AS n,
-             |  TRUE AS approx_within_5pct
+             |  TRUE AS approx_within_10pct
              |FROM events GROUP BY event_type""".stripMargin)))
 }

@@ -175,7 +175,12 @@ object CorpusQueries {
             .select(col("id"), col("best.vec").as("vec"),
                     col("best.vnorm").as("vnorm"), col("best.centroid_id").as("centroid_id"))
         val corpus = assign(emb)
-        val queries = broadcast(assign(emb.filter(col("id") < 10))
+        // query side = the already-assigned corpus, filtered — not a second
+        // assign() over a filtered scan. The id<10 predicate pushes below
+        // the argmax aggregation (id is the grouping key), so the broadcast
+        // side scores only the 10 query vectors, and the query definition
+        // has exactly one assignment subtree.
+        val queries = broadcast(corpus.filter(col("id") < 10)
           .select(col("id").as("query_id"), col("vec").as("qvec"),
                   col("vnorm").as("qnorm"), col("centroid_id")))
         val w = org.apache.spark.sql.expressions.Window

@@ -68,13 +68,24 @@ object EnvelopeQueries {
     * lives inside the published dir (outside the `part-*` globs both
     * engines read); a dir without the marker is a stale round-1 layout or
     * a crashed writer and gets replaced.
+    *
+    * Publishers (not readers) are serialized on a sibling lock file: an
+    * unserialized racer could re-check the marker, lose the race to a
+    * concurrent winner, and delete the winner's freshly published lake —
+    * briefly exposing readers to a partial `part-*` glob, the exact
+    * condition this function exists to prevent. Under the lock, the
+    * marker re-check plus the atomic move keep `dst` either absent or
+    * complete at all times. The JVM-level monitor covers same-process
+    * threads (FileLock is per-process and throws on overlap).
     */
+  private val publishMonitor = new Object
   private def publishOnce(env: DataFrame): Unit = {
-    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
     val dst = Paths.get(LakeDir)
     val marker = dst.resolve("_GRAFT_COMPLETE")
     if (Files.exists(marker)) return
 
+    // build outside the lock — the expensive Spark job shouldn't serialize
     val tmp = Paths.get(s"$LakeDir.tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}")
     env.coalesce(4).write.mode("overwrite").text(tmp.toString)
     Files.createFile(tmp.resolve("_GRAFT_COMPLETE"))
@@ -83,11 +94,16 @@ object EnvelopeQueries {
       Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
         .forEach(f => Files.deleteIfExists(f))
     }
-    try Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
-    catch {
-      case _: java.nio.file.FileSystemException =>
-        if (Files.exists(marker)) deleteTree(tmp) // another writer won; content is identical
-        else { deleteTree(dst); Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE) }
+    publishMonitor.synchronized {
+      val ch = java.nio.channels.FileChannel.open(Paths.get(s"$LakeDir.lock"),
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock()
+        try {
+          if (Files.exists(marker)) deleteTree(tmp) // another writer won; content is identical
+          else { deleteTree(dst); Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE) }
+        } finally lock.release()
+      } finally ch.close()
     }
   }
 

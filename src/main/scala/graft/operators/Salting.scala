@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Skew mitigation for shuffle joins (SURVEY.md "Partitioning & shuffle").
@@ -11,6 +11,14 @@ import org.apache.spark.sql.functions._
   * a single join key so hot that one *task* still owns it after splitting
   * isn't possible (skew inside one key value), or when a deterministic
   * pre-shuffle layout is needed (e.g. writing bucketed output).
+  *
+  * Every salt here is a pure function of row content — never
+  * `monotonically_increasing_id` or `rand`. Those are nondeterministic
+  * whenever the salted side is itself post-shuffle (intra-partition row
+  * order is not stable across task retries), so a fetch-failure recompute
+  * can emit rows under different salts than the ones completed reducers
+  * already consumed — silently duplicating or dropping join rows, at
+  * exactly the 100 TB scale where fetch failures are routine.
   */
 object Salting {
 
@@ -20,21 +28,33 @@ object Salting {
     * replication of the small side's shuffle — choose `factor` ≈
     * (hot-key rows / target-rows-per-task).
     *
-    * The salt mixes a content hash with a per-row ordinal
-    * (`monotonically_increasing_id`): content alone would send fully
-    * identical duplicate rows — a common cause of hot keys in fact
-    * tables — to one task, failing exactly in the duplicate-row skew
-    * case. The ordinal is deterministic for a fixed input file layout
-    * (partition index ⋅ 2^33 + offset), so the pre-shuffle layout stays
-    * reproducible run-to-run over the same files.
+    * `uniqueCol` is a caller-supplied column that is unique per row (a
+    * primary key, a file+offset ordinal, …). Hashing it spreads even
+    * byte-identical duplicate rows — a common cause of hot keys in fact
+    * tables — across salt buckets, while staying deterministic under task
+    * retry (see object doc).
     */
   def saltedJoin(skewed: DataFrame, other: DataFrame, keys: Seq[String],
-                 factor: Int): DataFrame = {
+                 factor: Int, uniqueCol: String): DataFrame =
+    saltedJoinBy(skewed, other, keys, factor, xxhash64(col(uniqueCol)))
+
+  /** Content-hash variant for inputs with no unique row id: deterministic,
+    * but byte-identical duplicate rows necessarily share a salt bucket
+    * (identical content ⇒ identical hash). If duplicate rows ARE the skew,
+    * derive a unique ordinal first and use the `uniqueCol` overload —
+    * determinism is non-negotiable, duplicate spread is opt-in.
+    */
+  def saltedJoin(skewed: DataFrame, other: DataFrame, keys: Seq[String],
+                 factor: Int): DataFrame =
+    saltedJoinBy(skewed, other, keys, factor,
+      xxhash64(skewed.columns.map(col): _*))
+
+  private def saltedJoinBy(skewed: DataFrame, other: DataFrame,
+                           keys: Seq[String], factor: Int,
+                           saltHash: Column): DataFrame = {
     require(factor >= 1, "salt factor must be >= 1")
     val salt = "__graft_salt"
-    val s = skewed.withColumn(salt,
-      pmod(xxhash64(skewed.columns.map(col) :+ monotonically_increasing_id(): _*),
-        lit(factor.toLong)).cast("int"))
+    val s = skewed.withColumn(salt, pmod(saltHash, lit(factor.toLong)).cast("int"))
     val o = other.withColumn(salt,
       explode(array((0 until factor).map(i => lit(i)): _*)))
     s.join(o, keys :+ salt).drop(salt)

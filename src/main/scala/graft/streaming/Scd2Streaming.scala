@@ -97,6 +97,44 @@ object Scd2Streaming {
     }
   }
 
+  /** Driver-side state for the touched-keys mode, safe for long-running
+    * streams: owns the caches it creates and unpersists each superseded
+    * history generation after the new one is materialized, so executor
+    * storage stays O(current history + event log) instead of growing per
+    * trigger. The retained event log is `localCheckpoint`ed (eager) each
+    * batch, which also truncates lineage — a plain cache chain deepens the
+    * logical plan every trigger and never frees the superseded blocks.
+    *
+    * localCheckpoint trade-off (documented Spark contract): checkpointed
+    * blocks die with their executor, so a lost executor fails the stream
+    * instead of recomputing — acceptable for a demo/driver-local maintainer;
+    * a production deployment would persist the event log to reliable
+    * storage (see [[writeBatchIdempotent]]).
+    */
+  final class TouchedKeysMaintainer(attrFields: Seq[String]) {
+    private var historyDf: Option[DataFrame] = None
+    private var eventLogDf: Option[DataFrame] = None
+
+    /** Consume one micro-batch of raw envelopes. */
+    def step(batchEnvelopes: DataFrame): Unit = {
+      val be = Scd2.cdcEvents(batchEnvelopes).filter(col("id").isNotNull)
+      val prior = eventLogDf.getOrElse(be.limit(0))
+      val h = touchedKeysRebuild(be, prior, historyDf, attrFields).cache()
+      h.count() // materialize before releasing the generation it was built from
+      val log = prior.unionByName(be)
+        .dropDuplicates("id", "log_seq_num").localCheckpoint()
+      historyDf.foreach(_.unpersist())
+      historyDf = Some(h)
+      eventLogDf = Some(log)
+    }
+
+    /** Current SCD2 history (None before the first batch). */
+    def history: Option[DataFrame] = historyDf
+
+    /** Retained deduped event log (None before the first batch). */
+    def eventLog: Option[DataFrame] = eventLogDf
+  }
+
   /** Idempotent micro-batch sink: each batch lands in `basePath/batch=<id>`
     * and a batch already marked complete (`_SUCCESS` present) is skipped —
     * so foreachBatch replays after a failure/restart write nothing twice.

@@ -5,8 +5,6 @@ import java.io.File
 import graft.GraftSession
 import graft.cdc.{CdcSchemas, Scd2}
 
-import org.apache.spark.sql.functions._
-
 /** Runnable end-to-end demo of the continuous SCD2 path:
   * writes a small Debezium-envelope NDJSON lake, streams it with
   * `maxFilesPerTrigger=1` (micro-batches), incrementally maintains the
@@ -40,30 +38,27 @@ object StreamDemo {
       d.getAbsolutePath
     }
 
-    val attrs = Seq("name", "description", "price")
-    var history: Option[org.apache.spark.sql.DataFrame] = None
-    var eventLog: Option[org.apache.spark.sql.DataFrame] = None
-
+    // The maintainer owns the per-batch caches: superseded history
+    // generations are unpersisted and the event log is localCheckpoint'ed
+    // (lineage-truncating), so a long-running demo's storage stays bounded
+    // instead of growing a cache chain per trigger.
+    val maintainer = new Scd2Streaming.TouchedKeysMaintainer(
+      Seq("name", "description", "price"))
     val q = Scd2Streaming
       .readEnvelopeStream(spark, lakeDir, CdcSchemas.productsRow, maxFilesPerTrigger = 1)
       .writeStream
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-        val be = Scd2.cdcEvents(b).filter(col("id").isNotNull).cache()
-        val prior = eventLog.getOrElse(be.limit(0))
-        val h = Scd2Streaming.touchedKeysRebuild(be, prior, history, attrs).cache()
-        println(s"--- micro-batch $id: ${be.count()} events → history ${h.count()} rows")
-        history = Some(h)
-        eventLog = Some(prior.unionByName(be).dropDuplicates("id", "log_seq_num").cache())
-        ()
+        maintainer.step(b)
+        println(s"--- micro-batch $id: history ${maintainer.history.map(_.count()).getOrElse(0L)} rows")
       }
       .start()
     q.processAllAvailable()
     q.stop()
 
     println("=== SCD2 history ===")
-    history.foreach(_.orderBy("id", "row_valid_start_timestamp").show(50, truncate = false))
+    maintainer.history.foreach(_.orderBy("id", "row_valid_start_timestamp").show(50, truncate = false))
     println("=== current state ===")
-    history.foreach(h => Scd2.currentState(h).orderBy("id").show(50, truncate = false))
+    maintainer.history.foreach(h => Scd2.currentState(h).orderBy("id").show(50, truncate = false))
     spark.stop()
   }
 }

@@ -50,6 +50,20 @@ class EnvelopeReaderSpec extends SparkSuite {
     assert(Scd2.transform(clean, Seq("name", "description", "price")).count() == 2)
   }
 
+  test("blank/whitespace lines and JSON null are quarantined, not all-null clean rows") {
+    // from_json returns a NULL struct (with a null _corrupt_record) for
+    // empty input — without the env-is-null guard these pass the clean
+    // filter as all-null envelope rows (trailing-newline artifacts and
+    // replay-written quarantine files produce exactly these)
+    val d = tempDir("blanklake")
+    writeLake(d, lines ++ Seq("", "   ", "null"))
+    val (clean, quarantine) = EnvelopeReader.readEnvelopesWithQuarantine(
+      spark, d.getAbsolutePath + "/year=*/month=*/day=*/*.json", CdcSchemas.productsRow)
+    assert(clean.count() == 2, "blank lines must not leak into the clean side")
+    assert(clean.filter(col("payload").isNull).count() == 0)
+    assert(quarantine.collect().map(_.getString(0)).toSet == Set("", "   ", "null"))
+  }
+
   test("single-pass split materializes clean + quarantine sides in one write") {
     val d = tempDir("splitlake")
     val out = tempDir("splitout")

@@ -27,19 +27,11 @@ class Scd2StreamingSpec extends SparkSuite {
     writeLake(lakeDir, batch1)
 
     val attrs = Seq("name", "description", "price")
-    var history: Option[org.apache.spark.sql.DataFrame] = None
-    var eventLog: Option[org.apache.spark.sql.DataFrame] = None
-
+    val maintainer = new Scd2Streaming.TouchedKeysMaintainer(attrs)
     val stream = Scd2Streaming.readEnvelopeStream(
       spark, lakeDir.getAbsolutePath, CdcSchemas.productsRow, maxFilesPerTrigger = 1)
     val q = stream.writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-      val be = Scd2.cdcEvents(b).filter(col("id").isNotNull).cache()
-      val prior = eventLog.getOrElse(be.limit(0))
-      val h = Scd2Streaming.touchedKeysRebuild(be, prior, history, attrs).cache()
-      h.count()
-      history = Some(h)
-      eventLog = Some(prior.unionByName(be).dropDuplicates("id", "log_seq_num").cache())
-      ()
+      maintainer.step(b)
     }.start()
     q.processAllAvailable()
     writeLake(lakeDir, batch2, day = 13)
@@ -49,9 +41,41 @@ class Scd2StreamingSpec extends SparkSuite {
     val batchOut = Scd2.transform(
       EnvelopeReader.readEnvelopes(spark, lakeDir.getAbsolutePath, CdcSchemas.productsRow),
       attrs)
-    val a = history.get.orderBy("id", "row_valid_start_timestamp").collect().toSeq
+    val a = maintainer.history.get.orderBy("id", "row_valid_start_timestamp").collect().toSeq
     val b = batchOut.orderBy("id", "row_valid_start_timestamp").collect().toSeq
     assert(a == b, "incremental touched-keys result diverged from batch rebuild")
+  }
+
+  test("maintainer unpersists superseded generations (bounded storage)") {
+    // the pre-round-3 demo cached history + event log every batch and never
+    // unpersisted — lineage and executor storage grew per trigger. The
+    // maintainer must keep exactly the current history cached and release
+    // each superseded generation.
+    val lakeDir = tempDir("cacheboundlake")
+    writeLake(lakeDir, batch1)
+
+    val maintainer = new Scd2Streaming.TouchedKeysMaintainer(
+      Seq("name", "description", "price"))
+    var generations = List.empty[org.apache.spark.sql.DataFrame]
+    val stream = Scd2Streaming.readEnvelopeStream(
+      spark, lakeDir.getAbsolutePath, CdcSchemas.productsRow, maxFilesPerTrigger = 1)
+    val q = stream.writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+      maintainer.step(b)
+      generations = maintainer.history.get :: generations
+    }.start()
+    q.processAllAvailable()
+    writeLake(lakeDir, batch2, day = 13)
+    q.processAllAvailable()
+    q.stop()
+
+    assert(generations.size >= 2, "need multiple micro-batches to observe supersession")
+    val (current, superseded) = (generations.head, generations.tail)
+    assert(current.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "current history generation must stay cached")
+    superseded.foreach { g =>
+      assert(g.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+        "superseded history generation must be unpersisted")
+    }
   }
 
   test("flatMapGroupsWithState incremental handles out-of-order + late events") {
