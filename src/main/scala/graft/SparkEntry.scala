@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AnalyticsQueries, CdcQueries, CorpusQueries, DedupQueries, EnvelopeQueries, MultimodalQueries, RelationalQueries, ScalarQueries, SimilarityQueries, TextQueries}
+import graft.operators.{AnalyticsQueries, CdcQueries, CorpusQueries, DedupQueries, EnvelopeQueries, MultimodalQueries, RelationalQueries, ScalarQueries, SimilarityQueries, StreamingQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +16,8 @@ import graft.operators.{AnalyticsQueries, CdcQueries, CorpusQueries, DedupQuerie
 object SparkEntry {
 
   val all: Seq[QueryDef] =
-    EnvelopeQueries.defs ++ CdcQueries.defs ++ RelationalQueries.defs ++ AnalyticsQueries.defs ++
+    EnvelopeQueries.defs ++ StreamingQueries.defs ++ CdcQueries.defs ++
+      RelationalQueries.defs ++ AnalyticsQueries.defs ++
       TextQueries.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
       MultimodalQueries.defs ++ CorpusQueries.defs ++ ScalarQueries.defs
 

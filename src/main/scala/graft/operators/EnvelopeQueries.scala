@@ -31,7 +31,7 @@ object EnvelopeQueries {
     * verify/bench process) never observe a half-written glob, and plan-only
     * uses (ExplainAll) stop re-writing the lake as a side effect.
     */
-  private val LakeDir = "/tmp/graft_cdc_lake"
+  private[operators] val LakeDir = "/tmp/graft_cdc_lake"
   private val LakeEvents = 20000L
   private val LakeKeys = LakeEvents / 5 // ~5 versions per key
 
@@ -41,7 +41,7 @@ object EnvelopeQueries {
     * every 97th an unknown op code (kept: the reference only drops null
     * ops). Sub-second ts_ms exercises the ms-precision path.
     */
-  private def buildLake(s: SparkSession, sfDir: String): String = {
+  private[operators] def buildLake(s: SparkSession, sfDir: String): String = {
     val id = col("id") % LakeKeys
     val row = struct(
       id.cast("int").as("id"),
@@ -118,15 +118,21 @@ object EnvelopeQueries {
             col("row_valid_start_timestamp").cast("timestamp_ntz").as("row_valid_start_timestamp"),
             col("row_valid_expiration_timestamp").cast("timestamp_ntz").as("row_valid_expiration_timestamp"))
       },
-      Some {
-        // The reference SCD2 query (transform_scd2.py:19-61) verbatim in
-        // structure; only the source glob and the epoch→timestamp
-        // constructor differ (make_timestamp is timezone-free where
-        // DuckDB's to_timestamp would yield TIMESTAMPTZ in the driver's
-        // unknown session zone). Note the '"c"' quoted-scalar matching —
-        // DuckDB's json_extract returns quoted JSON scalars (SURVEY P14).
-        val glob = "/tmp/graft_cdc_lake"
-        s"""WITH cdc_events AS (
+      Some(scd2HistoryOracleSql)))
+
+  /** The reference SCD2 query (transform_scd2.py:19-61) verbatim in
+    * structure; only the source glob and the epoch→timestamp
+    * constructor differ (make_timestamp is timezone-free where
+    * DuckDB's to_timestamp would yield TIMESTAMPTZ in the driver's
+    * unknown session zone). Note the '"c"' quoted-scalar matching —
+    * DuckDB's json_extract returns quoted JSON scalars (SURVEY P14).
+    * Shared with the streaming-equivalence queries
+    * ([[StreamingQueries]]): streaming output ≡ this batch rebuild is
+    * exactly the §2.8 contract, so both go through one oracle text.
+    */
+  private[operators] def scd2HistoryOracleSql: String = {
+    val glob = LakeDir
+    s"""WITH cdc_events AS (
            |  SELECT
            |    COALESCE(
            |      CAST(json_extract(json, '$$.payload.after.id') AS INT),
@@ -155,5 +161,5 @@ object EnvelopeQueries {
            |  source_timestamp AS row_valid_start_timestamp,
            |  COALESCE(next_change_timestamp, TIMESTAMP '9999-01-01') AS row_valid_expiration_timestamp
            |FROM ranked_events""".stripMargin
-      }))
+  }
 }

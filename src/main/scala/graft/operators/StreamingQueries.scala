@@ -1,0 +1,143 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.cdc.CdcSchemas
+import graft.streaming.Scd2Streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Driver-visible correctness entries for the streaming path (SURVEY.md
+  * §2.8): the continuous modes must converge to the reference's batch
+  * rebuild, and here that equivalence goes under the DuckDB oracle gate —
+  * each query actually drives a Structured Streaming job (file source over
+  * the deterministic envelope lake, `maxFilesPerTrigger=1` so the run is
+  * genuinely multi-micro-batch), materializes the streamed output, and the
+  * oracle recomputes the expected table from the same NDJSON with batch
+  * SQL. The reference's own compute is that batch rebuild re-run per
+  * trigger (duckdb/Dockerfile:8-9, transform_scd2.py:20); its transport is
+  * continuous (README.md:27) — these queries pin down that our streaming
+  * compute matches the batch semantics event-for-event.
+  *
+  * Excluded from the sf-scaled bench headline set: the lake is a
+  * fixed-size synthetic input (sf-independent by construction — see
+  * [[EnvelopeQueries]]), so a timing would measure trigger scheduling and
+  * checkpoint I/O, not data-proportional operator cost.
+  */
+object StreamingQueries {
+
+  private def freshDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** Stream the envelope lake through the touched-keys maintainer
+    * (mode 2): one micro-batch per lake file, state carried across
+    * triggers by [[Scd2Streaming.TouchedKeysMaintainer]]. Returns the
+    * final maintained history table.
+    */
+  private def runTouchedKeys(s: SparkSession, sfDir: String): DataFrame = {
+    val dir = EnvelopeQueries.buildLake(s, sfDir)
+    val maintainer = new Scd2Streaming.TouchedKeysMaintainer(
+      Seq("name", "description", "price"))
+    val q = Scd2Streaming
+      .readEnvelopeStream(s, dir + "/part-*", CdcSchemas.productsRow, maxFilesPerTrigger = 1)
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) => maintainer.step(b) }
+      .option("checkpointLocation", freshDir("graft-stream-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    maintainer.history.getOrElse(
+      sys.error("stream produced no micro-batches over a non-empty lake"))
+  }
+
+  /** Stream the lake through the true per-key incremental state (mode 3,
+    * flatMapGroupsWithState): parse envelopes → typed change events →
+    * corrected version-row stream, every emission appended to parquet with
+    * its batch id. The final chain is the last emission per (id, lsn) —
+    * convergent regardless of how the files were sliced into triggers.
+    */
+  private def runIncremental(s: SparkSession, sfDir: String): DataFrame = {
+    import s.implicits._
+    val dir = EnvelopeQueries.buildLake(s, sfDir)
+    val out = freshDir("graft-stream-inc-out")
+    val envelopes = Scd2Streaming.readEnvelopeStream(
+      s, dir + "/part-*", CdcSchemas.productsRow, maxFilesPerTrigger = 1)
+    val events = envelopes
+      .filter(col("payload.op").isNotNull)
+      .select(
+        coalesce(col("payload.after.id"), col("payload.before.id"))
+          .cast("int").as("id"),
+        col("payload.source.lsn").cast("long").as("lsn"),
+        col("payload.ts_ms").cast("long").as("tsMs"),
+        map(
+          lit("name"), col("payload.after.name"),
+          lit("description"), col("payload.after.description"),
+          lit("price"), col("payload.after.price").cast("string")).as("attrs"),
+        col("payload.op").as("op"))
+      .filter(col("id").isNotNull)
+      .as[Scd2Streaming.KeyEvent]
+    val q = Scd2Streaming.incremental(events)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Scd2Streaming.VersionRow], batchId: Long) =>
+        b.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(out)
+        ()
+      }
+      .option("checkpointLocation", freshDir("graft-stream-inc-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // last emission per (id, lsn) wins: later batches re-emit corrected
+    // intervals for reopened versions
+    s.read.parquet(out)
+      .groupBy(col("id"), col("lsn").as("log_seq_num"))
+      .agg(max_by(
+        struct(col("rowValidStartMs"), col("rowValidExpirationMs")),
+        col("batch_id")).as("v"))
+      .select(col("id"), col("log_seq_num"),
+        col("v.rowValidStartMs").as("valid_from_ms"),
+        col("v.rowValidExpirationMs").as("valid_to_ms"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Mode-2 equivalence: the maintained history after the last trigger
+    // must equal the reference's batch SCD2 over the full lake — the SAME
+    // oracle text as cdc_envelope_scd2, so any divergence between the
+    // incremental maintenance and the batch semantics hash-fails here.
+    QueryDef(
+      "streaming_scd2_rebuild",
+      (s, d) => runTouchedKeys(s, d)
+        .select(col("id"), col("name"), col("description"), col("price"),
+          col("row_valid_start_timestamp").cast("timestamp_ntz")
+            .as("row_valid_start_timestamp"),
+          col("row_valid_expiration_timestamp").cast("timestamp_ntz")
+            .as("row_valid_expiration_timestamp")),
+      Some(EnvelopeQueries.scd2HistoryOracleSql),
+      bench = false),
+
+    // Mode-3 equivalence: the converged (id, lsn) validity chain from
+    // flatMapGroupsWithState state must equal the batch window over the
+    // same events. Millisecond-integer intervals keep the compare exact
+    // and attr-free (attrs are checked by the mode-2 query above).
+    QueryDef(
+      "streaming_scd2_incremental",
+      (s, d) => runIncremental(s, d),
+      Some(
+        s"""WITH ev AS (
+           |  SELECT
+           |    COALESCE(
+           |      CAST(json_extract(json, '$$.payload.after.id') AS INT),
+           |      CAST(json_extract(json, '$$.payload.before.id') AS INT)) AS id,
+           |    CAST(json_extract(json, '$$.payload.source.lsn') AS BIGINT) AS log_seq_num,
+           |    CAST(json_extract(json, '$$.payload.ts_ms') AS BIGINT) AS ts_ms
+           |  FROM read_ndjson_objects('${EnvelopeQueries.LakeDir}/part-*')
+           |  WHERE json_extract(json, '$$.payload.op') IS NOT NULL)
+           |SELECT id, log_seq_num, ts_ms AS valid_from_ms,
+           |  COALESCE(
+           |    LEAD(ts_ms) OVER (PARTITION BY id ORDER BY log_seq_num),
+           |    ${Scd2Streaming.SentinelMs}) AS valid_to_ms
+           |FROM ev WHERE id IS NOT NULL""".stripMargin),
+      bench = false))
+}
