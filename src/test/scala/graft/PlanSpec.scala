@@ -50,6 +50,31 @@ class PlanSpec extends SparkSuite {
       s"SCD2 must shuffle once on the key; found ${shuffles.size}")
   }
 
+  test("minhash near-dup pipeline computes the candidate subtree once") {
+    // nearDuplicates dropped its persist() in round 2 on the claim that the
+    // signature pipeline appears exactly once in the downstream join chain;
+    // pin that with the physical plan: exactly one shingle-explode Generate
+    // (the signature pipeline — the Jaccard sets side uses word_shingles
+    // only inside projections) and exactly one final-mode collect_list
+    // aggregate (the LSH bucket build; partial+final of ONE aggregation,
+    // not two aggregations).
+    val p = plan("dedup_minhash_verified")
+    val shingleGenerates = collectAll(p) {
+      case g: org.apache.spark.sql.execution.GenerateExec
+        if g.generator.toString.contains("word_shingles") => g
+    }
+    assert(shingleGenerates.size == 1,
+      s"signature pipeline must run once, found ${shingleGenerates.size} shingle explodes")
+    val finalBucketAggs = collectAll(p) {
+      case h: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+        if h.aggregateExpressions.exists(a =>
+          a.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Final &&
+          a.aggregateFunction.toString.contains("collect_list")) => h
+    }
+    assert(finalBucketAggs.size == 1,
+      s"LSH bucket build must aggregate once, found ${finalBucketAggs.size}")
+  }
+
   test("every query plans without error at sf0.001 and returns rows") {
     for (q <- SparkEntry.all) {
       val df = q.spark(spark, sf)
