@@ -23,12 +23,27 @@ class EnvelopeReaderSpec extends SparkSuite {
     assert(ops.toSeq == Seq("c", "u"))
   }
 
-  test("S4: S3A configuration helper sets the MinIO-style conf") {
+  test("S4: S3A configuration helper pins the full MinIO conf contract") {
+    // The S3A transport itself is permanently unverifiable in this
+    // environment: /opt/spark/jars carries no hadoop-aws or AWS SDK, so
+    // org.apache.hadoop.fs.s3a.S3AFileSystem does not exist on the
+    // classpath and neither a MinIO container nor an in-process S3 stub
+    // could be driven. What IS ours is the emitted Hadoop conf — the exact
+    // contract transform_scd2.py:10-16 sets on DuckDB's httpfs — so every
+    // key is pinned here.
     EnvelopeReader.configureS3a(spark, "http://localhost:9000", "ak", "sk")
     val hc = spark.sparkContext.hadoopConfiguration
     assert(hc.get("fs.s3a.endpoint") == "http://localhost:9000")
-    assert(hc.get("fs.s3a.path.style.access") == "true")
+    assert(hc.get("fs.s3a.path.style.access") == "true",
+      "MinIO requires path-style addressing (transform_scd2.py:13 url_style=path)")
     assert(hc.get("fs.s3a.access.key") == "ak")
+    assert(hc.get("fs.s3a.secret.key") == "sk")
+    assert(hc.get("fs.s3a.connection.ssl.enabled") == "false",
+      "reference endpoint is plain http (transform_scd2.py:14 use_ssl=false)")
+    // ssl flag follows the endpoint scheme when requested
+    EnvelopeReader.configureS3a(spark, "https://minio:9000", "ak2", "sk2", sslEnabled = true)
+    assert(hc.get("fs.s3a.connection.ssl.enabled") == "true")
+    assert(hc.get("fs.s3a.access.key") == "ak2")
   }
 
   test("raw-line scan preserves lines byte-for-byte") {
