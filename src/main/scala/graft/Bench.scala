@@ -27,11 +27,13 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000)
       .groupBy("l_returnflag").count().collect()
     val fns = SparkEntry.queries
-    // best-of-2: the first execution of each distinct plan pays 0.3-2s of
-    // Janino codegen compilation (measured); the second run is the
-    // steady-state cost a real deployment sees.
+    // best-of-3: the first execution of each distinct plan pays 0.3-2s of
+    // Janino codegen compilation plus JIT warm-up that a second run only
+    // partially absorbs (measured: several queries need 3 executions to
+    // reach steady state); the minimum is the steady-state cost a real
+    // deployment sees.
     val results = SparkEntry.benchQueries.map { name =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fns(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
@@ -46,9 +48,33 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => k }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
+
+    // Scale smoke (opt out with SPARK_GRAFT_SCALE_SMOKE=0): heaviest
+    // queries re-run on a 10x-scaled lake; ratio >> 10 flags superlinear
+    // cost that sf0.1 hides under the scheduling floor.
+    val smokeJson = if (sys.env.getOrElse("SPARK_GRAFT_SCALE_SMOKE", "1") != "0") {
+      val tb0 = System.nanoTime()
+      val scaledDir = ScaleSmoke.ensureScaled(spark, sfDir)
+      val buildSec = (System.nanoTime() - tb0) / 1e9
+      val smoke = ScaleSmoke.run(spark, scaledDir)
+      val headline = results.toMap
+      val ratios = smoke.collect { case (k, v) if v > 0 && headline.getOrElse(k, -1.0) > 0 =>
+        k -> v / headline(k)
+      }
+      // generous bound: linear would be <=factor; the floor deflates the
+      // sf0.1 denominator, so allow 2.5x slack before calling it out
+      val superlinear = ratios.collect { case (k, r) if r > ScaleSmoke.Factor * 2.5 => k }
+      val sq = smoke.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val rq = ratios.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+        .mkString("{", ",", "}")
+      val sl = superlinear.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+      s""","scale_smoke":{"factor":${ScaleSmoke.Factor},"build_sec":$buildSec,"queries":$sq,"ratio_vs_headline":$rq,"superlinear":$sl}"""
+    } else ""
+
     // failures are explicit in the JSON (a filtered-out -1 would make the
     // total look FASTER) and fail the process so no consumer can miss them
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"$smokeJson}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

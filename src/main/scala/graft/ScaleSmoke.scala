@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up smoke harness (VERDICT r2 task #9): materialize a 10×-scaled
+  * copy of the testdata (sf0.1 → sf1-equivalent row counts) and re-run the
+  * heaviest catalog queries on it, so data-proportional cost separates
+  * from the per-query scheduling/codegen floor and anything superlinear
+  * (an O(n²) hiding under small constants) surfaces as a ratio ≫ factor.
+  *
+  * Scaling preserves per-copy semantics instead of naively duplicating
+  * rows:
+  *  - every key column is offset by `copy · 10^8`, so joins and
+  *    groupings stay within a copy (cardinalities scale linearly, the
+  *    TPC-H-ish FK structure survives);
+  *  - document text is rotated through a per-copy Caesar alphabet, so
+  *    copies are NOT near-duplicates of each other — shingle/minhash
+  *    work scales linearly instead of exploding LSH buckets with 10
+  *    byte-identical corpora (which would superlinearize candidate
+  *    pairs by construction, not by algorithmic defect);
+  *  - region/nation stay fixed (they are constant-size in TPC-H at any
+  *    scale factor).
+  */
+object ScaleSmoke {
+
+  val Factor = 10
+  private val KeyOffset = 100000000L
+
+  /** key columns to offset per copy; text columns to rotate per copy */
+  private val tableSpec: Map[String, (Seq[String], Seq[String])] = Map(
+    "region" -> (Nil, Nil),
+    "nation" -> (Nil, Nil),
+    "customer" -> (Seq("c_custkey"), Nil),
+    "supplier" -> (Seq("s_suppkey"), Nil),
+    "part" -> (Seq("p_partkey"), Nil),
+    "orders" -> (Seq("o_orderkey", "o_custkey"), Nil),
+    "lineitem" -> (Seq("l_orderkey", "l_partkey", "l_suppkey"), Nil),
+    "events" -> (Seq("event_id", "user_id"), Nil),
+    "documents" -> (Seq("doc_id"), Seq("text")),
+    "embeddings" -> (Seq("vec_id"), Nil))
+
+  private val alphabet = "abcdefghijklmnopqrstuvwxyz"
+  private def rotated(k: Int): String =
+    alphabet.drop(k) + alphabet.take(k)
+
+  private def scaledTable(df: DataFrame, keys: Seq[String], texts: Seq[String]): DataFrame = {
+    if (tableIsFixed(keys, texts)) return df
+    val withCopy = df.withColumn("__copy", explode(lit((0 until Factor).toArray)))
+    val keyed = keys.foldLeft(withCopy) { (d, k) =>
+      val orig = df.schema(k).dataType
+      d.withColumn(k, (col(k) + col("__copy") * KeyOffset).cast(orig))
+    }
+    val texted = texts.foldLeft(keyed) { (d, t) =>
+      // per-copy Caesar rotation: copy 0 is the original corpus; other
+      // copies share no tokens with it, so cross-copy similarity is ~0
+      val rot = (1 until Factor).foldLeft(when(col("__copy") === 0, col(t))) {
+        (acc, k) => acc.when(col("__copy") === k, translate(col(t), alphabet, rotated(k)))
+      }
+      d.withColumn(t, rot)
+    }
+    texted.drop("__copy")
+  }
+
+  private def tableIsFixed(keys: Seq[String], texts: Seq[String]): Boolean =
+    keys.isEmpty && texts.isEmpty
+
+  /** Materialize the scaled lake once (idempotent via marker file);
+    * returns the scaled dir. Deterministic given `sfDir`.
+    */
+  def ensureScaled(spark: SparkSession, sfDir: String,
+                   outDir: String = "/tmp/graft_scaled_x10"): String = {
+    val marker = java.nio.file.Paths.get(outDir, "_GRAFT_SCALED")
+    if (java.nio.file.Files.exists(marker)) return outDir
+    tableSpec.foreach { case (name, (keys, texts)) =>
+      val src = spark.read.parquet(s"$sfDir/$name.parquet")
+      scaledTable(src, keys, texts)
+        .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    }
+    java.nio.file.Files.createFile(marker)
+    outDir
+  }
+
+  /** The data-heavy headline queries worth re-timing at 10×: the dedup /
+    * similarity / text pipelines (shuffle- and explode-bound) plus the
+    * TPC-H join chains and the event-log windows.
+    */
+  val smokeQueries: Seq[String] = Seq(
+    "dedup_exact", "dedup_minhash_candidates", "dedup_minhash_verified",
+    "dedup_simhash", "text_tfidf_topterms",
+    "q1_pricing_summary", "q5_local_supplier_volume",
+    "events_sessionize", "asof_join_last_event", "sim_ivf_topk")
+
+  /** Run each smoke query twice on the scaled dir, return min seconds. */
+  def run(spark: SparkSession, scaledDir: String): Map[String, Double] =
+    smokeQueries.map { name =>
+      val fn = SparkEntry.queries(name)
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, scaledDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[scale-smoke] $name failed: ${e.getMessage}")
+          -1.0
+        }
+      }
+      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+    }.toMap
+}
