@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AnalyticsQueries, CdcQueries, CorpusQueries, DedupQueries, EnvelopeQueries, MultimodalQueries, RelationalQueries, ScalarQueries, SimilarityQueries, StreamingQueries, TextQueries}
+import graft.operators.{AnalyticsQueries, CdcQueries, CorpusQueries, DedupQueries, EnvelopeQueries, MultimodalQueries, PipelineQueries, RelationalQueries, ScalarQueries, SimilarityQueries, StreamingQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,7 +19,8 @@ object SparkEntry {
     EnvelopeQueries.defs ++ StreamingQueries.defs ++ CdcQueries.defs ++
       RelationalQueries.defs ++ AnalyticsQueries.defs ++
       TextQueries.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
-      MultimodalQueries.defs ++ CorpusQueries.defs ++ ScalarQueries.defs
+      MultimodalQueries.defs ++ CorpusQueries.defs ++ ScalarQueries.defs ++
+      PipelineQueries.defs
 
   require(all.map(_.name).distinct.size == all.size,
     s"duplicate query names would silently drop catalog entries: " +

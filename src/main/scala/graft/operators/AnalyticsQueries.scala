@@ -245,6 +245,36 @@ object AnalyticsQueries {
              |  CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_orders
              |FROM run GROUP BY o_custkey""".stripMargin)),
 
+    // Pure range join (no equi key): events inside the 10 minutes after
+    // each purchase, via the binned interval join — a shuffled equi-join
+    // on the bin id instead of the nested-loop plan Spark would otherwise
+    // pick (RangeJoin Scaladoc; bin width = interval length, so each
+    // interval explodes into <=2 bins). The oracle replays the plain theta
+    // join, so the binning rewrite itself is hash-checked.
+    QueryDef(
+      "range_join_binned",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val us = expr("unix_micros(CAST(ts AS TIMESTAMP))")
+        val pts = ev.select(col("event_id").as("pt_id"), us.as("pt_us"), col("value"))
+        val iv = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), us.as("start_us"),
+                  (us + lit(600000000L)).as("end_us"))
+        RangeJoin.pointInInterval(pts, iv, "pt_us", "start_us", "end_us",
+            binWidth = 600000000L)
+          .groupBy("purchase_id")
+          .agg(count(lit(1)).as("n_events"),
+               sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      },
+      Some("""WITH pur AS (
+             |  SELECT event_id AS purchase_id, epoch_us(ts) AS s
+             |  FROM events WHERE event_type = 'purchase')
+             |SELECT purchase_id, count(*) AS n_events,
+             |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM pur JOIN events e
+             |  ON epoch_us(e.ts) >= s AND epoch_us(e.ts) < s + 600000000
+             |GROUP BY purchase_id""".stripMargin)),
+
     // HLL sketch distincts — the 100 TB path for cardinality (no exact
     // shuffle-the-universe). Sketch internals differ across engines, so the
     // raw estimate can't be hash-compared; instead the output carries the

@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.QueryDef.t
+import graft.text.TextOps
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operations over `documents`: deterministic
+  * dataset splits, hash-based stratified downsampling (corpus balancing),
+  * and dataset-card statistics. These are the bookkeeping ops every
+  * LLM-data pipeline runs after dedup/quality filtering, expressed
+  * shuffle-minimally and with engine-portable hashing (md5 integer
+  * arithmetic, same construction as [[graft.dedup.Dedup]]) so every row is
+  * under the DuckDB oracle hash gate.
+  *
+  * Scale notes: split assignment and sampling are pure per-row projections
+  * (zero shuffles — they pipeline into whatever scan feeds them); the
+  * balancer adds one aggregation for stratum sizes, broadcast back. No
+  * driver-side randomness anywhere: a re-run on 100 TB reassigns
+  * identically, which is what makes downstream caching and incremental
+  * rebuilds safe.
+  */
+object PipelineQueries {
+
+  /** Uniform hash in [0, 1e6) from a salted md5 of the id — deterministic,
+    * engine-portable, independent across salts (a "seed" is a new salt).
+    */
+  private def hashPermille(id: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt + ":"), id.cast("string"))), 1, 15), 16, 10)
+      .cast("long") % 1000000L
+
+  private def hashSqlExpr(idSql: String, salt: String): String =
+    s"CAST(('0x' || substr(md5('$salt:' || CAST($idSql AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Deterministic 80/10/10 train/val/test assignment. A per-row
+    // projection: no shuffle, no RNG state, stable under re-runs and
+    // partial recomputes — the split of a document never depends on which
+    // executor saw it or how many other documents exist.
+    QueryDef(
+      "split_train_val_test",
+      (s, d) => {
+        val h = hashPermille(col("doc_id"), "split")
+        t(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            when(h < 800000L, "train").when(h < 900000L, "val").otherwise("test")
+              .as("split"))
+      },
+      Some {
+        val h = hashSqlExpr("doc_id", "split")
+        s"""SELECT doc_id, lang,
+           |  CASE WHEN $h < 800000 THEN 'train'
+           |       WHEN $h < 900000 THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM documents""".stripMargin
+      }),
+
+    // Stratified downsampling to balance the corpus across languages:
+    // every stratum is kept at ~(smallest stratum / its own size), so
+    // expected per-lang counts equalize. The keep decision is exact
+    // integer arithmetic (hash · stratum_size < min_size · 1e6) — no
+    // floating-point rate, so both engines agree bit-for-bit. One
+    // aggregation for stratum sizes (window over lang), then a per-row
+    // filter; at 100 TB the sizes side is a broadcast of #langs rows.
+    QueryDef(
+      "sample_balance_langs",
+      (s, d) => {
+        val byLang = Window.partitionBy("lang")
+        val all = Window.partitionBy()
+        val h = hashPermille(col("doc_id"), "balance")
+        t(s, d, "documents")
+          .withColumn("n_lang", count(lit(1)).over(byLang))
+          .withColumn("n_min", min(col("n_lang")).over(all))
+          .filter(h * col("n_lang") < col("n_min") * 1000000L)
+          .select("doc_id", "lang")
+      },
+      Some {
+        val h = hashSqlExpr("doc_id", "balance")
+        s"""WITH counts AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+           |m AS (SELECT min(n_lang) AS n_min FROM counts)
+           |SELECT doc_id, d.lang FROM documents d
+           |JOIN counts c ON d.lang = c.lang CROSS JOIN m
+           |WHERE ($h) * n_lang < n_min * 1000000""".stripMargin
+      }),
+
+    // Dataset card: per (split, lang) document counts and token totals —
+    // the composition of split assignment with token counting, aggregated
+    // map-side into a handful of rows.
+    QueryDef(
+      "dataset_card_stats",
+      (s, d) => {
+        val h = hashPermille(col("doc_id"), "split")
+        t(s, d, "documents")
+          .select(
+            when(h < 800000L, "train").when(h < 900000L, "val").otherwise("test")
+              .as("split"),
+            col("lang"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+          .groupBy("split", "lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+      },
+      Some {
+        val h = hashSqlExpr("doc_id", "split")
+        s"""SELECT CASE WHEN $h < 800000 THEN 'train'
+           |            WHEN $h < 900000 THEN 'val'
+           |            ELSE 'test' END AS split,
+           |  lang,
+           |  count(*) AS n_docs,
+           |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+           |FROM documents GROUP BY 1, 2""".stripMargin
+      }))
+}
