@@ -59,6 +59,64 @@ object SimilarityQueries {
               |WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.4""".stripMargin),
       bench = false),
 
+    // Product-quantization ANN: corpus encoded as 4 subspace codes (16-entry
+    // codebooks from the first 16 vectors); queries score candidates from a
+    // per-query partial-dot lookup table, never touching raw corpus vectors
+    // again (the compressed-domain scale path — Similarity PQ Scaladoc).
+    // The oracle replays encode + ADC exactly, so the approximation itself
+    // is hash-checked, like sim_ivf_topk.
+    QueryDef(
+      "sim_pq_topk",
+      (s, d) => {
+        val emb = t(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val cb = Similarity.pqCodebook(emb.filter(col("id") < 16), "id", "vec", m = 4, subDim = 16)
+        val codes = Similarity.pqCodesWide(
+          Similarity.pqAssign(Similarity.subvectors(emb, "id", "vec", 4, 16), cb, "id"),
+          "id", m = 4)
+        val qsubs = Similarity.subvectors(emb.filter(col("id") < 10), "id", "vec", 4, 16)
+          .withColumnRenamed("id", "query_id")
+        Similarity.pqAdcTopK(codes, qsubs, cb, "id", "query_id",
+          m = 4, codebookK = 16, k = 5)
+      },
+      Some {
+        def sub(v: String) = s"$v[m*16+1 : m*16+16]"
+        s"""WITH ms AS (SELECT unnest(range(0, 4)) AS m),
+           |cb AS (SELECT m, CAST(vec_id AS INT) AS k, ${sub("embedding")} AS cvec
+           |       FROM embeddings CROSS JOIN ms WHERE vec_id < 16),
+           |subs AS (SELECT vec_id AS id, m, ${sub("embedding")} AS sub
+           |         FROM embeddings CROSS JOIN ms),
+           |assigned AS (
+           |  SELECT id, m, k AS code FROM (
+           |    SELECT s.id, s.m, c.k,
+           |      ROW_NUMBER() OVER (PARTITION BY s.id, s.m ORDER BY
+           |        (${dotSql("sub", "sub")} - 2 * ${dotSql("sub", "cvec")} +
+           |         ${dotSql("cvec", "cvec")}), c.k) AS rn
+           |    FROM subs s JOIN cb c ON s.m = c.m) WHERE rn = 1),
+           |wide AS (
+           |  SELECT id,
+           |    MAX(CASE WHEN m = 0 THEN code END) AS c0,
+           |    MAX(CASE WHEN m = 1 THEN code END) AS c1,
+           |    MAX(CASE WHEN m = 2 THEN code END) AS c2,
+           |    MAX(CASE WHEN m = 3 THEN code END) AS c3
+           |  FROM assigned GROUP BY id),
+           |lut AS (
+           |  SELECT s.id AS qid, s.m, c.k, ${dotSql("sub", "cvec")} AS pdot
+           |  FROM subs s JOIN cb c ON s.m = c.m WHERE s.id < 10),
+           |scored AS (
+           |  SELECT l0.qid AS query_id, w.id AS neighbor_id,
+           |    l0.pdot + l1.pdot + l2.pdot + l3.pdot AS approx_dot
+           |  FROM wide w
+           |  JOIN lut l0 ON l0.m = 0 AND l0.k = w.c0
+           |  JOIN lut l1 ON l1.qid = l0.qid AND l1.m = 1 AND l1.k = w.c1
+           |  JOIN lut l2 ON l2.qid = l0.qid AND l2.m = 2 AND l2.k = w.c2
+           |  JOIN lut l3 ON l3.qid = l0.qid AND l3.m = 3 AND l3.k = w.c3
+           |  WHERE w.id != l0.qid)
+           |SELECT query_id, neighbor_id, approx_dot, rank FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+           |            ORDER BY approx_dot DESC, neighbor_id) AS rank
+           |  FROM scored) WHERE rank <= 5""".stripMargin
+      }),
+
     // Per-label centroid-free stats: vector norms + label aggregation —
     // exercises HOF arithmetic inside a grouped aggregation.
     QueryDef(

@@ -71,6 +71,41 @@ class DedupSimSpec extends SparkSuite {
     info(f"ANN recall@10 = $multiRecall%.2f (4 hyperplanes, 4 probes)")
   }
 
+  test("PQ: codes are in range and ADC ranking tracks brute force") {
+    val m = 4; val subDim = 16; val k = 10
+    val cb = Similarity.pqCodebook(embs.filter(col("id") < 16), "id", "vec",
+      m = m, subDim = subDim)
+    assert(cb.count() == m * 16, "codebook: one entry per (subspace, seed)")
+
+    val codes = Similarity.pqCodesWide(
+      Similarity.pqAssign(Similarity.subvectors(embs, "id", "vec", m, subDim), cb, "id"),
+      "id", m = m)
+    assert(codes.count() == embs.count(), "one code row per vector")
+    val outOfRange = codes.filter(
+      (0 until m).map(i => col(s"c$i") < 0 || col(s"c$i") >= 16).reduce(_ || _)).count()
+    assert(outOfRange == 0, "every code indexes the 16-entry codebook")
+
+    // Seed vectors must encode to themselves (distance 0 to their own entry).
+    val selfCodes = codes.filter(col("id") < 16)
+      .filter((0 until m).map(i => col(s"c$i") === col("id").cast("int")).reduce(_ && _))
+    assert(selfCodes.count() == 16, "each seed's nearest codeword is itself")
+
+    // ADC is an approximation; demand better-than-random overlap with exact
+    // top-k, not equality (500 corpus vectors, k=10 → random recall ≈ 2%).
+    val queries = embs.filter(col("id") < 5)
+    val qsubs = Similarity.subvectors(queries, "id", "vec", m, subDim)
+      .withColumnRenamed("id", "query_id")
+    val approx = Similarity.pqAdcTopK(codes, qsubs, cb, "id", "query_id",
+      m = m, codebookK = 16, k = k)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(approx.size == 5 * k, "k rows per query")
+    val exact = Similarity.bruteForceTopK(embs, queries, k = k)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall > 0.1, f"ADC recall@10 = $recall%.2f not above random (~0.02)")
+    info(f"PQ ADC recall@10 = $recall%.2f (m=4, 16-entry codebooks)")
+  }
+
   test("signBucket is deterministic across invocations") {
     val planes = Similarity.hyperplanes(8, 64)
     val b1 = embs.select(Similarity.signBucket(col("vec"), planes).as("b")).collect()
