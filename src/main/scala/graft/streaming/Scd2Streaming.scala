@@ -53,6 +53,37 @@ object Scd2Streaming {
         CdcSchemas.envelope(rowSchema)).as("env"))
       .select(col("env.payload").as("payload"))
 
+  /** Debezium topic name for a captured table: `<prefix>.<schema>.<table>`
+    * (reference connectors/cdc-source.json `topic.prefix=cdc` +
+    * `table.include.list=commerce.products,commerce.users` → topics
+    * `cdc.commerce.products,cdc.commerce.users`, the exact list the
+    * reference's sink subscribes to in connectors/s3-sink.json `topics`).
+    */
+  def debeziumTopic(prefix: String, table: String): String = s"$prefix.$table"
+
+  /** The full option contract for the Kafka source leg, factored out of the
+    * stream builder so it is assertable without a broker (the sandbox has
+    * neither the spark-sql-kafka connector nor kafka-clients — see
+    * Scd2StreamingSpec "S5/S6 Kafka source contract").
+    *
+    *  - `subscribe` is the capture-side include filter (S6): one Debezium
+    *    topic per included table, comma-joined.
+    *  - `startingOffsets=earliest`: the reference's pipeline replays the
+    *    initial snapshot (cdc-source.json `snapshot.mode=initial`); a
+    *    late-attached consumer must read from the beginning or the SCD2
+    *    history misses pre-attach versions.
+    *  - `failOnDataLoss=true`: an aged-out offset means irrecoverably lost
+    *    change events — the SCD2 table would silently diverge from the
+    *    source, so fail loudly instead (idempotent restart semantics come
+    *    from checkpoint + (id, lsn) dedupe, not from tolerating loss).
+    */
+  def kafkaSourceOptions(bootstrap: String, tables: Seq[String],
+                         topicPrefix: String = "cdc"): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrap,
+    "subscribe" -> tables.map(debeziumTopic(topicPrefix, _)).mkString(","),
+    "startingOffsets" -> "earliest",
+    "failOnDataLoss" -> "true")
+
   /** Kafka envelope stream: subscribe + value parse (S5/S6 — the
     * `subscribe` list is the capture-side include filter).
     */
@@ -61,8 +92,8 @@ object Scd2Streaming {
     parseKafkaValue(
       spark.readStream
         .format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap)
-        .option("subscribe", topic)
+        .options(kafkaSourceOptions(bootstrap, Seq(topic), topicPrefix = "")
+          .updated("subscribe", topic))
         .load(),
       rowSchema)
 

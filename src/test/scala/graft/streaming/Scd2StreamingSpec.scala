@@ -349,4 +349,27 @@ class Scd2StreamingSpec extends SparkSuite {
     assert(rows == Set(("a", 2L, 3.0), ("b", 1L, 5.0)),
       "first-window aggregates must emit exactly once after the watermark passes")
   }
+
+  test("S5/S6 Kafka source contract: topics, offsets, loss semantics pinned") {
+    // The Kafka transport itself is permanently unverifiable in this
+    // sandbox: neither spark-sql-kafka nor kafka-clients is on the
+    // classpath and the resolver is offline, so no embedded broker can
+    // exist. What IS ours is (a) the value-parse expression — asserted
+    // equal to the file-envelope parse in Scd2Spec — and (b) the exact
+    // source options the stream builder emits, pinned here against the
+    // reference's connector configs.
+    val opts = Scd2Streaming.kafkaSourceOptions(
+      "kafka:9092", Seq("commerce.products", "commerce.users"))
+    assert(opts("kafka.bootstrap.servers") == "kafka:9092",
+      "reference broker address (docker-compose.yml KAFKA_ADVERTISED_LISTENERS)")
+    assert(opts("subscribe") == "cdc.commerce.products,cdc.commerce.users",
+      "subscribe list == capture include filter (cdc-source.json " +
+        "table.include.list + topic.prefix; matches s3-sink.json topics)")
+    assert(opts("startingOffsets") == "earliest",
+      "snapshot.mode=initial requires reading from the beginning")
+    assert(opts("failOnDataLoss") == "true",
+      "aged-out offsets mean lost change events — diverging silently is worse")
+    assert(Scd2Streaming.debeziumTopic("cdc", "commerce.products")
+      == "cdc.commerce.products")
+  }
 }
