@@ -206,4 +206,62 @@ object Dedup {
     }.reduce(_ + _)
     voted.select(col(idCol), packed.as("simhash"))
   }
+
+  /** Connected components over an undirected edge list by iterative
+    * min-label propagation: every node starts labeled with its own id;
+    * each round a node takes the minimum label among itself and its
+    * neighbors; at the fixpoint each component carries its minimum node id
+    * as `component_id`. Nodes absent from `edges` stay singletons.
+    *
+    * This is the step after pair-wise near-dup detection in a training-data
+    * pipeline: pairs (A,B),(B,C) must collapse to ONE cluster {A,B,C} or
+    * the corpus keeps a duplicate for every transitively-linked chain.
+    *
+    * Scale design: each round is one shuffle join (edges ⋈ labels) plus one
+    * map-side-combined min aggregation; rounds = graph diameter, and
+    * near-dup graphs are overwhelmingly tiny star/chain components, so the
+    * loop converges in a handful of rounds (the driver loop is a
+    * convergence check, not a data path — the classic Pregel/GraphX shape;
+    * alternating large-star/small-star [Kiveris et al., "Connected
+    * Components in MapReduce and Beyond"] would halve rounds on adversarial
+    * long chains). Each iteration `localCheckpoint`s the label table:
+    * truncating lineage is mandatory in iterative plans or the optimizer
+    * re-expands the whole loop history every round. Convergence is detected
+    * by the label-sum invariant: labels only ever decrease, so an unchanged
+    * sum means a fixpoint — an O(1)-row aggregate instead of a
+    * change-count self-join.
+    */
+  def connectedComponents(nodes: DataFrame, idCol: String,
+                          edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    val dir = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val und = dir.union(dir.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true) // reused every round; edge list ≪ corpus
+    var labels = nodes
+      .select(col(idCol).cast("long").as("node"), col(idCol).cast("long").as("label"))
+      .localCheckpoint(true)
+    var prevSum = labels.agg(sum("label")).head().getLong(0)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = und
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(min("label").as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("node"), "left_outer")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val s = next.agg(sum("label")).head().getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = s == prevSum
+      prevSum = s
+      iter += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds " +
+      "— component diameter exceeds the bound; raise maxIter")
+    labels.select(col("node").as(idCol), col("label").as("component_id"))
+  }
 }

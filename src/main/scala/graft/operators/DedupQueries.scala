@@ -45,6 +45,26 @@ object DedupQueries {
        |cands AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
        |          FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** Candidate → verified-pair → transitive-closure CTE chain shared by the
+    * clustering oracles: `reach(node, lbl)` holds every (node, label-that-
+    * reaches-it) pair over the undirected verified-pair graph, so
+    * `min(lbl) GROUP BY node` is the component id (min doc_id in the
+    * component) — the recursive replay of [[Dedup.connectedComponents]].
+    */
+  private val closureCte: String =
+    s"""${candidatesCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |sets AS (SELECT doc_id, list_distinct($shinglesSql) AS sset FROM documents),
+       |verified AS (SELECT doc_id_a, doc_id_b
+       |  FROM cands JOIN sets a ON doc_id_a = a.doc_id
+       |             JOIN sets b ON doc_id_b = b.doc_id
+       |  WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+       |      / CAST(len(list_distinct(list_concat(a.sset, b.sset))) AS DOUBLE) >= 0.2),
+       |edges AS (SELECT doc_id_a AS src, doc_id_b AS dst FROM verified
+       |          UNION SELECT doc_id_b, doc_id_a FROM verified),
+       |reach AS (SELECT doc_id AS node, doc_id AS lbl FROM documents
+       |          UNION
+       |          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // Exact dedup: one hash aggregation (the 100 TB shape).
@@ -94,6 +114,45 @@ object DedupQueries {
               |WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
               |    / CAST(len(list_distinct(list_concat(a.sset, b.sset))) AS DOUBLE) >= 0.2""".stripMargin),
       bench = false),
+
+    // Near-dup clusters: transitive closure of the verified pair graph
+    // (pairs (A,B),(B,C) collapse to one cluster) via iterative min-label
+    // propagation. The oracle replays the closure with a recursive CTE.
+    QueryDef(
+      "dedup_components",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.nearDuplicates(docs, "doc_id", "text", threshold = 0.2)
+        Dedup.connectedComponents(docs, "doc_id", pairs, "doc_id_a", "doc_id_b")
+      },
+      Some(s"""$closureCte
+              |SELECT node AS doc_id, min(lbl) AS component_id
+              |FROM reach GROUP BY node""".stripMargin)),
+
+    // The pipeline payoff: one canonical representative (min doc_id) per
+    // cluster — the deduplicated corpus, with cluster sizes for audit.
+    QueryDef(
+      "dedup_canonical_docs",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.nearDuplicates(docs, "doc_id", "text", threshold = 0.2)
+        val comp = Dedup.connectedComponents(docs, "doc_id", pairs, "doc_id_a", "doc_id_b")
+        val sizes = comp.groupBy("component_id").agg(count(lit(1)).as("cluster_size"))
+        docs.join(comp, "doc_id")
+          .filter(col("doc_id") === col("component_id"))
+          .join(sizes, "component_id")
+          .select(col("doc_id"), col("cluster_size"), md5(col("text")).as("content_hash"))
+      },
+      Some(s"""$closureCte,
+              |comp AS (SELECT node AS doc_id, min(lbl) AS component_id
+              |         FROM reach GROUP BY node),
+              |sizes AS (SELECT component_id, count(*) AS cluster_size
+              |          FROM comp GROUP BY 1)
+              |SELECT c.doc_id, s.cluster_size, md5(d.text) AS content_hash
+              |FROM comp c JOIN sizes s USING (component_id)
+              |            JOIN documents d USING (doc_id)
+              |WHERE c.doc_id = c.component_id""".stripMargin),
+      bench = false), // same closure as dedup_components — benched once there
 
     // SimHash fingerprints (explode → md5 once per token → one
     // aggregation with 60 packed bit-votes).

@@ -71,6 +71,41 @@ class DedupSimSpec extends SparkSuite {
     info(f"ANN recall@10 = $multiRecall%.2f (4 hyperplanes, 4 probes)")
   }
 
+  test("connected components: chains collapse transitively, singletons stay") {
+    // diameter-4 chain exercises multi-round propagation; 60 is isolated
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 60L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val comp = Dedup.connectedComponents(nodes, "id", edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 60L -> 60L))
+  }
+
+  test("connected components agree with a driver-side union-find") {
+    val pairs = Dedup.nearDuplicates(docs, "doc_id", "text", threshold = 0.2)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect()
+    val got = Dedup.connectedComponents(docs, "doc_id",
+        Dedup.nearDuplicates(docs, "doc_id", "text", threshold = 0.2),
+        "doc_id_a", "doc_id_b")
+      .as[(Long, Long)].collect().toMap
+
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val ids = docs.select("doc_id").as[Long].collect()
+    val expected = ids.map { i =>
+      val members = ids.filter(j => find(j) == find(i))
+      i -> members.min
+    }.toMap
+    assert(got == expected)
+    assert(pairs.nonEmpty, "fixture should exercise at least one merge")
+  }
+
   test("PQ: codes are in range and ADC ranking tracks brute force") {
     val m = 4; val subDim = 16; val k = 10
     val cb = Similarity.pqCodebook(embs.filter(col("id") < 16), "id", "vec",
