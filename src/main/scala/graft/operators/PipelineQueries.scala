@@ -87,6 +87,52 @@ object PipelineQueries {
            |WHERE ($h) * n_lang < n_min * 1000000""".stripMargin
       }),
 
+    // Train/eval decontamination: per training doc, how many of its
+    // distinct word 5-grams appear anywhere in the held-out eval set
+    // (doc_id < 20 stands in for the benchmark suite). The scale shape is
+    // the point: eval benchmarks are MBs while the corpus is TBs, so the
+    // eval n-gram set broadcasts and the training side streams through a
+    // map-side semi join — no shuffle of corpus text, ever.
+    QueryDef(
+      "decontam_ngram_overlap",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val evalNgrams = docs.filter(col("doc_id") < 20)
+          .select(explode(graft.dedup.Dedup.shingleSet(col("text"), 5)).as("ng"))
+          .distinct()
+        val train = docs.filter(col("doc_id") >= 20)
+          .select(col("doc_id"), graft.dedup.Dedup.shingleSet(col("text"), 5).as("ngs"))
+        val overlaps = train.select(col("doc_id"), explode(col("ngs")).as("ng"))
+          .join(broadcast(evalNgrams), Seq("ng"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("ov"))
+        train.select(col("doc_id"), size(col("ngs")).cast("long").as("total_ngrams"))
+          .join(overlaps, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("total_ngrams"),
+            coalesce(col("ov"), lit(0L)).as("overlap_ngrams"),
+            when(col("total_ngrams") > 0,
+              coalesce(col("ov"), lit(0L)).cast("double")
+                / col("total_ngrams").cast("double"))
+              .otherwise(lit(0.0)).as("contam_frac"))
+      },
+      Some {
+        val ng5 = "list_transform(range(0, len(string_split(text, ' ')) - 4), " +
+          "i -> array_to_string((string_split(text, ' '))[i+1:i+5], ' '))"
+        s"""WITH ev AS (SELECT DISTINCT unnest(list_distinct($ng5)) AS ng
+           |            FROM documents WHERE doc_id < 20),
+           |tr AS (SELECT doc_id, list_distinct($ng5) AS ngs
+           |       FROM documents WHERE doc_id >= 20),
+           |ov AS (SELECT doc_id, count(*) AS overlap_ngrams
+           |       FROM (SELECT doc_id, unnest(ngs) AS ng FROM tr) x
+           |       JOIN ev USING (ng) GROUP BY doc_id)
+           |SELECT t.doc_id, CAST(len(t.ngs) AS BIGINT) AS total_ngrams,
+           |  coalesce(o.overlap_ngrams, 0) AS overlap_ngrams,
+           |  CASE WHEN len(t.ngs) > 0
+           |       THEN CAST(coalesce(o.overlap_ngrams, 0) AS DOUBLE)
+           |            / CAST(len(t.ngs) AS DOUBLE)
+           |       ELSE 0.0 END AS contam_frac
+           |FROM tr t LEFT JOIN ov o USING (doc_id)""".stripMargin
+      }),
+
     // Dataset card: per (split, lang) document counts and token totals —
     // the composition of split assignment with token counting, aggregated
     // map-side into a handful of rows.

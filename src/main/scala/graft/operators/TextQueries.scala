@@ -36,6 +36,49 @@ object TextQueries {
              |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len
              |FROM documents""".stripMargin)),
 
+    // Gopher-style repetition filters: duplicate-n-gram fraction and
+    // most-frequent-bigram mass per document. Entirely per-row HOF
+    // arithmetic over the shingle arrays — zero shuffles, pipelines into
+    // the scan; the inner quadratic is bounded by document length, not
+    // corpus size, so the shape is identical at 100 TB.
+    QueryDef(
+      "text_repetition_ratio",
+      (s, d) => {
+        import graft.dedup.Dedup
+        val bg = Dedup.shingles(col("text"), 2)
+        val tg = Dedup.shingles(col("text"), 3)
+        def dupFrac(a: org.apache.spark.sql.Column) = when(size(a) > 0,
+          lit(1.0) - size(array_distinct(a)).cast("double") / size(a).cast("double"))
+          .otherwise(lit(0.0))
+        val topCount = array_max(
+          transform(array_distinct(bg), x => size(filter(bg, y => y === x))))
+        t(s, d, "documents").select(
+          col("doc_id"),
+          size(bg).cast("long").as("n_bigrams"),
+          dupFrac(bg).as("dup_bigram_frac"),
+          dupFrac(tg).as("dup_trigram_frac"),
+          when(size(bg) > 0, topCount.cast("double") / size(bg).cast("double"))
+            .otherwise(lit(0.0)).as("top_bigram_frac"))
+      },
+      Some {
+        def ng(n: Int) = s"list_transform(range(0, len(string_split(text, ' ')) - ${n - 1}), " +
+          s"i -> array_to_string((string_split(text, ' '))[i+1:i+$n], ' '))"
+        def dupFrac(a: String) =
+          s"CASE WHEN len($a) > 0 THEN 1.0 - CAST(len(list_distinct($a)) AS DOUBLE) " +
+            s"/ CAST(len($a) AS DOUBLE) ELSE 0.0 END"
+        s"""WITH g AS (SELECT doc_id, ${ng(2)} AS bg, ${ng(3)} AS tg FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(bg) AS BIGINT) AS n_bigrams,
+           |  ${dupFrac("bg")} AS dup_bigram_frac,
+           |  ${dupFrac("tg")} AS dup_trigram_frac,
+           |  CASE WHEN len(bg) > 0
+           |       THEN CAST(list_aggregate(list_transform(list_distinct(bg),
+           |              x -> len(list_filter(bg, y -> y = x))), 'max') AS DOUBLE)
+           |            / CAST(len(bg) AS DOUBLE)
+           |       ELSE 0.0 END AS top_bigram_frac
+           |FROM g""".stripMargin
+      }),
+
     // Stopword-argmax language ID (TextOps.langId), fixed precedence.
     QueryDef(
       "text_lang_id",
