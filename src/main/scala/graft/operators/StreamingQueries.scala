@@ -100,7 +100,66 @@ object StreamingQueries {
         col("v.rowValidExpirationMs").as("valid_to_ms"))
   }
 
+  /** Stream the `documents` table through [[graft.streaming.StreamingDedup
+    * .firstSeen]] as four deterministic micro-batches (doc_id mod 4,
+    * trigger order forced via strictly increasing file mtimes on a
+    * single-file-per-trigger parquet stream). Returns (keep_id,
+    * content_hash): the first-seen winner per fingerprint.
+    */
+  private def runFirstSeenDedup(s: SparkSession, sfDir: String): DataFrame = {
+    import s.implicits._
+    val stage = freshDir("graft-sdedup-lake")
+    val docs = graft.QueryDef.t(s, sfDir, "documents")
+      .select(col("doc_id"), graft.text.TextOps.fingerprintMd5(col("text")).as("content_hash"))
+    (0 until 4).foreach { i =>
+      val dir = s"$stage/b$i"
+      docs.filter(col("doc_id") % 4 === i).coalesce(1)
+        .write.mode("overwrite").parquet(dir)
+      // one data file per slice; pin its mtime so the file source's
+      // modification-time ordering == slice order
+      val d = new java.io.File(dir)
+      d.listFiles().filter(_.getName.startsWith("part-")).foreach { f =>
+        f.setLastModified(1700000000000L + i * 60000L)
+      }
+    }
+    val out = freshDir("graft-sdedup-out")
+    val kept = graft.streaming.StreamingDedup.firstSeen(
+      s.readStream.schema("doc_id LONG, content_hash STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage + "/b*/part-*.parquet")
+        .selectExpr("doc_id AS docId", "content_hash AS contentHash")
+        .as[graft.streaming.StreamingDedup.DocRecord])
+    val q = kept.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.streaming.StreamingDedup.DocRecord], _: Long) =>
+        b.write.mode("append").parquet(out); ()
+      }
+      .option("checkpointLocation", freshDir("graft-sdedup-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out).select(col("docId").as("keep_id"), col("contentHash").as("content_hash"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+
+    // Streaming first-seen dedup == its batch replay: the winner per
+    // fingerprint is the doc from the earliest micro-batch containing that
+    // fingerprint (min id within the batch) — the oracle replays the
+    // batch-order semantics with a window. Any state-carry bug across
+    // triggers (duplicate emitted twice, wrong canonical) hash-fails.
+    QueryDef(
+      "streaming_dedup_firstseen",
+      (s, d) => runFirstSeenDedup(s, d),
+      Some("""WITH h AS (
+             |  SELECT doc_id,
+             |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
+             |    doc_id % 4 AS b
+             |  FROM documents)
+             |SELECT keep_id, content_hash FROM (
+             |  SELECT content_hash, doc_id AS keep_id,
+             |    ROW_NUMBER() OVER (PARTITION BY content_hash ORDER BY b, doc_id) AS rn
+             |  FROM h) WHERE rn = 1""".stripMargin),
+      bench = false),
 
     // Mode-2 equivalence: the maintained history after the last trigger
     // must equal the reference's batch SCD2 over the full lake — the SAME

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import graft.SparkSuite
+import graft.streaming.StreamingDedup.{DocRecord, SeenState}
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingDedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("first-seen dedup suppresses duplicates across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingDedup.firstSeen(
+      input.toDS().map { case (id, h) => DocRecord(id, h) })
+    val q = out.writeStream.format("memory").queryName("sd_out")
+      .outputMode("append").start()
+
+    input.addData((1L, "X"), (2L, "Y"))
+    q.processAllAvailable()
+    input.addData((3L, "X"), (4L, "Z"), (5L, "Y")) // 3 and 5 are dups
+    q.processAllAvailable()
+    q.stop()
+
+    val kept = spark.table("sd_out").as[DocRecord].collect()
+      .map(d => d.docId -> d.contentHash).toSet
+    assert(kept == Set(1L -> "X", 2L -> "Y", 4L -> "Z"))
+  }
+
+  test("within-trigger duplicates resolve to the min docId (deterministic)") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.TestGroupState
+    val st = TestGroupState.create[SeenState](
+      Optional.empty(), org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout(),
+      0L, Optional.empty(), false)
+    val out = StreamingDedup.firstSeenUpdate("X",
+      Iterator(DocRecord(7L, "X"), DocRecord(3L, "X"), DocRecord(9L, "X")), st).toList
+    assert(out == List(DocRecord(3L, "X")), "batch operator tie-break: min id wins")
+    assert(st.get == SeenState(3L))
+    // a later trigger for the same hash emits nothing
+    val again = StreamingDedup.firstSeenUpdate("X", Iterator(DocRecord(1L, "X")), st)
+    assert(again.isEmpty, "already-seen fingerprints are suppressed, even for a lower id")
+  }
+
+  test("horizon-bounded dedup evicts state once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, String)] // (tsMs, docId, hash)
+    val docs = input.toDF().toDF("ts_ms", "doc_id", "content_hash")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val out = StreamingDedup.firstSeenWithinHorizon(docs, "ts", "content_hash", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("sdh_out")
+      .outputMode("append").start()
+
+    val t0 = 1733333100000L
+    input.addData((t0, 10L, "X"))
+    q.processAllAvailable()
+    // inside the horizon: suppressed
+    input.addData((t0 + 60 * 1000, 11L, "X"))
+    q.processAllAvailable()
+    // advance the watermark far past t0 + 10min, evicting X's state …
+    input.addData((t0 + 60 * 60 * 1000, 12L, "W"))
+    q.processAllAvailable()
+    // … so a far-later X is a NEW first-seen (the documented horizon trade)
+    input.addData((t0 + 61 * 60 * 1000, 13L, "X"))
+    q.processAllAvailable()
+    q.stop()
+
+    val kept = spark.table("sdh_out").select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(10L, 12L, 13L),
+      "11 suppressed inside horizon; 13 re-admitted after state eviction")
+  }
+}
