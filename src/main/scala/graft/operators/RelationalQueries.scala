@@ -283,5 +283,26 @@ object RelationalQueries {
              |SELECT c_mktsegment, CAST(sum(n_orders) AS BIGINT) AS total_orders,
              |       CAST(sum(spend_dec) AS DOUBLE) AS total_spend,
              |       count(*) AS n_customers
-             |FROM joined GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)))
+             |FROM joined GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // Skew-salted join, driver-visible: events.event_type has ~5 hot
+    // values owning ~20% of the table each — the shape where one reducer
+    // task owns a whole key. Salting.saltedJoin spreads each hot key over
+    // 8 salt buckets (deterministic event_id hash — safe under task retry)
+    // while the 5-row dim side replicates 8×. The oracle is the PLAIN
+    // join: salting must be a pure execution-layer rewrite with zero
+    // semantic footprint, and the hash gate proves it row-for-row.
+    QueryDef(
+      "skew_salted_join",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val dim = ev.groupBy("event_type").agg(count(lit(1)).as("type_count"))
+        Salting.saltedJoin(ev, dim, Seq("event_type"), factor = 8, uniqueCol = "event_id")
+          .select(col("event_id"), col("event_type"), col("type_count"))
+      },
+      Some("""SELECT event_id, e.event_type, type_count
+             |FROM events e
+             |JOIN (SELECT event_type, count(*) AS type_count
+             |      FROM events GROUP BY 1) d
+             |ON e.event_type = d.event_type""".stripMargin)))
 }
