@@ -45,6 +45,44 @@ object AnalyticsQueries {
              |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    // Time-series gap-fill + forward-fill: densify each user's activity to
+    // a contiguous daily grid (sequence + explode — generated distributed,
+    // never a driver-side calendar), then carry the last observed daily
+    // value across gap days (LOCF). Decimal-cast sums keep the carried
+    // value exact; the grid join shuffles on (user_id, day) and the fill
+    // is one window over the user's ~30 grid rows — linear at any scale.
+    QueryDef(
+      "timeseries_gapfill_ffill",
+      (s, d) => {
+        val ev = t(s, d, "events").withColumn("day", to_date(col("ts")))
+        val daily = ev.groupBy("user_id", "day")
+          .agg(count(lit(1)).as("n"),
+               sum(col("value").cast(DecimalType(18, 6))).as("v_dec"))
+        val grid = ev.groupBy("user_id")
+          .agg(min("day").as("d0"), max("day").as("d1"))
+          .select(col("user_id"),
+            explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+        val w = Window.partitionBy("user_id").orderBy("day")
+        grid.join(daily, Seq("user_id", "day"), "left_outer")
+          .select(col("user_id"), col("day"),
+            coalesce(col("n"), lit(0L)).as("n_events"),
+            last(col("v_dec"), ignoreNulls = true).over(w)
+              .cast("double").as("v_ffill"))
+      },
+      Some("""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, value FROM events),
+             |daily AS (SELECT user_id, day, count(*) AS n,
+             |                 sum(CAST(value AS DECIMAL(18,6))) AS v_dec
+             |          FROM ev GROUP BY 1, 2),
+             |grid AS (SELECT user_id,
+             |           CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+             |         FROM (SELECT user_id, min(day) AS d0, max(day) AS d1
+             |               FROM ev GROUP BY 1))
+             |SELECT g.user_id, g.day, coalesce(d.n, 0) AS n_events,
+             |  CAST(last_value(v_dec IGNORE NULLS) OVER (
+             |    PARTITION BY g.user_id ORDER BY g.day) AS DOUBLE) AS v_ffill
+             |FROM grid g LEFT JOIN daily d
+             |  ON g.user_id = d.user_id AND g.day = d.day""".stripMargin)),
+
     // Sessionization: 30-minute inactivity gap → new session (LAG + running
     // conditional sum — the batch shape of streaming session windows).
     QueryDef(
