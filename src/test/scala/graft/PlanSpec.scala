@@ -75,6 +75,26 @@ class PlanSpec extends SparkSuite {
       s"LSH bucket build must aggregate once, found ${finalBucketAggs.size}")
   }
 
+  test("decontam joins the corpus to a BROADCAST eval set (map-side semi)") {
+    // The scale contract: the eval-suite n-gram set is bounded (MBs) and
+    // must broadcast; the corpus side streams through a semi join without
+    // its text ever shuffling.
+    val semi = collectAll(plan("decontam_ngram_overlap")) {
+      case j: BroadcastHashJoinExec
+        if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+    }
+    assert(semi.nonEmpty, "expected a broadcast LeftSemi join for the eval n-gram set")
+  }
+
+  test("salted join carries the salt as a second join key") {
+    val joins = collectAll(plan("skew_salted_join")) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.exists(_.leftKeys.size == 2),
+      s"expected (event_type, salt) composite join keys, got key counts " +
+        joins.map(_.leftKeys.size).mkString(","))
+  }
+
   test("every query plans without error at sf0.001 and returns rows") {
     for (q <- SparkEntry.all) {
       val df = q.spark(spark, sf)
