@@ -170,6 +170,22 @@ object AnalyticsQueries {
              |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
              |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
 
+    // CUBE: all four grouping combinations in one pass (the member of the
+    // rollup/grouping-sets family not yet covered). grouping_id
+    // disambiguates aggregated-away NULLs; both engines use the same
+    // bit-per-column encoding.
+    QueryDef(
+      "cube_agg",
+      (s, d) => t(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"),
+             grouping_id().cast("long").as("gid")),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+             |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin)),
+
     // Exact interpolated quantiles. Restricted to an integral-valued
     // column with dyadic fractions so the interpolation arithmetic is
     // exact in both engines (Spark percentile ↔ DuckDB quantile_cont use

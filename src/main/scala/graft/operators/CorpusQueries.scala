@@ -151,6 +151,59 @@ object CorpusQueries {
            |  FROM scored) WHERE rn = 1""".stripMargin
       }),
 
+    // One k-means update step: element-wise mean of each centroid's member
+    // vectors — the training move between assign and probe, making the IVF
+    // family self-contained (assign → retrain → probe). posexplode + one
+    // shuffle on (centroid_id, pos) with map-side partial sums is the
+    // deterministic distributed shape: summing whole vectors with an
+    // aggregate HOF would add floats in shuffle order (nondeterministic);
+    // the per-element DECIMAL(18,9) sum is order-independent and exact, so
+    // the recomputed centroids go under the oracle hash gate.
+    QueryDef(
+      "sim_kmeans_step",
+      (s, d) => {
+        val emb = t(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val cents = broadcast(emb.filter(col("id") < 8)
+          .select(col("id").as("centroid_id"), col("vec").as("cvec"),
+                  Similarity.l2Norm(col("vec")).as("cnorm")))
+        val assigned = emb
+          .withColumn("vnorm", Similarity.l2Norm(col("vec")))
+          .crossJoin(cents)
+          .withColumn("csim", Similarity.dot(col("vec"), col("cvec")) /
+            (col("vnorm") * col("cnorm")))
+          .groupBy(col("id"))
+          .agg(max_by(struct(col("vec"), col("centroid_id")),
+            struct(col("csim"), (-col("centroid_id")).as("nc"))).as("best"))
+          .select(col("best.centroid_id").as("centroid_id"), col("best.vec").as("vec"))
+        assigned
+          .select(col("centroid_id"), posexplode(col("vec")))
+          .groupBy(col("centroid_id"), col("pos").cast("long").as("pos"))
+          .agg(count(lit(1)).as("n_members"),
+            (sum(col("col").cast("double").cast("decimal(18,9)")).cast("double")
+              / count(lit(1)).cast("double")).as("mean_val"))
+      },
+      Some {
+        val dotSql = "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+          "list_transform(range(1, len(%s) + 1), i -> CAST(%s[i] AS DOUBLE) * CAST(%s[i] AS DOUBLE))), (acc, x) -> acc + x)"
+        def dot(a: String, b: String) = dotSql.format(a, a, b)
+        s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cvec,
+           |                      sqrt(${dot("embedding", "embedding")}) AS cnorm
+           |               FROM embeddings WHERE vec_id < 8),
+           |assigned AS (
+           |  SELECT centroid_id, vec FROM (
+           |    SELECT e.embedding AS vec, centroid_id,
+           |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+           |             ${dot("e.embedding", "cvec")} /
+           |               (sqrt(${dot("e.embedding", "e.embedding")}) * cnorm) DESC,
+           |             centroid_id) AS rn
+           |    FROM embeddings e CROSS JOIN cents) WHERE rn = 1),
+           |p AS (SELECT unnest(range(0, 64)) AS pos)
+           |SELECT centroid_id, pos, count(*) AS n_members,
+           |  CAST(sum(CAST(CAST(vec[pos + 1] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+           |    / CAST(count(*) AS DOUBLE) AS mean_val
+           |FROM assigned CROSS JOIN p GROUP BY 1, 2""".stripMargin
+      }),
+
     // IVF probe search: queries scored only against their own centroid's
     // bucket — the sub-linear ANN path (scan cost /= nlist). Recall < 1 by
     // construction; the oracle replays the identical two-stage plan so the
