@@ -285,6 +285,41 @@ object RelationalQueries {
              |       count(*) AS n_customers
              |FROM joined GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
 
+    // Correlated scalar subquery — a distinct operator from EXISTS/IN:
+    // Catalyst decorrelates it into a left-outer aggregate join
+    // (RewriteCorrelatedScalarSubquery), so the per-row lookup the SQL
+    // expresses never executes row-at-a-time.
+    QueryDef(
+      "scalar_subquery_corr",
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("orders_v")
+        t(s, d, "lineitem").createOrReplaceTempView("lineitem_v")
+        s.sql("""SELECT o_orderkey, o_totalprice,
+                |  (SELECT count(*) FROM lineitem_v l
+                |   WHERE l.l_orderkey = o.o_orderkey) AS n_items
+                |FROM orders_v o WHERE o_orderkey < 1000""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_totalprice,
+             |  (SELECT count(*) FROM lineitem l
+             |   WHERE l.l_orderkey = o.o_orderkey) AS n_items
+             |FROM orders o WHERE o_orderkey < 1000""".stripMargin)),
+
+    // NOT IN (subquery) — null-aware anti join, tri-valued-logic cousin of
+    // NOT EXISTS: one NULL in the subquery output empties the result, so
+    // Spark plans a dedicated null-aware join instead of a plain anti.
+    QueryDef(
+      "not_in_null_aware",
+      (s, d) => {
+        t(s, d, "customer").createOrReplaceTempView("customer_v")
+        t(s, d, "orders").createOrReplaceTempView("orders_v")
+        s.sql("""SELECT c_custkey, c_mktsegment FROM customer_v
+                |WHERE c_custkey NOT IN
+                |  (SELECT o_custkey FROM orders_v WHERE o_totalprice > 400000)""".stripMargin)
+      },
+      Some("""SELECT c_custkey, c_mktsegment FROM customer
+             |WHERE c_custkey NOT IN
+             |  (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)""".stripMargin)),
+
     // Skew-salted join, driver-visible: events.event_type has ~5 hot
     // values owning ~20% of the table each — the shape where one reducer
     // task owns a whole key. Salting.saltedJoin spreads each hot key over
