@@ -154,6 +154,34 @@ object DedupQueries {
               |WHERE c.doc_id = c.component_id""".stripMargin),
       bench = false), // same closure as dedup_components — benched once there
 
+    // LSH candidates re-verified by exact character edit distance — the
+    // fuzzy-match leg of the dedup family (catches small in-word edits that
+    // word-shingle Jaccard is blind to). Same sub-quadratic shape as
+    // dedup_minhash_verified: the O(len²) Levenshtein kernel runs only on
+    // candidate pairs, never the corpus cross product; both engines
+    // compute the same integer distance, so the check is exact.
+    QueryDef(
+      "dedup_edit_distance",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val cands = Dedup.minhashCandidates(docs, "doc_id", "text")
+        val texts = docs.select(col("doc_id"), col("text"))
+        cands
+          .join(texts.withColumnRenamed("doc_id", "doc_id_a")
+                     .withColumnRenamed("text", "text_a"), "doc_id_a")
+          .join(texts.withColumnRenamed("doc_id", "doc_id_b")
+                     .withColumnRenamed("text", "text_b"), "doc_id_b")
+          .select(col("doc_id_a"), col("doc_id_b"),
+            levenshtein(col("text_a"), col("text_b")).cast("long").as("edit_dist"),
+            greatest(length(col("text_a")), length(col("text_b"))).cast("long").as("max_len"))
+      },
+      Some(s"""$candidatesCte
+              |SELECT doc_id_a, doc_id_b,
+              |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+              |  CAST(greatest(length(a.text), length(b.text)) AS BIGINT) AS max_len
+              |FROM cands JOIN documents a ON doc_id_a = a.doc_id
+              |           JOIN documents b ON doc_id_b = b.doc_id""".stripMargin)),
+
     // SimHash fingerprints (explode → md5 once per token → one
     // aggregation with 60 packed bit-votes).
     QueryDef(

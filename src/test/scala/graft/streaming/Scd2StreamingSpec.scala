@@ -350,6 +350,44 @@ class Scd2StreamingSpec extends SparkSuite {
       "first-window aggregates must emit exactly once after the watermark passes")
   }
 
+  test("stream-stream interval join: clicks attribute to impressions in-window") {
+    // The remaining streaming operator surface: two unbounded inputs joined
+    // with watermarks + a time-range condition (StreamingSymmetricHashJoin)
+    // — each side's state is bounded by the interval, the 100 TB contract.
+    implicit val sqlCtx = spark.sqlContext
+    val impressions = MemoryStream[(Long, String)] // (tsMs, adId)
+    val clicks = MemoryStream[(Long, String)]
+    val imp = impressions.toDF().select(
+      timestamp_millis(col("_1")).as("imp_ts"), col("_2").as("ad_id"))
+      .withWatermark("imp_ts", "10 minutes")
+    val clk = clicks.toDF().select(
+      timestamp_millis(col("_1")).as("clk_ts"), col("_2").as("c_ad_id"))
+      .withWatermark("clk_ts", "10 minutes")
+    val joined = imp.join(clk,
+      col("ad_id") === col("c_ad_id") &&
+        col("clk_ts") >= col("imp_ts") &&
+        col("clk_ts") <= col("imp_ts") + expr("interval 5 minutes"))
+      .select(col("ad_id"), unix_millis(col("imp_ts")).as("imp_ms"),
+        unix_millis(col("clk_ts")).as("clk_ms"))
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+
+    val t0 = 1733333100000L
+    impressions.addData((t0, "a"), (t0, "b"))
+    clicks.addData((t0 + 60 * 1000, "a"))            // in-window click → joins
+    q.processAllAvailable()
+    clicks.addData((t0 + 20 * 60 * 1000, "b"))       // 20 min later → outside window
+    impressions.addData((t0 + 30 * 60 * 1000, "c"))  // advances imp watermark
+    clicks.addData((t0 + 30 * 60 * 1000 + 1000, "c")) // joins within window
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("ssj_out").select("ad_id", "clk_ms").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rows == Set(("a", t0 + 60 * 1000), ("c", t0 + 30 * 60 * 1000 + 1000)),
+      "only in-interval (impression, click) pairs join; the 20-min-late click must not")
+  }
+
   test("S5/S6 Kafka source contract: topics, offsets, loss semantics pinned") {
     // The Kafka transport itself is permanently unverifiable in this
     // sandbox: neither spark-sql-kafka nor kafka-clients is on the
