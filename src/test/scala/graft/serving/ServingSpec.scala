@@ -37,6 +37,27 @@ class ServingSpec extends SparkSuite {
     spark.sql("DROP TABLE products_scd2_test")
   }
 
+  test("dynamic partition overwrite rewrites only touched partitions (S11 at scale)") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS dyn_days")
+    Seq((1L, "d1"), (2L, "d2"), (3L, "d3")).toDF("v", "day")
+      .write.partitionBy("day").format("parquet").saveAsTable("dyn_days")
+    def filesOf(day: String): Set[String] = spark.table("dyn_days")
+      .filter(col("day") === day).select(input_file_name()).distinct()
+      .collect().map(_.getString(0)).toSet
+    val d1Before = filesOf("d1")
+
+    ServingLayer.overwritePartitions(
+      Seq((20L, "d2")).toDF("v", "day"), "dyn_days")
+
+    val rows = spark.table("dyn_days").as[(Long, String)].collect().toSet
+    assert(rows == Set((1L, "d1"), (20L, "d2"), (3L, "d3")),
+      "only d2 replaced; d1/d3 rows intact")
+    assert(filesOf("d1") == d1Before,
+      "untouched partitions keep their exact files — no table-wide rewrite")
+    spark.sql("DROP TABLE dyn_days")
+  }
+
   test("writeLake produces Hive partitions that prune (S7)") {
     val src = tempDir("wlsrc")
     writeLake(src, Seq(
