@@ -43,6 +43,37 @@ class StreamingDedupSpec extends SparkSuite {
     assert(again.isEmpty, "already-seen fingerprints are suppressed, even for a lower id")
   }
 
+  test("foreachBatch + dynamic partition overwrite: each trigger rewrites only its days") {
+    // The streaming serving path at 100 TB: a micro-batch carrying events
+    // for day D must rewrite partition D only — combining foreachBatch with
+    // ServingLayer.overwritePartitions, never a table-wide swap.
+    implicit val sqlCtx = spark.sqlContext
+    spark.sql("DROP TABLE IF EXISTS daily_serv")
+    Seq((0L, "d0"), (1L, "d1"), (2L, "d2")).toDF("v", "day")
+      .write.partitionBy("day").format("parquet").saveAsTable("daily_serv")
+    def filesOf(day: String): Set[String] = spark.table("daily_serv")
+      .filter(col("day") === day).select(input_file_name()).distinct()
+      .collect().map(_.getString(0)).toSet
+    val d0Before = filesOf("d0")
+
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("v", "day").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.serving.ServingLayer.overwritePartitions(b, "daily_serv"); ()
+      }
+      .start()
+    input.addData((10L, "d1"))
+    q.processAllAvailable()
+    input.addData((20L, "d2"), (30L, "d3")) // d3 is a brand-new partition
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("daily_serv").as[(Long, String)].collect().toSet
+    assert(rows == Set((0L, "d0"), (10L, "d1"), (20L, "d2"), (30L, "d3")))
+    assert(filesOf("d0") == d0Before, "untouched day keeps its exact files across triggers")
+    spark.sql("DROP TABLE daily_serv")
+  }
+
   test("horizon-bounded dedup evicts state once the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long, String)] // (tsMs, docId, hash)
