@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+
+/** First-writer-wins publication of a directory of derived data, shared by
+  * every scratch-lake builder (the CDC envelope lake, the cached streaming
+  * results, the 10×-scaled bench lake).
+  *
+  * Contract: `dst` is either absent or a COMPLETE publication at all times,
+  * so concurrent readers (the DuckDB oracle, a second verify/bench process)
+  * never observe a half-written glob. A publication carries a `stamp`
+  * (content fingerprint / generation tag) in its completion marker; a
+  * present publication with a different stamp is stale — built from other
+  * inputs or by older code — and is atomically replaced rather than
+  * silently reused.
+  *
+  * Publishers (not readers) are serialized on a sibling lock file: an
+  * unserialized racer could re-check the marker, lose the race to a
+  * concurrent winner, and delete the winner's freshly published dir —
+  * briefly exposing readers to a partial glob, the exact condition this
+  * helper exists to prevent. Under the lock, the marker re-check plus the
+  * atomic move keep `dst` either absent or complete. The JVM-level monitor
+  * covers same-process threads (FileLock is per-process and throws on
+  * overlap).
+  */
+object AtomicPublish {
+
+  private val publishMonitor = new Object
+  private val MarkerName = "_GRAFT_COMPLETE"
+
+  /** Ensure `dst` holds a complete publication stamped `stamp`; `build`
+    * receives a private temp dir and must leave the full content there.
+    * The expensive build runs outside the lock (it should not serialize);
+    * only the swap is locked. Returns `dst`.
+    */
+  def ensure(dst: String, stamp: String = "")(build: String => Unit): String = {
+    val dstPath = Paths.get(dst)
+    val marker = dstPath.resolve(MarkerName)
+    if (currentStamp(marker).contains(stamp)) return dst
+
+    val tmp = Paths.get(s"$dst.tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+    build(tmp.toString)
+    Files.writeString(tmp.resolve(MarkerName), stamp)
+
+    publishMonitor.synchronized {
+      val ch = java.nio.channels.FileChannel.open(Paths.get(s"$dst.lock"),
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock()
+        try {
+          if (currentStamp(marker).contains(stamp)) deleteTree(tmp) // another writer won with the same stamp
+          else { deleteTree(dstPath); Files.move(tmp, dstPath, StandardCopyOption.ATOMIC_MOVE) }
+        } finally lock.release()
+      } finally ch.close()
+    }
+    dst
+  }
+
+  private def currentStamp(marker: Path): Option[String] =
+    if (Files.exists(marker)) Some(Files.readString(marker)) else None
+
+  /** Recursively delete `p` if present. */
+  def deleteTree(p: Path): Unit = if (Files.exists(p)) {
+    Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+      .forEach(f => Files.deleteIfExists(f))
+  }
+
+  /** Content fingerprint of a directory tree: md5 over the sorted
+    * (relative path, size, mtime) of every regular file. Used as (part of)
+    * a publication stamp so derived lakes rebuild when their source data
+    * changes — e.g. a new round's regenerated testdata — instead of being
+    * silently reused.
+    */
+  def dirFingerprint(dir: String): String = {
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(dir)
+    val entries = Files.walk(root).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .map(p => s"${root.relativize(p)}:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}")
+      .toSeq.sorted
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(entries.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+}

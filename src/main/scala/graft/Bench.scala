@@ -51,8 +51,11 @@ object Bench {
 
     // Scale smoke (opt out with SPARK_GRAFT_SCALE_SMOKE=0): heaviest
     // queries re-run on a 10x-scaled lake; ratio >> 10 flags superlinear
-    // cost that sf0.1 hides under the scheduling floor.
-    val smokeJson = if (sys.env.getOrElse("SPARK_GRAFT_SCALE_SMOKE", "1") != "0") {
+    // cost that sf0.1 hides under the scheduling floor. Smoke failures
+    // fail the process just like headline failures — a query that only
+    // breaks at 10x is exactly the regression class the smoke exists to
+    // catch (ADVICE r3).
+    val (smokeJson, smokeFailed) = if (sys.env.getOrElse("SPARK_GRAFT_SCALE_SMOKE", "1") != "0") {
       val tb0 = System.nanoTime()
       val scaledDir = ScaleSmoke.ensureScaled(spark, sfDir)
       val buildSec = (System.nanoTime() - tb0) / 1e9
@@ -64,18 +67,21 @@ object Bench {
       // generous bound: linear would be <=factor; the floor deflates the
       // sf0.1 denominator, so allow 2.5x slack before calling it out
       val superlinear = ratios.collect { case (k, r) if r > ScaleSmoke.Factor * 2.5 => k }
+      val sFailed = smoke.collect { case (k, v) if v < 0 => k }.toSeq.sorted
       val sq = smoke.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       val rq = ratios.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
         .mkString("{", ",", "}")
       val sl = superlinear.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-      s""","scale_smoke":{"factor":${ScaleSmoke.Factor},"build_sec":$buildSec,"queries":$sq,"ratio_vs_headline":$rq,"superlinear":$sl}"""
-    } else ""
+      val sf = sFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      (s""","scale_smoke":{"factor":${ScaleSmoke.Factor},"build_sec":$buildSec,"queries":$sq,"ratio_vs_headline":$rq,"superlinear":$sl,"failed":$sf}""",
+        sFailed)
+    } else ("", Seq.empty[String])
 
     // failures are explicit in the JSON (a filtered-out -1 would make the
     // total look FASTER) and fail the process so no consumer can miss them
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"$smokeJson}""")
     spark.stop()
-    if (failed.nonEmpty) sys.exit(1)
+    if (failed.nonEmpty || smokeFailed.nonEmpty) sys.exit(1)
   }
 }

@@ -15,7 +15,7 @@ object ExplainAll {
     val spark = GraftSession.local(8)
     spark.sparkContext.setLogLevel("ERROR")
     val sb = new StringBuilder
-    SparkEntry.all.foreach { q =>
+    SparkEntry.all.filter(!_.sideEffecting).foreach { q =>
       val plan = try {
         q.spark(spark, sfDir).queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
@@ -27,6 +27,10 @@ object ExplainAll {
         .collect { case (f, true) => f }
       if (flags.nonEmpty) println(s"[flag] ${q.name}: ${flags.mkString(", ")}")
     }
+    val skipped = SparkEntry.all.filter(_.sideEffecting).map(_.name)
+    if (skipped.nonEmpty)
+      sb.append(s"\n## skipped (sideEffecting — streaming runs, no batch plan to audit)\n\n" +
+        skipped.mkString("- ", "\n- ", "\n"))
     Files.writeString(Paths.get(out), sb.toString)
     println(s"plans -> $out")
     spark.stop()

@@ -17,7 +17,13 @@ final case class QueryDef(
     spark: (SparkSession, String) => DataFrame,
     oracle: Option[String],
     /** Included in the Bench headline set (run at sf0.1). */
-    bench: Boolean = true)
+    bench: Boolean = true,
+    /** Invoking `spark` executes a full job (a multi-trigger streaming run)
+      * rather than returning a lazy plan; plan-only consumers (ExplainAll)
+      * skip these — there is no meaningful batch plan to audit, and the
+      * invocation itself would pay the streaming run as a side effect.
+      */
+    sideEffecting: Boolean = false)
 
 object QueryDef {
 

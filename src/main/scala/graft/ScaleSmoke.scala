@@ -65,21 +65,37 @@ object ScaleSmoke {
   private def tableIsFixed(keys: Seq[String], texts: Seq[String]): Boolean =
     keys.isEmpty && texts.isEmpty
 
-  /** Materialize the scaled lake once (idempotent via marker file);
-    * returns the scaled dir. Deterministic given `sfDir`.
+  /** Content fingerprint of the source testdata: (relative path, size,
+    * mtime) of every file under `sfDir`, plus a generation tag covering
+    * the scaling code itself. A marker stamped with a different
+    * fingerprint — older testdata, a different sfDir, or an older scaler —
+    * forces a rebuild instead of silently reusing a mismatched lake
+    * (which would make `ratio_vs_headline` compare different datasets).
+    */
+  private def fingerprint(sfDir: String): String =
+    s"src=$sfDir md5=${AtomicPublish.dirFingerprint(sfDir)} factor=$Factor gen=2"
+
+  /** Materialize the scaled lake once per (sfDir content, scaler version):
+    * built in a temp dir and atomically published via [[AtomicPublish]],
+    * so concurrent benches never interleave partial writes and a stale
+    * lake (prior round's testdata) is replaced, not reused. Each table is
+    * written with `defaultParallelism` files: the explode-based scaling
+    * would otherwise inherit the source's 1-2 input partitions, and a 10×
+    * lake packed into 2 parquet files caps every smoke query at 2-3 tasks
+    * — measuring the file layout, not the operator (the r03 smoke flagged
+    * q1 as "superlinear" for exactly this reason).
     */
   def ensureScaled(spark: SparkSession, sfDir: String,
-                   outDir: String = "/tmp/graft_scaled_x10"): String = {
-    val marker = java.nio.file.Paths.get(outDir, "_GRAFT_SCALED")
-    if (java.nio.file.Files.exists(marker)) return outDir
-    tableSpec.foreach { case (name, (keys, texts)) =>
-      val src = spark.read.parquet(s"$sfDir/$name.parquet")
-      scaledTable(src, keys, texts)
-        .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+                   outDir: String = "/tmp/graft_scaled_x10"): String =
+    AtomicPublish.ensure(outDir, fingerprint(sfDir)) { tmp =>
+      tableSpec.foreach { case (name, (keys, texts)) =>
+        val src = spark.read.parquet(s"$sfDir/$name.parquet")
+        val scaled = scaledTable(src, keys, texts)
+        val out = if (tableIsFixed(keys, texts)) scaled
+                  else scaled.repartition(spark.sparkContext.defaultParallelism)
+        out.write.mode("overwrite").parquet(s"$tmp/$name.parquet")
+      }
     }
-    java.nio.file.Files.createFile(marker)
-    outDir
-  }
 
   /** The data-heavy headline queries worth re-timing at 10×: the dedup /
     * similarity / text pipelines (shuffle- and explode-bound) plus the

@@ -64,48 +64,15 @@ object EnvelopeQueries {
     LakeDir
   }
 
-  /** Build-and-publish with first-writer-wins semantics. The marker file
-    * lives inside the published dir (outside the `part-*` globs both
-    * engines read); a dir without the marker is a stale round-1 layout or
-    * a crashed writer and gets replaced.
-    *
-    * Publishers (not readers) are serialized on a sibling lock file: an
-    * unserialized racer could re-check the marker, lose the race to a
-    * concurrent winner, and delete the winner's freshly published lake —
-    * briefly exposing readers to a partial `part-*` glob, the exact
-    * condition this function exists to prevent. Under the lock, the
-    * marker re-check plus the atomic move keep `dst` either absent or
-    * complete at all times. The JVM-level monitor covers same-process
-    * threads (FileLock is per-process and throws on overlap).
+  /** First-writer-wins publication via [[graft.AtomicPublish]]; the lake
+    * content is byte-identical across builds (fully synthetic, see above),
+    * so any complete publication is reusable — the stamp is the default
+    * empty one, which also matches markers written by earlier rounds.
     */
-  private val publishMonitor = new Object
-  private def publishOnce(env: DataFrame): Unit = {
-    import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
-    val dst = Paths.get(LakeDir)
-    val marker = dst.resolve("_GRAFT_COMPLETE")
-    if (Files.exists(marker)) return
-
-    // build outside the lock — the expensive Spark job shouldn't serialize
-    val tmp = Paths.get(s"$LakeDir.tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}")
-    env.coalesce(4).write.mode("overwrite").text(tmp.toString)
-    Files.createFile(tmp.resolve("_GRAFT_COMPLETE"))
-
-    def deleteTree(p: Path): Unit = if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(f => Files.deleteIfExists(f))
+  private def publishOnce(env: DataFrame): Unit =
+    graft.AtomicPublish.ensure(LakeDir) { tmp =>
+      env.coalesce(4).write.mode("overwrite").text(tmp)
     }
-    publishMonitor.synchronized {
-      val ch = java.nio.channels.FileChannel.open(Paths.get(s"$LakeDir.lock"),
-        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
-      try {
-        val lock = ch.lock()
-        try {
-          if (Files.exists(marker)) deleteTree(tmp) // another writer won; content is identical
-          else { deleteTree(dst); Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE) }
-        } finally lock.release()
-      } finally ch.close()
-    }
-  }
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(

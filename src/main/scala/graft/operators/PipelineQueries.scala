@@ -5,7 +5,6 @@ import graft.QueryDef.t
 import graft.text.TextOps
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operations over `documents`: deterministic
@@ -63,18 +62,23 @@ object PipelineQueries {
     // every stratum is kept at ~(smallest stratum / its own size), so
     // expected per-lang counts equalize. The keep decision is exact
     // integer arithmetic (hash · stratum_size < min_size · 1e6) — no
-    // floating-point rate, so both engines agree bit-for-bit. One
-    // aggregation for stratum sizes (window over lang), then a per-row
-    // filter; at 100 TB the sizes side is a broadcast of #langs rows.
+    // floating-point rate, so both engines agree bit-for-bit. Stratum
+    // sizes come from a groupBy (map-side combined, #langs output rows)
+    // and the global min from a 1-row aggregate over THAT, both
+    // broadcast-joined back to the corpus — the corpus itself never
+    // shuffles. (An earlier version computed the min with an
+    // unpartitioned window, which funnels the whole corpus through one
+    // task at scale — the shape ADVICE r3 flagged.)
     QueryDef(
       "sample_balance_langs",
       (s, d) => {
-        val byLang = Window.partitionBy("lang")
-        val all = Window.partitionBy()
+        val docs = t(s, d, "documents")
+        val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+        val minSize = counts.agg(min(col("n_lang")).as("n_min"))
         val h = hashPermille(col("doc_id"), "balance")
-        t(s, d, "documents")
-          .withColumn("n_lang", count(lit(1)).over(byLang))
-          .withColumn("n_min", min(col("n_lang")).over(all))
+        docs
+          .join(broadcast(counts), Seq("lang"))
+          .crossJoin(broadcast(minSize))
           .filter(h * col("n_lang") < col("n_min") * 1000000L)
           .select("doc_id", "lang")
       },

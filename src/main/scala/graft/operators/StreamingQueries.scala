@@ -27,15 +27,43 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamingQueries {
 
-  private def freshDir(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+  /** Bump when any streamed computation here changes semantics: the cached
+    * results below live in /tmp across processes (and driver rounds), so a
+    * code change without a generation bump would freeze stale results.
+    */
+  private val CacheGen = "g1"
+
+  /** Run a side-effectful streaming pipeline at most once per (query,
+    * sfDir content, code generation) and serve the materialized result
+    * from parquet afterwards (ADVICE r3): plan-enumerating consumers and
+    * repeat invocations (PlanSpec's every-query loop, Verify after tests)
+    * stop paying a multi-trigger streaming run each time, and the
+    * checkpoint/output scratch dirs — previously leaked temp dirs — are
+    * deleted as soon as the result is materialized. Publication is
+    * atomic + stamped ([[graft.AtomicPublish]]), so concurrent runs never
+    * read a half-written result and regenerated testdata forces a re-run.
+    */
+  private def cachedStream(s: SparkSession, name: String, sfDir: String)
+                          (run: (String, String) => Unit): DataFrame = {
+    val dst = s"/tmp/graft_stream_results/$name"
+    val stamp = s"sf=$sfDir md5=${graft.AtomicPublish.dirFingerprint(sfDir)} gen=$CacheGen"
+    graft.AtomicPublish.ensure(dst, stamp) { tmp =>
+      val scratch = java.nio.file.Files.createTempDirectory(s"graft-stream-$name").toString
+      try run(scratch, tmp) // (checkpoint/intermediate scratch, result parquet dir)
+      finally graft.AtomicPublish.deleteTree(java.nio.file.Paths.get(scratch))
+    }
+    s.read.parquet(dst)
+  }
 
   /** Stream the envelope lake through the touched-keys maintainer
     * (mode 2): one micro-batch per lake file, state carried across
-    * triggers by [[Scd2Streaming.TouchedKeysMaintainer]]. Returns the
-    * final maintained history table.
+    * triggers by [[Scd2Streaming.TouchedKeysMaintainer]]. Writes the final
+    * maintained history (cast for the oracle compare) to `out`, then
+    * releases the maintainer's cached state — the write must precede the
+    * release because the maintained history lives only in executor
+    * storage (cache + localCheckpoint blocks, lineage truncated).
     */
-  private def runTouchedKeys(s: SparkSession, sfDir: String): DataFrame = {
+  private def runTouchedKeys(s: SparkSession, sfDir: String, scratch: String, out: String): Unit = {
     val dir = EnvelopeQueries.buildLake(s, sfDir)
     val maintainer = new Scd2Streaming.TouchedKeysMaintainer(
       Seq("name", "description", "price"))
@@ -43,12 +71,19 @@ object StreamingQueries {
       .readEnvelopeStream(s, dir + "/part-*", CdcSchemas.productsRow, maxFilesPerTrigger = 1)
       .writeStream
       .foreachBatch { (b: DataFrame, _: Long) => maintainer.step(b) }
-      .option("checkpointLocation", freshDir("graft-stream-ckpt"))
+      .option("checkpointLocation", s"$scratch/ckpt")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    maintainer.history.getOrElse(
-      sys.error("stream produced no micro-batches over a non-empty lake"))
+    try maintainer.history.getOrElse(
+        sys.error("stream produced no micro-batches over a non-empty lake"))
+      .select(col("id"), col("name"), col("description"), col("price"),
+        col("row_valid_start_timestamp").cast("timestamp_ntz")
+          .as("row_valid_start_timestamp"),
+        col("row_valid_expiration_timestamp").cast("timestamp_ntz")
+          .as("row_valid_expiration_timestamp"))
+      .coalesce(1).write.mode("overwrite").parquet(out)
+    finally maintainer.release()
   }
 
   /** Stream the lake through the true per-key incremental state (mode 3,
@@ -57,10 +92,10 @@ object StreamingQueries {
     * its batch id. The final chain is the last emission per (id, lsn) —
     * convergent regardless of how the files were sliced into triggers.
     */
-  private def runIncremental(s: SparkSession, sfDir: String): DataFrame = {
+  private def runIncremental(s: SparkSession, sfDir: String, scratch: String, resultOut: String): Unit = {
     import s.implicits._
     val dir = EnvelopeQueries.buildLake(s, sfDir)
-    val out = freshDir("graft-stream-inc-out")
+    val out = s"$scratch/emissions"
     val envelopes = Scd2Streaming.readEnvelopeStream(
       s, dir + "/part-*", CdcSchemas.productsRow, maxFilesPerTrigger = 1)
     val events = envelopes
@@ -84,7 +119,7 @@ object StreamingQueries {
           .write.mode("append").parquet(out)
         ()
       }
-      .option("checkpointLocation", freshDir("graft-stream-inc-ckpt"))
+      .option("checkpointLocation", s"$scratch/ckpt")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -98,6 +133,7 @@ object StreamingQueries {
       .select(col("id"), col("log_seq_num"),
         col("v.rowValidStartMs").as("valid_from_ms"),
         col("v.rowValidExpirationMs").as("valid_to_ms"))
+      .coalesce(1).write.mode("overwrite").parquet(resultOut)
   }
 
   /** Stream the `documents` table through [[graft.streaming.StreamingDedup
@@ -106,9 +142,9 @@ object StreamingQueries {
     * single-file-per-trigger parquet stream). Returns (keep_id,
     * content_hash): the first-seen winner per fingerprint.
     */
-  private def runFirstSeenDedup(s: SparkSession, sfDir: String): DataFrame = {
+  private def runFirstSeenDedup(s: SparkSession, sfDir: String, scratch: String, resultOut: String): Unit = {
     import s.implicits._
-    val stage = freshDir("graft-sdedup-lake")
+    val stage = s"$scratch/lake"
     val docs = graft.QueryDef.t(s, sfDir, "documents")
       .select(col("doc_id"), graft.text.TextOps.fingerprintMd5(col("text")).as("content_hash"))
     (0 until 4).foreach { i =>
@@ -122,7 +158,7 @@ object StreamingQueries {
         f.setLastModified(1700000000000L + i * 60000L)
       }
     }
-    val out = freshDir("graft-sdedup-out")
+    val out = s"$scratch/kept"
     val kept = graft.streaming.StreamingDedup.firstSeen(
       s.readStream.schema("doc_id LONG, content_hash STRING")
         .option("maxFilesPerTrigger", 1)
@@ -133,11 +169,12 @@ object StreamingQueries {
       .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.streaming.StreamingDedup.DocRecord], _: Long) =>
         b.write.mode("append").parquet(out); ()
       }
-      .option("checkpointLocation", freshDir("graft-sdedup-ckpt"))
+      .option("checkpointLocation", s"$scratch/ckpt")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     s.read.parquet(out).select(col("docId").as("keep_id"), col("contentHash").as("content_hash"))
+      .coalesce(1).write.mode("overwrite").parquet(resultOut)
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -149,7 +186,7 @@ object StreamingQueries {
     // triggers (duplicate emitted twice, wrong canonical) hash-fails.
     QueryDef(
       "streaming_dedup_firstseen",
-      (s, d) => runFirstSeenDedup(s, d),
+      (s, d) => cachedStream(s, "streaming_dedup_firstseen", d)(runFirstSeenDedup(s, d, _, _)),
       Some("""WITH h AS (
              |  SELECT doc_id,
              |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
@@ -159,7 +196,7 @@ object StreamingQueries {
              |  SELECT content_hash, doc_id AS keep_id,
              |    ROW_NUMBER() OVER (PARTITION BY content_hash ORDER BY b, doc_id) AS rn
              |  FROM h) WHERE rn = 1""".stripMargin),
-      bench = false),
+      bench = false, sideEffecting = true),
 
     // Mode-2 equivalence: the maintained history after the last trigger
     // must equal the reference's batch SCD2 over the full lake — the SAME
@@ -167,14 +204,9 @@ object StreamingQueries {
     // incremental maintenance and the batch semantics hash-fails here.
     QueryDef(
       "streaming_scd2_rebuild",
-      (s, d) => runTouchedKeys(s, d)
-        .select(col("id"), col("name"), col("description"), col("price"),
-          col("row_valid_start_timestamp").cast("timestamp_ntz")
-            .as("row_valid_start_timestamp"),
-          col("row_valid_expiration_timestamp").cast("timestamp_ntz")
-            .as("row_valid_expiration_timestamp")),
+      (s, d) => cachedStream(s, "streaming_scd2_rebuild", d)(runTouchedKeys(s, d, _, _)),
       Some(EnvelopeQueries.scd2HistoryOracleSql),
-      bench = false),
+      bench = false, sideEffecting = true),
 
     // Mode-3 equivalence: the converged (id, lsn) validity chain from
     // flatMapGroupsWithState state must equal the batch window over the
@@ -182,7 +214,7 @@ object StreamingQueries {
     // and attr-free (attrs are checked by the mode-2 query above).
     QueryDef(
       "streaming_scd2_incremental",
-      (s, d) => runIncremental(s, d),
+      (s, d) => cachedStream(s, "streaming_scd2_incremental", d)(runIncremental(s, d, _, _)),
       Some(
         s"""WITH ev AS (
            |  SELECT
@@ -198,5 +230,5 @@ object StreamingQueries {
            |    LEAD(ts_ms) OVER (PARTITION BY id ORDER BY log_seq_num),
            |    ${Scd2Streaming.SentinelMs}) AS valid_to_ms
            |FROM ev WHERE id IS NOT NULL""".stripMargin),
-      bench = false))
+      bench = false, sideEffecting = true))
 }

@@ -145,6 +145,14 @@ object Scd2Streaming {
   final class TouchedKeysMaintainer(attrFields: Seq[String]) {
     private var historyDf: Option[DataFrame] = None
     private var eventLogDf: Option[DataFrame] = None
+    // The RDD backing each localCheckpoint'd event-log generation.
+    // `Dataset.unpersist()` only releases cache-manager entries, not
+    // checkpoint blocks, so superseded generations must be freed through
+    // the checkpointed RDD itself — otherwise their blocks linger until
+    // the ContextCleaner GCs the old DataFrame and storage transiently
+    // exceeds the documented O(current history + event log) bound
+    // (ADVICE r3).
+    private var eventLogRdd: Option[org.apache.spark.rdd.RDD[_]] = None
 
     /** Consume one micro-batch of raw envelopes. */
     def step(batchEnvelopes: DataFrame): Unit = {
@@ -153,10 +161,16 @@ object Scd2Streaming {
       val h = touchedKeysRebuild(be, prior, historyDf, attrFields).cache()
       h.count() // materialize before releasing the generation it was built from
       val log = prior.unionByName(be)
-        .dropDuplicates("id", "log_seq_num").localCheckpoint()
+        .dropDuplicates("id", "log_seq_num").localCheckpoint() // eager: materialized here
+      val logRdd = log.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
+        case _ => None // plan shape changed under us: skip eager free, ContextCleaner still reclaims
+      }
       historyDf.foreach(_.unpersist())
+      eventLogRdd.foreach(_.unpersist(blocking = false))
       historyDf = Some(h)
       eventLogDf = Some(log)
+      eventLogRdd = logRdd
     }
 
     /** Current SCD2 history (None before the first batch). */
@@ -164,6 +178,17 @@ object Scd2Streaming {
 
     /** Retained deduped event log (None before the first batch). */
     def eventLog: Option[DataFrame] = eventLogDf
+
+    /** Release all retained executor storage (history cache + event-log
+      * checkpoint blocks). The history must be materialized elsewhere
+      * first: its lineage roots in the checkpointed log, so after release
+      * it is NOT recomputable.
+      */
+    def release(): Unit = {
+      historyDf.foreach(_.unpersist())
+      eventLogRdd.foreach(_.unpersist(blocking = false))
+      historyDf = None; eventLogDf = None; eventLogRdd = None
+    }
   }
 
   /** Idempotent micro-batch sink: each batch lands in `basePath/batch=<id>`

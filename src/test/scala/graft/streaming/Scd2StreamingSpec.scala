@@ -78,6 +78,41 @@ class Scd2StreamingSpec extends SparkSuite {
     }
   }
 
+  test("event-log checkpoint blocks are freed per generation and on release") {
+    // ADVICE r3: superseded localCheckpoint'd event-log generations were
+    // freed only when the ContextCleaner GC'd the old DataFrame, so
+    // executor storage transiently exceeded the documented O(current
+    // history + event log) bound. Now each superseded generation's
+    // checkpointed RDD is unpersisted as soon as its successor
+    // materializes, and release() returns storage to the pre-run level.
+    // compare persistent-RDD ID SETS, not counts: the ContextCleaner may
+    // concurrently free unrelated RDDs left by earlier tests in the suite
+    val lakeDir = tempDir("evlogbound")
+    writeLake(lakeDir, batch1)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+
+    val maintainer = new Scd2Streaming.TouchedKeysMaintainer(
+      Seq("name", "description", "price"))
+    val stream = Scd2Streaming.readEnvelopeStream(
+      spark, lakeDir.getAbsolutePath, CdcSchemas.productsRow, maxFilesPerTrigger = 1)
+    val q = stream.writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+      maintainer.step(b)
+    }.start()
+    q.processAllAvailable()
+    writeLake(lakeDir, batch2, day = 13)
+    q.processAllAvailable()
+    q.stop()
+
+    val during = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(during.size <= 2,
+      s"storage must hold one history cache + one event-log checkpoint, holds ${during.size} new RDDs")
+    assert(maintainer.history.get.count() > 0) // still servable before release
+    maintainer.release()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"release() must free every block the maintainer created; leaked RDD ids: $leaked")
+  }
+
   test("flatMapGroupsWithState incremental handles out-of-order + late events") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Scd2Streaming.KeyEvent]
