@@ -5,6 +5,7 @@ import graft.QueryDef.t
 import graft.text.TextOps
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operations over `documents`: deterministic
@@ -135,6 +136,102 @@ object PipelineQueries {
            |            / CAST(len(t.ngs) AS DOUBLE)
            |       ELSE 0.0 END AS contam_frac
            |FROM tr t LEFT JOIN ov o USING (doc_id)""".stripMargin
+      }),
+
+    // Sequence packing (GPT-style concat-then-chunk bookkeeping): within
+    // each lang shard, documents are concatenated in doc_id order and cut
+    // into fixed 256-token training sequences; each doc reports the
+    // sequence it starts in, its offset there, and whether it spans a
+    // boundary. Pure integer window arithmetic (running token sum), so
+    // both engines agree exactly. Scale shape: packing is per output
+    // shard (lang here) — an embarrassingly parallel window per shard,
+    // never a global total order (the single-task trap); real pipelines
+    // use hash-bucketed shards the same way.
+    QueryDef(
+      "pack_sequences",
+      (s, d) => {
+        val budget = 256L
+        val w = Window.partitionBy("lang").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+          .withColumn("start_off", sum("n_tokens").over(w) - col("n_tokens"))
+          .select(col("doc_id"), col("lang"), col("n_tokens"),
+            // integral div on BOTH engines: a double `/` + cast would
+            // truncate here but ROUND in DuckDB (707/256=2.76 → 3)
+            expr(s"start_off div $budget").as("seq_id"),
+            (col("start_off") % budget).as("offset_in_seq"),
+            (col("start_off") % budget + col("n_tokens") > budget).as("spans_boundary"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, lang,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |offs AS (
+             |  SELECT *, sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             |    ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
+             |  FROM toks)
+             |SELECT doc_id, lang, n_tokens,
+             |  CAST(start_off // 256 AS BIGINT) AS seq_id,
+             |  CAST(start_off % 256 AS BIGINT) AS offset_in_seq,
+             |  start_off % 256 + n_tokens > 256 AS spans_boundary
+             |FROM offs""".stripMargin)),
+
+    // Sliding-window document chunking (64-token windows, stride 48): the
+    // standard long-document treatment before embedding/training. A pure
+    // per-row explode — sequence() of starts, slice per start — that
+    // pipelines inside whole-stage codegen with zero shuffles; output
+    // scales by ~n_tokens/stride per doc regardless of corpus size.
+    QueryDef(
+      "chunk_docs_overlap",
+      (s, d) => {
+        val (window, stride) = (64, 48)
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        docs
+          .select(col("doc_id"), col("toks"),
+            explode(sequence(lit(0), size(col("toks")) - 1, lit(stride))).as("start"))
+          .select(col("doc_id"),
+            (col("start") / stride).cast("long").as("chunk_idx"),
+            slice(col("toks"), col("start") + 1, lit(window)).as("chunk"))
+          .select(col("doc_id"), col("chunk_idx"),
+            size(col("chunk")).cast("long").as("n_chunk_tokens"),
+            array_join(col("chunk"), " ").as("chunk_text"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |starts AS (
+             |  SELECT doc_id, t, unnest(range(0, len(t), 48)) AS start FROM toks)
+             |SELECT doc_id,
+             |  CAST(start / 48 AS BIGINT) AS chunk_idx,
+             |  CAST(len(t[start + 1 : start + 64]) AS BIGINT) AS n_chunk_tokens,
+             |  array_to_string(t[start + 1 : start + 64], ' ') AS chunk_text
+             |FROM starts""".stripMargin)),
+
+    // Deterministic per-stratum top-k sampling: the k "winners" per lang
+    // under a salted-hash order — reproducible downsampling to a fixed
+    // per-group budget (eval-set carving, per-domain caps). The rank ≤ k
+    // predicate compiles to WindowGroupLimit: each shard keeps a k-row
+    // heap map-side, so nothing close to the full corpus reaches the
+    // window — no global sort, no full materialization.
+    QueryDef(
+      "sample_topk_per_lang",
+      (s, d) => {
+        val h = hashPermille(col("doc_id"), "topk")
+        val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+        t(s, d, "documents")
+          .select(col("doc_id"), col("lang"), h.as("h"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 10)
+          .select(col("doc_id"), col("lang"), col("rk").cast("long").as("rk"))
+      },
+      Some {
+        val h = hashSqlExpr("doc_id", "topk")
+        s"""SELECT doc_id, lang, rk FROM (
+           |  SELECT doc_id, lang,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY $h, doc_id) AS BIGINT) AS rk
+           |  FROM documents) WHERE rk <= 10""".stripMargin
       }),
 
     // Dataset card: per (split, lang) document counts and token totals —

@@ -117,6 +117,60 @@ object RelationalQueries {
               |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
               |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)),
 
+    // TPC-H Q6 shape: pure filter + global sum — the simplest possible
+    // scan-bound query, and the canonical pushdown check: all three
+    // predicates reach the parquet scan, the projection reads exactly two
+    // columns, and the single-row aggregate is map-side partial + one
+    // 1-row exchange. At 100 TB this is bandwidth-bound, as it should be.
+    QueryDef(
+      "q6_forecast_revenue",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit(graft.Ts.utc("1996-01-01 00:00:00")) &&
+                col("l_shipdate") < lit(graft.Ts.utc("1997-01-01 00:00:00")) &&
+                col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+                col("l_quantity") < 24)
+        .agg(sum((col("l_extendedprice") * col("l_discount"))
+          .cast(DecimalType(18, 4))).cast("double").as("revenue")),
+      Some("""SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+             |  AND l_discount >= 0.05 AND l_discount <= 0.07
+             |  AND l_quantity < 24""".stripMargin)),
+
+    // TPC-H Q10 shape: returned-item revenue per customer — fact⋈fact
+    // shuffle join (orders⋈lineitem on orderkey) + agg + top-k. nation is
+    // broadcast; customer is deliberately NOT hinted: it scales with the
+    // fact tables (unlike nation/region), so at 100 TB it must shuffle-join
+    // on custkey — locally AQE picks broadcast from its actual size. The
+    // returnflag and orderdate filters cut both fact sides pre-shuffle.
+    QueryDef(
+      "q10_returned_items",
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit(graft.Ts.utc("1996-07-01 00:00:00")) &&
+                  col("o_orderdate") < lit(graft.Ts.utc("1996-10-01 00:00:00")))
+        val l = t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+        val c = t(s, d, "customer")
+        val n = t(s, d, "nation")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+          .agg(sum(revDec).cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some(s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+              |  CAST(sum($revSql) AS DOUBLE) AS revenue
+              |FROM customer, orders, lineitem, nation
+              |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              |  AND o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+              |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+              |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+              |GROUP BY c_custkey, c_name, c_acctbal, n_name
+              |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+
     // J3/J4: EXISTS → left-semi (init_duckdb.sh:64-68 shape).
     QueryDef(
       "semi_join_exists",
