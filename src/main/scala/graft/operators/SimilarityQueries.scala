@@ -117,6 +117,33 @@ object SimilarityQueries {
            |  FROM scored) WHERE rank <= 5""".stripMargin
       }),
 
+    // Per-dimension corpus statistics (the feature-scaling / quantizer
+    // calibration pass every vector index build runs): posexplode each
+    // vector to (dim, value), aggregate count/sum/min/max per dimension.
+    // Scale shape: the explode multiplies rows by d=64, but partial
+    // aggregation combines map-side down to 64 rows per task before the
+    // single 64-row exchange — corpus size only affects the scan. The
+    // float→double cast is exact; the double→DECIMAL(18,9) rounding on the
+    // sum is engine-identical (same policy as sim_norm_stats).
+    QueryDef(
+      "embedding_dim_stats",
+      (s, d) => t(s, d, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("dim").cast("long").as("dim"), col("v").cast("double").as("v"))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast("decimal(18,9)")).cast("double").as("sum_v"),
+          min("v").as("min_v"), max("v").as("max_v"))
+        .orderBy("dim"),
+      Some("""WITH x AS (
+             |  SELECT unnest(list_transform(range(0, len(embedding)),
+             |    i -> struct_pack(dim := i, v := CAST(embedding[i + 1] AS DOUBLE)))) AS u
+             |  FROM embeddings)
+             |SELECT CAST(u.dim AS BIGINT) AS dim, count(*) AS n,
+             |  CAST(sum(CAST(u.v AS DECIMAL(18,9))) AS DOUBLE) AS sum_v,
+             |  min(u.v) AS min_v, max(u.v) AS max_v
+             |FROM x GROUP BY 1 ORDER BY dim""".stripMargin)),
+
     // Per-label centroid-free stats: vector norms + label aggregation —
     // exercises HOF arithmetic inside a grouped aggregation.
     QueryDef(

@@ -177,7 +177,66 @@ object StreamingQueries {
       .coalesce(1).write.mode("overwrite").parquet(resultOut)
   }
 
+  /** Stream the `events` table (sliced into four deterministic
+    * micro-batches by event_id, trigger order pinned via file mtimes)
+    * through a watermarked 1-hour tumbling-window aggregation in complete
+    * output mode; the last trigger's snapshot is the full aggregate. This
+    * puts the watermark + window + stateful-agg streaming surface (SURVEY
+    * §2.8) under the DuckDB oracle next to the SCD2 and dedup rows.
+    */
+  private def runWindowCounts(s: SparkSession, sfDir: String, scratch: String, resultOut: String): Unit = {
+    val stage = s"$scratch/evlake"
+    // watermarks require TIMESTAMP (ltz); the session zone is UTC, so the
+    // ntz→ltz cast here and the ltz→ntz cast on output are identities on
+    // the wall-clock values the oracle sees
+    val ev = graft.QueryDef.t(s, sfDir, "events")
+      .select(col("ts").cast("timestamp").as("ts"),
+        col("event_type"), col("value"), col("event_id"))
+    (0 until 4).foreach { i =>
+      val dir = s"$stage/b$i"
+      ev.filter(col("event_id") % 4 === i).drop("event_id").coalesce(1)
+        .write.mode("overwrite").parquet(dir)
+      new java.io.File(dir).listFiles().filter(_.getName.startsWith("part-")).foreach {
+        f => f.setLastModified(1700000000000L + i * 60000L)
+      }
+    }
+    val agg = s.readStream
+      .schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stage + "/b*/part-*.parquet")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_value"))
+    val q = agg.writeStream
+      .outputMode("complete") // state retained across triggers; snapshot per trigger
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.select(col("window.start").cast("timestamp_ntz").as("hour_start"),
+            col("event_type"), col("n_events"), col("sum_value"))
+          .coalesce(1).write.mode("overwrite").parquet(resultOut)
+        ()
+      }
+      .option("checkpointLocation", s"$scratch/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   val defs: Seq[QueryDef] = Seq(
+
+    // Watermarked tumbling windows fed by a genuinely multi-trigger stream
+    // must converge to the batch aggregate — same oracle text shape as the
+    // batch window_tumbling_agg row, so a state-carry or window-assignment
+    // bug in the streaming path hash-fails independently of the batch one.
+    QueryDef(
+      "streaming_window_counts",
+      (s, d) => cachedStream(s, "streaming_window_counts", d)(runWindowCounts(s, d, _, _)),
+      Some("""SELECT date_trunc('hour', ts) AS hour_start, event_type,
+             |  count(*) AS n_events,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1, 2""".stripMargin),
+      bench = false, sideEffecting = true),
 
     // Streaming first-seen dedup == its batch replay: the winner per
     // fingerprint is the doc from the earliest micro-batch containing that

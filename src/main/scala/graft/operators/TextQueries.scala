@@ -116,6 +116,42 @@ object TextQueries {
               |          / CAST(len(string_split(text, ' ')) AS DOUBLE) AS awl
               |      FROM documents)""".stripMargin)),
 
+    // Per-stratum quantile gate: keep each lang's top half by quality
+    // score — the standard corpus-pruning step between scoring and
+    // training. percent_rank over (lang, quality) is exact and
+    // engine-identical ((rank-1)/(n-1), same double division both sides;
+    // the score itself is per-row double arithmetic already proven
+    // identical by text_quality_score). Scale: one shuffle on lang — at
+    // extreme skew you'd pre-compute per-lang approx thresholds and
+    // broadcast them; the window form is the exact-oracle variant.
+    QueryDef(
+      "quality_median_filter",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy(col("quality"), col("doc_id"))
+        t(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            TextOps.qualityScore(col("text")).as("quality"))
+          .withColumn("pr", percent_rank().over(w))
+          .filter(col("pr") >= 0.5)
+          .select("doc_id", "lang", "quality")
+      },
+      Some(s"""WITH scored AS (
+              |  SELECT doc_id, lang,
+              |    0.4 * least(n_tok / 64.0, 1.0)
+              |    + 0.3 * least((en_hits / n_tok) * 5.0, 1.0)
+              |    + 0.3 * (CASE WHEN awl >= 3.0 AND awl <= 10.0 THEN 1.0 ELSE 0.0 END) AS quality
+              |  FROM (SELECT doc_id, lang,
+              |          CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+              |          CAST(${hitsSql(TextOps.EnStop)} AS DOUBLE) AS en_hits,
+              |          CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+              |            / CAST(len(string_split(text, ' ')) AS DOUBLE) AS awl
+              |        FROM documents))
+              |SELECT doc_id, lang, quality FROM (
+              |  SELECT *, PERCENT_RANK() OVER (PARTITION BY lang
+              |    ORDER BY quality, doc_id) AS pr
+              |  FROM scored) WHERE pr >= 0.5""".stripMargin)),
+
     // Manual pivot via conditional aggregation (the portable PIVOT shape:
     // Spark's .pivot and DuckDB's PIVOT both desugar to this).
     QueryDef(
