@@ -69,10 +69,42 @@ object EnvelopeQueries {
     * so any complete publication is reusable — the stamp is the default
     * empty one, which also matches markers written by earlier rounds.
     */
-  private def publishOnce(env: DataFrame): Unit =
-    graft.AtomicPublish.ensure(LakeDir) { tmp =>
+  private def publishOnce(env: DataFrame, dir: String = LakeDir): Unit =
+    graft.AtomicPublish.ensure(dir) { tmp =>
       env.coalesce(4).write.mode("overwrite").text(tmp)
     }
+
+  /** The reference captures TWO tables (initdb/01_init_schema.sql:8-20:
+    * `commerce.products` AND `commerce.users`); this is the users
+    * instantiation of the same envelope lake — different row schema
+    * (id/username/password, 01_init_schema.sql:16-20), its own op mix and
+    * ts/lsn spacing, same Debezium envelope construction.
+    */
+  private[operators] val UsersLakeDir = "/tmp/graft_cdc_users_lake"
+  private val UsersEvents = 12000L
+  private val UsersKeys = UsersEvents / 4
+
+  private[operators] def buildUsersLake(s: SparkSession, sfDir: String): String = {
+    val id = col("id") % UsersKeys
+    val row = struct(
+      id.cast("int").as("id"),
+      concat(lit("user-"), (col("id") % 887).cast("string")).as("username"),
+      md5((col("id") % 119).cast("string")).as("password"))
+    val op = when(col("id") < UsersKeys, "c")
+      .when(col("id") % 89 === 0, "x")
+      .when(col("id") % 19 === 0, "d")
+      .when(col("id") % 11 === 0, "r")
+      .otherwise("u")
+    val nullRow = lit(null).cast(CdcSchemas.usersRow)
+    val env = s.range(UsersEvents).select(to_json(struct(struct(
+      when(op === "d", row).otherwise(nullRow).as("before"),
+      when(op =!= "d", row).otherwise(nullRow).as("after"),
+      op.as("op"),
+      (lit(1733444444000L) + col("id") * 137L + col("id") % 5).as("ts_ms"),
+      struct(col("id").as("lsn")).as("source")).as("payload"))).as("value"))
+    publishOnce(env, UsersLakeDir)
+    UsersLakeDir
+  }
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
@@ -85,7 +117,50 @@ object EnvelopeQueries {
             col("row_valid_start_timestamp").cast("timestamp_ntz").as("row_valid_start_timestamp"),
             col("row_valid_expiration_timestamp").cast("timestamp_ntz").as("row_valid_expiration_timestamp"))
       },
-      Some(scd2HistoryOracleSql)))
+      Some(scd2HistoryOracleSql)),
+
+    // The users-table instantiation of the identical SCD2 pipeline: same
+    // operators, different row schema and attr list — pins that
+    // Scd2.transform is genuinely table-parameterized (SURVEY §7.2 step 3
+    // "both products and users instantiations"), not specialized to the
+    // products shape.
+    QueryDef(
+      "cdc_users_scd2",
+      (s, d) => {
+        val dir = buildUsersLake(s, d)
+        val env = EnvelopeReader.readEnvelopes(s, dir + "/part-*", CdcSchemas.usersRow)
+        Scd2.transform(env, Seq("username", "password"))
+          .select(col("id"), col("username"), col("password"),
+            col("row_valid_start_timestamp").cast("timestamp_ntz").as("row_valid_start_timestamp"),
+            col("row_valid_expiration_timestamp").cast("timestamp_ntz").as("row_valid_expiration_timestamp"))
+      },
+      Some(usersScd2OracleSql)))
+
+  /** The reference SCD2 SQL instantiated for `commerce.users` — identical
+    * window algebra to [[scd2HistoryOracleSql]], attr projection swapped to
+    * username/password (both VARCHAR — no numeric column on this table).
+    */
+  private[operators] def usersScd2OracleSql: String =
+    s"""WITH cdc_events AS (
+       |  SELECT
+       |    COALESCE(
+       |      CAST(json_extract(json, '$$.payload.after.id') AS INT),
+       |      CAST(json_extract(json, '$$.payload.before.id') AS INT)) AS id,
+       |    json_extract(json, '$$.payload.after') AS after_row_value,
+       |    CAST(json_extract(json, '$$.payload.source.lsn') AS BIGINT) AS log_seq_num,
+       |    make_timestamp(CAST(json_extract(json, '$$.payload.ts_ms') AS BIGINT) * 1000) AS source_timestamp
+       |  FROM read_ndjson_objects('$UsersLakeDir/part-*')
+       |  WHERE json_extract(json, '$$.payload.op') IS NOT NULL),
+       |ranked_events AS (
+       |  SELECT id, after_row_value, log_seq_num, source_timestamp,
+       |    LEAD(source_timestamp) OVER (PARTITION BY id ORDER BY log_seq_num) AS next_change_timestamp
+       |  FROM cdc_events WHERE id IS NOT NULL)
+       |SELECT id,
+       |  CAST(json_extract_string(after_row_value, '$$.username') AS VARCHAR) AS username,
+       |  CAST(json_extract_string(after_row_value, '$$.password') AS VARCHAR) AS password,
+       |  source_timestamp AS row_valid_start_timestamp,
+       |  COALESCE(next_change_timestamp, TIMESTAMP '9999-01-01') AS row_valid_expiration_timestamp
+       |FROM ranked_events""".stripMargin
 
   /** The reference SCD2 query (transform_scd2.py:19-61) verbatim in
     * structure; only the source glob and the epoch→timestamp

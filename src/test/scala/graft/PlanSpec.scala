@@ -95,6 +95,51 @@ class PlanSpec extends SparkSuite {
         joins.map(_.leftKeys.size).mkString(","))
   }
 
+  test("balanced sampling broadcasts stratum sizes — no unpartitioned window") {
+    // ADVICE r3: the old plan computed the global min with
+    // Window.partitionBy(), funneling the whole corpus through one task.
+    // The rewrite must have NO window at all and broadcast both the
+    // per-lang counts and the 1-row min back to the corpus.
+    val p = plan("sample_balance_langs")
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, s"corpus must not pass through a window, found ${windows.size}")
+    val broadcasts = collectAll(p) {
+      case e: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => e
+    }
+    assert(broadcasts.size >= 2, "stratum counts and global min must both broadcast")
+  }
+
+  test("per-stratum top-k sampling compiles to WindowGroupLimit") {
+    // the rank<=k predicate must push a per-shard k-row limit below the
+    // window, so nothing close to the full corpus is sorted or buffered
+    val limits = collectAll(plan("sample_topk_per_lang")) {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }
+    assert(limits.nonEmpty, "expected WindowGroupLimitExec below the rank filter")
+  }
+
+  test("q6 reads only its four columns with all filters pushed") {
+    val scans = collectAll(plan("q6_forecast_revenue")) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val scan = scans.head
+    assert(scan.schema.fieldNames.toSet ==
+      Set("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"),
+      s"q6 must scan exactly its four columns, reads ${scan.schema.fieldNames.toSet}")
+    val pushed = scan.metadata.get("PushedFilters").getOrElse("")
+    assert(Seq("l_shipdate", "l_discount", "l_quantity").forall(pushed.contains),
+      s"all three predicates must reach the scan: $pushed")
+  }
+
+  test("sequence packing shuffles once (the per-shard window exchange)") {
+    val shuffles = collectAll(plan("pack_sequences")) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size == 1,
+      s"packing must shuffle once on the shard key; found ${shuffles.size}")
+  }
+
   test("every query plans without error at sf0.001 and returns rows") {
     for (q <- SparkEntry.all) {
       val df = q.spark(spark, sf)
