@@ -16,6 +16,35 @@ object AnalyticsQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // Behavioral sequence mining: the 25 most common 3-event paths across
+    // users — LEAD twice over each user's time-ordered stream, then a
+    // global path count. The per-user window shuffles once on user_id;
+    // the path aggregation is map-side combined down to one row per
+    // distinct trigram per task, so the second exchange moves O(paths),
+    // not O(events). Ties broken lexicographically for a total order.
+    QueryDef(
+      "event_trigram_paths",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        t(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("e2", lead("event_type", 1).over(w))
+          .withColumn("e3", lead("event_type", 2).over(w))
+          .filter(col("e3").isNotNull)
+          .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+          .groupBy("path").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("path"))
+          .limit(25)
+      },
+      Some("""WITH seq AS (
+             |  SELECT event_type AS e1,
+             |    LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+             |    LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+             |  FROM events)
+             |SELECT e1 || '>' || e2 || '>' || e3 AS path, count(*) AS n
+             |FROM seq WHERE e3 IS NOT NULL
+             |GROUP BY 1 ORDER BY n DESC, path LIMIT 25""".stripMargin)),
+
     // ROLLUP hierarchy (grouping-set family). Decimal-exact sums.
     QueryDef(
       "rollup_agg",
