@@ -104,8 +104,9 @@ object ScaleSmoke {
   val smokeQueries: Seq[String] = Seq(
     "dedup_exact", "dedup_minhash_candidates", "dedup_minhash_verified",
     "dedup_simhash", "text_tfidf_topterms",
-    "q1_pricing_summary", "q5_local_supplier_volume",
-    "events_sessionize", "asof_join_last_event", "sim_ivf_topk")
+    "q1_pricing_summary", "q5_local_supplier_volume", "q10_returned_items",
+    "events_sessionize", "asof_join_last_event", "sim_ivf_topk",
+    "event_trigram_paths", "pack_sequences", "embedding_dim_stats")
 
   /** Run each smoke query twice on the scaled dir, return min seconds. */
   def run(spark: SparkSession, scaledDir: String): Map[String, Double] =

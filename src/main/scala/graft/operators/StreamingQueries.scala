@@ -31,7 +31,7 @@ object StreamingQueries {
     * results below live in /tmp across processes (and driver rounds), so a
     * code change without a generation bump would freeze stale results.
     */
-  private val CacheGen = "g1"
+  private val CacheGen = "g2" // g2: time-quartile event slicing (round 4)
 
   /** Run a side-effectful streaming pipeline at most once per (query,
     * sfDir content, code generation) and serve the materialized result
@@ -45,7 +45,11 @@ object StreamingQueries {
     */
   private def cachedStream(s: SparkSession, name: String, sfDir: String)
                           (run: (String, String) => Unit): DataFrame = {
-    val dst = s"/tmp/graft_stream_results/$name"
+    // sfDir is part of the PATH (not just the stamp) so runs at different
+    // scale factors — PlanSpec at sf0.001, Verify at sf0.01 — keep their
+    // own publications instead of invalidating each other's
+    val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val dst = s"/tmp/graft_stream_results/$name-$sfTag"
     val stamp = s"sf=$sfDir md5=${graft.AtomicPublish.dirFingerprint(sfDir)} gen=$CacheGen"
     graft.AtomicPublish.ensure(dst, stamp) { tmp =>
       val scratch = java.nio.file.Files.createTempDirectory(s"graft-stream-$name").toString
@@ -184,26 +188,47 @@ object StreamingQueries {
     * puts the watermark + window + stateful-agg streaming surface (SURVEY
     * §2.8) under the DuckDB oracle next to the SCD2 and dedup rows.
     */
-  private def runWindowCounts(s: SparkSession, sfDir: String, scratch: String, resultOut: String): Unit = {
-    val stage = s"$scratch/evlake"
-    // watermarks require TIMESTAMP (ltz); the session zone is UTC, so the
-    // ntz→ltz cast here and the ltz→ntz cast on output are identities on
-    // the wall-clock values the oracle sees
+  private val EventSliceSchema = "ts TIMESTAMP, event_type STRING, value DOUBLE, user_id LONG, event_id LONG"
+
+  /** Stage the `events` table as four deterministic micro-batch files
+    * sliced into CONTIGUOUS TIME QUARTILES (trigger order pinned via
+    * strictly increasing file mtimes). Time-contiguous slices are what a
+    * real CDC/event transport delivers, and they are required for
+    * watermark correctness: an event_id-sliced lake would put the whole
+    * time range in every trigger, so batch 2+ would arrive behind the
+    * watermark and be dropped as late. The quartile bounds come from a
+    * broadcast 1-row min/max aggregate — no global window. Watermarks
+    * require TIMESTAMP (ltz); the session zone is UTC, so the ntz→ltz
+    * cast here and the ltz→ntz cast on any output are identities on the
+    * wall-clock values the oracle sees.
+    */
+  private def stageEventSlices(s: SparkSession, sfDir: String, stage: String): String = {
     val ev = graft.QueryDef.t(s, sfDir, "events")
       .select(col("ts").cast("timestamp").as("ts"),
-        col("event_type"), col("value"), col("event_id"))
+        col("event_type"), col("value"), col("user_id"), col("event_id"))
+    val bounds = ev.agg(min(unix_millis(col("ts"))).as("t0"),
+      max(unix_millis(col("ts"))).as("t1"))
+    val sliced = ev.crossJoin(broadcast(bounds))
+      .withColumn("slice", least(lit(3),
+        floor((unix_millis(col("ts")) - col("t0")) * 4 / (col("t1") - col("t0") + 1)).cast("int")))
     (0 until 4).foreach { i =>
       val dir = s"$stage/b$i"
-      ev.filter(col("event_id") % 4 === i).drop("event_id").coalesce(1)
+      sliced.filter(col("slice") === i).drop("slice", "t0", "t1").coalesce(1)
         .write.mode("overwrite").parquet(dir)
       new java.io.File(dir).listFiles().filter(_.getName.startsWith("part-")).foreach {
         f => f.setLastModified(1700000000000L + i * 60000L)
       }
     }
-    val agg = s.readStream
-      .schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
-      .option("maxFilesPerTrigger", 1)
-      .parquet(stage + "/b*/part-*.parquet")
+    stage + "/b*/part-*.parquet"
+  }
+
+  private def eventStream(s: SparkSession, glob: String): DataFrame =
+    s.readStream.schema(EventSliceSchema).option("maxFilesPerTrigger", 1).parquet(glob)
+
+  private def runWindowCounts(s: SparkSession, sfDir: String, scratch: String, resultOut: String): Unit = {
+    val glob = stageEventSlices(s, sfDir, s"$scratch/evlake")
+    val agg = eventStream(s, glob)
+      .select("ts", "event_type", "value")
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -223,7 +248,53 @@ object StreamingQueries {
     q.awaitTermination()
   }
 
+  /** Stream-stream interval join over two unbounded inputs (views and
+    * clicks carved from the same multi-trigger event stream): each click
+    * attributes to every view by the same user in the preceding 30
+    * minutes. StreamingSymmetricHashJoin keeps both sides' state bounded
+    * by the watermark + interval — the 100 TB contract — and an inner
+    * join emits each match exactly once across triggers, so the
+    * accumulated emissions must equal the batch join.
+    */
+  private def runStreamJoin(s: SparkSession, sfDir: String, scratch: String, resultOut: String): Unit = {
+    val glob = stageEventSlices(s, sfDir, s"$scratch/evlake")
+    val out = s"$scratch/matches"
+    val views = eventStream(s, glob).filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "2 hours")
+    val clicks = eventStream(s, glob).filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val joined = views.join(clicks,
+      col("v_user") === col("c_user") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr("interval 30 minutes"))
+      .select(col("v_user").as("user_id"), col("view_id"), col("click_id"))
+    val q = joined.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("append").parquet(out); ()
+      }
+      .option("checkpointLocation", s"$scratch/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out).coalesce(1).write.mode("overwrite").parquet(resultOut)
+  }
+
   val defs: Seq[QueryDef] = Seq(
+
+    // The streamed inner interval join must emit exactly the batch join's
+    // match set — a dropped or duplicated match (state eviction bug,
+    // cross-trigger replay) hash-fails.
+    QueryDef(
+      "streaming_click_attribution",
+      (s, d) => cachedStream(s, "streaming_click_attribution", d)(runStreamJoin(s, d, _, _)),
+      Some("""SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+             |FROM events v JOIN events c
+             |  ON v.user_id = c.user_id
+             | AND v.event_type = 'view' AND c.event_type = 'click'
+             | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE""".stripMargin),
+      bench = false, sideEffecting = true),
 
     // Watermarked tumbling windows fed by a genuinely multi-trigger stream
     // must converge to the batch aggregate — same oracle text shape as the
