@@ -134,7 +134,46 @@ object EnvelopeQueries {
             col("row_valid_start_timestamp").cast("timestamp_ntz").as("row_valid_start_timestamp"),
             col("row_valid_expiration_timestamp").cast("timestamp_ntz").as("row_valid_expiration_timestamp"))
       },
-      Some(usersScd2OracleSql)))
+      Some(usersScd2OracleSql)),
+
+    // Small-file compaction round-trip (SURVEY §7.4: the reference's S3
+    // sink flushes every 3 records, so the lake is thousands of tiny
+    // objects): compact the envelope lake to ~1 MiB gzip NDJSON files,
+    // re-parse the COMPACTED files, and hash-compare the full event
+    // content against the oracle's read of the ORIGINAL lake — compaction
+    // must be byte-faithful to every envelope field, not just row counts.
+    QueryDef(
+      "compact_lake_roundtrip",
+      (s, d) => StreamingQueries.cachedRun(s, "compact_lake_roundtrip", d) {
+        (scratch, resultOut) =>
+          val lake = buildLake(s, d)
+          val compacted = s"$scratch/compacted"
+          val (nBefore, nAfter) = Compaction.compact(
+            s, lake, compacted, format = "json", targetFileBytes = 1L << 20)
+          require(nAfter <= nBefore,
+            s"compaction must not increase file count ($nBefore -> $nAfter)")
+          val env = EnvelopeReader.readEnvelopes(s, compacted + "/part-*", CdcSchemas.productsRow)
+          env.select(
+              coalesce(col("payload.after.id"), col("payload.before.id"))
+                .cast("int").as("id"),
+              col("payload.source.lsn").cast("long").as("log_seq_num"),
+              col("payload.op").as("op"),
+              col("payload.ts_ms").cast("long").as("ts_ms"),
+              col("payload.after.name").as("name"),
+              col("payload.after.price").as("price"))
+            .coalesce(1).write.mode("overwrite").parquet(resultOut)
+      },
+      Some(s"""SELECT
+              |  COALESCE(
+              |    CAST(json_extract(json, '$$.payload.after.id') AS INT),
+              |    CAST(json_extract(json, '$$.payload.before.id') AS INT)) AS id,
+              |  CAST(json_extract(json, '$$.payload.source.lsn') AS BIGINT) AS log_seq_num,
+              |  json_extract_string(json, '$$.payload.op') AS op,
+              |  CAST(json_extract(json, '$$.payload.ts_ms') AS BIGINT) AS ts_ms,
+              |  json_extract_string(json, '$$.payload.after.name') AS name,
+              |  CAST(json_extract(json, '$$.payload.after.price') AS DOUBLE) AS price
+              |FROM read_ndjson_objects('$LakeDir/part-*')""".stripMargin),
+      bench = false, sideEffecting = true))
 
   /** The reference SCD2 SQL instantiated for `commerce.users` — identical
     * window algebra to [[scd2HistoryOracleSql]], attr projection swapped to

@@ -234,6 +234,40 @@ object PipelineQueries {
            |  FROM documents) WHERE rk <= 10""".stripMargin
       }),
 
+    // Single-pass column profiler (the data-quality screen run before any
+    // table enters a training pipeline): per numeric column, non-null
+    // count, exact distinct count, min, max — ONE scan produces all of it
+    // (Catalyst expands the multi-distinct agg), then stack() unpivots the
+    // wide row into (column, stats) rows. At 100 TB the exact distincts
+    // become approx_count_distinct; the exact form is the oracle variant.
+    QueryDef(
+      "profile_numeric_columns",
+      (s, d) => {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+          count(col(c)).as(s"${c}__nn"),
+          countDistinct(col(c)).as(s"${c}__nd"),
+          min(col(c)).as(s"${c}__min"),
+          max(col(c)).as(s"${c}__max")))
+        val stackArgs = cols.map(c =>
+          s"'$c', ${c}__nn, ${c}__nd, ${c}__min, ${c}__max").mkString(", ")
+        t(s, d, "lineitem")
+          .agg(aggs.head, aggs.tail: _*)
+          .selectExpr("n_rows",
+            s"stack(${cols.size}, $stackArgs) AS (col_name, n_nonnull, n_distinct, min_v, max_v)")
+          .select(col("col_name"), col("n_rows"), col("n_nonnull"),
+            col("n_distinct"), col("min_v"), col("max_v"))
+          .orderBy("col_name")
+      },
+      Some {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        cols.map(c =>
+          s"""SELECT '$c' AS col_name, count(*) AS n_rows, count($c) AS n_nonnull,
+             |  count(DISTINCT $c) AS n_distinct, min($c) AS min_v, max($c) AS max_v
+             |FROM lineitem""".stripMargin)
+          .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+      }),
+
     // Dataset card: per (split, lang) document counts and token totals —
     // the composition of split assignment with token counting, aggregated
     // map-side into a handful of rows.

@@ -43,6 +43,10 @@ object StreamingQueries {
     * atomic + stamped ([[graft.AtomicPublish]]), so concurrent runs never
     * read a half-written result and regenerated testdata forces a re-run.
     */
+  private[operators] def cachedRun(s: SparkSession, name: String, sfDir: String)
+                                  (run: (String, String) => Unit): DataFrame =
+    cachedStream(s, name, sfDir)(run)
+
   private def cachedStream(s: SparkSession, name: String, sfDir: String)
                           (run: (String, String) => Unit): DataFrame = {
     // sfDir is part of the PATH (not just the stamp) so runs at different
