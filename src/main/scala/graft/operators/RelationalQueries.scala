@@ -393,5 +393,180 @@ object RelationalQueries {
              |FROM events e
              |JOIN (SELECT event_type, count(*) AS type_count
              |      FROM events GROUP BY 1) d
-             |ON e.event_type = d.event_type""".stripMargin)))
+             |ON e.event_type = d.event_type""".stripMargin)),
+
+    // TPC-H Q4 shape (adapted: testdata has no commit/receipt dates, so the
+    // EXISTS probes returned lines instead): date-windowed orders count by
+    // priority where at least one line was returned. The EXISTS plans as a
+    // left-semi join on orderkey — the lineitem side is filtered BEFORE the
+    // shuffle, so only 'R' lines move.
+    QueryDef(
+      "q4_order_priority",
+      (s, d) => t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit(graft.Ts.utc("1996-07-01 00:00:00")) &&
+                col("o_orderdate") < lit(graft.Ts.utc("1997-07-01 00:00:00")))
+        .join(t(s, d, "lineitem").filter(col("l_returnflag") === "R"),
+              col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+             |  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+             |  AND EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // TPC-H Q12 shape (adapted: l_linestatus stands in for shipmode):
+    // conditional aggregation over a fact⋈fact join — the CASE folds the
+    // priority dimension into two counters per group, so the output is 2
+    // rows however large the join is. Oracle counts are CAST to BIGINT
+    // (DuckDB sums integers into HUGEINT, which the comparator can't hash).
+    QueryDef(
+      "q12_priority_by_status",
+      (s, d) => {
+        val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        t(s, d, "orders")
+          .join(t(s, d, "lineitem")
+            .filter(col("l_shipdate") >= lit(graft.Ts.utc("1996-01-01 00:00:00")) &&
+                    col("l_shipdate") < lit(graft.Ts.utc("1997-01-01 00:00:00"))),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy("l_linestatus")
+          .agg(
+            sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+            sum(when(!hi, 1L).otherwise(0L)).as("low_line_count"))
+          .orderBy("l_linestatus")
+      },
+      Some("""SELECT l_linestatus,
+             |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+             |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+             |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+             |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
+
+    // TPC-H Q14 shape: promo revenue share. Both sums are decimal-exact;
+    // the ratio is computed AFTER both casts to double, as pure double
+    // arithmetic (engine-identical IEEE ops) — never decimal division,
+    // whose scale/rounding rules differ between engines. part is broadcast.
+    QueryDef(
+      "q14_promo_revenue",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit(graft.Ts.utc("1997-01-01 00:00:00")) &&
+                col("l_shipdate") < lit(graft.Ts.utc("1997-07-01 00:00:00")))
+        .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", revDec)
+            .otherwise(lit(0).cast(DecimalType(18, 4)))).cast("double").as("promo_revenue"),
+          sum(revDec).cast("double").as("total_revenue"))
+        .withColumn("promo_share",
+          lit(100.0) * col("promo_revenue") / col("total_revenue")),
+      Some(s"""WITH agg AS (
+              |  SELECT
+              |    CAST(sum(CASE WHEN p_type = 'PROMO' THEN $revSql
+              |                  ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
+              |    CAST(sum($revSql) AS DOUBLE) AS total_revenue
+              |  FROM lineitem JOIN part ON l_partkey = p_partkey
+              |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              |    AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00')
+              |SELECT promo_revenue, total_revenue,
+              |  CAST(100.0 AS DOUBLE) * promo_revenue / total_revenue AS promo_share
+              |FROM agg""".stripMargin)),
+
+    // TPC-H Q18 shape: large-quantity orders — a HAVING-filtered aggregate
+    // reused as a join input. The groupBy(l_orderkey) agg shuffles once on
+    // orderkey and its output (99th-percentile tail) is tiny, so the join
+    // back to orders broadcasts under AQE at any scale where the filter is
+    // selective. sum(l_quantity) sums integral doubles: exact, no cast.
+    QueryDef(
+      "q18_large_orders",
+      (s, d) => {
+        val big = t(s, d, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(sum("l_quantity").as("sum_qty"))
+          .filter(col("sum_qty") > 250)
+        t(s, d, "orders")
+          .join(big, col("o_orderkey") === col("l_orderkey"))
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+                  col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(100)
+      },
+      Some("""SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+             |FROM orders
+             |JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+             |      FROM lineitem GROUP BY l_orderkey
+             |      HAVING sum(l_quantity) > 250) big ON o_orderkey = l_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
+
+    // TPC-H Q19 shape: disjunctive join predicate (OR of brand/size/qty
+    // bands). Catalyst extracts the common l_partkey=p_partkey equi-key and
+    // derives per-side filters from the OR (l_quantity BETWEEN 1 AND 50,
+    // p_size BETWEEN 1 AND 50 here) so both scans prune before the
+    // broadcast join; the full disjunction evaluates as the join residual.
+    QueryDef(
+      "q19_disjunctive_pred",
+      (s, d) => {
+        val bands =
+          (col("p_brand") === "Brand#4" && col("p_size").between(1, 10) &&
+             col("l_quantity").between(1, 15)) ||
+          (col("p_brand") === "Brand#19" && col("p_size").between(10, 25) &&
+             col("l_quantity").between(15, 30)) ||
+          (col("p_brand") === "Brand#17" && col("p_size").between(25, 50) &&
+             col("l_quantity").between(30, 50))
+        t(s, d, "lineitem")
+          .join(broadcast(t(s, d, "part")),
+                col("l_partkey") === col("p_partkey") && bands)
+          .agg(sum(revDec).cast("double").as("revenue"),
+               count(lit(1)).as("n_lines"))
+      },
+      Some(s"""SELECT CAST(sum($revSql) AS DOUBLE) AS revenue, count(*) AS n_lines
+              |FROM lineitem JOIN part ON l_partkey = p_partkey
+              |WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 10
+              |       AND l_quantity BETWEEN 1 AND 15)
+              |   OR (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 25
+              |       AND l_quantity BETWEEN 15 AND 30)
+              |   OR (p_brand = 'Brand#17' AND p_size BETWEEN 25 AND 50
+              |       AND l_quantity BETWEEN 30 AND 50)""".stripMargin)),
+
+    // J-family completion: FULL OUTER join — the one outer-join flavor the
+    // catalog lacked. Reconciles two deliberately-overlapping-but-unequal
+    // keyed sides (high-balance customers vs recent buyers) and tags each
+    // row with which side(s) it came from — the standard lake
+    // reconciliation shape. Shuffle-join on custkey on both sides; neither
+    // side is broadcastable at scale (both derive from fact-sized tables).
+    QueryDef(
+      "full_outer_reconcile",
+      (s, d) => {
+        val cust = t(s, d, "customer").filter(col("c_acctbal") > 5000)
+          .select("c_custkey", "c_mktsegment")
+        val recent = t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit(graft.Ts.utc("2000-01-01 00:00:00")))
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_recent_orders"))
+        cust.join(recent, col("c_custkey") === col("o_custkey"), "full_outer")
+          .select(
+            coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+            when(col("c_custkey").isNull, "orders_only")
+              .when(col("o_custkey").isNull, "customer_only")
+              .otherwise("both").as("presence"),
+            coalesce(col("n_recent_orders"), lit(0L)).as("n_recent_orders"))
+      },
+      Some("""SELECT
+             |  COALESCE(c_custkey, o_custkey) AS custkey,
+             |  CASE WHEN c_custkey IS NULL THEN 'orders_only'
+             |       WHEN o_custkey IS NULL THEN 'customer_only'
+             |       ELSE 'both' END AS presence,
+             |  COALESCE(n_recent_orders, 0) AS n_recent_orders
+             |FROM (SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 5000) c
+             |FULL JOIN (SELECT o_custkey, count(*) AS n_recent_orders
+             |           FROM orders
+             |           WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+             |           GROUP BY o_custkey) o
+             |ON c_custkey = o_custkey""".stripMargin)))
 }
