@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AnalyticsQueries, CdcQueries, CorpusQueries, DedupQueries, EnvelopeQueries, MultimodalQueries, PipelineQueries, RelationalQueries, ScalarQueries, SimilarityQueries, StreamingQueries, TextQueries}
+import graft.operators.{AnalyticsQueries, CdcQueries, CorpusQueries, DedupQueries, EnvelopeQueries, MultimodalQueries, PipelineQueries, RelationalQueries, ScalarQueries, SimilarityQueries, StreamingQueries, TextQueries, TpchExtraQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,7 +17,7 @@ object SparkEntry {
 
   val all: Seq[QueryDef] =
     EnvelopeQueries.defs ++ StreamingQueries.defs ++ CdcQueries.defs ++
-      RelationalQueries.defs ++ AnalyticsQueries.defs ++
+      RelationalQueries.defs ++ TpchExtraQueries.defs ++ AnalyticsQueries.defs ++
       TextQueries.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
       MultimodalQueries.defs ++ CorpusQueries.defs ++ ScalarQueries.defs ++
       PipelineQueries.defs

@@ -293,5 +293,98 @@ object PipelineQueries {
            |  count(*) AS n_docs,
            |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
            |FROM documents GROUP BY 1, 2""".stripMargin
-      }))
+      }),
+
+    // Weighted dataset mixing: each source gets a sampling rate (the
+    // "data mixture" step that upweights curated sources and downsamples
+    // crawl); the keep decision is the same salted-hash permille compared
+    // to the source's integer rate — per-row projection, zero shuffles,
+    // deterministic under re-runs and partial recomputes. The rate table
+    // here is a CASE expression (a config literal); at 100 TB it would be
+    // a broadcast map-side join against a tiny weights table — same plan
+    // shape.
+    QueryDef(
+      "mix_weighted_sources",
+      (s, d) => {
+        val h = hashPermille(col("doc_id"), "mix")
+        val rate = when(col("source").isin("src0", "src1", "src2"), 1000000L)
+          .when(col("source").isin("src3", "src4", "src5", "src6"), 500000L)
+          .otherwise(150000L)
+        t(s, d, "documents")
+          .withColumn("keep_rate", rate)
+          .filter(h < col("keep_rate"))
+          .select(col("doc_id"), col("source"), col("keep_rate"))
+      },
+      Some {
+        val h = hashSqlExpr("doc_id", "mix")
+        s"""SELECT doc_id, source, keep_rate FROM (
+           |  SELECT doc_id, source,
+           |    CASE WHEN source IN ('src0', 'src1', 'src2') THEN 1000000
+           |         WHEN source IN ('src3', 'src4', 'src5', 'src6') THEN 500000
+           |         ELSE 150000 END AS keep_rate
+           |  FROM documents)
+           |WHERE $h < keep_rate""".stripMargin
+      }),
+
+    // Rare-token document screen: corpus-global token frequencies, joined
+    // back to flag documents carrying vocabulary seen ≤2 times anywhere
+    // (OCR garbage / mojibake detector). Two shuffles total — the global
+    // count agg (map-side combined) and the token-level join back — both
+    // on the exploded token column; the per-doc rollup reuses the doc_id
+    // partitioning. Rare tokens are a tiny fraction of the vocabulary, so
+    // the join's build side stays small even at corpus scale.
+    QueryDef(
+      "rare_token_docs",
+      (s, d) => {
+        val toks = t(s, d, "documents")
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        val rare = toks.groupBy("tok").agg(count(lit(1)).as("n_global"))
+          .filter(col("n_global") <= 2)
+        toks.join(rare, "tok")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_rare_tokens"),
+            countDistinct(col("tok")).as("n_rare_distinct"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+             |rare AS (
+             |  SELECT tok, count(*) AS n_global FROM toks GROUP BY tok
+             |  HAVING count(*) <= 2)
+             |SELECT doc_id, count(*) AS n_rare_tokens,
+             |  count(DISTINCT t.tok) AS n_rare_distinct
+             |FROM toks t JOIN rare r ON t.tok = r.tok
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Vocabulary coverage: what fraction of all token occurrences do the
+    // k most frequent tokens cover — the curve that sizes a tokenizer
+    // vocabulary. Aggregate-of-aggregate: global counts (one shuffle),
+    // top-k of THAT (tiny — TakeOrderedAndProject, no global sort of the
+    // corpus), and two 1-row sums divided once in double. The integer
+    // sums are exact, so the single division is engine-identical.
+    QueryDef(
+      "vocab_coverage_top100",
+      (s, d) => {
+        val counts = t(s, d, "documents")
+          .select(explode(TextOps.tokens(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("n"))
+        val top = counts.orderBy(col("n").desc, col("tok")).limit(100)
+          .agg(sum(col("n")).as("top_occurrences"))
+        val total = counts.agg(sum(col("n")).as("total_occurrences"))
+        top.join(broadcast(total))
+          .select(col("top_occurrences"), col("total_occurrences"),
+            (col("top_occurrences").cast("double") /
+             col("total_occurrences").cast("double")).as("coverage"))
+      },
+      Some("""WITH counts AS (
+             |  SELECT tok, count(*) AS n
+             |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+             |  GROUP BY tok),
+             |top AS (
+             |  SELECT sum(n) AS top_occurrences
+             |  FROM (SELECT n FROM counts ORDER BY n DESC, tok LIMIT 100)),
+             |total AS (SELECT sum(n) AS total_occurrences FROM counts)
+             |SELECT top_occurrences, total_occurrences,
+             |  CAST(top_occurrences AS DOUBLE) / CAST(total_occurrences AS DOUBLE) AS coverage
+             |FROM top, total""".stripMargin)))
 }

@@ -252,6 +252,63 @@ object StreamingQueries {
     q.awaitTermination()
   }
 
+  /** Gap-based session windows (`session_window`, 30-minute gap) per user
+    * over the multi-trigger event stream, APPEND output mode — the
+    * bounded-state session mode (update is unsupported for session
+    * aggregations: sessions can merge, which update cannot express; and
+    * complete would retain all state forever). Append only emits a
+    * session once the watermark passes its end, so a fifth staged slice
+    * carries a single far-future sentinel event (the heartbeat/
+    * punctuation pattern a real transport uses to advance event time
+    * through quiet periods): it pushes the watermark past every real
+    * session end, forcing each real session to be emitted exactly once,
+    * then is filtered out of the result. Session state is bounded by the
+    * watermark — the 100 TB contract for unbounded session streams.
+    */
+  private def runSessionWindows(s: SparkSession, sfDir: String, scratch: String, resultOut: String): Unit = {
+    val stage = s"$scratch/evlake"
+    val glob = stageEventSlices(s, sfDir, stage)
+    // sentinel slice b4: one event 8h past the lake's max ts for a user id
+    // that cannot occur in the data; watermark (max - 2h) ends up 6h past
+    // the last real event — beyond every real session end (max + 30min)
+    val maxTs = graft.QueryDef.t(s, sfDir, "events")
+      .agg(max(col("ts").cast("timestamp"))).head().getTimestamp(0)
+    val sentinel = s.range(1).select(
+      lit(new java.sql.Timestamp(maxTs.getTime + 8L * 3600 * 1000)).as("ts"),
+      lit("heartbeat").as("event_type"), lit(0.0).as("value"),
+      lit(-1L).as("user_id"), lit(-1L).as("event_id"))
+    val b4 = s"$stage/b4"
+    sentinel.coalesce(1).write.mode("overwrite").parquet(b4)
+    new java.io.File(b4).listFiles().filter(_.getName.startsWith("part-")).foreach {
+      f => f.setLastModified(1700000000000L + 4 * 60000L)
+    }
+    val out = s"$scratch/emissions"
+    val agg = eventStream(s, glob)
+      .select("ts", "user_id", "value")
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_value"))
+    val q = agg.writeStream
+      .outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.select(col("session_window.start").cast("timestamp_ntz").as("session_start"),
+            col("session_window.end").cast("timestamp_ntz").as("session_end"),
+            col("user_id"), col("n_events"), col("sum_value"))
+          .write.mode("append").parquet(out)
+        ()
+      }
+      .option("checkpointLocation", s"$scratch/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out)
+      .filter(col("user_id") =!= -1L)
+      .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+      .coalesce(1).write.mode("overwrite").parquet(resultOut)
+  }
+
   /** Stream-stream interval join over two unbounded inputs (views and
     * clicks carved from the same multi-trigger event stream): each click
     * attributes to every view by the same user in the preceding 30
@@ -286,6 +343,37 @@ object StreamingQueries {
   }
 
   val defs: Seq[QueryDef] = Seq(
+
+    // The converged gap-session set must equal the batch gaps-and-islands
+    // sessionization. session_window semantics: events merge when the gap
+    // is STRICTLY under 30 minutes (windows [t, t+30) merge on overlap),
+    // so the oracle starts a new session at gap >= 30 min; session end is
+    // last event + gap. A state-eviction or merge bug across triggers
+    // hash-fails.
+    QueryDef(
+      "streaming_session_windows",
+      (s, d) => cachedStream(s, "streaming_session_windows", d)(runSessionWindows(s, d, _, _)),
+      Some("""WITH e AS (
+             |  SELECT user_id, ts, value,
+             |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+             |  FROM events),
+             |m AS (
+             |  SELECT user_id, ts, value,
+             |    CASE WHEN prev_ts IS NULL
+             |         OR epoch_ms(ts) - epoch_ms(prev_ts) >= 1800000
+             |      THEN 1 ELSE 0 END AS new_sess
+             |  FROM e),
+             |sess AS (
+             |  SELECT user_id, ts, value,
+             |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM m)
+             |SELECT user_id, min(ts) AS session_start,
+             |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+             |  count(*) AS n_events,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM sess GROUP BY user_id, sid""".stripMargin),
+      bench = false, sideEffecting = true),
 
     // The streamed inner interval join must emit exactly the batch join's
     // match set — a dropped or duplicated match (state eviction bug,
