@@ -35,6 +35,14 @@ object GraftFunctions {
           s"array_dot(a, b) takes 2 arguments, got ${other.size}")
       },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_might_contain_long",
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(f, v) => BloomMightContainLong(f, v)
+        case other => throw new IllegalArgumentException(
+          s"bloom_might_contain_long(filter, value) takes 2 arguments, got ${other.size}")
+      },
+      "built-in")
   }
 
   private def intLiteral(e: Expression, ctx: String): Int = e match {
@@ -53,5 +61,14 @@ object GraftFunctions {
   def arrayDot(a: Column, b: Column): Column = {
     register(SparkSession.active)
     call_function("array_dot", a, b)
+  }
+
+  /** Column-API wrapper; auto-registers in the active session.
+    * `filterBytes` is a serialized spark-sketch BloomFilter (see
+    * [[BloomMightContainLong]]); `v` a LONG hash column to probe.
+    */
+  def bloomMightContainLong(filterBytes: Array[Byte], v: Column): Column = {
+    register(SparkSession.active)
+    call_function("bloom_might_contain_long", lit(filterBytes), v)
   }
 }

@@ -386,5 +386,49 @@ object PipelineQueries {
              |total AS (SELECT sum(n) AS total_occurrences FROM counts)
              |SELECT top_occurrences, total_occurrences,
              |  CAST(top_occurrences AS DOUBLE) / CAST(total_occurrences AS DOUBLE) AS coverage
-             |FROM top, total""".stripMargin)))
+             |FROM top, total""".stripMargin)),
+
+    // Bloom-prefiltered decontamination — the shape for when the eval
+    // n-gram set is too large to broadcast exactly: a ~1.2 MB Bloom
+    // sketch of the eval 5-gram hashes (distributed treeAggregate build,
+    // spark-sketch public format) ships to every task and discards
+    // non-contaminated corpus n-grams inside whole-stage codegen BEFORE
+    // any join, then the exact broadcast semi join runs only over the
+    // surviving sliver, removing the sketch's false positives — so the
+    // result is EXACT (identical to the plain join the oracle runs) while
+    // the join input shrinks by the corpus's non-contamination rate.
+    // Compare decontam_ngram_overlap, which broadcasts the exact set.
+    QueryDef(
+      "decontam_bloom_prefilter",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val evalNgrams = docs.filter(col("doc_id") < 20)
+          .select(explode(graft.dedup.Dedup.shingleSet(col("text"), 5)).as("ng"))
+          .distinct()
+        val bloom = evalNgrams.select(xxhash64(col("ng")).as("h"))
+          .stat.bloomFilter("h", 1L << 20, 0.01)
+        val bytes = {
+          val bos = new java.io.ByteArrayOutputStream()
+          bloom.writeTo(bos)
+          bos.toByteArray
+        }
+        docs.filter(col("doc_id") >= 20)
+          .select(col("doc_id"), explode(graft.dedup.Dedup.shingleSet(col("text"), 5)).as("ng"))
+          .filter(graft.functions.GraftFunctions.bloomMightContainLong(
+            bytes, xxhash64(col("ng"))))
+          .join(broadcast(evalNgrams), Seq("ng"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("overlap_ngrams"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val ng5 = "list_transform(range(0, len(string_split(text, ' ')) - 4), " +
+          "i -> array_to_string((string_split(text, ' '))[i+1:i+5], ' '))"
+        s"""WITH ev AS (SELECT DISTINCT unnest(list_distinct($ng5)) AS ng
+           |            FROM documents WHERE doc_id < 20),
+           |tr AS (SELECT doc_id, unnest(list_distinct($ng5)) AS ng
+           |       FROM documents WHERE doc_id >= 20)
+           |SELECT doc_id, count(*) AS overlap_ngrams
+           |FROM tr JOIN ev USING (ng)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      }))
 }

@@ -3,6 +3,7 @@ package graft.operators
 import graft.QueryDef
 import graft.QueryDef.t
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -320,5 +321,152 @@ object TpchExtraQueries {
              |  AND NOT EXISTS (SELECT 1 FROM orders
              |                  WHERE o_custkey = c_custkey
              |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
-             |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)))
+             |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
+    // TPC-H Q2 shape: minimum-cost supplier per part within a region — a
+    // correlated MIN subquery over the same derived cost table that feeds
+    // the outer query. Adaptation: no partsupp, so supply cost is the
+    // observed minimum unit price min(l_extendedprice / l_quantity) per
+    // (part, supplier) — per-row IEEE double division on both engines, MIN
+    // picks an element exactly. The correlated per-part minimum is a
+    // window MIN over the already region-joined rows (one shuffle on
+    // p_partkey, no second pass over the cost subtree); dimension sides
+    // (scoped part, region-filtered supplier) broadcast.
+    QueryDef(
+      "q2_min_cost_supplier",
+      (s, d) => {
+        val costs = t(s, d, "lineitem")
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(min(col("l_extendedprice") / col("l_quantity")).as("supplycost"))
+        val p = t(s, d, "part")
+          .filter(col("p_size") === 5 && col("p_type") === "STANDARD")
+          .select("p_partkey", "p_name")
+        val supp = t(s, d, "supplier")
+          .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, d, "region").filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+        val eligible = costs
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        eligible
+          .withColumn("min_cost", min(col("supplycost")).over(Window.partitionBy("p_partkey")))
+          .filter(col("supplycost") === col("min_cost"))
+          .select(col("s_acctbal"), col("s_name"), col("n_name"),
+            col("p_partkey"), col("p_name"), col("supplycost"))
+          .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+          .limit(100)
+      },
+      Some("""WITH costs AS (
+             |  SELECT l_partkey, l_suppkey,
+             |    min(l_extendedprice / l_quantity) AS supplycost
+             |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+             |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supplycost
+             |FROM part, costs, supplier, nation, region
+             |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+             |  AND p_size = 5 AND p_type = 'STANDARD'
+             |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+             |  AND r_name = 'EUROPE'
+             |  AND supplycost = (
+             |    SELECT min(c2.supplycost)
+             |    FROM costs c2, supplier s2, nation n2, region r2
+             |    WHERE c2.l_partkey = p_partkey AND c2.l_suppkey = s2.s_suppkey
+             |      AND s2.s_nationkey = n2.n_nationkey
+             |      AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+             |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+             |LIMIT 100""".stripMargin)),
+
+    // TPC-H Q20 shape: nested semi-join chain — suppliers (in one nation)
+    // who shipped a large aggregate quantity of some LIKE-scoped part in
+    // one year: s_suppkey IN (... l_partkey IN (...) GROUP BY HAVING ...).
+    // Adaptation: the HAVING threshold is a constant (no partsupp
+    // availability to halve). The part scope broadcasts into the fact
+    // scan; the HAVING aggregate shuffles on (partkey, suppkey); the
+    // final supplier membership is a broadcast semi join.
+    QueryDef(
+      "q20_excess_shippers",
+      (s, d) => {
+        val greenParts = t(s, d, "part")
+          .filter(col("p_name").like("green%")).select("p_partkey")
+        val bigPairs = t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit(graft.Ts.utc("1996-01-01 00:00:00")) &&
+                  col("l_shipdate") < lit(graft.Ts.utc("1997-01-01 00:00:00")))
+          .join(broadcast(greenParts), col("l_partkey") === col("p_partkey"), "left_semi")
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("qty"))
+          .filter(col("qty") > 300)
+          .select("l_suppkey")
+        t(s, d, "supplier")
+          .join(broadcast(t(s, d, "nation").filter(col("n_name") === "NATION_7")),
+            col("s_nationkey") === col("n_nationkey"), "left_semi")
+          .join(bigPairs, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select("s_name", "s_acctbal")
+          .orderBy("s_name")
+      },
+      Some("""SELECT s_name, s_acctbal FROM supplier
+             |WHERE s_suppkey IN (
+             |    SELECT l_suppkey FROM lineitem
+             |    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'green%')
+             |      AND l_shipdate >= TIMESTAMP '1996-01-01'
+             |      AND l_shipdate < TIMESTAMP '1997-01-01'
+             |    GROUP BY l_partkey, l_suppkey
+             |    HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+             |  AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_7')
+             |ORDER BY s_name""".stripMargin)),
+
+    // TPC-H Q21 shape: double-correlated EXISTS + NOT EXISTS against the
+    // same fact table — suppliers who were the ONLY late shipper on a
+    // multi-supplier finished order. Adaptation: no commit/receipt dates,
+    // so "late" = shipped more than 60 days after the order date. Both
+    // correlated subqueries become shuffle semi/anti joins on l_orderkey
+    // with the supplier-inequality as a residual condition — the plan
+    // shape that scales (no per-row subquery execution).
+    QueryDef(
+      "q21_waiting_supplier",
+      (s, d) => {
+        val orders = t(s, d, "orders").filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate")
+        val l1 = t(s, d, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_shipdate")
+          .join(orders, col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .join(broadcast(t(s, d, "supplier")
+              .join(broadcast(t(s, d, "nation").filter(col("n_name") === "NATION_4")),
+                col("s_nationkey") === col("n_nationkey"), "left_semi")),
+            col("l_suppkey") === col("s_suppkey"))
+        val l2 = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("l2_orderkey"), col("l_suppkey").as("l2_suppkey"))
+        val l3 = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("l3_orderkey"), col("l_suppkey").as("l3_suppkey"),
+            col("l_shipdate").as("l3_shipdate"))
+          .join(orders.select(col("o_orderkey").as("l3_o_orderkey"),
+              col("o_orderdate").as("l3_o_orderdate")),
+            col("l3_orderkey") === col("l3_o_orderkey"))
+          .filter(col("l3_shipdate") > col("l3_o_orderdate") + expr("INTERVAL 60 DAYS"))
+        l1.join(l2, col("l_orderkey") === col("l2_orderkey") &&
+            col("l2_suppkey") =!= col("l_suppkey"), "left_semi")
+          .join(l3, col("l_orderkey") === col("l3_orderkey") &&
+            col("l3_suppkey") =!= col("l_suppkey"), "left_anti")
+          .groupBy("s_name")
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(100)
+      },
+      Some("""SELECT s_name, count(*) AS numwait
+             |FROM supplier, lineitem l1, orders, nation
+             |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+             |  AND o_orderstatus = 'F'
+             |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+             |  AND EXISTS (SELECT 1 FROM lineitem l2
+             |              WHERE l2.l_orderkey = l1.l_orderkey
+             |                AND l2.l_suppkey <> l1.l_suppkey)
+             |  AND NOT EXISTS (SELECT 1 FROM lineitem l3, orders o3
+             |                  WHERE l3.l_orderkey = l1.l_orderkey
+             |                    AND l3.l_orderkey = o3.o_orderkey
+             |                    AND l3.l_suppkey <> l1.l_suppkey
+             |                    AND o3.o_orderstatus = 'F'
+             |                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+             |  AND s_nationkey = n_nationkey AND n_name = 'NATION_4'
+             |GROUP BY s_name ORDER BY numwait DESC, s_name
+             |LIMIT 100""".stripMargin)))
 }

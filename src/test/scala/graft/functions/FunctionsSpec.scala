@@ -72,4 +72,52 @@ class FunctionsSpec extends SparkSuite {
     }
     assert(e.getMessage != null)
   }
+
+  test("bloom_might_contain_long: no false negatives; prunes most non-members") {
+    val members = (0L until 5000L).map(_ * 7919L)
+    val bloom = members.toDF("h").stat.bloomFilter("h", 5000L, 0.01)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    // every member must pass (a single false negative breaks the
+    // prefilter-then-exact-join pattern's exactness guarantee)
+    val memberPass = members.toDF("h")
+      .filter(GraftFunctions.bloomMightContainLong(bytes, col("h"))).count()
+    assert(memberPass == members.size)
+    // non-members (disjoint range) pass only at ~fpp; allow generous slack
+    val nonMembers = (1L to 20000L).map(_ * 7919L + 3L)
+    val fpCount = nonMembers.toDF("h")
+      .filter(GraftFunctions.bloomMightContainLong(bytes, col("h"))).count()
+    assert(fpCount < nonMembers.size / 10,
+      s"bloom passed $fpCount of ${nonMembers.size} non-members — not pruning")
+  }
+
+  test("bloom_might_contain_long survives the interpreted (non-codegen) path") {
+    val bloom = Seq(42L).toDF("h").stat.bloomFilter("h", 100L, 0.01)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+        "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val out = Seq(42L, 43L).toDF("h")
+        .filter(GraftFunctions.bloomMightContainLong(bytes, col("h")))
+        .as[Long].collect()
+      assert(out.contains(42L))
+    }
+  }
+
+  private def withSQLConf(pairs: (String, String)*)(body: => Unit): Unit = {
+    val conf = spark.conf
+    val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }
+    pairs.foreach { case (k, v) => conf.set(k, v) }
+    try body
+    finally olds.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
