@@ -140,6 +140,65 @@ class PlanSpec extends SparkSuite {
       s"packing must shuffle once on the shard key; found ${shuffles.size}")
   }
 
+  test("q21 correlated EXISTS/NOT EXISTS plan as semi+anti joins, no nested loop") {
+    // the double-correlated subqueries must become set-oriented joins on
+    // l_orderkey — a per-row subquery (BroadcastNestedLoopJoin over the
+    // fact table) would be quadratic at scale
+    val p = plan("q21_waiting_supplier")
+    val joinTypes = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j.joinType.toString
+    }
+    assert(joinTypes.contains("LeftSemi") && joinTypes.contains("LeftAnti"),
+      s"expected LeftSemi + LeftAnti, got $joinTypes")
+    val bnl = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+        if !j.joinType.toString.contains("Existence") => j
+    }
+    assert(bnl.isEmpty, "correlated subqueries must not plan as nested loops over the fact table")
+  }
+
+  test("q2 computes the correlated per-part min in one window pass") {
+    // the naive shape aggregates the eligible subtree twice (rows + min)
+    // and joins them back; the window rewrite must leave exactly one
+    // WindowExec and at most two shuffles (the cost agg + the window key)
+    val p = plan("q2_min_cost_supplier")
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size == 1, s"expected one per-part min window, found ${windows.size}")
+    val shuffles = collectAll(p) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 2,
+      s"cost agg + window key only; found ${shuffles.size} shuffles")
+  }
+
+  test("bloom decontam probes the sketch BELOW the exact semi join") {
+    // the prefilter must discard corpus n-grams before any join: a
+    // FilterExec carrying bloom_might_contain_long sits under the
+    // broadcast semi join, never above it
+    val p = plan("decontam_bloom_prefilter")
+    val norm = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    var sawBloomFilter = false
+    var semiAboveBloom = false
+    def walk(node: SparkPlan): Boolean = { // returns: subtree contains bloom filter
+      val childrenHave = node.children.map(walk).exists(identity)
+      node match {
+        case f: org.apache.spark.sql.execution.FilterExec
+          if f.condition.toString.contains("bloom_might_contain_long") =>
+          sawBloomFilter = true; true
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.joinType.toString == "LeftSemi" && childrenHave =>
+          semiAboveBloom = true; childrenHave
+        case _ => childrenHave
+      }
+    }
+    walk(norm)
+    assert(sawBloomFilter, "bloom probe must appear as a Filter in the physical plan")
+    assert(semiAboveBloom, "the exact semi join must consume the bloom-prefiltered side")
+  }
+
   test("every query plans without error at sf0.001 and returns rows") {
     for (q <- SparkEntry.all) {
       val df = q.spark(spark, sf)
