@@ -106,7 +106,13 @@ object ScaleSmoke {
     "dedup_simhash", "text_tfidf_topterms",
     "q1_pricing_summary", "q5_local_supplier_volume", "q10_returned_items",
     "events_sessionize", "asof_join_last_event", "sim_ivf_topk",
-    "event_trigram_paths", "pack_sequences", "embedding_dim_stats")
+    "event_trigram_paths", "pack_sequences", "embedding_dim_stats",
+    // round 6: the iterative closure (label propagation rounds scale with
+    // cluster diameter, not data — the thing to watch at 10×), the
+    // double-correlated q21 semi+anti chain, the corpus-global rare-token
+    // join-back, and the bloom prefilter (probe-side cost is the point)
+    "dedup_components", "q21_waiting_supplier", "rare_token_docs",
+    "decontam_bloom_prefilter")
 
   /** Run each smoke query twice on the scaled dir, return min seconds. */
   def run(spark: SparkSession, scaledDir: String): Map[String, Double] =
