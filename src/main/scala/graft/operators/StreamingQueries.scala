@@ -31,7 +31,7 @@ object StreamingQueries {
     * results below live in /tmp across processes (and driver rounds), so a
     * code change without a generation bump would freeze stale results.
     */
-  private val CacheGen = "g2" // g2: time-quartile event slicing (round 4)
+  private val CacheGen = "g3" // g3: 15-day at-least-once redelivery tail (round 6)
 
   /** Run a side-effectful streaming pipeline at most once per (query,
     * sfDir content, code generation) and serve the materialized result
@@ -206,24 +206,70 @@ object StreamingQueries {
     * cast here and the ltz→ntz cast on any output are identities on the
     * wall-clock values the oracle sees.
     */
-  private def stageEventSlices(s: SparkSession, sfDir: String, stage: String): String = {
+  private def stageEventSlices(s: SparkSession, sfDir: String, stage: String,
+                               overlapMinutes: Int = 0): String = {
     val ev = graft.QueryDef.t(s, sfDir, "events")
       .select(col("ts").cast("timestamp").as("ts"),
         col("event_type"), col("value"), col("user_id"), col("event_id"))
     val bounds = ev.agg(min(unix_millis(col("ts"))).as("t0"),
       max(unix_millis(col("ts"))).as("t1"))
     val sliced = ev.crossJoin(broadcast(bounds))
+      .withColumn("ms", unix_millis(col("ts")))
       .withColumn("slice", least(lit(3),
-        floor((unix_millis(col("ts")) - col("t0")) * 4 / (col("t1") - col("t0") + 1)).cast("int")))
+        floor((col("ms") - col("t0")) * 4 / (col("t1") - col("t0") + 1)).cast("int")))
     (0 until 4).foreach { i =>
       val dir = s"$stage/b$i"
-      sliced.filter(col("slice") === i).drop("slice", "t0", "t1").coalesce(1)
+      // overlap > 0 re-delivers the trailing `overlapMinutes` of the
+      // PREVIOUS slice into this one — the at-least-once transport shape
+      // (a restarted producer resends from its last commit point)
+      val redelivered =
+        if (overlapMinutes > 0 && i > 0)
+          col("slice") === (i - 1) &&
+            col("ms") >= col("t0") + (col("t1") - col("t0") + 1) * i / 4 -
+              lit(overlapMinutes * 60000L)
+        else lit(false)
+      sliced.filter(col("slice") === i || redelivered)
+        .drop("slice", "t0", "t1", "ms").coalesce(1)
         .write.mode("overwrite").parquet(dir)
       new java.io.File(dir).listFiles().filter(_.getName.startsWith("part-")).foreach {
         f => f.setLastModified(1700000000000L + i * 60000L)
       }
     }
     stage + "/b*/part-*.parquet"
+  }
+
+  /** Exactly-once recovery from an at-least-once transport:
+    * `dropDuplicatesWithinWatermark` over an event stream whose slices
+    * re-deliver the trailing 15 DAYS of the previous slice (the shape a
+    * restarted producer or an at-least-once broker hands you; the lake
+    * spans years, so a wide tail yields hundreds of duplicates). Dedup
+    * state is keyed on event_id and EVICTED once the 30-day watermark
+    * passes an event's time — bounded state, unlike a full-history
+    * dropDuplicates (each slice spans months, so most state IS evicted
+    * between triggers) — and every re-delivery lands within the watermark
+    * of its first arrival, so the emitted stream must be exactly the
+    * original event set: a dropped original or a surviving duplicate
+    * hash-fails.
+    */
+  private def runAtLeastOnceDedup(s: SparkSession, sfDir: String, scratch: String, resultOut: String): Unit = {
+    val glob = stageEventSlices(s, sfDir, s"$scratch/evlake",
+      overlapMinutes = 15 * 24 * 60)
+    val out = s"$scratch/emissions"
+    val deduped = eventStream(s, glob)
+      .withWatermark("ts", "30 days")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.select(col("event_id"), col("user_id"),
+            col("ts").cast("timestamp_ntz").as("ts"), col("event_type"), col("value"))
+          .write.mode("append").parquet(out)
+        ()
+      }
+      .option("checkpointLocation", s"$scratch/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out).coalesce(1).write.mode("overwrite").parquet(resultOut)
   }
 
   private def eventStream(s: SparkSession, glob: String): DataFrame =
@@ -373,6 +419,16 @@ object StreamingQueries {
              |  count(*) AS n_events,
              |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
              |FROM sess GROUP BY user_id, sid""".stripMargin),
+      bench = false, sideEffecting = true),
+
+    // Exactly-once recovery from at-least-once redelivery: the deduped
+    // stream must equal the original event set row-for-row — a surviving
+    // duplicate (state evicted too early) or a dropped original (overeager
+    // dedup, late-drop) hash-fails against the plain table.
+    QueryDef(
+      "streaming_exactly_once_dedup",
+      (s, d) => cachedStream(s, "streaming_exactly_once_dedup", d)(runAtLeastOnceDedup(s, d, _, _)),
+      Some("SELECT event_id, user_id, ts, event_type, value FROM events"),
       bench = false, sideEffecting = true),
 
     // The streamed inner interval join must emit exactly the batch join's
