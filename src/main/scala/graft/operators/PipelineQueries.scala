@@ -330,21 +330,21 @@ object PipelineQueries {
            |WHERE $h < keep_rate""".stripMargin
       }),
 
-    // Rare-token document screen: corpus-global token frequencies, joined
-    // back to flag documents carrying vocabulary seen ≤2 times anywhere
-    // (OCR garbage / mojibake detector). Two shuffles total — the global
-    // count agg (map-side combined) and the token-level join back — both
-    // on the exploded token column; the per-doc rollup reuses the doc_id
-    // partitioning. Rare tokens are a tiny fraction of the vocabulary, so
-    // the join's build side stays small even at corpus scale.
+    // Rare-token document screen: corpus-global token frequencies flag
+    // documents carrying vocabulary seen ≤2 times anywhere (OCR garbage /
+    // mojibake detector). The global count rides a count-over-window on
+    // the exploded tokens — the corpus is tokenized ONCE (the naive
+    // count-then-join-back shape tokenizes twice; same rewrite as
+    // text_tfidf_topterms' df-from-tf). Two shuffles: the window's token
+    // exchange, then the per-doc rollup.
     QueryDef(
       "rare_token_docs",
       (s, d) => {
-        val toks = t(s, d, "documents")
+        val byTok = org.apache.spark.sql.expressions.Window.partitionBy("tok")
+        t(s, d, "documents")
           .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
-        val rare = toks.groupBy("tok").agg(count(lit(1)).as("n_global"))
+          .withColumn("n_global", count(lit(1)).over(byTok))
           .filter(col("n_global") <= 2)
-        toks.join(rare, "tok")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_rare_tokens"),
             countDistinct(col("tok")).as("n_rare_distinct"))
@@ -364,17 +364,24 @@ object PipelineQueries {
     // k most frequent tokens cover — the curve that sizes a tokenizer
     // vocabulary. Aggregate-of-aggregate: global counts (one shuffle),
     // top-k of THAT (tiny — TakeOrderedAndProject, no global sort of the
-    // corpus), and two 1-row sums divided once in double. The integer
-    // sums are exact, so the single division is engine-identical.
+    // corpus), and two 1-row sums divided once in double. The denominator
+    // deliberately does NOT reuse the counts subtree (sum-of-counts ==
+    // sum-of-token-array-sizes): an explode-free projection scan is far
+    // cheaper than re-running the tokenize+explode+shuffle aggregation,
+    // which Spark would otherwise do — subtree reuse only dedupes
+    // identical exchanges. The integer sums are exact, so the single
+    // division is engine-identical.
     QueryDef(
       "vocab_coverage_top100",
       (s, d) => {
-        val counts = t(s, d, "documents")
+        val top = t(s, d, "documents")
           .select(explode(TextOps.tokens(col("text"))).as("tok"))
           .groupBy("tok").agg(count(lit(1)).as("n"))
-        val top = counts.orderBy(col("n").desc, col("tok")).limit(100)
+          .orderBy(col("n").desc, col("tok")).limit(100)
           .agg(sum(col("n")).as("top_occurrences"))
-        val total = counts.agg(sum(col("n")).as("total_occurrences"))
+        val total = t(s, d, "documents")
+          .select(size(TextOps.tokens(col("text"))).cast("long").as("n_toks"))
+          .agg(sum(col("n_toks")).as("total_occurrences"))
         top.join(broadcast(total))
           .select(col("top_occurrences"), col("total_occurrences"),
             (col("top_occurrences").cast("double") /
