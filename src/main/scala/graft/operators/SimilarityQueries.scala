@@ -156,5 +156,61 @@ object SimilarityQueries {
         .orderBy("label"),
       Some(s"""SELECT label, count(*) AS n_vecs,
               |  CAST(sum(CAST(sqrt(${dotSql("embedding", "embedding")}) AS DECIMAL(18,9))) AS DOUBLE) AS sum_norm
-              |FROM embeddings GROUP BY label ORDER BY label""".stripMargin)))
+              |FROM embeddings GROUP BY label ORDER BY label""".stripMargin)),
+
+    // kNN label-vote evaluation — the supervised quality check run on an
+    // embedding space (is the space good enough that neighbors share
+    // labels?): 5 nearest corpus neighbors per held-out probe by exact
+    // cosine, majority vote, per-label accuracy counts. Probe side
+    // broadcasts (a bounded eval set); the corpus is scanned once; the
+    // rank<=5 filter compiles to WindowGroupLimit (per-probe k-row limit,
+    // no global sort). Ties are pinned on both engines: neighbor ties by
+    // (sim DESC, c_id), vote ties by the smaller label.
+    QueryDef(
+      "knn_label_vote",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+        val emb = t(s, d, "embeddings")
+        val probes = emb.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+            col("label").as("true_label"))
+        val corpus = emb.filter(col("vec_id") >= 50)
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"),
+            col("label").as("c_label"))
+        val byQ = w.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
+        val top5 = corpus.crossJoin(broadcast(probes))
+          .withColumn("sim", Similarity.cosine(col("q_vec"), col("c_vec")))
+          .withColumn("rn", row_number().over(byQ)).filter(col("rn") <= 5)
+        val byVote = w.partitionBy("q_id").orderBy(col("n_votes").desc, col("c_label"))
+        top5.groupBy("q_id", "true_label", "c_label")
+          .agg(count(lit(1)).as("n_votes"))
+          .withColumn("rk", row_number().over(byVote)).filter(col("rk") === 1)
+          .groupBy("true_label")
+          .agg(count(lit(1)).as("n_probes"),
+            sum(when(col("c_label") === col("true_label"), 1L).otherwise(0L))
+              .as("n_correct"))
+          .orderBy("true_label")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qvec, label AS true_label
+              |           FROM embeddings WHERE vec_id < 50),
+              |scored AS (
+              |  SELECT q_id, true_label, c.label AS c_label, c.vec_id AS c_id,
+              |         ${cosineSql("qvec", "c.embedding")} AS sim
+              |  FROM embeddings c, q WHERE c.vec_id >= 50),
+              |top5 AS (
+              |  SELECT * FROM (
+              |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+              |              ORDER BY sim DESC, c_id) AS rn
+              |    FROM scored) WHERE rn <= 5),
+              |votes AS (
+              |  SELECT q_id, true_label, c_label, count(*) AS n_votes
+              |  FROM top5 GROUP BY 1, 2, 3),
+              |pred AS (
+              |  SELECT * FROM (
+              |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+              |              ORDER BY n_votes DESC, c_label) AS rk
+              |    FROM votes) WHERE rk = 1)
+              |SELECT true_label, count(*) AS n_probes,
+              |  sum(CASE WHEN c_label = true_label THEN 1 ELSE 0 END) AS n_correct
+              |FROM pred GROUP BY true_label ORDER BY true_label""".stripMargin)))
 }
