@@ -95,4 +95,27 @@ object Multimodal {
     df.withColumn("n_bytes", length(col(binCol)))
       .withColumn("header_hex", lower(substring(hex(col(binCol)), 1, 16)))
       .withColumn("content_md5", md5(col(binCol)))
+
+  /** Aspect-preserving resize planning over a decoded-features table: fit
+    * each record into a `boxW`×`boxH` box without upscaling, emitting the
+    * scale factor, output dimensions, and the estimated RGB byte size.
+    * This is the bookkeeping half of a resize stage — pure codegen'd
+    * arithmetic (double divide/multiply + floor, IEEE-identical across
+    * engines); the byte-level resample itself belongs to the (stubbed)
+    * decoder. At 100 TB this plan drives batch sizing and storage
+    * budgeting before any pixel is touched.
+    */
+  def resizePlan(features: DataFrame, boxW: Int, boxH: Int): DataFrame = {
+    val scale = least(least(
+      lit(boxW).cast("double") / col("width"),
+      lit(boxH).cast("double") / col("height")), lit(1.0))
+    features
+      .withColumn("scale", scale)
+      .withColumn("out_width",
+        greatest(lit(1), floor(col("width") * col("scale")).cast("int")))
+      .withColumn("out_height",
+        greatest(lit(1), floor(col("height") * col("scale")).cast("int")))
+      .withColumn("est_out_bytes",
+        col("out_width").cast("long") * col("out_height") * lit(3L))
+  }
 }

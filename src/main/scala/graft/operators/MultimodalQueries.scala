@@ -64,5 +64,38 @@ object MultimodalQueries {
              |  CAST((CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) >> 11) % 1080 + 1 AS INT) AS height,
              |  CAST(0 AS BIGINT) AS duration_ms,
              |  md5(text) AS fingerprint
-             |FROM documents""".stripMargin)))
+             |FROM documents""".stripMargin)),
+
+    // Resize planning on top of the decoded features: fit into 224x224
+    // without upscaling. Both the downscale branch (stub widths run up to
+    // 1920) and the no-op branch (dims already inside the box) are
+    // exercised; the oracle replays the md5-derived dims and the same
+    // IEEE double scale arithmetic.
+    QueryDef(
+      "multimodal_resize_plan",
+      (s, d) => Multimodal.resizePlan(
+          Multimodal.decodeFeatures(
+            t(s, d, "documents")
+              .select(col("doc_id").as("media_id"), lit("image").as("kind"),
+                      encode(col("text"), "UTF-8").as("bytes"))
+              .as[Multimodal.MediaRecord](org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord]))
+            .toDF(),
+          boxW = 224, boxH = 224)
+        .select("media_id", "width", "height", "scale",
+          "out_width", "out_height", "est_out_bytes"),
+      Some("""WITH f AS (
+             |  SELECT doc_id AS media_id,
+             |    CAST(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % 1920 + 1 AS INT) AS width,
+             |    CAST((CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) >> 11) % 1080 + 1 AS INT) AS height
+             |  FROM documents),
+             |p AS (
+             |  SELECT *, least(least(CAST(224 AS DOUBLE) / width,
+             |                        CAST(224 AS DOUBLE) / height), 1.0) AS scale
+             |  FROM f)
+             |SELECT media_id, width, height, scale,
+             |  greatest(1, CAST(floor(width * scale) AS INT)) AS out_width,
+             |  greatest(1, CAST(floor(height * scale) AS INT)) AS out_height,
+             |  CAST(greatest(1, CAST(floor(width * scale) AS INT)) AS BIGINT)
+             |    * greatest(1, CAST(floor(height * scale) AS INT)) * 3 AS est_out_bytes
+             |FROM p""".stripMargin)))
 }
