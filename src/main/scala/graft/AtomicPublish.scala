@@ -38,9 +38,17 @@ object AtomicPublish {
     val marker = dstPath.resolve(MarkerName)
     if (currentStamp(marker).contains(stamp)) return dst
 
-    val tmp = Paths.get(s"$dst.tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}")
-    build(tmp.toString)
-    Files.writeString(tmp.resolve(MarkerName), stamp)
+    val tag = s"${ProcessHandle.current().pid()}-${System.nanoTime()}"
+    val tmp = Paths.get(s"$dst.tmp-$tag")
+    // A failed build must not leak its private dir: repeated failures of a
+    // large publication (the 10x bench lake) would otherwise accumulate
+    // orphaned trees (ADVICE r4).
+    try {
+      build(tmp.toString)
+      Files.writeString(tmp.resolve(MarkerName), stamp)
+    } catch {
+      case t: Throwable => deleteTree(tmp); throw t
+    }
 
     publishMonitor.synchronized {
       val ch = java.nio.channels.FileChannel.open(Paths.get(s"$dst.lock"),
@@ -49,7 +57,19 @@ object AtomicPublish {
         val lock = ch.lock()
         try {
           if (currentStamp(marker).contains(stamp)) deleteTree(tmp) // another writer won with the same stamp
-          else { deleteTree(dstPath); Files.move(tmp, dstPath, StandardCopyOption.ATOMIC_MOVE) }
+          else {
+            // Stale publication: move it ASIDE first, then install, then
+            // delete the doomed copy. `dst` flips old-complete →
+            // new-complete with no absent/shrinking window, and an
+            // in-flight reader mid-scan of the old part files keeps a
+            // stable directory snapshot until the post-swap delete (open
+            // handles survive even that on POSIX) instead of having files
+            // removed underneath it (ADVICE r4).
+            val doomed = Paths.get(s"$dst.doomed-$tag")
+            if (Files.exists(dstPath)) Files.move(dstPath, doomed, StandardCopyOption.ATOMIC_MOVE)
+            Files.move(tmp, dstPath, StandardCopyOption.ATOMIC_MOVE)
+            deleteTree(doomed)
+          }
         } finally lock.release()
       } finally ch.close()
     }

@@ -27,15 +27,25 @@ object Compaction {
     val nFilesBefore = summary.getFileCount
     val nOut = math.max(1, (summary.getLength + targetFileBytes - 1) / targetFileBytes).toInt
 
+    // NDJSON is re-binned VERBATIM as text lines: pure re-binning needs no
+    // parse, so fidelity is byte-level by construction — schema inference
+    // (an extra scan) could re-type or re-order fields, making fidelity
+    // depend on inference behavior (ADVICE r4). The output is still NDJSON
+    // (a .txt-suffixed line file with json lines is the same lake format;
+    // readers glob the directory). recursiveFileLookup skips Hive
+    // partition-column discovery — a compacted lake is flat, same as
+    // before; partition-preserving compaction runs this per partition dir.
+    // Parquet is re-encoded through its self-described schema — no
+    // inference involved.
     val df: DataFrame = format match {
-      case "json" => spark.read.json(inputPath)
+      case "json" => spark.read.option("recursiveFileLookup", "true").text(inputPath)
       case "parquet" => spark.read.parquet(inputPath)
       case other => throw new IllegalArgumentException(s"unsupported format: $other")
     }
     df.repartition(nOut)
       .write.mode(SaveMode.Overwrite)
       .option("compression", compression)
-      .format(format)
+      .format(if (format == "json") "text" else format)
       .save(outputPath)
 
     val nFilesAfter = fs.getContentSummary(

@@ -27,11 +27,28 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamingQueries {
 
-  /** Bump when any streamed computation here changes semantics: the cached
-    * results below live in /tmp across processes (and driver rounds), so a
-    * code change without a generation bump would freeze stale results.
+  /** Code generation for the cached results below (they live in /tmp
+    * across processes and driver rounds): derived MECHANICALLY from the
+    * compiled bytecode of every class a streamed pipeline executes, so any
+    * recompiled semantic change invalidates the cache by construction —
+    * no manual bump to forget (ADVICE r4). Anonymous foreachBatch bodies
+    * compile into these objects' class files (Scala 2.13 lambdas are
+    * methods + invokedynamic), so edits to them are covered too.
     */
-  private val CacheGen = "g3" // g3: 15-day at-least-once redelivery tail (round 6)
+  private lazy val CacheGen: String = {
+    val classes = Seq(
+      StreamingQueries.getClass, EnvelopeQueries.getClass,
+      classOf[Scd2Streaming.TouchedKeysMaintainer], Scd2Streaming.getClass,
+      graft.streaming.StreamingDedup.getClass, graft.cdc.Scd2.getClass,
+      graft.text.TextOps.getClass)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    classes.foreach { c =>
+      val res = c.getResourceAsStream("/" + c.getName.replace('.', '/') + ".class")
+      require(res != null, s"class bytes not found for ${c.getName}")
+      try md.update(res.readAllBytes()) finally res.close()
+    }
+    md.digest().map("%02x".format(_)).mkString.take(16)
+  }
 
   /** Run a side-effectful streaming pipeline at most once per (query,
     * sfDir content, code generation) and serve the materialized result

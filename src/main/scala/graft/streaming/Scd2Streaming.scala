@@ -154,7 +154,18 @@ object Scd2Streaming {
     // (ADVICE r3).
     private var eventLogRdd: Option[org.apache.spark.rdd.RDD[_]] = None
 
-    /** Consume one micro-batch of raw envelopes. */
+    /** Consume one micro-batch of raw envelopes.
+      *
+      * Recovery contract (sharpened by the eager free below — ADVICE r4):
+      * the new history `h` is cached and counted here, but its LINEAGE is
+      * rooted in the previous generation's localCheckpoint RDD, whose
+      * blocks this step frees. If `h`'s cached blocks are later lost
+      * (executor death), recomputation fails rather than recovering —
+      * there is no recovery path, by design: this maintainer trades
+      * fault-tolerance for bounded storage on a driver-local stream (see
+      * the class doc). Deployments needing recovery must persist each
+      * generation to reliable storage ([[writeBatchIdempotent]]) instead.
+      */
     def step(batchEnvelopes: DataFrame): Unit = {
       val be = Scd2.cdcEvents(batchEnvelopes).filter(col("id").isNotNull)
       val prior = eventLogDf.getOrElse(be.limit(0))

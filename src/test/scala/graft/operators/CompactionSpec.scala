@@ -20,5 +20,12 @@ class CompactionSpec extends SparkSuite {
 
     val rows = spark.read.json(dst.getAbsolutePath)
     assert(rows.count() == 90)
+
+    // NDJSON compaction is verbatim re-binning (no parse, no inference):
+    // the output must carry the exact input line multiset byte-for-byte.
+    val srcLines = spark.read.option("recursiveFileLookup", "true").text(src.getAbsolutePath)
+    val dstLines = spark.read.option("recursiveFileLookup", "true").text(dst.getAbsolutePath)
+    assert(srcLines.exceptAll(dstLines).isEmpty && dstLines.exceptAll(srcLines).isEmpty,
+      "compacted lake must preserve input lines verbatim")
   }
 }
