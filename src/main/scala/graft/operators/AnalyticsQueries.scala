@@ -382,5 +382,119 @@ object AnalyticsQueries {
              |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
              |  CAST(count(*) AS BIGINT) AS n,
              |  TRUE AS approx_within_10pct
-             |FROM events GROUP BY event_type""".stripMargin)))
+             |FROM events GROUP BY event_type""".stripMargin)),
+
+    // The value-function window family (first/last/nth over explicit
+    // frames) — completes the window matrix next to the rank family and
+    // framed sums: per user, each event sees the first, most recent, and
+    // 3rd event values of its history-so-far frame. last_value over the
+    // default frame is the running current row's value; the
+    // unbounded-preceding frame makes first/nth the per-key "initial
+    // state" lookups an SCD2 consumer runs.
+    QueryDef(
+      "window_value_family",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("value"),
+            first(col("value")).over(w).as("first_v"),
+            last(col("value")).over(w).as("running_v"),
+            nth_value(col("value"), 3).over(w).as("third_v"))
+      },
+      Some("""SELECT user_id, event_id, value,
+             |  first_value(value) OVER w AS first_v,
+             |  last_value(value) OVER w AS running_v,
+             |  nth_value(value, 3) OVER w AS third_v
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin)),
+
+    // One PageRank power-iteration over the part→supplier bipartite graph
+    // (edges = distinct supply pairs from lineitem): each part splits a
+    // unit of mass across its suppliers; a supplier's new score is the
+    // mass received. The iterative-graph-analytics shape on Spark — join
+    // edges to out-degrees (both sides keyed on partkey, one exchange
+    // reused), then aggregate on the destination key (second shuffle);
+    // N iterations = N such rounds over a cached edge table. Mass is
+    // FIXED-POINT (1e6 div outdeg, integer): exact on both engines where
+    // a double 1/outdeg sum would be shuffle-order-dependent.
+    QueryDef(
+      "pagerank_one_step",
+      (s, d) => {
+        val edges = t(s, d, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey")).distinct()
+        val outdeg = edges.groupBy("l_partkey")
+          .agg(count(lit(1)).as("outdeg"))
+        edges.join(outdeg, "l_partkey")
+          .groupBy(col("l_suppkey"))
+          .agg(sum(expr("1000000L div outdeg")).as("score_fp"),
+               count(lit(1)).as("n_in_edges"))
+      },
+      Some("""WITH edges AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+             |deg AS (SELECT l_partkey, count(*) AS outdeg FROM edges GROUP BY 1)
+             |SELECT l_suppkey, CAST(sum(1000000 // outdeg) AS BIGINT) AS score_fp,
+             |  count(*) AS n_in_edges
+             |FROM edges JOIN deg USING (l_partkey)
+             |GROUP BY l_suppkey""".stripMargin)),
+
+    // Market-basket co-occurrence: the 50 part pairs most often bought in
+    // the same order. The self-join is equi on l_orderkey — both sides
+    // are the SAME distinct subtree, so Spark shuffles it once and reuses
+    // the exchange — and pair expansion is bounded by the per-order
+    // basket size (≤ itemcount² per order, never corpus-quadratic: TPC-H
+    // orders carry ≤ 7-13 items; a production basket cap filters larger
+    // groups first). p1 < p2 halves the pairs and canonicalizes them.
+    QueryDef(
+      "copurchase_pairs",
+      (s, d) => {
+        val items = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+          .join(items.select(col("l_orderkey"), col("l_partkey").as("part_b")),
+            "l_orderkey")
+          .filter(col("part_a") < col("part_b"))
+          .groupBy("part_a", "part_b")
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+          .limit(50)
+      },
+      Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+             |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             |  count(*) AS n_orders
+             |FROM items a JOIN items b
+             |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |GROUP BY 1, 2
+             |ORDER BY n_orders DESC, part_a, part_b LIMIT 50""".stripMargin)),
+
+    // Join-key skew profile: the fanout distribution of a join key (how
+    // many customers place n orders), plus each bucket's share of all
+    // rows — the diagnostic run before choosing salting/AQE-skew
+    // strategies for a 100 TB join. Aggregate-of-aggregate: per-key
+    // counts (one shuffle), then a histogram of those counts (tiny), with
+    // the total derived from the histogram itself (sum over its few rows,
+    // broadcast back) — the base table is scanned and shuffled once.
+    QueryDef(
+      "key_skew_profile",
+      (s, d) => {
+        val perKey = t(s, d, "orders")
+          .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+        val hist = perKey.groupBy("n_orders")
+          .agg(count(lit(1)).as("n_customers"))
+        val total = hist.agg(
+          sum(col("n_orders") * col("n_customers")).as("total_orders"))
+        hist.crossJoin(broadcast(total))
+          .select(col("n_orders"), col("n_customers"),
+            (col("n_orders").cast("double") * col("n_customers").cast("double")
+              / col("total_orders").cast("double")).as("row_share"))
+      },
+      Some("""WITH per_key AS (
+             |  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1),
+             |hist AS (
+             |  SELECT n_orders, count(*) AS n_customers FROM per_key GROUP BY 1),
+             |tot AS (SELECT sum(n_orders * n_customers) AS total_orders FROM hist)
+             |SELECT n_orders, n_customers,
+             |  CAST(n_orders AS DOUBLE) * CAST(n_customers AS DOUBLE)
+             |    / CAST(total_orders AS DOUBLE) AS row_share
+             |FROM hist CROSS JOIN tot""".stripMargin)))
 }

@@ -75,6 +75,98 @@ object CdcQueries {
       Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
              |FROM events""".stripMargin)),
 
+    // Point-in-time (time-travel) read of the SCD2 history: the state of
+    // every entity AS OF a wall-clock instant is the version whose
+    // validity interval covers it — the query a consumer of the
+    // reference's products_scd2 table runs to reconstruct "the table as
+    // it was on the 15th" (SURVEY.md §1.4; the interval algebra is
+    // transform_scd2.py:47-58's). One window shuffle, then a filter that
+    // keeps exactly one row per key present before T.
+    QueryDef(
+      "scd2_asof_snapshot",
+      (s, d) => {
+        val at = lit("2024-01-15 12:00:00").cast("timestamp_ntz")
+        Scd2.versionize(t(s, d, "events"), "user_id", "event_id", "ts")
+          .filter(col("valid_from") <= at && col("valid_to") > at)
+          .select("user_id", "event_id", "event_type", "value",
+                  "valid_from", "valid_to")
+      },
+      Some(s"""WITH v AS (
+              |  SELECT user_id, event_id, event_type, value,
+              |    ts AS valid_from,
+              |    COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY event_id),
+              |             $sentinelSql) AS valid_to
+              |  FROM events)
+              |SELECT user_id, event_id, event_type, value, valid_from, valid_to
+              |FROM v
+              |WHERE valid_from <= TIMESTAMP '2024-01-15 12:00:00'
+              |  AND valid_to   >  TIMESTAMP '2024-01-15 12:00:00'""".stripMargin)),
+
+    // Snapshot diff audit: what changed between two points in time. The
+    // state at each instant is an argmax aggregate (max_by over events at
+    // or before T) — ONE shuffle computes both snapshots side by side via
+    // FILTER clauses, instead of two window passes + a self-join. The
+    // classification CASE is the audit report a CDC consumer reconciles
+    // replicas with (appeared / changed / unchanged — this change log has
+    // no deletes; a delete would surface as t2-side NULL).
+    QueryDef(
+      "scd2_snapshot_diff",
+      (s, d) => {
+        val t1 = "2024-01-15 12:00:00"
+        val t2 = "2024-01-25 12:00:00"
+        t(s, d, "events")
+          .groupBy("user_id")
+          .agg(
+            expr(s"max_by(event_id, event_id) FILTER (WHERE ts <= TIMESTAMP '$t1')").as("event_id_t1"),
+            expr(s"max_by(value, event_id)    FILTER (WHERE ts <= TIMESTAMP '$t1')").as("value_t1"),
+            expr(s"max_by(event_id, event_id) FILTER (WHERE ts <= TIMESTAMP '$t2')").as("event_id_t2"),
+            expr(s"max_by(value, event_id)    FILTER (WHERE ts <= TIMESTAMP '$t2')").as("value_t2"))
+          .select(col("user_id"), col("event_id_t1"), col("value_t1"),
+            col("event_id_t2"), col("value_t2"),
+            when(col("event_id_t1").isNull && col("event_id_t2").isNotNull, "appeared")
+              .when(col("event_id_t1") === col("event_id_t2"), "unchanged")
+              .otherwise("changed").as("change_kind"))
+      },
+      Some("""SELECT user_id,
+             |  arg_max(event_id, event_id) FILTER (ts <= TIMESTAMP '2024-01-15 12:00:00') AS event_id_t1,
+             |  arg_max(value, event_id)    FILTER (ts <= TIMESTAMP '2024-01-15 12:00:00') AS value_t1,
+             |  arg_max(event_id, event_id) FILTER (ts <= TIMESTAMP '2024-01-25 12:00:00') AS event_id_t2,
+             |  arg_max(value, event_id)    FILTER (ts <= TIMESTAMP '2024-01-25 12:00:00') AS value_t2,
+             |  CASE WHEN arg_max(event_id, event_id) FILTER (ts <= TIMESTAMP '2024-01-15 12:00:00') IS NULL
+             |        AND arg_max(event_id, event_id) FILTER (ts <= TIMESTAMP '2024-01-25 12:00:00') IS NOT NULL
+             |       THEN 'appeared'
+             |       WHEN arg_max(event_id, event_id) FILTER (ts <= TIMESTAMP '2024-01-15 12:00:00')
+             |          = arg_max(event_id, event_id) FILTER (ts <= TIMESTAMP '2024-01-25 12:00:00')
+             |       THEN 'unchanged'
+             |       ELSE 'changed' END AS change_kind
+             |FROM events GROUP BY user_id""".stripMargin)),
+
+    // CDC log compaction (net changes): collapse each key's intra-day
+    // churn to the LAST change of that day — the "net effect" a
+    // downstream consumer applies when replaying at day granularity
+    // (Kafka log-compaction semantics, windowed). An argmax aggregate:
+    // map-side combine ships one candidate per (key, day) per partition,
+    // one shuffle total; n_collapsed reports the churn removed.
+    QueryDef(
+      "cdc_net_changes",
+      (s, d) => t(s, d, "events")
+        .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+        .agg(
+          max_by(struct(col("event_id"), col("event_type"), col("value")),
+                 col("event_id")).as("last"),
+          count(lit(1)).as("n_collapsed"))
+        .select(col("user_id"), col("day"),
+          col("last.event_id").as("event_id"),
+          col("last.event_type").as("event_type"),
+          col("last.value").as("value"),
+          col("n_collapsed")),
+      Some("""SELECT user_id, CAST(ts AS DATE) AS day,
+             |  arg_max(event_id, event_id) AS event_id,
+             |  arg_max(event_type, event_id) AS event_type,
+             |  arg_max(value, event_id) AS value,
+             |  count(*) AS n_collapsed
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
     // P10/P13 epoch-ms → timestamp with the reference's ts_ms/1000 shape
     // (transform_scd2.py:37), floored to whole seconds for engine-exactness.
     // Both sides stay timezone-free: Spark emits TIMESTAMP_NTZ (cast under

@@ -62,6 +62,38 @@ object CorpusQueries {
              |      FROM documents WHERE len(string_split(text, ' ')) >= 2)
              |GROUP BY bigram ORDER BY freq DESC, bigram LIMIT 50""".stripMargin)),
 
+    // Inverted-index build: token → document frequency + the first 20
+    // postings (sorted doc_ids, serialized for the comparator) — the
+    // retrieval-side artifact of a corpus (BM25/keyword search over
+    // training data). The rank ≤ 20 cap compiles to WindowGroupLimit, so
+    // each task keeps a 20-row heap per token and the collect_list only
+    // ever sees ≤ 20 rows/token — posting lists never materialize
+    // unbounded (the 100 TB discipline: production segments postings the
+    // same way). df is a count over the SAME token partitioning, so the
+    // window exchange is reused — distinct + one token shuffle total.
+    QueryDef(
+      "inverted_index_postings",
+      (s, d) => {
+        val wTok = org.apache.spark.sql.expressions.Window.partitionBy("tok")
+        val wRank = org.apache.spark.sql.expressions.Window
+          .partitionBy("tok").orderBy("doc_id")
+        t(s, d, "documents")
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+          .distinct()
+          .withColumn("df", count(lit(1)).over(wTok))
+          .withColumn("rn", row_number().over(wRank))
+          .filter(col("rn") <= 20)
+          .groupBy("tok", "df")
+          .agg(array_join(sort_array(collect_list(col("doc_id"))), ",").as("postings"))
+          .select(col("tok"), col("df"), col("postings"))
+      },
+      Some("""WITH pairs AS (
+             |  SELECT DISTINCT doc_id, tok
+             |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents))
+             |SELECT tok, count(*) AS df,
+             |  array_to_string(list_sort(list(doc_id))[1:20], ',') AS postings
+             |FROM pairs GROUP BY tok""".stripMargin)),
+
     // Log-free TF-IDF: tf · (N/df) — exact double arithmetic (a log-based
     // idf would hinge on libm-vs-JVM last-ulp agreement; the ranking is
     // monotone-equivalent). Top 5 terms per doc for the first 50 docs.

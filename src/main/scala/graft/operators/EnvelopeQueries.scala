@@ -173,6 +173,32 @@ object EnvelopeQueries {
               |  json_extract_string(json, '$$.payload.after.name') AS name,
               |  CAST(json_extract(json, '$$.payload.after.price') AS DOUBLE) AS price
               |FROM read_ndjson_objects('$LakeDir/part-*')""".stripMargin),
+      bench = false, sideEffecting = true),
+
+    // CSV source/sink round-trip (the remaining text lake format next to
+    // NDJSON — S7's family): write `documents` as gzip CSV with full
+    // quoting + backslash escaping, read it back through an EXPLICIT
+    // schema (no inference scan — the 100 TB discipline for text
+    // formats), and hash-compare the round-tripped rows against the
+    // oracle's read of the original parquet. Quote/escape/null fidelity
+    // is what's under test: any mangled row hash-fails.
+    QueryDef(
+      "csv_lake_roundtrip",
+      (s, d) => StreamingQueries.cachedRun(s, "csv_lake_roundtrip", d) {
+        (scratch, resultOut) =>
+          val lake = s"$scratch/csv_lake"
+          t(s, d, "documents")
+            .write.mode("overwrite")
+            .option("header", "true").option("quoteAll", "true")
+            .option("escape", "\"").option("compression", "gzip")
+            .csv(lake)
+          s.read
+            .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+            .option("header", "true").option("escape", "\"")
+            .csv(lake + "/part-*")
+            .coalesce(1).write.mode("overwrite").parquet(resultOut)
+      },
+      Some("SELECT doc_id, text, lang, source, n_chars FROM documents"),
       bench = false, sideEffecting = true))
 
   /** The reference SCD2 SQL instantiated for `commerce.users` — identical

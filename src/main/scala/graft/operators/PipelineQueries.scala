@@ -399,6 +399,38 @@ object PipelineQueries {
              |  CAST(top_occurrences AS DOUBLE) / CAST(total_occurrences AS DOUBLE) AS coverage
              |FROM top, total""".stripMargin)),
 
+    // Deterministic curriculum ordering: tier documents by length (the
+    // easy→hard proxy), spread each tier over 16 hash buckets, and rank
+    // within (tier, bucket) under a salted-hash order. Consumers stream
+    // buckets in (tier, bucket, rank) order — a reproducible global
+    // curriculum WITHOUT a global sort or an unpartitioned row_number
+    // (the single-task trap at 100 TB): every window partition is
+    // corpus_size/48, and re-runs/partial recomputes assign identically.
+    QueryDef(
+      "curriculum_buckets",
+      (s, d) => {
+        val h = hashPermille(col("doc_id"), "curriculum")
+        val tier = when(col("n_chars") < 250, 0)
+          .when(col("n_chars") < 400, 1).otherwise(2).cast("long")
+        val w = Window.partitionBy("tier", "bucket").orderBy(col("h"), col("doc_id"))
+        t(s, d, "documents")
+          .select(col("doc_id"), tier.as("tier"), (h % 16L).as("bucket"), h.as("h"))
+          .withColumn("rank_in_bucket", row_number().over(w).cast("long"))
+          .select("doc_id", "tier", "bucket", "rank_in_bucket")
+      },
+      Some {
+        val h = hashSqlExpr("doc_id", "curriculum")
+        s"""SELECT doc_id, tier, bucket,
+           |  CAST(ROW_NUMBER() OVER (PARTITION BY tier, bucket
+           |       ORDER BY $h, doc_id) AS BIGINT) AS rank_in_bucket
+           |FROM (
+           |  SELECT doc_id,
+           |    CAST(CASE WHEN n_chars < 250 THEN 0
+           |              WHEN n_chars < 400 THEN 1 ELSE 2 END AS BIGINT) AS tier,
+           |    ($h) % 16 AS bucket
+           |  FROM documents)""".stripMargin
+      }),
+
     // Bloom-prefiltered decontamination — the shape for when the eval
     // n-gram set is too large to broadcast exactly: a ~1.2 MB Bloom
     // sketch of the eval 5-gram hashes (distributed treeAggregate build,
