@@ -199,6 +199,35 @@ class PlanSpec extends SparkSuite {
     assert(semiAboveBloom, "the exact semi join must consume the bloom-prefiltered side")
   }
 
+  test("inverted index caps postings map-side and reuses the token exchange") {
+    // the rank<=20 predicate must compile to WindowGroupLimit (each task
+    // keeps a 20-row heap per token — posting lists never materialize
+    // unbounded), and the final collect_list must run on the window's
+    // token partitioning: exactly two shuffles (the distinct + the token
+    // window), none between the window and the aggregate
+    val p = plan("inverted_index_postings")
+    val limits = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }
+    assert(limits.nonEmpty, "expected WindowGroupLimitExec below the rank filter")
+    val shuffles = collectAll(p) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size == 2,
+      s"distinct + token window only; found ${shuffles.size} shuffles")
+  }
+
+  test("scd2_snapshot_diff computes both snapshots in one hash aggregation") {
+    // the FILTER-clause argmax formulation must stay on the HashAggregate
+    // fast path (primitive buffers) with a single exchange — not two
+    // window passes joined back, and not a SortAggregate
+    val p = plan("scd2_snapshot_diff")
+    val shuffles = collectAll(p) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size == 1, s"one key shuffle; found ${shuffles.size}")
+    val sortAggs = collectAll(p) {
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+    }
+    assert(sortAggs.isEmpty, "snapshot diff must not fall back to SortAggregate")
+  }
+
   test("every query plans without error at sf0.001 and returns rows") {
     for (q <- SparkEntry.all) {
       val df = q.spark(spark, sf)
