@@ -438,6 +438,30 @@ object AnalyticsQueries {
              |FROM edges JOIN deg USING (l_partkey)
              |GROUP BY l_suppkey""".stripMargin)),
 
+    // Quantile-sketch accuracy contract — the percentile counterpart of
+    // approx_distinct_users' pattern: at 100 TB exact percentiles mean
+    // sorting the universe, so the scale path is approx_percentile
+    // (a mergeable rank sketch). Sketch internals (and exact-median FP
+    // interpolation) differ across engines, so the output carries the
+    // hash-checked group counts plus a boolean asserting the estimate
+    // sits inside the exact p45..p55 rank band — 5x the sketch's
+    // guaranteed rank error (accuracy 1000 ⇒ ≤ n/1000), so a broken
+    // sketch fails but no legitimate seed can flip it. Both approx and
+    // exact run Spark-side; the oracle emits the count and literal TRUE.
+    QueryDef(
+      "approx_quantile_check",
+      (s, d) => t(s, d, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          expr("approx_percentile(value, 0.5, 1000)").as("ap"),
+          expr("percentile(value, 0.45D)").as("lo"),
+          expr("percentile(value, 0.55D)").as("hi"))
+        .select(col("event_type"), col("n"),
+          (col("ap") >= col("lo") && col("ap") <= col("hi")).as("median_in_rank_band")),
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |  TRUE AS median_in_rank_band
+             |FROM events GROUP BY event_type""".stripMargin)),
+
     // Market-basket co-occurrence: the 50 part pairs most often bought in
     // the same order. The self-join is equi on l_orderkey — both sides
     // are the SAME distinct subtree, so Spark shuffles it once and reuses
@@ -466,6 +490,50 @@ object AnalyticsQueries {
              |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
              |GROUP BY 1, 2
              |ORDER BY n_orders DESC, part_a, part_b LIMIT 50""".stripMargin)),
+
+    // Z-order (Morton) layout planning: interleave the bits of two join/
+    // filter dimensions into one clustering key, bucket the lake by it,
+    // and report each bucket's bounding box over BOTH dimensions. The
+    // tight per-bucket min/max ranges are the data-skipping contract — a
+    // scan filtered on EITHER partkey or suppkey prunes most z-buckets
+    // from footer stats alone, where a single-column sort only helps one
+    // dimension. Pure codegen'd bit arithmetic (16 shift/mask terms per
+    // dimension) + one aggregation; writing the lake clustered by
+    // `z_bucket` is then a plain repartition-by-range.
+    QueryDef(
+      "zorder_layout",
+      (s, d) => {
+        val bits = 16
+        def z(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          (0 until bits).map { i =>
+            shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
+              .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+          }.reduce(_ bitwiseOR _)
+        t(s, d, "lineitem")
+          .select(col("l_partkey").bitwiseAND(lit(65535L)).as("p"),
+                  col("l_suppkey").bitwiseAND(lit(65535L)).as("sk"))
+          .distinct()
+          .withColumn("z_bucket", shiftright(z(col("p"), col("sk")), 14))
+          .groupBy("z_bucket")
+          .agg(count(lit(1)).as("n_pairs"),
+               min("p").as("min_part"), max("p").as("max_part"),
+               min("sk").as("min_supp"), max("sk").as("max_supp"))
+      },
+      Some {
+        val bits = 16
+        val terms = (0 until bits).flatMap(i => Seq(
+          s"(((p >> $i) & 1) << ${2 * i})",
+          s"(((sk >> $i) & 1) << ${2 * i + 1})"))
+        val zExpr = terms.mkString(" | ")
+        s"""WITH pairs AS (
+           |  SELECT DISTINCT l_partkey & 65535 AS p, l_suppkey & 65535 AS sk
+           |  FROM lineitem)
+           |SELECT ($zExpr) >> 14 AS z_bucket,
+           |  count(*) AS n_pairs,
+           |  min(p) AS min_part, max(p) AS max_part,
+           |  min(sk) AS min_supp, max(sk) AS max_supp
+           |FROM pairs GROUP BY 1""".stripMargin
+      }),
 
     // Join-key skew profile: the fanout distribution of a join key (how
     // many customers place n orders), plus each bucket's share of all

@@ -167,6 +167,49 @@ object CdcQueries {
              |  count(*) AS n_collapsed
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    // MERGE INTO semantics on vanilla parquet (the S11 generalization:
+    // SURVEY §2.1 documents MERGE as the Delta-only alternative to
+    // read-modify-overwrite — this is the read-modify half as one
+    // declarative plan). The change set is the CDC net change per key
+    // (argmax, as cdc_net_changes); the merge is a single full-outer
+    // join: matched+delete drops the row, matched+update rewrites the
+    // balance, unmatched change inserts, untouched base rows persist.
+    // All three MERGE branches are exercised (the +1400 key shift makes
+    // the change set straddle the base key range). One shuffle per side.
+    QueryDef(
+      "merge_into_upsert",
+      (s, d) => {
+        val base = t(s, d, "customer")
+          .select(col("c_custkey").as("key"), col("c_acctbal").as("balance"))
+        val changes = t(s, d, "events")
+          .groupBy((col("user_id") + 1400L).as("key"))
+          .agg(max_by(struct(col("event_type"), col("value")), col("event_id")).as("c"))
+          .select(col("key"),
+            when(col("c.event_type") === "error", "D").otherwise("U").as("op"),
+            col("c.value").as("new_balance"))
+        base.join(changes, Seq("key"), "full_outer")
+          .filter(col("op").isNull || col("op") =!= "D")
+          .select(col("key"),
+            coalesce(col("new_balance"), col("balance")).as("balance"),
+            when(col("op").isNull, "kept")
+              .when(col("balance").isNull, "inserted")
+              .otherwise("updated").as("merge_action"))
+      },
+      Some("""WITH changes AS (
+             |  SELECT user_id + 1400 AS key,
+             |    CASE WHEN arg_max(event_type, event_id) = 'error'
+             |         THEN 'D' ELSE 'U' END AS op,
+             |    arg_max(value, event_id) AS new_balance
+             |  FROM events GROUP BY 1),
+             |base AS (SELECT c_custkey AS key, c_acctbal AS balance FROM customer)
+             |SELECT key,
+             |  COALESCE(new_balance, balance) AS balance,
+             |  CASE WHEN op IS NULL THEN 'kept'
+             |       WHEN balance IS NULL THEN 'inserted'
+             |       ELSE 'updated' END AS merge_action
+             |FROM base FULL OUTER JOIN changes USING (key)
+             |WHERE op IS NULL OR op != 'D'""".stripMargin)),
+
     // P10/P13 epoch-ms → timestamp with the reference's ts_ms/1000 shape
     // (transform_scd2.py:37), floored to whole seconds for engine-exactness.
     // Both sides stay timezone-free: Spark emits TIMESTAMP_NTZ (cast under

@@ -199,6 +199,29 @@ object EnvelopeQueries {
             .coalesce(1).write.mode("overwrite").parquet(resultOut)
       },
       Some("SELECT doc_id, text, lang, source, n_chars FROM documents"),
+      bench = false, sideEffecting = true),
+
+    // ORC round-trip — the second columnar format (Spark ships the ORC
+    // reader/writer alongside parquet; lakes migrating between the two is
+    // routine). Type fidelity across the encode/decode is what's checked:
+    // longs, strings, and the timestamp-carrying events table would all
+    // hash-fail on a lossy mapping. snappy + explicit no-inference read.
+    QueryDef(
+      "orc_lake_roundtrip",
+      (s, d) => StreamingQueries.cachedRun(s, "orc_lake_roundtrip", d) {
+        (scratch, resultOut) =>
+          val lake = s"$scratch/orc_lake"
+          t(s, d, "events")
+            .select(col("event_id"), col("user_id"),
+              col("ts").cast("timestamp_ntz").as("ts"),
+              col("event_type"), col("value"))
+            .write.mode("overwrite").option("compression", "snappy").orc(lake)
+          s.read
+            .schema("event_id LONG, user_id LONG, ts TIMESTAMP_NTZ, event_type STRING, value DOUBLE")
+            .orc(lake + "/part-*")
+            .coalesce(1).write.mode("overwrite").parquet(resultOut)
+      },
+      Some("SELECT event_id, user_id, ts, event_type, value FROM events"),
       bench = false, sideEffecting = true))
 
   /** The reference SCD2 SQL instantiated for `commerce.users` — identical
