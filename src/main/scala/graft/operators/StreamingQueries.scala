@@ -39,6 +39,7 @@ object StreamingQueries {
     val classes = Seq(
       StreamingQueries.getClass, EnvelopeQueries.getClass,
       classOf[Scd2Streaming.TouchedKeysMaintainer], Scd2Streaming.getClass,
+      classOf[graft.streaming.CurrentState.LakeMaintainer],
       graft.streaming.StreamingDedup.getClass, graft.cdc.Scd2.getClass,
       graft.text.TextOps.getClass)
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -294,46 +295,24 @@ object StreamingQueries {
 
   /** Streaming current-state serving table (the reference's OTHER SCD2
     * variant — init_duckdb.sh's compare-current-rows path — run
-    * continuously): each micro-batch is collapsed to its net change per
-    * key (argmax by event_id, the CDC upsert), merged into a state table
-    * PERSISTED IN THE LAKE between triggers, and published by
-    * stage-and-swap. Unlike the TouchedKeysMaintainer's executor-cached
-    * state, this survives restarts with no recomputation — the
-    * production-serving shape — and each trigger's work is
-    * O(batch + |state|) with state bounded by the key count, not the
-    * event count. The converged table must equal the batch
+    * continuously) via [[graft.streaming.CurrentState.LakeMaintainer]]:
+    * each micro-batch's net changes merge into a lake-persisted
+    * generation chain that survives restarts and absorbs replays (see
+    * the maintainer's doc; crash-recovery semantics are unit-tested in
+    * `CurrentStateSpec`). The converged table must equal the batch
     * last-change-per-key (scd2_current's oracle shape).
     */
   private def runCurrentState(s: SparkSession, sfDir: String, scratch: String, resultOut: String): Unit = {
     val glob = stageEventSlices(s, sfDir, s"$scratch/evlake")
-    val stateBase = s"$scratch/state"
-    @volatile var currentState: Option[String] = None
-    def netPerKey(df: DataFrame): DataFrame =
-      df.groupBy("user_id")
-        .agg(max_by(struct(col("event_id"), col("ts"), col("event_type"), col("value")),
-          col("event_id")).as("v"))
-        .select(col("user_id"), col("v.event_id").as("event_id"),
-          col("v.ts").as("ts"), col("v.event_type").as("event_type"),
-          col("v.value").as("value"))
+    val maintainer = new graft.streaming.CurrentState.LakeMaintainer(
+      s, s"$scratch/state", "user_id", "event_id", Seq("ts", "event_type", "value"))
     val q = eventStream(s, glob).writeStream
-      .foreachBatch { (b: DataFrame, batchId: Long) =>
-        val net = netPerKey(b)
-        val merged = currentState match {
-          case Some(prior) => netPerKey(s.read.parquet(prior).unionByName(net))
-          case None => net
-        }
-        val dst = s"$stateBase-$batchId"
-        merged.write.mode("overwrite").parquet(dst) // new generation, then swap the pointer
-        val superseded = currentState
-        currentState = Some(dst)
-        superseded.foreach(p => graft.AtomicPublish.deleteTree(java.nio.file.Paths.get(p)))
-        ()
-      }
+      .foreachBatch { (b: DataFrame, batchId: Long) => maintainer.step(b, batchId) }
       .option("checkpointLocation", s"$scratch/ckpt")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.read.parquet(currentState.getOrElse(sys.error("no micro-batches ran")))
+    maintainer.current().getOrElse(sys.error("no micro-batches ran"))
       .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
         col("ts").cast("timestamp_ntz").as("ts"))
       .coalesce(1).write.mode("overwrite").parquet(resultOut)
