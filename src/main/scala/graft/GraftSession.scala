@@ -23,6 +23,10 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
+      // saveAsTable targets (bucketed-join tables): keep the warehouse in
+      // /tmp, not the process cwd (the in-memory catalog means metadata is
+      // per-session; data dirs persist and are overwritten on re-create)
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .getOrCreate()
 
   /** Read one of the driver-provided testdata tables (delegates to

@@ -491,6 +491,41 @@ object AnalyticsQueries {
              |GROUP BY 1, 2
              |ORDER BY n_orders DESC, part_a, part_b LIMIT 50""".stripMargin)),
 
+    // Bucketed co-located join — the OTHER half of the layout story next
+    // to z-order: both fact tables are saved bucketed (8 buckets) AND
+    // sorted on the join key, so the join consumes bucket files directly —
+    // ZERO exchanges under the join node (pinned in PlanSpec); the only
+    // shuffle in the whole plan is the final 5-row priority rollup. At
+    // 100 TB this is the difference between re-shuffling two fact tables
+    // per join and a pure merge of co-located sorted buckets; the bucket
+    // spec is the physical contract a lake writer declares once and every
+    // downstream join inherits. Tables are created once per (session,
+    // sfDir) under the /tmp warehouse; the oracle replays the join on the
+    // raw parquet.
+    QueryDef(
+      "bucketed_join_colocated",
+      (s, d) => {
+        val tag = d.replaceAll("[^A-Za-z0-9]+", "_")
+        val (lt, ot) = (s"graft_li_bkt_$tag", s"graft_ord_bkt_$tag")
+        if (!s.catalog.tableExists(lt))
+          t(s, d, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+            .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .mode("overwrite").format("parquet").saveAsTable(lt)
+        if (!s.catalog.tableExists(ot))
+          t(s, d, "orders").select("o_orderkey", "o_orderpriority")
+            .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .mode("overwrite").format("parquet").saveAsTable(ot)
+        s.table(ot).join(s.table(lt), col("o_orderkey") === col("l_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .cast(DecimalType(18, 4))).cast("double").as("revenue"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_items,
+             |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY o_orderpriority""".stripMargin)),
+
     // Z-order (Morton) layout planning: interleave the bits of two join/
     // filter dimensions into one clustering key, bucket the lake by it,
     // and report each bucket's bounding box over BOTH dimensions. The

@@ -155,5 +155,51 @@ object ScalarQueries {
              |  CASE WHEN nullif(c_mktsegment, 'BUILDING') IS NULL THEN 1 ELSE 0 END AS is_building,
              |  greatest(c_acctbal, 0.0) AS bal_floor,
              |  least(c_acctbal, 1000.0) AS bal_cap
-             |FROM customer""".stripMargin)))
+             |FROM customer""".stripMargin)),
+
+    // Regex family beyond the single extract in scalar_string_funcs:
+    // global replace, match counting, boolean match — the text-cleaning
+    // primitives every corpus filter uses. Patterns stay in the
+    // char-class/alternation subset where Java regex (Spark, codegen'd)
+    // and RE2 (DuckDB) agree; the divergent constructs (backrefs,
+    // lookaround) are deliberately out of contract.
+    QueryDef(
+      "scalar_regex_funcs",
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"),
+        regexp_replace(col("text"), "(table|row)", "<rel>").as("masked"),
+        expr("regexp_count(text, '(scan|filter)')").cast("long").as("n_scanfilter"),
+        col("text").rlike("window .* sort").as("has_window_sort"),
+        regexp_extract(col("text"), "\\b(v[a-z]+)\\b", 1).as("first_v_word")),
+      Some("""SELECT doc_id,
+             |  regexp_replace(text, '(table|row)', '<rel>', 'g') AS masked,
+             |  CAST(len(regexp_extract_all(text, '(scan|filter)')) AS BIGINT) AS n_scanfilter,
+             |  regexp_matches(text, 'window .* sort') AS has_window_sort,
+             |  regexp_extract(text, '\b(v[a-z]+)\b', 1) AS first_v_word
+             |FROM documents""".stripMargin)),
+
+    // MapType construction + lookup (the one complex type not yet under
+    // the gate next to arrays/structs): per-user event-type counts built
+    // INTO a map with map_from_entries, then read back out with fixed-key
+    // element_at lookups — deterministic regardless of entry order. The
+    // oracle replays the semantics as conditional aggregation (what the
+    // map lookup denotes relationally).
+    QueryDef(
+      "map_event_counts",
+      (s, d) => t(s, d, "events")
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(map_from_entries(collect_list(struct(col("event_type"), col("n")))).as("m"))
+        .select(col("user_id"),
+          coalesce(element_at(col("m"), "click"), lit(0L)).as("clicks"),
+          coalesce(element_at(col("m"), "view"), lit(0L)).as("views"),
+          coalesce(element_at(col("m"), "purchase"), lit(0L)).as("purchases"),
+          size(col("m")).cast("long").as("n_types")),
+      Some("""SELECT user_id,
+             |  count(*) FILTER (event_type = 'click') AS clicks,
+             |  count(*) FILTER (event_type = 'view') AS views,
+             |  count(*) FILTER (event_type = 'purchase') AS purchases,
+             |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+             |FROM events GROUP BY user_id""".stripMargin)))
 }

@@ -228,6 +228,26 @@ class PlanSpec extends SparkSuite {
     assert(sortAggs.isEmpty, "snapshot diff must not fall back to SortAggregate")
   }
 
+  test("bucketed join is co-located: no exchange under the join") {
+    // both tables are bucketed+sorted on the join key, so the join must
+    // consume bucket files directly — the one shuffle in the plan is the
+    // final rollup ABOVE the join, never below it
+    val p = plan("bucketed_join_colocated")
+    val norm = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val joins = norm.collect { case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }
+    assert(joins.nonEmpty, "expected a join node")
+    val shufflesUnderJoin = joins.head.collect { case e: ShuffleExchangeExec => e }
+    assert(shufflesUnderJoin.isEmpty,
+      s"bucketed join must not shuffle its inputs; found ${shufflesUnderJoin.size}")
+    val scans = norm.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec if sc.bucketedScan => sc
+    }
+    assert(scans.size == 2, s"both sides must be bucketed scans, found ${scans.size}")
+  }
+
   test("every query plans without error at sf0.001 and returns rows") {
     for (q <- SparkEntry.all) {
       val df = q.spark(spark, sf)
