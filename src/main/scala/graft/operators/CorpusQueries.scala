@@ -62,6 +62,41 @@ object CorpusQueries {
              |      FROM documents WHERE len(string_split(text, ' ')) >= 2)
              |GROUP BY bigram ORDER BY freq DESC, bigram LIMIT 50""".stripMargin)),
 
+    // One BPE merge step (tokenizer training): the 20 most frequent
+    // ADJACENT CHARACTER PAIRS across the corpus, each word's pairs
+    // weighted by the word's corpus frequency — the argmax pair is the
+    // next merge a BPE trainer would apply. The scale trick is the
+    // standard one: pair extraction runs over the DISTINCT-WORD
+    // vocabulary (thousands of rows however big the corpus), with corpus
+    // mass carried as an integer weight from one word-count aggregation —
+    // the raw token stream is never re-scanned per merge iteration.
+    QueryDef(
+      "bpe_merge_step",
+      (s, d) => {
+        val wordFreq = t(s, d, "documents")
+          .select(explode(TextOps.tokens(col("text"))).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("wf"))
+        wordFreq
+          // single-char words carry no pairs; the filter also guards
+          // Spark's sequence(1, 0), which DESCENDS instead of being empty
+          .filter(length(col("word")) >= 2)
+          .select(col("wf"), explode(expr(
+            "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")).as("pair"))
+          .groupBy("pair").agg(sum(col("wf")).as("freq"))
+          .orderBy(col("freq").desc, col("pair"))
+          .limit(20)
+      },
+      Some("""WITH wf AS (
+             |  SELECT tok AS word, count(*) AS wf
+             |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+             |  GROUP BY tok),
+             |pairs AS (
+             |  SELECT substr(word, CAST(i AS INT), 2) AS pair, wf
+             |  FROM (SELECT word, wf, unnest(range(1, length(word))) AS i FROM wf))
+             |SELECT pair, CAST(sum(wf) AS BIGINT) AS freq
+             |FROM pairs GROUP BY pair
+             |ORDER BY freq DESC, pair LIMIT 20""".stripMargin)),
+
     // Inverted-index build: token → document frequency + the first 20
     // postings (sorted doc_ids, serialized for the comparator) — the
     // retrieval-side artifact of a corpus (BM25/keyword search over

@@ -187,21 +187,71 @@ object DedupQueries {
     QueryDef(
       "dedup_simhash",
       (s, d) => Dedup.simhash(t(s, d, "documents"), "doc_id", "text"),
+      Some(simhashOracleSql("SELECT doc_id, CAST(%s AS BIGINT) AS simhash FROM voted"))),
+
+    // SimHash hamming-RADIUS search (the step beyond dedup_simhash's
+    // exact-collision grouping): pairs within hamming distance 3 of each
+    // other's 60-bit fingerprints. Candidate generation is the pigeonhole
+    // multi-index — 4 bands of 15 bits; ≤3 differing bits can dirty at
+    // most 3 bands, so every qualifying pair shares ≥1 intact band and
+    // surfaces from a shuffled equi-join on (band, band_bits), never an
+    // all-pairs scan. bit_count(xor) then verifies exactly. The same
+    // banded join at 100 TB touches only per-bucket candidate sets (LSH
+    // economics, deterministic recall = 1 by construction for r ≤ 3).
+    QueryDef(
+      "dedup_simhash_hamming",
+      (s, d) => {
+        val fp = Dedup.simhash(t(s, d, "documents"), "doc_id", "text")
+        val bands = fp.select(col("doc_id"), col("simhash"),
+          explode(array((0 until 4).map(j => struct(
+            lit(j).as("band"),
+            shiftright(col("simhash"), 15 * j).bitwiseAND(lit(0x7fffL)).as("bits"))): _*)).as("b"))
+          .select(col("doc_id"), col("simhash"), col("b.band").as("band"), col("b.bits").as("bits"))
+        bands.select(col("doc_id").as("doc_id_a"), col("simhash").as("fp_a"),
+            col("band"), col("bits"))
+          .join(bands.select(col("doc_id").as("doc_id_b"), col("simhash").as("fp_b"),
+            col("band"), col("bits")), Seq("band", "bits"))
+          .filter(col("doc_id_a") < col("doc_id_b"))
+          .select("doc_id_a", "doc_id_b", "fp_a", "fp_b").distinct() // collapse multi-band hits
+          .select(col("doc_id_a"), col("doc_id_b"),
+            expr("bit_count(fp_a ^ fp_b)").cast("long").as("hamming"))
+          .filter(col("hamming") <= 3)
+      },
       Some {
-        val votes = (0 until Dedup.SimhashBits).map { j =>
-          s"sum((((CAST(strpos('0123456789abcdef', h[${j / 4 + 1}]) AS BIGINT) - 1) >> ${j % 4}) & 1) * 2 - 1) AS v$j"
-        }.mkString(",\n    ")
-        val packed = (0 until Dedup.SimhashBits).map { j =>
-          s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)"
-        }.mkString(" + ")
-        s"""WITH tokh AS (
-           |  SELECT doc_id, md5(tok) AS h
-           |  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
-           |        FROM documents)),
-           |voted AS (
-           |  SELECT doc_id,
-           |    $votes
-           |  FROM tokh GROUP BY doc_id)
-           |SELECT doc_id, CAST($packed AS BIGINT) AS simhash FROM voted""".stripMargin
+        val fpSql = simhashOracleSql("SELECT doc_id, CAST(%s AS BIGINT) AS simhash FROM voted")
+        s"""WITH fp AS ($fpSql),
+           |bands AS (
+           |  SELECT doc_id, simhash, j AS band, (simhash >> (15 * CAST(j AS INT))) & 32767 AS bits
+           |  FROM (SELECT doc_id, simhash, unnest(range(0, 4)) AS j FROM fp)),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           |    a.simhash AS fp_a, b.simhash AS fp_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id)
+           |SELECT doc_id_a, doc_id_b,
+           |  CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+           |FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3""".stripMargin
       }))
+
+  /** The SimHash fingerprint CTE chain (tokh → voted → packed), shared by
+    * the fingerprint query and the hamming-radius search; `shape` is the
+    * final SELECT with a %s hole for the packed-bits expression.
+    */
+  private def simhashOracleSql(shape: String): String = {
+    val votes = (0 until Dedup.SimhashBits).map { j =>
+      s"sum((((CAST(strpos('0123456789abcdef', h[${j / 4 + 1}]) AS BIGINT) - 1) >> ${j % 4}) & 1) * 2 - 1) AS v$j"
+    }.mkString(",\n    ")
+    val packed = (0 until Dedup.SimhashBits).map { j =>
+      s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH tokh AS (
+       |  SELECT doc_id, md5(tok) AS h
+       |  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+       |        FROM documents)),
+       |voted AS (
+       |  SELECT doc_id,
+       |    $votes
+       |  FROM tokh GROUP BY doc_id)
+       |${shape.format(packed)}""".stripMargin
+  }
 }
