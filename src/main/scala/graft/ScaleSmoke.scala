@@ -112,7 +112,13 @@ object ScaleSmoke {
     // double-correlated q21 semi+anti chain, the corpus-global rare-token
     // join-back, and the bloom prefilter (probe-side cost is the point)
     "dedup_components", "q21_waiting_supplier", "rare_token_docs",
-    "decontam_bloom_prefilter")
+    "decontam_bloom_prefilter",
+    // round 6 additions: the banded hamming self-join (candidate-pair
+    // growth is the thing to watch — the pigeonhole bands must keep it
+    // linear), the co-purchase self-join (per-order pair expansion), and
+    // the capped inverted-index build (WindowGroupLimit must hold the
+    // posting work flat per token)
+    "dedup_simhash_hamming", "copurchase_pairs", "inverted_index_postings")
 
   /** Run each smoke query twice on the scaled dir, return min seconds. */
   def run(spark: SparkSession, scaledDir: String): Map[String, Double] =
