@@ -118,7 +118,10 @@ object ScaleSmoke {
     // linear), the co-purchase self-join (per-order pair expansion), and
     // the capped inverted-index build (WindowGroupLimit must hold the
     // posting work flat per token)
-    "dedup_simhash_hamming", "copurchase_pairs", "inverted_index_postings")
+    "dedup_simhash_hamming", "copurchase_pairs", "inverted_index_postings",
+    // exact prefix-filtered similarity join: candidate growth under the
+    // rarest-first prefix is the scale question (must stay ≪ all-pairs)
+    "simjoin_prefix_filter")
 
   /** Run each smoke query twice on the scaled dir, return min seconds. */
   def run(spark: SparkSession, scaledDir: String): Map[String, Double] =
