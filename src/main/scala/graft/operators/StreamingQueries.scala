@@ -40,6 +40,7 @@ object StreamingQueries {
       StreamingQueries.getClass, EnvelopeQueries.getClass,
       classOf[Scd2Streaming.TouchedKeysMaintainer], Scd2Streaming.getClass,
       classOf[graft.streaming.CurrentState.LakeMaintainer],
+      classOf[graft.streaming.StatefulAgg.RunningAgg],
       graft.streaming.StreamingDedup.getClass, graft.cdc.Scd2.getClass,
       graft.text.TextOps.getClass)
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -398,6 +399,52 @@ object StreamingQueries {
       .coalesce(1).write.mode("overwrite").parquet(resultOut)
   }
 
+  /** Running per-key aggregate through the Spark 4 arbitrary-state v2 API
+    * ([[graft.streaming.StatefulAgg.RunningAgg]]): transformWithState
+    * requires the RocksDB state store, so the conf is set for the run and
+    * restored after. Update-mode emissions land per batch; the converged
+    * value per key is the last emission (argmax by batch id).
+    */
+  private def runStatefulAgg(s: SparkSession, sfDir: String, scratch: String, resultOut: String): Unit = {
+    import s.implicits._
+    val glob = stageEventSlices(s, sfDir, s"$scratch/evlake")
+    val out = s"$scratch/emissions"
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = s.conf.getOption(providerKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ds = eventStream(s, glob)
+        .select(col("user_id"),
+          (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+            .cast("long").as("cents"))
+        .as[(Long, Long)]
+      val updates = ds.groupByKey(_._1)
+        .transformWithState(new graft.streaming.StatefulAgg.RunningAgg,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+      val q = updates.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.streaming.StatefulAgg.UserAgg], batchId: Long) =>
+          b.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(out)
+          ()
+        }
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally prior match {
+      case Some(v) => s.conf.set(providerKey, v)
+      case None => s.conf.unset(providerKey)
+    }
+    s.read.parquet(out)
+      .groupBy("user_id")
+      .agg(max_by(struct(col("n_events"), col("sum_cents")), col("batch_id")).as("v"))
+      .select(col("user_id"), col("v.n_events").as("n_events"),
+        col("v.sum_cents").as("sum_cents"))
+      .coalesce(1).write.mode("overwrite").parquet(resultOut)
+  }
+
   /** Stream-stream interval join over two unbounded inputs (views and
     * clicks carved from the same multi-trigger event stream): each click
     * attributes to every view by the same user in the preceding 30
@@ -517,6 +564,17 @@ object StreamingQueries {
              |  SELECT content_hash, doc_id AS keep_id,
              |    ROW_NUMBER() OVER (PARTITION BY content_hash ORDER BY b, doc_id) AS rn
              |  FROM h) WHERE rn = 1""".stripMargin),
+      bench = false, sideEffecting = true),
+
+    // The transformWithState running aggregate must converge to the batch
+    // GROUP BY — integer-cents state keeps the comparison exact; a state
+    // row lost across triggers (or a double-applied batch) hash-fails.
+    QueryDef(
+      "streaming_stateful_agg",
+      (s, d) => cachedStream(s, "streaming_stateful_agg", d)(runStatefulAgg(s, d, _, _)),
+      Some("""SELECT user_id, count(*) AS n_events,
+             |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+             |FROM events GROUP BY user_id""".stripMargin),
       bench = false, sideEffecting = true),
 
     // The lake-persisted current-state maintainer must converge to the
