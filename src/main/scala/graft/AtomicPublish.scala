@@ -56,6 +56,13 @@ object AtomicPublish {
       try {
         val lock = ch.lock()
         try {
+          // While holding the publishers' lock: reap orphans from crashed
+          // publishers — a death after the tmp→dst install but before
+          // deleteTree(doomed) leaks a $dst.doomed-<pid>-<nano> tree (and
+          // a kill -9 mid-build leaks $dst.tmp-…). Tags carry the owner
+          // pid; only trees whose owner is dead are swept, so a live
+          // concurrent publisher's private dirs are never touched.
+          sweepDeadSiblings(dstPath)
           if (currentStamp(marker).contains(stamp)) deleteTree(tmp) // another writer won with the same stamp
           else {
             // Stale publication: move it ASIDE first, then install, then
@@ -74,6 +81,28 @@ object AtomicPublish {
       } finally ch.close()
     }
     dst
+  }
+
+  /** Delete `$dst.doomed-*` / `$dst.tmp-*` siblings whose owning pid (the
+    * tag's first component) is no longer alive. Caller holds the publish
+    * lock, so no concurrent sweep or install races this.
+    */
+  private def sweepDeadSiblings(dstPath: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val parent = dstPath.getParent
+    if (parent == null || !Files.isDirectory(parent)) return
+    val base = dstPath.getFileName.toString
+    val prefixes = Seq(s"$base.doomed-", s"$base.tmp-")
+    Files.list(parent).iterator().asScala.toSeq.foreach { p =>
+      val n = p.getFileName.toString
+      prefixes.find(n.startsWith).foreach { pre =>
+        val ownerPid = n.stripPrefix(pre).takeWhile(_.isDigit)
+        if (ownerPid.nonEmpty) {
+          val h = ProcessHandle.of(ownerPid.toLong)
+          if (!(h.isPresent && h.get().isAlive)) deleteTree(p)
+        }
+      }
+    }
   }
 
   private def currentStamp(marker: Path): Option[String] =

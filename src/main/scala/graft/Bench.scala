@@ -18,6 +18,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // saveAsTable targets (bucketed-join tables) go to /tmp, not the
+      // repo-local ./spark-warehouse default (same choice as GraftSession).
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -32,12 +35,18 @@ object Bench {
     // partially absorbs (measured: several queries need 3 executions to
     // reach steady state); the minimum is the steady-state cost a real
     // deployment sees.
+    // Failure diagnostics live in the JSON itself (exception class +
+    // message head per failed query), so an rc=1 round is diagnosable
+    // from BENCH_r*.json alone without the stderr log (VERDICT r6).
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.benchQueries.map { name =>
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fns(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          errors(name) =
+            s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}"
           -1.0 // failure marker — must not masquerade as a fast run
         }
       }
@@ -80,7 +89,15 @@ object Bench {
 
     // failures are explicit in the JSON (a filtered-out -1 would make the
     // total look FASTER) and fail the process so no consumer can miss them
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"$smokeJson}""")
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val errorsJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"errors":$errorsJson,"sf":"$sfDir"$smokeJson}""")
     spark.stop()
     if (failed.nonEmpty || smokeFailed.nonEmpty) sys.exit(1)
   }

@@ -14,6 +14,25 @@ import org.apache.spark.sql.types.DecimalType
   */
 object AnalyticsQueries {
 
+  /** Create a bucketed+sorted table if this session's catalog lacks it.
+    * The catalog is in-memory per JVM while the /tmp warehouse persists,
+    * so a fresh session must clear the orphaned location first — the CTAS
+    * otherwise throws LOCATION_ALREADY_EXISTS over the previous JVM's
+    * files (this killed BENCH_r06). Serialized per-process; cross-process
+    * runs are sequential (Verify and Bench never overlap).
+    */
+  private def ensureBucketedTable(s: org.apache.spark.sql.SparkSession,
+      name: String, key: String, df: => org.apache.spark.sql.DataFrame): Unit =
+    synchronized {
+      if (!s.catalog.tableExists(name)) {
+        val loc = java.nio.file.Paths.get(
+          s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name)
+        graft.AtomicPublish.deleteTree(loc)
+        df.write.bucketBy(8, key).sortBy(key)
+          .mode("overwrite").format("parquet").saveAsTable(name)
+      }
+    }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Behavioral sequence mining: the 25 most common 3-event paths across
@@ -507,14 +526,10 @@ object AnalyticsQueries {
       (s, d) => {
         val tag = d.replaceAll("[^A-Za-z0-9]+", "_")
         val (lt, ot) = (s"graft_li_bkt_$tag", s"graft_ord_bkt_$tag")
-        if (!s.catalog.tableExists(lt))
-          t(s, d, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
-            .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-            .mode("overwrite").format("parquet").saveAsTable(lt)
-        if (!s.catalog.tableExists(ot))
-          t(s, d, "orders").select("o_orderkey", "o_orderpriority")
-            .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-            .mode("overwrite").format("parquet").saveAsTable(ot)
+        ensureBucketedTable(s, lt, "l_orderkey",
+          t(s, d, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount"))
+        ensureBucketedTable(s, ot, "o_orderkey",
+          t(s, d, "orders").select("o_orderkey", "o_orderpriority"))
         s.table(ot).join(s.table(lt), col("o_orderkey") === col("l_orderkey"))
           .groupBy("o_orderpriority")
           .agg(count(lit(1)).as("n_items"),

@@ -222,7 +222,12 @@ object DedupQueries {
           col("pos") <= col("sz") - expr("(3 * sz + 4) div 5") + 1)
         val cands = prefix.select(col("doc_id").as("ida"), col("tok"), col("sz").as("sza"))
           .join(prefix.select(col("doc_id").as("idb"), col("tok"), col("sz").as("szb")), "tok")
-          .filter(col("ida") < col("idb"))
+          // size-boundary prune (AllPairs): J ≥ 3/5 needs 3·max(|A|,|B|)
+          // ≤ 5·min(|A|,|B|) — kills candidates BEFORE the distinct and
+          // the two token re-joins (this query was 37% of the r6 10×
+          // smoke budget without it)
+          .filter(col("ida") < col("idb") &&
+            col("sza") * 3 <= col("szb") * 5 && col("szb") * 3 <= col("sza") * 5)
           .select("ida", "idb", "sza", "szb").distinct()
         val inter = cands
           .join(toks.select(col("doc_id").as("ida"), col("tok")), Seq("ida"))
@@ -247,7 +252,8 @@ object DedupQueries {
              |pref AS (SELECT * FROM sized WHERE pos <= sz - (3 * sz + 4) // 5 + 1),
              |cands AS (
              |  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb, a.sz AS sza, b.sz AS szb
-             |  FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+             |  FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id
+             |    AND a.sz * 3 <= b.sz * 5 AND b.sz * 3 <= a.sz * 5),
              |inter AS (
              |  SELECT c.ida, c.idb, c.sza, c.szb, count(*) AS ov
              |  FROM cands c

@@ -136,6 +136,38 @@ object EnvelopeQueries {
       },
       Some(usersScd2OracleSql)),
 
+    // Schema-INFERENCE scan (SURVEY §2 S2; reference init_duckdb.sh:23-25
+    // reads the raw lake with read_json_auto, no declared schema): parse
+    // the envelope NDJSON via spark.read.json with the schema inferred
+    // from the data — a separate code path from readEnvelopes' explicit
+    // CdcSchemas contract (inference samples the files, unions observed
+    // types, and must land on the same long/string/double shapes DuckDB's
+    // read_json_auto derives). Row-level projection, no aggregation, so
+    // the hash pins every inferred value, nulls included. At 100 TB the
+    // inference pass is a bounded sample (samplingRatio), not a second
+    // full scan; here the lake is 20k rows so full-sample is fine.
+    QueryDef(
+      "cdc_json_inference_scan",
+      (s, d) => {
+        val dir = buildLake(s, d)
+        val env = s.read.json(dir + "/part-*") // no schema: inferred
+        env.select(
+          coalesce(col("payload.after.id"), col("payload.before.id")).as("id"),
+          col("payload.op").as("op"),
+          col("payload.ts_ms").as("ts_ms"),
+          col("payload.source.lsn").as("lsn"),
+          coalesce(col("payload.after.name"), col("payload.before.name")).as("name"),
+          coalesce(col("payload.after.price"), col("payload.before.price")).as("price"))
+      },
+      Some(s"""SELECT
+             |  coalesce(payload.after.id, payload.before.id) AS id,
+             |  payload.op AS op, payload.ts_ms AS ts_ms,
+             |  payload.source.lsn AS lsn,
+             |  coalesce(payload.after.name, payload.before.name) AS name,
+             |  coalesce(payload.after.price, payload.before.price) AS price
+             |FROM read_json_auto('$LakeDir/part-*',
+             |  sample_size=-1, field_appearance_threshold=0)""".stripMargin)),
+
     // Small-file compaction round-trip (SURVEY §7.4: the reference's S3
     // sink flushes every 3 records, so the lake is thousands of tiny
     // objects): compact the envelope lake to ~1 MiB gzip NDJSON files,

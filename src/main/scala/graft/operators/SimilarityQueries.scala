@@ -165,7 +165,13 @@ object SimilarityQueries {
     // broadcasts (a bounded eval set); the corpus is scanned once; the
     // rank<=5 filter compiles to WindowGroupLimit (per-probe k-row limit,
     // no global sort). Ties are pinned on both engines: neighbor ties by
-    // (sim DESC, c_id), vote ties by the smaller label.
+    // (sim DESC, c_id), vote ties by the smaller label. The neighbor
+    // ranking key is the cosine QUANTIZED to an integer (round(sim*1e12))
+    // on both engines, so a sub-1e-12 cross-engine ULP wobble at the
+    // rank-5 boundary cannot flip top-5 membership — the raw-double
+    // ordering went hash-red in CORRECTNESS_r06 without reproducing
+    // locally, which is exactly the signature of an environment-dependent
+    // last-bit divergence.
     QueryDef(
       "knn_label_vote",
       (s, d) => {
@@ -177,9 +183,10 @@ object SimilarityQueries {
         val corpus = emb.filter(col("vec_id") >= 50)
           .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"),
             col("label").as("c_label"))
-        val byQ = w.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
+        val byQ = w.partitionBy("q_id").orderBy(col("sim_q").desc, col("c_id"))
         val top5 = corpus.crossJoin(broadcast(probes))
-          .withColumn("sim", Similarity.cosine(col("q_vec"), col("c_vec")))
+          .withColumn("sim_q",
+            round(Similarity.cosine(col("q_vec"), col("c_vec")) * lit(1e12)).cast("long"))
           .withColumn("rn", row_number().over(byQ)).filter(col("rn") <= 5)
         val byVote = w.partitionBy("q_id").orderBy(col("n_votes").desc, col("c_label"))
         top5.groupBy("q_id", "true_label", "c_label")
@@ -195,12 +202,12 @@ object SimilarityQueries {
               |           FROM embeddings WHERE vec_id < 50),
               |scored AS (
               |  SELECT q_id, true_label, c.label AS c_label, c.vec_id AS c_id,
-              |         ${cosineSql("qvec", "c.embedding")} AS sim
+              |         CAST(round(${cosineSql("qvec", "c.embedding")} * 1e12) AS BIGINT) AS sim_q
               |  FROM embeddings c, q WHERE c.vec_id >= 50),
               |top5 AS (
               |  SELECT * FROM (
               |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
-              |              ORDER BY sim DESC, c_id) AS rn
+              |              ORDER BY sim_q DESC, c_id) AS rn
               |    FROM scored) WHERE rn <= 5),
               |votes AS (
               |  SELECT q_id, true_label, c_label, count(*) AS n_votes

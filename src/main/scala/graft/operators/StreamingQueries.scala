@@ -29,25 +29,54 @@ object StreamingQueries {
 
   /** Code generation for the cached results below (they live in /tmp
     * across processes and driver rounds): derived MECHANICALLY from the
-    * compiled bytecode of every class a streamed pipeline executes, so any
-    * recompiled semantic change invalidates the cache by construction —
-    * no manual bump to forget (ADVICE r4). Anonymous foreachBatch bodies
-    * compile into these objects' class files (Scala 2.13 lambdas are
-    * methods + invokedynamic), so edits to them are covered too.
+    * compiled bytecode of every class a streamed pipeline can execute, so
+    * any recompiled semantic change invalidates the cache by construction
+    * — no manual bump to forget (ADVICE r4). Coverage is by PACKAGE, not
+    * a hand-curated class list: a curated list just moves the failure
+    * mode from "forgot to bump" to "forgot to extend the list" (ADVICE
+    * r6 — and indeed the old list missed Compaction, which the
+    * lake-roundtrip pipelines execute). Walking the package dirs also
+    * picks up separate anon-class files (`…$$anon$N.class`) that hashing
+    * a single object's class file would miss; plain lambda bodies compile
+    * into the host class file either way.
     */
   private lazy val CacheGen: String = {
-    val classes = Seq(
-      StreamingQueries.getClass, EnvelopeQueries.getClass,
-      classOf[Scd2Streaming.TouchedKeysMaintainer], Scd2Streaming.getClass,
-      classOf[graft.streaming.CurrentState.LakeMaintainer],
-      classOf[graft.streaming.StatefulAgg.RunningAgg],
-      graft.streaming.StreamingDedup.getClass, graft.cdc.Scd2.getClass,
-      graft.text.TextOps.getClass)
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    // Full packages any streamed/cached pipeline reaches, plus the
+    // graft.operators classes hosting the pipeline bodies themselves.
+    val pkgDirs = Seq("graft/streaming/", "graft/cdc/", "graft/text/")
+    val hostPrefixes = Seq("StreamingQueries", "EnvelopeQueries", "Compaction")
+      .map("graft/operators/" + _)
+    def covered(relName: String): Boolean = relName.endsWith(".class") &&
+      (pkgDirs.exists(relName.startsWith) || hostPrefixes.exists(relName.startsWith))
+    val loc = Paths.get(StreamingQueries.getClass
+      .getProtectionDomain.getCodeSource.getLocation.toURI)
+    // sbt `test` runs from the classes directory; sbt `runMain` packages
+    // the same classes into a jar — hash identical (name, bytes) pairs
+    // from either layout so the generation tag matches across them.
+    val entries: Seq[(String, Array[Byte])] =
+      if (Files.isDirectory(loc))
+        Files.walk(loc).iterator().asScala
+          .filter(Files.isRegularFile(_))
+          .map(p => loc.relativize(p).toString -> p)
+          .filter(e => covered(e._1))
+          .map { case (n, p) => n -> Files.readAllBytes(p) }
+          .toSeq
+      else {
+        val jar = new java.util.jar.JarFile(loc.toFile)
+        try jar.entries().asScala
+          .filter(e => covered(e.getName))
+          .map { e =>
+            val in = jar.getInputStream(e)
+            try e.getName -> in.readAllBytes() finally in.close()
+          }.toSeq
+        finally jar.close()
+      }
+    require(entries.nonEmpty, s"no covered class files found in $loc")
     val md = java.security.MessageDigest.getInstance("MD5")
-    classes.foreach { c =>
-      val res = c.getResourceAsStream("/" + c.getName.replace('.', '/') + ".class")
-      require(res != null, s"class bytes not found for ${c.getName}")
-      try md.update(res.readAllBytes()) finally res.close()
+    entries.sortBy(_._1).foreach { case (n, bytes) =>
+      md.update(n.getBytes("UTF-8")); md.update(bytes)
     }
     md.digest().map("%02x".format(_)).mkString.take(16)
   }
