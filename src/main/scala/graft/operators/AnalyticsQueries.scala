@@ -93,6 +93,31 @@ object AnalyticsQueries {
              |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    // HOPPING (sliding) windows — the overlap case tumbling can't
+    // express: 30-minute windows advancing every 15, so every event
+    // belongs to exactly 2 windows. Spark's window() plans this as a
+    // generate (one row per covering window) + ONE hash aggregation —
+    // output scales with distinct (window, type) buckets, input rows are
+    // expanded duration/slide = 2×, never joined against a window table.
+    // The oracle replays the assignment arithmetically: window starts are
+    // floor(epoch/slide)·slide − k·slide for k in {0,1} — integer epoch
+    // math, boundary semantics [start, start+30min) identical on both
+    // engines. The decimal-cast sum keeps the value column exact.
+    QueryDef(
+      "window_hopping_agg",
+      (s, d) => t(s, d, "events")
+        .groupBy(window(col("ts"), "30 minutes", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+             sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+        .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+                col("event_type"), col("n_events"), col("sum_value")),
+      Some("""SELECT make_timestamp((epoch_us(ts) // 900000000 - k) * 900000000)
+             |    AS window_start,
+             |  event_type, count(*) AS n_events,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events, unnest([0, 1]) AS hop(k)
+             |GROUP BY 1, 2""".stripMargin)),
+
     // Time-series gap-fill + forward-fill: densify each user's activity to
     // a contiguous daily grid (sequence + explode — generated distributed,
     // never a driver-side calendar), then carry the last observed daily
@@ -509,6 +534,85 @@ object AnalyticsQueries {
              |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
              |GROUP BY 1, 2
              |ORDER BY n_orders DESC, part_a, part_b LIMIT 50""".stripMargin)),
+
+    // Triangle census over the co-purchase graph — the canonical
+    // distributed-graph pattern beyond one power-iteration step
+    // (pagerank_one_step), made scale-honest TWICE over. (1) COLORFUL
+    // SPARSIFICATION (Pagh–Tsourakakis): vertices get one of c=16
+    // deterministic colors (key mod c) and only monochromatic edges are
+    // kept — each triangle survives with probability 1/c², so
+    // mono_count · c² is the unbiased estimate; the full 100 TB edge set
+    // is never joined (the raw co-purchase graph is ~256× more wedges).
+    // (2) DEGREE ORIENTATION (Cohen / Suri-Vassilvitskii) on the kept
+    // subgraph: every edge points from its lower-(degree, id) endpoint
+    // to the higher, so wedge fanout per node is bounded by out-degree
+    // ≤ O(√m) regardless of raw degree — the hot part in 10% of baskets
+    // contributes only wedges it can close. One wedge self-join on src +
+    // one closure equi-join; each triangle counted exactly once because
+    // wedge pair and closing edge respect the same total order. The
+    // oracle replays the monochromatic count with the plain a<b triple
+    // join — identical integers, different join geometry. Wedge total
+    // Σ C(deg, 2), the ×256 scale-up, and the clustering ratio are
+    // integer-exact; the single division is engine-identical.
+    QueryDef(
+      "graph_triangle_census",
+      (s, d) => {
+        val items = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val edges = items.select(col("l_orderkey"), col("l_partkey").as("a"))
+          .join(items.select(col("l_orderkey"), col("l_partkey").as("b")),
+            "l_orderkey")
+          .filter(col("a") < col("b") && col("a") % 16 === col("b") % 16)
+          .select("a", "b").distinct()
+        val deg = edges.select(explode(array(col("a"), col("b"))).as("v"))
+          .groupBy("v").agg(count(lit(1)).as("dg"))
+        val withDeg = edges
+          .join(deg.select(col("v").as("a"), col("dg").as("da")), "a")
+          .join(deg.select(col("v").as("b"), col("dg").as("db")), "b")
+        val oriented = withDeg.select(
+          when(col("da") < col("db") ||
+               (col("da") === col("db") && col("a") < col("b")),
+            struct(col("a").as("s"), col("b").as("t"), col("db").as("dt")))
+          .otherwise(
+            struct(col("b").as("s"), col("a").as("t"), col("da").as("dt"))).as("e"))
+          .select(col("e.s").as("src"), col("e.t").as("dst"), col("e.dt").as("ddst"))
+        val wedgePairs = oriented.select(col("src"), col("dst").as("u"), col("ddst").as("du"))
+          .join(oriented.select(col("src"), col("dst").as("v"), col("ddst").as("dv")), "src")
+          .filter(col("du") < col("dv") ||
+                  (col("du") === col("dv") && col("u") < col("v")))
+        val triangles = wedgePairs
+          .join(oriented.select(col("src").as("u"), col("dst").as("v")), Seq("u", "v"))
+          .agg(count(lit(1)).as("n_triangles"))
+        val edgeCount = edges.agg(count(lit(1)).as("n_edges"))
+        val wedgeCount = deg.agg(sum(expr("dg * (dg - 1) div 2")).as("n_wedges"))
+        edgeCount.join(broadcast(wedgeCount)).join(broadcast(triangles))
+          .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+            (col("n_triangles") * lit(256L)).as("est_triangles_full"),
+            (col("n_triangles").cast("double") * 3.0 /
+             col("n_wedges").cast("double")).as("global_clustering"))
+      },
+      Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |edges AS (
+             |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+             |  FROM items x JOIN items y
+             |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+             |       AND x.l_partkey % 16 = y.l_partkey % 16),
+             |deg AS (
+             |  SELECT v, count(*) AS dg
+             |  FROM (SELECT a AS v FROM edges UNION ALL SELECT b FROM edges)
+             |  GROUP BY v),
+             |tri AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+             |  FROM edges e1
+             |  JOIN edges e2 ON e1.b = e2.a
+             |  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b),
+             |ec AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM edges),
+             |wc AS (SELECT CAST(sum(dg * (dg - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
+             |SELECT n_edges, n_wedges, n_triangles,
+             |  n_triangles * 256 AS est_triangles_full,
+             |  CAST(n_triangles AS DOUBLE) * 3.0 / CAST(n_wedges AS DOUBLE)
+             |    AS global_clustering
+             |FROM ec, wc, tri""".stripMargin)),
 
     // Bucketed co-located join — the OTHER half of the layout story next
     // to z-order: both fact tables are saved bucketed (8 buckets) AND

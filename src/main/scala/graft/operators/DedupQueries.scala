@@ -307,7 +307,66 @@ object DedupQueries {
            |SELECT doc_id_a, doc_id_b,
            |  CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
            |FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3""".stripMargin
-      }))
+      }),
+
+    // Incremental dedup — the CONTINUOUS-INGESTION shape every batch
+    // pipeline above lacks: a "new batch" (doc_id ≡ 0 mod 5) is admitted
+    // only if no SEEN document (the other 80%) verifies as a near-dup.
+    // The LSH band join is new-batch × seen-index (never seen × seen):
+    // at 100 TB the seen side is a PRECOMPUTED band index maintained as
+    // a table — each arriving batch shuffles only its own bands against
+    // it, so per-batch cost is O(batch), not O(corpus) — and exact
+    // Jaccard verification touches only cross-side band collisions. The
+    // final left-anti join admits everything the index never flagged
+    // (including sub-shingle-length docs, which have no bands by
+    // construction on both engines).
+    QueryDef(
+      "dedup_incremental_newbatch",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val isNew = col("doc_id") % 5 === 0
+        val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", numHashes = 16)
+        val sigArr = array((0 until 16).map(h => col(s"m$h")): _*)
+        val bands = sigs.select(col("doc_id"),
+          explode(Dedup.lshBandDigests(sigArr, 8, 2)).as("band"))
+        // bucket both sides in ONE aggregation over one pass of the
+        // signature pipeline (a band self-join would recompute the whole
+        // minhash subtree per side — same rationale as minhashCandidates);
+        // collect_list drops the nulls the when() leaves on the other side
+        val buckets = bands.groupBy("band").agg(
+          collect_list(when(col("doc_id") % 5 === 0, col("doc_id"))).as("news"),
+          collect_list(when(col("doc_id") % 5 =!= 0, col("doc_id"))).as("seens"))
+          .filter(size(col("news")) > 0 && size(col("seens")) > 0)
+        val cands = buckets
+          .select(explode(col("news")).as("new_id"), col("seens"))
+          .select(col("new_id"), explode(col("seens")).as("seen_id"))
+          .distinct()
+        val sets = docs.select(col("doc_id"), Dedup.shingleSet(col("text"), 3).as("sset"))
+        val rejected = cands
+          .join(sets.select(col("doc_id").as("new_id"), col("sset").as("sa")), "new_id")
+          .join(sets.select(col("doc_id").as("seen_id"), col("sset").as("sb")), "seen_id")
+          .filter(Dedup.jaccard(col("sa"), col("sb")) >= 0.2)
+          .select("new_id").distinct()
+        docs.filter(isNew)
+          .join(rejected, col("doc_id") === col("new_id"), "left_anti")
+          .select(col("doc_id")).orderBy("doc_id")
+      },
+      Some(s"""${candidatesCte.replace(
+               """cands AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+                 |          FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)""".stripMargin,
+               """cands AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS seen_id
+                 |          FROM bands a JOIN bands b ON a.band = b.band
+                 |          WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0)""".stripMargin)},
+             |sets AS (SELECT doc_id, list_distinct($shinglesSql) AS sset FROM documents),
+             |rejected AS (
+             |  SELECT DISTINCT new_id
+             |  FROM cands JOIN sets a ON new_id = a.doc_id
+             |             JOIN sets b ON seen_id = b.doc_id
+             |  WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+             |      / CAST(len(list_distinct(list_concat(a.sset, b.sset))) AS DOUBLE) >= 0.2)
+             |SELECT doc_id FROM documents
+             |WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT new_id FROM rejected)
+             |ORDER BY doc_id""".stripMargin)))
 
   /** The SimHash fingerprint CTE chain (tokh → voted → packed), shared by
     * the fingerprint query and the hamming-radius search; `shape` is the

@@ -106,6 +106,25 @@ object EnvelopeQueries {
     UsersLakeDir
   }
 
+  /** Two deterministic parquet "generations" with drifted schemas (gen2
+    * adds `category`); fully synthetic, byte-stable, published once via
+    * [[graft.AtomicPublish]] like the envelope lakes above.
+    */
+  private[operators] val SchemaGensDir = "/tmp/graft_schema_gens"
+
+  private def buildSchemaGens(s: SparkSession): String = {
+    graft.AtomicPublish.ensure(SchemaGensDir) { tmp =>
+      def base(df: DataFrame) = df.select(col("id"),
+        concat(lit("item-"), (col("id") % 997).cast("string")).as("name"),
+        ((col("id") % 400).cast("double") / 4.0).as("price"))
+      base(s.range(5000).toDF()).coalesce(2).write.parquet(s"$tmp/gen1")
+      base(s.range(5000, 10000).toDF())
+        .withColumn("category", concat(lit("cat-"), (col("id") % 7).cast("string")))
+        .coalesce(2).write.parquet(s"$tmp/gen2")
+    }
+    SchemaGensDir
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "cdc_envelope_scd2",
@@ -167,6 +186,31 @@ object EnvelopeQueries {
              |  coalesce(payload.after.price, payload.before.price) AS price
              |FROM read_json_auto('$LakeDir/part-*',
              |  sample_size=-1, field_appearance_threshold=0)""".stripMargin)),
+
+    // Schema evolution across lake generations: an older parquet
+    // generation lacks a column a newer one added (the drift every
+    // long-lived lake accumulates — the reference's ALTER-prone Postgres
+    // schema lands in S3 as exactly this). Spark reads both generations
+    // in one scan with mergeSchema=true — footer-level schema union, old
+    // rows surface NULL for the added column, no rewrite of old files;
+    // DuckDB replays it with union_by_name. Row-level output so the hash
+    // pins every filled NULL. At 100 TB, mergeSchema's footer sampling is
+    // itself a job — a production lake declares the evolved schema in a
+    // catalog/table format instead; the READ semantics (by-name union,
+    // null-fill) are what this query pins, and they are identical either
+    // way.
+    QueryDef(
+      "schema_evolution_scan",
+      (s, d) => {
+        val dir = buildSchemaGens(s)
+        s.read.option("mergeSchema", "true")
+          .parquet(s"$dir/gen1", s"$dir/gen2")
+          .select(col("id"), col("name"), col("price"), col("category"))
+      },
+      Some(s"""SELECT id, name, price, category
+             |FROM read_parquet(
+             |  ['$SchemaGensDir/gen1/*.parquet', '$SchemaGensDir/gen2/*.parquet'],
+             |  union_by_name=true)""".stripMargin)),
 
     // Small-file compaction round-trip (SURVEY §7.4: the reference's S3
     // sink flushes every 3 records, so the lake is thousands of tiny

@@ -272,6 +272,47 @@ object PipelineQueries {
           .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
       }),
 
+    // The 100 TB variant of the column profiler: distinct counts come
+    // from approx_count_distinct (HLL++, map-side mergeable sketch — no
+    // per-value shuffle; profile_numeric_columns' exact form must move
+    // every distinct value of a near-unique double column). Sketch
+    // estimates aren't cross-engine comparable, so — same contract as
+    // approx_quantile_check — Spark computes BOTH the sketch and the
+    // exact count and emits whether the estimate sits within ±5% (the
+    // configured rsd is 0.01, so 5σ; no legitimate run can flip it while
+    // a broken sketch fails); the oracle emits the exact count and
+    // literal TRUE.
+    QueryDef(
+      "profile_numeric_sketch",
+      (s, d) => {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        // The sketches live in their OWN single-pass aggregation: mixing
+        // them into the exact multi-distinct agg drags every HLL buffer
+        // through the 5× Expand (measured 116 s at sf0.1 vs ~2 s split);
+        // the two 1-row results meet in a broadcast join.
+        val exact = t(s, d, "lineitem")
+          .agg(countDistinct(col(cols.head)).as(s"${cols.head}__nd"),
+            cols.tail.map(c => countDistinct(col(c)).as(s"${c}__nd")): _*)
+        val approx = t(s, d, "lineitem")
+          .agg(approx_count_distinct(col(cols.head), rsd = 0.01).as(s"${cols.head}__ad"),
+            cols.tail.map(c => approx_count_distinct(col(c), rsd = 0.01).as(s"${c}__ad")): _*)
+        val stackArgs = cols.map(c => s"'$c', ${c}__nd, ${c}__ad").mkString(", ")
+        exact.join(broadcast(approx))
+          .selectExpr(
+            s"stack(${cols.size}, $stackArgs) AS (col_name, n_distinct, approx_nd)")
+          .select(col("col_name"), col("n_distinct"),
+            (col("approx_nd") >= col("n_distinct") * 0.95 &&
+             col("approx_nd") <= col("n_distinct") * 1.05).as("sketch_in_bounds"))
+          .orderBy("col_name")
+      },
+      Some {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        cols.map(c =>
+          s"""SELECT '$c' AS col_name, count(DISTINCT $c) AS n_distinct,
+             |  TRUE AS sketch_in_bounds FROM lineitem""".stripMargin)
+          .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+      }),
+
     // Dataset card: per (split, lang) document counts and token totals —
     // the composition of split assignment with token counting, aggregated
     // map-side into a handful of rows.

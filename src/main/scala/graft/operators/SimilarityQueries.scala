@@ -158,6 +158,42 @@ object SimilarityQueries {
               |  CAST(sum(CAST(sqrt(${dotSql("embedding", "embedding")}) AS DECIMAL(18,9))) AS DOUBLE) AS sum_norm
               |FROM embeddings GROUP BY label ORDER BY label""".stripMargin)),
 
+    // Symmetric per-vector int8 quantization + round-trip error audit —
+    // the compression step before an embedding corpus ships to an ANN
+    // index (4× smaller than float32, which at 100 TB is the difference
+    // between an index that fits executor memory and one that doesn't).
+    // Per vector: scale = 127/max|x|, q = round(x·scale), error =
+    // max|x − q/scale|; reported per label as an exact max (max of
+    // doubles is order-independent, so no decimal routing is needed —
+    // a SUM of the errors would not be cross-engine stable). All
+    // arithmetic is identical IEEE ops on identical doubles; round() is
+    // half-away-from-zero on both engines. Zero vectors are excluded
+    // (scale undefined) on both sides.
+    QueryDef(
+      "embedding_int8_quantize",
+      (s, d) => t(s, d, "embeddings")
+        .select(col("label"), col("embedding"),
+          array_max(transform(col("embedding"), v => abs(v.cast("double")))).as("mx"))
+        .filter(col("mx") > 0)
+        .withColumn("scale", lit(127.0) / col("mx"))
+        .select(col("label"), array_max(transform(col("embedding"), v =>
+          abs(v.cast("double") -
+            round(v.cast("double") * col("scale")) / col("scale")))).as("err"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"), max(col("err")).as("max_q_err"))
+        .orderBy("label"),
+      Some("""WITH v AS (
+             |  SELECT label, embedding,
+             |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+             |  FROM embeddings),
+             |e AS (
+             |  SELECT label, list_max(list_transform(embedding,
+             |      x -> abs(CAST(x AS DOUBLE)
+             |               - round(CAST(x AS DOUBLE) * scale) / scale))) AS err
+             |  FROM (SELECT label, embedding, 127.0 / mx AS scale FROM v WHERE mx > 0))
+             |SELECT label, count(*) AS n_vecs, max(err) AS max_q_err
+             |FROM e GROUP BY label ORDER BY label""".stripMargin)),
+
     // kNN label-vote evaluation — the supervised quality check run on an
     // embedding space (is the space good enough that neighbors share
     // labels?): 5 nearest corpus neighbors per held-out probe by exact

@@ -248,6 +248,45 @@ class PlanSpec extends SparkSuite {
     assert(scans.size == 2, s"both sides must be bucketed scans, found ${scans.size}")
   }
 
+  test("incremental dedup buckets both sides in one signature pass") {
+    // The new-batch probe must NOT plan as a band self-join (which would
+    // recompute the whole minhash pipeline per side): exactly one
+    // shingle-explode Generate feeds one bucket aggregation that carries
+    // BOTH collect_lists (news + seens).
+    val p = plan("dedup_incremental_newbatch")
+    val shingleGenerates = collectAll(p) {
+      case g: org.apache.spark.sql.execution.GenerateExec
+        if g.generator.toString.contains("word_shingles") => g
+    }
+    assert(shingleGenerates.size == 1,
+      s"signature pipeline must run once, found ${shingleGenerates.size} shingle explodes")
+    val finalBucketAggs = collectAll(p) {
+      case h: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+        if h.aggregateExpressions.exists(a =>
+          a.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Final &&
+          a.aggregateFunction.toString.contains("collect_list")) => h
+    }
+    assert(finalBucketAggs.size == 1,
+      s"both band buckets must come from one aggregation, found ${finalBucketAggs.size}")
+  }
+
+  test("triangle census wedge join is equi, never a nested loop") {
+    // Colorful sparsification + degree orientation only pay off if the
+    // wedge enumeration and closure check stay hash/merge equi-joins over
+    // (src) and (u, v); the 1-row census combiners are the only
+    // nested-loop joins allowed.
+    val p = plan("graph_triangle_census")
+    val bnl = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(bnl.size <= 2,
+      s"only the two 1-row census combiners may nested-loop, found ${bnl.size}")
+    val cart = collectAll(p) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(cart.isEmpty, "triangle census must never plan a cartesian product")
+  }
+
   test("every query plans without error at sf0.001 and returns rows") {
     for (q <- SparkEntry.all) {
       val df = q.spark(spark, sf)
