@@ -121,7 +121,13 @@ object ScaleSmoke {
     "dedup_simhash_hamming", "copurchase_pairs", "inverted_index_postings",
     // exact prefix-filtered similarity join: candidate growth under the
     // rarest-first prefix is the scale question (must stay ≪ all-pairs)
-    "simjoin_prefix_filter")
+    "simjoin_prefix_filter",
+    // round 7: the new-batch LSH probe (bucket fanout must stay linear in
+    // the batch) and the sparsified triangle census (wedge-join growth is
+    // the thing to watch — colorful sampling + degree orientation must
+    // keep it linear; key offsets keep copies disjoint and 10^8 % 16 = 0
+    // preserves the color classes per copy)
+    "dedup_incremental_newbatch", "graph_triangle_census")
 
   /** Run each smoke query twice on the scaled dir, return min seconds. */
   def run(spark: SparkSession, scaledDir: String): Map[String, Double] =

@@ -182,6 +182,38 @@ object DedupQueries {
               |FROM cands JOIN documents a ON doc_id_a = a.doc_id
               |           JOIN documents b ON doc_id_b = b.doc_id""".stripMargin)),
 
+    // THRESHOLD-bounded edit distance over the same candidates: the
+    // production variant of dedup_edit_distance. Spark's 3-arg
+    // levenshtein(l, r, k) runs the banded O(k·min(m,n)) kernel and
+    // returns -1 past the bound instead of filling the full O(m·n) DP
+    // table — at 100 TB, where candidate texts are KBs not bytes, the
+    // band is the difference between a usable verify stage and a
+    // quadratic one. The oracle replays the contract with a CASE over
+    // DuckDB's unbounded levenshtein: identical integers, including the
+    // -1 sentinel rows, which pin that the bound fires where it should.
+    QueryDef(
+      "dedup_edit_bounded",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val cands = Dedup.minhashCandidates(docs, "doc_id", "text")
+        val texts = docs.select(col("doc_id"), col("text"))
+        cands
+          .join(texts.withColumnRenamed("doc_id", "doc_id_a")
+                     .withColumnRenamed("text", "text_a"), "doc_id_a")
+          .join(texts.withColumnRenamed("doc_id", "doc_id_b")
+                     .withColumnRenamed("text", "text_b"), "doc_id_b")
+          .select(col("doc_id_a"), col("doc_id_b"),
+            levenshtein(col("text_a"), col("text_b"), 40).cast("long")
+              .as("edit_dist_bounded"))
+      },
+      Some(s"""$candidatesCte
+              |SELECT doc_id_a, doc_id_b,
+              |  CAST(CASE WHEN levenshtein(a.text, b.text) > 40 THEN -1
+              |            ELSE levenshtein(a.text, b.text) END AS BIGINT)
+              |    AS edit_dist_bounded
+              |FROM cands JOIN documents a ON doc_id_a = a.doc_id
+              |           JOIN documents b ON doc_id_b = b.doc_id""".stripMargin)),
+
     // SimHash fingerprints (explode → md5 once per token → one
     // aggregation with 60 packed bit-votes).
     QueryDef(
@@ -220,15 +252,30 @@ object DedupQueries {
           .withColumn("sz", count(lit(1)).over(wSz))
         val prefix = sized.filter(
           col("pos") <= col("sz") - expr("(3 * sz + 4) div 5") + 1)
-        val cands = prefix.select(col("doc_id").as("ida"), col("tok"), col("sz").as("sza"))
-          .join(prefix.select(col("doc_id").as("idb"), col("tok"), col("sz").as("szb")), "tok")
+        val cands = prefix
+          .select(col("doc_id").as("ida"), col("tok"),
+            col("sz").as("sza"), col("pos").as("pa"))
+          .join(prefix.select(col("doc_id").as("idb"), col("tok"),
+            col("sz").as("szb"), col("pos").as("pb")), "tok")
           // size-boundary prune (AllPairs): J ≥ 3/5 needs 3·max(|A|,|B|)
-          // ≤ 5·min(|A|,|B|) — kills candidates BEFORE the distinct and
+          // ≤ 5·min(|A|,|B|) — kills candidates BEFORE the dedup and
           // the two token re-joins (this query was 37% of the r6 10×
           // smoke budget without it)
           .filter(col("ida") < col("idb") &&
             col("sza") * 3 <= col("szb") * 5 && col("szb") * 3 <= col("sza") * 5)
-          .select("ida", "idb", "sza", "szb").distinct()
+          // PPJoin positional upper bound, replacing the plain distinct()
+          // with a same-shuffle groupBy: every common shingle sits at
+          // global-order position ≥ the pair's earliest prefix match on
+          // each side (anything earlier inside the prefix would itself
+          // have matched), so ov ≤ sz − minpos + 1 per side; J ≥ 3/5 ⟺
+          // 8·ov ≥ 3·(sza+szb), so a pair whose bound can't clear that is
+          // dead before the verify joins. Integer-exact on both engines.
+          .groupBy("ida", "idb", "sza", "szb")
+          .agg(min(col("pa")).as("mpa"), min(col("pb")).as("mpb"))
+          .filter(
+            (col("sza") - col("mpa") + 1) * 8 >= (col("sza") + col("szb")) * 3 &&
+            (col("szb") - col("mpb") + 1) * 8 >= (col("sza") + col("szb")) * 3)
+          .select("ida", "idb", "sza", "szb")
         val inter = cands
           .join(toks.select(col("doc_id").as("ida"), col("tok")), Seq("ida"))
           .join(toks.select(col("doc_id").as("idb"), col("tok")), Seq("idb", "tok"))
@@ -251,9 +298,12 @@ object DedupQueries {
              |  FROM toks JOIN freq USING (tok)),
              |pref AS (SELECT * FROM sized WHERE pos <= sz - (3 * sz + 4) // 5 + 1),
              |cands AS (
-             |  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb, a.sz AS sza, b.sz AS szb
+             |  SELECT a.doc_id AS ida, b.doc_id AS idb, a.sz AS sza, b.sz AS szb
              |  FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id
-             |    AND a.sz * 3 <= b.sz * 5 AND b.sz * 3 <= a.sz * 5),
+             |    AND a.sz * 3 <= b.sz * 5 AND b.sz * 3 <= a.sz * 5
+             |  GROUP BY 1, 2, 3, 4
+             |  HAVING (a.sz - min(a.pos) + 1) * 8 >= (a.sz + b.sz) * 3
+             |     AND (b.sz - min(b.pos) + 1) * 8 >= (a.sz + b.sz) * 3),
              |inter AS (
              |  SELECT c.ida, c.idb, c.sza, c.szb, count(*) AS ov
              |  FROM cands c

@@ -371,6 +371,36 @@ object StreamingQueries {
     q.awaitTermination()
   }
 
+  /** Hopping (sliding) event-time windows over the multi-trigger stream —
+    * the overlapping-window state shape: each event updates TWO window
+    * states (30-min windows every 15), and the state store carries both
+    * until the watermark closes them. Same complete-mode snapshot contract
+    * as [[runWindowCounts]]; the oracle is the arithmetic window
+    * assignment the batch `window_hopping_agg` uses.
+    */
+  private def runHoppingCounts(s: SparkSession, sfDir: String, scratch: String, resultOut: String): Unit = {
+    val glob = stageEventSlices(s, sfDir, s"$scratch/evlake")
+    val agg = eventStream(s, glob)
+      .select("ts", "event_type", "value")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "30 minutes", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_value"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.select(col("window.start").cast("timestamp_ntz").as("window_start"),
+            col("event_type"), col("n_events"), col("sum_value"))
+          .coalesce(1).write.mode("overwrite").parquet(resultOut)
+        ()
+      }
+      .option("checkpointLocation", s"$scratch/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Gap-based session windows (`session_window`, 30-minute gap) per user
     * over the multi-trigger event stream, APPEND output mode — the
     * bounded-state session mode (update is unsupported for session
@@ -574,6 +604,22 @@ object StreamingQueries {
              |  count(*) AS n_events,
              |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
              |FROM events GROUP BY 1, 2""".stripMargin),
+      bench = false, sideEffecting = true),
+
+    // Streaming HOPPING windows == the batch window_hopping_agg semantics:
+    // every event maintains two overlapping window states across real
+    // micro-batches; a state-carry or double-assignment bug (an event
+    // counted once, or thrice, across the overlap) hash-fails against the
+    // arithmetic oracle.
+    QueryDef(
+      "streaming_hopping_counts",
+      (s, d) => cachedStream(s, "streaming_hopping_counts", d)(runHoppingCounts(s, d, _, _)),
+      Some("""SELECT make_timestamp((epoch_us(ts) // 900000000 - k) * 900000000)
+             |    AS window_start,
+             |  event_type, count(*) AS n_events,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events, unnest([0, 1]) AS hop(k)
+             |GROUP BY 1, 2""".stripMargin),
       bench = false, sideEffecting = true),
 
     // Streaming first-seen dedup == its batch replay: the winner per
