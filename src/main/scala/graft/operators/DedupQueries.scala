@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
 object DedupQueries {
 
   /** DuckDB: word-3-gram shingle list of `text` (multiset, doc order). */
-  private val shinglesSql =
+  private[operators] val shinglesSql =
     "list_transform(range(0, len(string_split(text, ' ')) - 2), " +
       "i -> array_to_string((string_split(text, ' '))[i+1:i+3], ' '))"
 
@@ -31,7 +31,7 @@ object DedupQueries {
     }.mkString("[", ", ", "]")
 
   /** Shared candidate-pair CTE chain (MinHash 16 hashes, 8 bands × 2). */
-  private val candidatesCte: String =
+  private[operators] val candidatesCte: String =
     s"""WITH sh AS (SELECT doc_id, unnest($shinglesSql) AS s FROM documents
        |            WHERE len(string_split(text, ' ')) >= 3),
        |hh AS (SELECT doc_id,

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.QueryDef
 import graft.QueryDef.t
+import graft.dedup.Dedup
 import graft.text.TextOps
 
 import org.apache.spark.sql.Column
@@ -141,6 +142,63 @@ object PipelineQueries {
            |       ELSE 0.0 END AS contam_frac
            |FROM tr t LEFT JOIN ov o USING (doc_id)""".stripMargin
       }),
+
+    // FUZZY decontamination — the near-duplicate leg the exact n-gram
+    // and Bloom checks can't see (a paraphrased or lightly-edited eval
+    // document shares few exact 5-grams but survives MinHash): corpus
+    // docs whose shingle-set Jaccard against ANY eval doc (doc_id < 50)
+    // clears 0.2, surfaced through the same banded LSH index as the
+    // dedup family — the eval side is a handful of band digests (in
+    // production: broadcast against the corpus's standing index), and
+    // exact verification touches only cross-side band collisions. ONE
+    // signature pass buckets both sides (same plan contract as
+    // dedup_incremental_newbatch); per contaminated corpus doc the
+    // output carries how many eval docs it matches and the worst
+    // (max) Jaccard — max of exact rationals, engine-identical.
+    QueryDef(
+      "decontam_minhash_fuzzy",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", numHashes = 16)
+        val sigArr = array((0 until 16).map(h => col(s"m$h")): _*)
+        val bands = sigs.select(col("doc_id"),
+          explode(Dedup.lshBandDigests(sigArr, 8, 2)).as("band"))
+        val buckets = bands.groupBy("band").agg(
+          collect_list(when(col("doc_id") < 50, col("doc_id"))).as("evals"),
+          collect_list(when(col("doc_id") >= 50, col("doc_id"))).as("corpus"))
+          .filter(size(col("evals")) > 0 && size(col("corpus")) > 0)
+        val cands = buckets
+          .select(explode(col("evals")).as("eval_id"), col("corpus"))
+          .select(col("eval_id"), explode(col("corpus")).as("corpus_id"))
+          .distinct()
+        val sets = docs.select(col("doc_id"), Dedup.shingleSet(col("text"), 3).as("sset"))
+        cands
+          .join(sets.select(col("doc_id").as("eval_id"), col("sset").as("se")), "eval_id")
+          .join(sets.select(col("doc_id").as("corpus_id"), col("sset").as("sc")), "corpus_id")
+          .withColumn("jac", Dedup.jaccard(col("se"), col("sc")))
+          .filter(col("jac") >= 0.2)
+          .groupBy("corpus_id")
+          .agg(count(lit(1)).as("n_eval_matches"), max(col("jac")).as("max_jaccard"))
+          .select(col("corpus_id").as("doc_id"), col("n_eval_matches"), col("max_jaccard"))
+          .orderBy("doc_id")
+      },
+      Some(s"""${DedupQueries.candidatesCte.replace(
+               """cands AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+                 |          FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)""".stripMargin,
+               """cands AS (SELECT DISTINCT a.doc_id AS eval_id, b.doc_id AS corpus_id
+                 |          FROM bands a JOIN bands b ON a.band = b.band
+                 |          WHERE a.doc_id < 50 AND b.doc_id >= 50)""".stripMargin)},
+             |sets AS (SELECT doc_id, list_distinct(${DedupQueries.shinglesSql}) AS sset FROM documents),
+             |scored AS (
+             |  SELECT corpus_id,
+             |    CAST(len(list_intersect(e.sset, c.sset)) AS DOUBLE)
+             |      / CAST(len(list_distinct(list_concat(e.sset, c.sset))) AS DOUBLE) AS jac
+             |  FROM cands JOIN sets e ON eval_id = e.doc_id
+             |             JOIN sets c ON corpus_id = c.doc_id)
+             |SELECT corpus_id AS doc_id, count(*) AS n_eval_matches,
+             |  max(jac) AS max_jaccard
+             |FROM scored WHERE jac >= 0.2
+             |GROUP BY corpus_id ORDER BY doc_id""".stripMargin)),
 
     // Sequence packing (GPT-style concat-then-chunk bookkeeping): within
     // each lang shard, documents are concatenated in doc_id order and cut
