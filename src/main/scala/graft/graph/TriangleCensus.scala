@@ -1,0 +1,62 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Degree-oriented triangle counting (Cohen; Suri–Vassilvitskii MR
+  * adaptation) over an undirected simple graph given as canonical edges
+  * (a < b, no duplicates).
+  *
+  * Every edge is re-oriented from its lower-(degree, id) endpoint to the
+  * higher, so each node's wedge fanout is bounded by its OUT-degree —
+  * O(√m) for any graph — rather than its raw degree: the hot vertex that
+  * makes the naive id-oriented wedge join quadratic contributes only
+  * wedges it can close. One wedge self-join on src + one closure
+  * equi-join on (u, v); each triangle is counted exactly once because the
+  * wedge pair and the closing edge respect the same total order.
+  *
+  * Callers that need the COLORFUL estimate (Pagh–Tsourakakis) filter the
+  * edge set to one color class per side before calling and scale the
+  * count by c² — see `graph_triangle_census` in
+  * [[graft.operators.AnalyticsQueries]].
+  */
+object TriangleCensus {
+
+  /** One row: (n_edges, n_wedges, n_triangles) of the given edge set.
+    * `n_wedges` is Σ C(deg, 2) (open + closed 2-paths), integer-exact.
+    */
+  def census(edges: DataFrame): DataFrame = {
+    val deg = edges.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("dg"))
+    val withDeg = edges
+      .join(deg.select(col("v").as("a"), col("dg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("dg").as("db")), "b")
+    val oriented = withDeg.select(
+      when(col("da") < col("db") ||
+           (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("s"), col("b").as("t"), col("db").as("dt")))
+      .otherwise(
+        struct(col("b").as("s"), col("a").as("t"), col("da").as("dt"))).as("e"))
+      .select(col("e.s").as("src"), col("e.t").as("dst"), col("e.dt").as("ddst"))
+    val wedgePairs = oriented.select(col("src"), col("dst").as("u"), col("ddst").as("du"))
+      .join(oriented.select(col("src"), col("dst").as("v"), col("ddst").as("dv")), "src")
+      .filter(col("du") < col("dv") ||
+              (col("du") === col("dv") && col("u") < col("v")))
+    val triangles = wedgePairs
+      .join(oriented.select(col("src").as("u"), col("dst").as("v")), Seq("u", "v"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val edgeCount = edges.agg(count(lit(1)).as("n_edges"))
+    val wedgeCount = deg.agg(sum(expr("dg * (dg - 1) div 2")).as("n_wedges"))
+    edgeCount.join(broadcast(wedgeCount)).join(broadcast(triangles))
+  }
+
+  /** Reference implementation: the plain a<b triple join. O(wedges) with
+    * no orientation bound — the oracle shape, for cross-validation.
+    */
+  def countNaive(edges: DataFrame): Long = {
+    val e1 = edges.select(col("a").as("x"), col("b").as("y"))
+    val e2 = edges.select(col("a").as("y"), col("b").as("z"))
+    val e3 = edges.select(col("a").as("x"), col("b").as("z"))
+    e1.join(e2, "y").join(e3, Seq("x", "z")).count()
+  }
+}

@@ -564,28 +564,7 @@ object AnalyticsQueries {
             "l_orderkey")
           .filter(col("a") < col("b") && col("a") % 16 === col("b") % 16)
           .select("a", "b").distinct()
-        val deg = edges.select(explode(array(col("a"), col("b"))).as("v"))
-          .groupBy("v").agg(count(lit(1)).as("dg"))
-        val withDeg = edges
-          .join(deg.select(col("v").as("a"), col("dg").as("da")), "a")
-          .join(deg.select(col("v").as("b"), col("dg").as("db")), "b")
-        val oriented = withDeg.select(
-          when(col("da") < col("db") ||
-               (col("da") === col("db") && col("a") < col("b")),
-            struct(col("a").as("s"), col("b").as("t"), col("db").as("dt")))
-          .otherwise(
-            struct(col("b").as("s"), col("a").as("t"), col("da").as("dt"))).as("e"))
-          .select(col("e.s").as("src"), col("e.t").as("dst"), col("e.dt").as("ddst"))
-        val wedgePairs = oriented.select(col("src"), col("dst").as("u"), col("ddst").as("du"))
-          .join(oriented.select(col("src"), col("dst").as("v"), col("ddst").as("dv")), "src")
-          .filter(col("du") < col("dv") ||
-                  (col("du") === col("dv") && col("u") < col("v")))
-        val triangles = wedgePairs
-          .join(oriented.select(col("src").as("u"), col("dst").as("v")), Seq("u", "v"))
-          .agg(count(lit(1)).as("n_triangles"))
-        val edgeCount = edges.agg(count(lit(1)).as("n_edges"))
-        val wedgeCount = deg.agg(sum(expr("dg * (dg - 1) div 2")).as("n_wedges"))
-        edgeCount.join(broadcast(wedgeCount)).join(broadcast(triangles))
+        graft.graph.TriangleCensus.census(edges)
           .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
             (col("n_triangles") * lit(256L)).as("est_triangles_full"),
             (col("n_triangles").cast("double") * 3.0 /

@@ -116,6 +116,65 @@ object TextQueries {
               |          / CAST(len(string_split(text, ' ')) AS DOUBLE) AS awl
               |      FROM documents)""".stripMargin)),
 
+    // The composed cleaning gate — the screens above wired in the order a
+    // production pipeline fires them, each doc getting its FIRST failing
+    // rule as a verdict (too_short → lang_unknown → repetitive →
+    // low_quality → pass), rolled up to audit counts per (lang, verdict).
+    // Still one projection pass over the corpus (every rule is per-row
+    // arithmetic already individually oracle-proven: token counts,
+    // stopword argmax, dup-bigram fraction, quality score) + one tiny
+    // rollup shuffle — the composition costs nothing beyond its parts,
+    // which is the point of declarative per-row rules at 100 TB. All
+    // threshold compares are on engine-identical doubles.
+    QueryDef(
+      "corpus_quality_gate",
+      (s, d) => {
+        val bg = graft.dedup.Dedup.shingles(col("text"), 2)
+        val dupFrac = when(size(bg) > 0,
+          lit(1.0) - size(array_distinct(bg)).cast("double") / size(bg).cast("double"))
+          .otherwise(lit(0.0))
+        val verdict = when(TextOps.tokenCount(col("text")) < 8, "too_short")
+          .when(TextOps.langId(col("text")) === "und", "lang_unknown")
+          .when(dupFrac > 0.2, "repetitive")
+          .when(TextOps.qualityScore(col("text")) < 0.5, "low_quality")
+          .otherwise("pass")
+        t(s, d, "documents")
+          .select(col("lang"), verdict.as("verdict"),
+            TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+          .groupBy("lang", "verdict")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+          .orderBy("lang", "verdict")
+      },
+      Some {
+        val bg = "list_transform(range(0, len(string_split(text, ' ')) - 1), " +
+          "i -> array_to_string((string_split(text, ' '))[i+1:i+2], ' '))"
+        s"""WITH scored AS (
+           |  SELECT lang, len(string_split(text, ' ')) AS n_tok,
+           |    CASE WHEN len(string_split(text, ' ')) < 8 THEN 'too_short'
+           |         WHEN NOT (${hitsSql(TextOps.EnStop)} > 0
+           |                   OR ${hitsSql(TextOps.EsStop)} > 0
+           |                   OR ${hitsSql(TextOps.DeStop)} > 0
+           |                   OR ${hitsSql(TextOps.FrStop)} > 0) THEN 'lang_unknown'
+           |         WHEN (CASE WHEN len($bg) > 0
+           |               THEN 1.0 - CAST(len(list_distinct($bg)) AS DOUBLE)
+           |                    / CAST(len($bg) AS DOUBLE) ELSE 0.0 END) > 0.2
+           |           THEN 'repetitive'
+           |         WHEN (0.4 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 64.0, 1.0)
+           |               + 0.3 * least((CAST(${hitsSql(TextOps.EnStop)} AS DOUBLE)
+           |                   / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 5.0, 1.0)
+           |               + 0.3 * (CASE WHEN
+           |                   CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+           |                     / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 3.0
+           |                   AND CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+           |                     / CAST(len(string_split(text, ' ')) AS DOUBLE) <= 10.0
+           |                   THEN 1.0 ELSE 0.0 END)) < 0.5 THEN 'low_quality'
+           |         ELSE 'pass' END AS verdict
+           |  FROM documents)
+           |SELECT lang, verdict, count(*) AS n_docs,
+           |  CAST(sum(n_tok) AS BIGINT) AS total_tokens
+           |FROM scored GROUP BY lang, verdict ORDER BY lang, verdict""".stripMargin
+      }),
+
     // Per-stratum quantile gate: keep each lang's top half by quality
     // score — the standard corpus-pruning step between scoring and
     // training. percent_rank over (lang, quality) is exact and
