@@ -97,5 +97,42 @@ object MultimodalQueries {
              |  greatest(1, CAST(floor(height * scale) AS INT)) AS out_height,
              |  CAST(greatest(1, CAST(floor(width * scale) AS INT)) AS BIGINT)
              |    * greatest(1, CAST(floor(height * scale) AS INT)) * 3 AS est_out_bytes
-             |FROM p""".stripMargin)))
+             |FROM p""".stripMargin)),
+
+    // Audio-video synchronization plan — the alignment table a training
+    // pipeline materializes before cutting multimodal clips: per sampled
+    // video frame (every 12th at 24 fps), its presentation timestamp and
+    // the 32 ms / 1024-byte audio window covering it (16 kHz s16le, hop
+    // 512 samples). Duration comes from the stub container (md5-derived,
+    // like decode_features) so the whole plan is hash-checked; every
+    // quantity is integer division — pts = frame·1000 div 24, window =
+    // pts div 32, offset = window·1024 — engine-identical by
+    // construction. Shape: per-row explode of a bounded frame sequence,
+    // zero shuffles, pipelines into the scan at any scale.
+    QueryDef(
+      "multimodal_av_sync_plan",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          (expr("CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)")
+            % 30000L + 1000L).as("duration_ms"))
+        .withColumn("frame_no", explode(
+          sequence(lit(0L), expr("duration_ms * 24 div 1000 - 1"), lit(12L))))
+        .select(col("doc_id"), col("duration_ms"), col("frame_no"),
+          expr("frame_no * 1000 div 24").as("pts_ms"),
+          expr("(frame_no * 1000 div 24) div 32").as("audio_win"),
+          expr("((frame_no * 1000 div 24) div 32) * 1024").as("audio_byte_offset")),
+      Some("""WITH f AS (
+             |  SELECT doc_id,
+             |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % 30000 + 1000
+             |      AS duration_ms
+             |  FROM documents),
+             |fr AS (
+             |  SELECT doc_id, duration_ms,
+             |    unnest(range(0, duration_ms * 24 // 1000, 12)) AS frame_no
+             |  FROM f)
+             |SELECT doc_id, duration_ms, frame_no,
+             |  frame_no * 1000 // 24 AS pts_ms,
+             |  (frame_no * 1000 // 24) // 32 AS audio_win,
+             |  ((frame_no * 1000 // 24) // 32) * 1024 AS audio_byte_offset
+             |FROM fr""".stripMargin)))
 }

@@ -371,6 +371,37 @@ object StreamingQueries {
     q.awaitTermination()
   }
 
+  /** Stream-STATIC dimension enrichment — the remaining core streaming
+    * join shape next to stream-stream (click attribution): every
+    * micro-batch joins the event stream against the static `customer`
+    * dimension and the enriched rows aggregate per market segment. In a
+    * real deployment the static side broadcasts once and every trigger
+    * reuses it (no state store at all — the join is stateless); the
+    * converged complete-mode snapshot must equal the plain batch
+    * join+group, which is exactly what the oracle computes.
+    */
+  private def runDimEnrich(s: SparkSession, sfDir: String, scratch: String, resultOut: String): Unit = {
+    val glob = stageEventSlices(s, sfDir, s"$scratch/evlake")
+    val dim = graft.QueryDef.t(s, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val agg = eventStream(s, glob)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_value"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.coalesce(1).write.mode("overwrite").parquet(resultOut)
+        ()
+      }
+      .option("checkpointLocation", s"$scratch/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Hopping (sliding) event-time windows over the multi-trigger stream —
     * the overlapping-window state shape: each event updates TWO window
     * states (30-min windows every 15), and the state store carries both
@@ -619,6 +650,18 @@ object StreamingQueries {
              |  event_type, count(*) AS n_events,
              |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
              |FROM events, unnest([0, 1]) AS hop(k)
+             |GROUP BY 1, 2""".stripMargin),
+      bench = false, sideEffecting = true),
+
+    // Stream-static enrichment == the batch join+group: the stateless
+    // per-trigger dimension join must not drop, duplicate, or misroute
+    // any event across micro-batches.
+    QueryDef(
+      "streaming_dim_enrich",
+      (s, d) => cachedStream(s, "streaming_dim_enrich", d)(runDimEnrich(s, d, _, _)),
+      Some("""SELECT c_mktsegment, event_type, count(*) AS n_events,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events JOIN customer ON user_id = c_custkey
              |GROUP BY 1, 2""".stripMargin),
       bench = false, sideEffecting = true),
 
