@@ -697,5 +697,41 @@ object AnalyticsQueries {
              |SELECT n_orders, n_customers,
              |  CAST(n_orders AS DOUBLE) * CAST(n_customers AS DOUBLE)
              |    / CAST(total_orders AS DOUBLE) AS row_share
-             |FROM hist CROSS JOIN tot""".stripMargin)))
+             |FROM hist CROSS JOIN tot""".stripMargin)),
+
+    // Gaps-and-islands: per customer, maximal runs of CONSECUTIVE order
+    // days, folded to a run-length histogram. The classic formulation —
+    // day minus row_number is constant within a run — needs only the
+    // per-customer window (bounded partitions, no global sort) and two
+    // hash aggregations; the histogram output is O(max run length), scale-
+    // invariant. Sequence/periodicity profiling over event-dated facts.
+    QueryDef(
+      "orders_gaps_islands",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_custkey").orderBy("day")
+        t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderdate").cast("date").as("day"))
+          .distinct()
+          .withColumn("grp", date_sub(col("day"), row_number().over(w)))
+          .groupBy("o_custkey", "grp")
+          .agg(count(lit(1)).as("island_len"))
+          .groupBy("island_len")
+          .agg(count(lit(1)).as("n_islands"))
+          .withColumn("n_days_total", col("island_len") * col("n_islands"))
+      },
+      Some("""WITH days AS (
+             |  SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS day
+             |  FROM orders),
+             |runs AS (
+             |  SELECT o_custkey,
+             |    day - CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY day)
+             |               AS INTEGER) AS grp
+             |  FROM days),
+             |islands AS (
+             |  SELECT o_custkey, grp, count(*) AS island_len
+             |  FROM runs GROUP BY 1, 2)
+             |SELECT island_len, count(*) AS n_islands,
+             |  island_len * count(*) AS n_days_total
+             |FROM islands GROUP BY island_len""".stripMargin)))
 }

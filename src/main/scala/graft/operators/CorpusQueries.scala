@@ -339,5 +339,71 @@ object CorpusQueries {
            |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
            |            ORDER BY cosine_sim DESC, neighbor_id) AS rank
            |  FROM scored) WHERE rank <= 5""".stripMargin
-      }))
+      }),
+
+    // Corpus-duplicated-n-gram fraction — the RefinedWeb/Dolma corpus-level
+    // repetition filter (text_repetition_ratio is the WITHIN-document
+    // Gopher variant): per document, the fraction of its distinct trigram
+    // shingles that occur in >= 3 documents corpus-wide. One explode, one
+    // shuffle keyed on the shingle (the count-over-window reuses that
+    // exchange for the document re-aggregation input — same tokenize-once
+    // discipline as text_tfidf_topterms), then a per-doc hash agg. At
+    // 100 TB the shingle exchange is the same cardinality as exact dedup's
+    // digest shuffle; nothing is quadratic and no side is collected.
+    QueryDef(
+      "corpus_dup_ngram_frac",
+      (s, d) => {
+        val wNg = org.apache.spark.sql.expressions.Window.partitionBy("ng")
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            explode(graft.dedup.Dedup.shingleSet(col("text"), 3)).as("ng"))
+          .withColumn("ndocs", count(lit(1)).over(wNg))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("total_ngrams"),
+            sum(when(col("ndocs") >= 3, 1L).otherwise(0L)).as("dup_ngrams"))
+          .withColumn("dup_frac",
+            col("dup_ngrams").cast("double") / col("total_ngrams").cast("double"))
+      },
+      Some {
+        val ng3 = "list_transform(range(0, len(string_split(text, ' ')) - 2), " +
+          "i -> array_to_string((string_split(text, ' '))[i+1:i+3], ' '))"
+        s"""WITH sh AS (SELECT doc_id, unnest(list_distinct($ng3)) AS ng
+           |            FROM documents),
+           |c AS (SELECT doc_id, count(*) OVER (PARTITION BY ng) AS ndocs FROM sh)
+           |SELECT doc_id, count(*) AS total_ngrams,
+           |  CAST(sum(CASE WHEN ndocs >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS dup_ngrams,
+           |  CAST(sum(CASE WHEN ndocs >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / CAST(count(*) AS DOUBLE) AS dup_frac
+           |FROM c GROUP BY doc_id""".stripMargin
+      }),
+
+    // Token-familiarity profile — the perplexity-proxy quality screen
+    // (CCNet-style) kept integer-exact instead of log-probability FP: per
+    // document, the minimum and mean CORPUS frequency of its tokens. A
+    // low mean marks out-of-distribution documents; min_cf = 1 marks
+    // documents carrying hapax tokens (rare_token_docs lists the tokens
+    // themselves; this is the per-document roll-up). Same single-tokenize
+    // count-over-window shape as corpus_dup_ngram_frac; the mean is an
+    // exact-integer sum divided once, so the double is engine-identical.
+    QueryDef(
+      "token_freq_profile",
+      (s, d) => {
+        val wT = org.apache.spark.sql.expressions.Window.partitionBy("token")
+        t(s, d, "documents")
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+          .withColumn("cf", count(lit(1)).over(wT))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            min(col("cf")).as("min_cf"),
+            (sum(col("cf")).cast("double") / count(lit(1)).cast("double"))
+              .as("mean_cf"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             |  FROM documents),
+             |c AS (SELECT doc_id, count(*) OVER (PARTITION BY token) AS cf FROM tok)
+             |SELECT doc_id, count(*) AS n_tokens,
+             |  min(cf) AS min_cf,
+             |  CAST(sum(cf) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_cf
+             |FROM c GROUP BY doc_id""".stripMargin)))
 }

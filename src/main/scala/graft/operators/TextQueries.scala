@@ -270,5 +270,50 @@ object TextQueries {
              |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
              |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp_rolling,
              |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5
-             |FROM documents""".stripMargin)))
+             |FROM documents""".stripMargin)),
+
+    // PII redaction scan — the scrubbing pass every released corpus runs
+    // (emails/phones → placeholder tokens). The synthetic corpus carries no
+    // PII, so the query first enriches it deterministically (doc_id-keyed
+    // e-mail / phone suffixes — both engines build the identical string)
+    // and then counts and redacts; the md5 of the redacted text pins the
+    // byte-exact rewrite, not just the counts. Patterns stay in the shared
+    // RE2 subset (char classes + bounded repeats, no lookaround); Spark
+    // replaces globally by default, DuckDB needs the explicit 'g' flag.
+    // Per-row regex work only — zero shuffles, pipelines into the scan.
+    QueryDef(
+      "pii_redaction_scan",
+      (s, d) => {
+        val emailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+        val phoneRe = "555-[0-9]{4}"
+        val raw = concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" call 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit("")))
+        t(s, d, "documents")
+          .withColumn("raw", raw)
+          .select(col("doc_id"),
+            size(regexp_extract_all(col("raw"), lit(emailRe), lit(0))).cast("long").as("n_emails"),
+            size(regexp_extract_all(col("raw"), lit(phoneRe), lit(0))).cast("long").as("n_phones"),
+            md5(regexp_replace(regexp_replace(col("raw"), emailRe, "<EMAIL>"),
+              phoneRe, "<PHONE>")).as("redacted_md5"))
+      },
+      Some("""WITH enriched AS (
+             |  SELECT doc_id, text ||
+             |    CASE WHEN doc_id % 3 = 0
+             |         THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+             |    CASE WHEN doc_id % 5 = 0
+             |         THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             |         ELSE '' END AS raw
+             |  FROM documents)
+             |SELECT doc_id,
+             |  len(regexp_extract_all(raw, '[a-z0-9]+@[a-z0-9]+\.[a-z]+')) AS n_emails,
+             |  len(regexp_extract_all(raw, '555-[0-9]{4}')) AS n_phones,
+             |  md5(regexp_replace(regexp_replace(raw,
+             |    '[a-z0-9]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g'),
+             |    '555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+             |FROM enriched""".stripMargin)))
 }
