@@ -594,5 +594,40 @@ object PipelineQueries {
            |SELECT doc_id, count(*) AS overlap_ngrams
            |FROM tr JOIN ev USING (ng)
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin
-      }))
+      }),
+
+    // Shard manifest: the "write ~N-byte output files" planner every lake
+    // writer runs before materializing a corpus — documents are packed
+    // into byte-budgeted shards by a running size cursor WITHIN each
+    // source (pack_sequences is the token-budget analogue for training
+    // sequences; this is the storage-layout one). The window partitions
+    // by source — bounded partitions, no global sort or unpartitioned
+    // row_number; at 100 TB each source packs independently and the
+    // manifest is O(shards), not O(docs). A doc larger than the budget
+    // gets its own shard (cursor semantics: shard index = floor of the
+    // PRECEDING bytes / budget), matching the greedy first-fit writers use.
+    QueryDef(
+      "shard_manifest_greedy",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("doc_id")
+        t(s, d, "documents")
+          .select(col("source"), col("doc_id"), col("n_chars"))
+          .withColumn("cum", sum(col("n_chars")).over(w))
+          .withColumn("shard", expr("(cum - n_chars) div 4000"))
+          .groupBy("source", "shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("shard_bytes"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+      },
+      Some("""WITH cur AS (
+             |  SELECT source, doc_id, n_chars,
+             |    sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+             |  FROM documents)
+             |SELECT source, (cum - n_chars) // 4000 AS shard,
+             |  count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS shard_bytes,
+             |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+             |FROM cur GROUP BY 1, 2""".stripMargin)))
 }

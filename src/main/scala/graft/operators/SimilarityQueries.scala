@@ -255,5 +255,159 @@ object SimilarityQueries {
               |    FROM votes) WHERE rk = 1)
               |SELECT true_label, count(*) AS n_probes,
               |  sum(CASE WHEN c_label = true_label THEN 1 ELSE 0 END) AS n_correct
-              |FROM pred GROUP BY true_label ORDER BY true_label""".stripMargin)))
+              |FROM pred GROUP BY true_label ORDER BY true_label""".stripMargin)),
+
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    // deduplication prunes near-duplicate PAIRS inside each coarse
+    // cluster — pairwise cosine is computed only between vectors assigned
+    // to the SAME centroid, never across the corpus. At 100 TB the
+    // centroid_id equi-join is the partitioner (nlist buckets, each a
+    // tiny fraction of the corpus); the quadratic term is bounded by the
+    // largest cluster, not corpus size. Both join sides are the same
+    // assignment subtree shuffled on the same key, so Spark reuses one
+    // exchange. Similarity is quantized to an integer (round(cos·1e12))
+    // BEFORE the threshold compare and in the output, so the boundary and
+    // the hash are immune to last-bit double divergence (the knn_label_vote
+    // lesson from round 6).
+    QueryDef(
+      "sim_cluster_neardup_pairs",
+      (s, d) => {
+        val emb = t(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val cents = broadcast(emb.filter(col("id") < 8)
+          .select(col("id").as("centroid_id"), col("vec").as("cvec"),
+            Similarity.l2Norm(col("vec")).as("cnorm")))
+        val assigned = emb
+          .withColumn("vnorm", Similarity.l2Norm(col("vec")))
+          .crossJoin(cents)
+          .withColumn("csim", Similarity.dot(col("vec"), col("cvec")) /
+            (col("vnorm") * col("cnorm")))
+          .groupBy(col("id"))
+          .agg(max_by(struct(col("vec"), col("vnorm"), col("centroid_id")),
+            struct(col("csim"), (-col("centroid_id")).as("nc"))).as("best"))
+          .select(col("id"), col("best.vec").as("vec"),
+            col("best.vnorm").as("vnorm"), col("best.centroid_id").as("centroid_id"))
+        val a = assigned.select(col("centroid_id"), col("id").as("id_a"),
+          col("vec").as("vec_a"), col("vnorm").as("norm_a"))
+        val b = assigned.select(col("centroid_id"), col("id").as("id_b"),
+          col("vec").as("vec_b"), col("vnorm").as("norm_b"))
+        a.join(b, "centroid_id")
+          .filter(col("id_a") < col("id_b"))
+          .withColumn("sim_q",
+            round(Similarity.dot(col("vec_a"), col("vec_b")) /
+              (col("norm_a") * col("norm_b")) * lit(1e12)).cast("long"))
+          .filter(col("sim_q") >= 400000000000L)
+          .select("centroid_id", "id_a", "id_b", "sim_q")
+      },
+      Some(s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cvec,
+              |                      sqrt(${dotSql("embedding", "embedding")}) AS cnorm
+              |               FROM embeddings WHERE vec_id < 8),
+              |assigned AS (
+              |  SELECT id, vec, vnorm, centroid_id FROM (
+              |    SELECT e.vec_id AS id, e.embedding AS vec,
+              |           sqrt(${dotSql("e.embedding", "e.embedding")}) AS vnorm,
+              |           centroid_id,
+              |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              |             ${dotSql("e.embedding", "cvec")} /
+              |               (sqrt(${dotSql("e.embedding", "e.embedding")}) * cnorm) DESC,
+              |             centroid_id) AS rn
+              |    FROM embeddings e CROSS JOIN cents) WHERE rn = 1),
+              |pairs AS (
+              |  SELECT a.centroid_id, a.id AS id_a, b.id AS id_b,
+              |         CAST(round(${dotSql("a.vec", "b.vec")} /
+              |           (a.vnorm * b.vnorm) * 1e12) AS BIGINT) AS sim_q
+              |  FROM assigned a JOIN assigned b
+              |    ON a.centroid_id = b.centroid_id AND a.id < b.id)
+              |SELECT centroid_id, id_a, id_b, sim_q FROM pairs
+              |WHERE sim_q >= 400000000000""".stripMargin)),
+
+    // ANN quality audit: recall@10 of the IVF probe path against the
+    // brute-force ground truth, per probe vector — the evaluation loop
+    // that accompanies any approximate index rollout. Ground truth scans
+    // the corpus once against a broadcast probe set; the IVF leg restricts
+    // candidates to the probe's own centroid bucket (the sim_ivf_topk
+    // plan); both rank on the SAME integer-quantized similarity key so
+    // top-10 membership is tie-proof across engines. Output is one row
+    // per probe — integers plus an exact-rational recall.
+    QueryDef(
+      "ann_recall_eval",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+        val emb = t(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val cents = broadcast(emb.filter(col("id") < 8)
+          .select(col("id").as("centroid_id"), col("vec").as("cvec"),
+            Similarity.l2Norm(col("vec")).as("cnorm")))
+        def assign(df: org.apache.spark.sql.DataFrame) = df
+          .withColumn("vnorm", Similarity.l2Norm(col("vec")))
+          .crossJoin(cents)
+          .withColumn("csim", Similarity.dot(col("vec"), col("cvec")) /
+            (col("vnorm") * col("cnorm")))
+          .groupBy(col("id"))
+          .agg(max_by(struct(col("vec"), col("vnorm"), col("centroid_id")),
+            struct(col("csim"), (-col("centroid_id")).as("nc"))).as("best"))
+          .select(col("id"), col("best.vec").as("vec"),
+            col("best.vnorm").as("vnorm"), col("best.centroid_id").as("centroid_id"))
+        val q = broadcast(assign(emb.filter(col("id") < 50))
+          .select(col("id").as("q_id"), col("vec").as("qvec"),
+            col("vnorm").as("qnorm"), col("centroid_id").as("q_cent")))
+        val c = assign(emb.filter(col("id") >= 50))
+          .select(col("id").as("c_id"), col("vec").as("cvec2"),
+            col("vnorm").as("cnorm2"), col("centroid_id").as("c_cent"))
+        val simQ = round(Similarity.dot(col("qvec"), col("cvec2")) /
+          (col("qnorm") * col("cnorm2")) * lit(1e12)).cast("long")
+        val byQ = w.partitionBy("q_id").orderBy(col("sim_q").desc, col("c_id"))
+        val brute = c.crossJoin(q).withColumn("sim_q", simQ)
+          .withColumn("rn", row_number().over(byQ)).filter(col("rn") <= 10)
+          .select("q_id", "c_id")
+        val ivf = c.join(q, col("q_cent") === col("c_cent"))
+          .withColumn("sim_q", simQ)
+          .withColumn("rn", row_number().over(byQ)).filter(col("rn") <= 10)
+          .select("q_id", "c_id")
+        val ivfK = ivf.groupBy("q_id").agg(count(lit(1)).as("ivf_k"))
+        brute.join(ivf.withColumn("hit", lit(1L)), Seq("q_id", "c_id"), "left_outer")
+          .groupBy("q_id")
+          .agg(count(lit(1)).as("brute_k"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+          .join(ivfK, Seq("q_id"), "left_outer")
+          .select(col("q_id"), col("brute_k"),
+            coalesce(col("ivf_k"), lit(0L)).as("ivf_k"), col("n_overlap"),
+            (col("n_overlap").cast("double") / col("brute_k").cast("double"))
+              .as("recall_at_10"))
+      },
+      Some(s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cvec,
+              |                      sqrt(${dotSql("embedding", "embedding")}) AS cnorm
+              |               FROM embeddings WHERE vec_id < 8),
+              |assigned AS (
+              |  SELECT id, vec, vnorm, centroid_id FROM (
+              |    SELECT e.vec_id AS id, e.embedding AS vec,
+              |           sqrt(${dotSql("e.embedding", "e.embedding")}) AS vnorm,
+              |           centroid_id,
+              |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              |             ${dotSql("e.embedding", "cvec")} /
+              |               (sqrt(${dotSql("e.embedding", "e.embedding")}) * cnorm) DESC,
+              |             centroid_id) AS rn
+              |    FROM embeddings e CROSS JOIN cents) WHERE rn = 1),
+              |q AS (SELECT id AS q_id, vec AS qvec, vnorm AS qnorm,
+              |             centroid_id AS q_cent FROM assigned WHERE id < 50),
+              |c AS (SELECT id AS c_id, vec AS cvec2, vnorm AS cnorm2,
+              |             centroid_id AS c_cent FROM assigned WHERE id >= 50),
+              |brute AS (SELECT q_id, c_id FROM (
+              |  SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+              |    CAST(round(${dotSql("qvec", "cvec2")} / (qnorm * cnorm2) * 1e12)
+              |         AS BIGINT) DESC, c_id) AS rn
+              |  FROM c CROSS JOIN q) WHERE rn <= 10),
+              |ivf AS (SELECT q_id, c_id FROM (
+              |  SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+              |    CAST(round(${dotSql("qvec", "cvec2")} / (qnorm * cnorm2) * 1e12)
+              |         AS BIGINT) DESC, c_id) AS rn
+              |  FROM c JOIN q ON q_cent = c_cent) WHERE rn <= 10),
+              |ivfk AS (SELECT q_id, count(*) AS ivf_k FROM ivf GROUP BY 1),
+              |ov AS (SELECT b.q_id, count(*) AS brute_k,
+              |         CAST(sum(CASE WHEN i.c_id IS NOT NULL THEN 1 ELSE 0 END)
+              |              AS BIGINT) AS n_overlap
+              |       FROM brute b LEFT JOIN ivf i
+              |         ON b.q_id = i.q_id AND b.c_id = i.c_id
+              |       GROUP BY 1)
+              |SELECT ov.q_id, brute_k, coalesce(ivf_k, 0) AS ivf_k, n_overlap,
+              |  CAST(n_overlap AS DOUBLE) / CAST(brute_k AS DOUBLE) AS recall_at_10
+              |FROM ov LEFT JOIN ivfk ON ov.q_id = ivfk.q_id""".stripMargin)))
 }
