@@ -733,5 +733,115 @@ object AnalyticsQueries {
              |  FROM runs GROUP BY 1, 2)
              |SELECT island_len, count(*) AS n_islands,
              |  island_len * count(*) AS n_days_total
-             |FROM islands GROUP BY island_len""".stripMargin)))
+             |FROM islands GROUP BY island_len""".stripMargin)),
+
+    // Referential-integrity audit — the constraint checks a lakehouse runs
+    // because parquet enforces none: orphan FKs (anti joins), duplicate
+    // PKs, null keys, one count per check. Each anti join shuffles on its
+    // own key (nation/customer sides broadcast under the threshold); the
+    // output is O(#checks). All counts are expected 0 except the row-count
+    // sanity check, which pins that the audit actually scanned data.
+    QueryDef(
+      "referential_integrity_audit",
+      (s, d) => {
+        val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+        val c = t(s, d, "customer"); val n = t(s, d, "nation")
+        def one(name: String, df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n_rows")).select(
+            lit(name).as("check_name"), col("n_rows"))
+        one("customer_orphan_nationkey",
+            c.join(n, c("c_nationkey") === n("n_nationkey"), "left_anti"))
+          .unionByName(one("lineitem_null_orderkey", li.filter(col("l_orderkey").isNull)))
+          .unionByName(one("lineitem_orphan_orderkey",
+            li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti")))
+          .unionByName(one("orders_duplicate_pk",
+            o.groupBy("o_orderkey").agg(count(lit(1)).as("k")).filter(col("k") > 1)))
+          .unionByName(one("orders_orphan_custkey",
+            o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")))
+          .unionByName(one("orders_rowcount", o))
+          .orderBy("check_name")
+      },
+      Some("""SELECT 'customer_orphan_nationkey' AS check_name, count(*) AS n_rows
+             |  FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+             |UNION ALL
+             |SELECT 'lineitem_null_orderkey', count(*) FROM lineitem WHERE l_orderkey IS NULL
+             |UNION ALL
+             |SELECT 'lineitem_orphan_orderkey', count(*)
+             |  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+             |UNION ALL
+             |SELECT 'orders_duplicate_pk', count(*) FROM (
+             |  SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)
+             |UNION ALL
+             |SELECT 'orders_orphan_custkey', count(*)
+             |  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+             |UNION ALL
+             |SELECT 'orders_rowcount', count(*) FROM orders
+             |ORDER BY check_name""".stripMargin)),
+
+    // Time-weighted average (TWAP): per user, the value averaged over TIME
+    // HELD rather than per observation — each event's value is weighted by
+    // the milliseconds until that user's next event. One per-user window
+    // for the lead, one hash aggregation; weights are exact integers and
+    // the weighted sum rides DECIMAL (value 18,2 × ms 12,0 → 31,2 — no
+    // precision-overflow rounding on either engine), so the final double
+    // is a single exact division.
+    QueryDef(
+      "time_weighted_avg",
+      (s, d) => {
+        val byU = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        t(s, d, "events")
+          .withColumn("ms", unix_millis(col("ts").cast("timestamp")))
+          .withColumn("next_ms", lead(col("ms"), 1).over(byU))
+          .filter(col("next_ms").isNotNull)
+          .withColumn("wms", (col("next_ms") - col("ms")).cast("decimal(12,0)"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_intervals"),
+            sum(col("wms")).cast("long").as("total_ms"),
+            (sum(col("value").cast("decimal(18,2)") * col("wms")).cast("double")
+              / sum(col("wms")).cast("double")).as("twap"))
+          .filter(col("total_ms") > 0)
+      },
+      Some("""WITH seq AS (
+             |  SELECT user_id, value, epoch_ms(ts) AS ms,
+             |    LEAD(epoch_ms(ts)) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS next_ms
+             |  FROM events)
+             |SELECT user_id, count(*) AS n_intervals,
+             |  CAST(sum(CAST(next_ms - ms AS DECIMAL(12,0))) AS BIGINT) AS total_ms,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(next_ms - ms AS DECIMAL(12,0)))
+             |       AS DOUBLE)
+             |    / CAST(sum(CAST(next_ms - ms AS DECIMAL(12,0))) AS DOUBLE) AS twap
+             |FROM seq WHERE next_ms IS NOT NULL
+             |GROUP BY user_id HAVING CAST(sum(CAST(next_ms - ms AS DECIMAL(12,0))) AS BIGINT) > 0
+             |""".stripMargin)),
+
+    // OHLC bars: per (event_type, day) open/high/low/close — the
+    // financial-style downsampling aggregation. Open/close are argmin/
+    // argmax over the deterministic (ts, event_id) order (Spark: min_by/
+    // max_by on the struct key — one shuffled row per bar; the oracle
+    // replays it with two ROW_NUMBER passes over the same total order).
+    // Values are carried, never summed, so doubles compare exactly.
+    QueryDef(
+      "ohlc_bars",
+      (s, d) => t(s, d, "events")
+        .withColumn("day", col("ts").cast("date"))
+        .groupBy("event_type", "day")
+        .agg(min_by(col("value"), struct(col("ts"), col("event_id"))).as("open_v"),
+          max(col("value")).as("high_v"),
+          min(col("value")).as("low_v"),
+          max_by(col("value"), struct(col("ts"), col("event_id"))).as("close_v"),
+          count(lit(1)).as("n_events")),
+      Some("""WITH r AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS day, value,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+             |      ORDER BY ts, event_id) AS rf,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+             |      ORDER BY ts DESC, event_id DESC) AS rl
+             |  FROM events)
+             |SELECT event_type, day,
+             |  max(CASE WHEN rf = 1 THEN value END) AS open_v,
+             |  max(value) AS high_v, min(value) AS low_v,
+             |  max(CASE WHEN rl = 1 THEN value END) AS close_v,
+             |  count(*) AS n_events
+             |FROM r GROUP BY 1, 2""".stripMargin)))
 }

@@ -405,5 +405,52 @@ object CorpusQueries {
              |SELECT doc_id, count(*) AS n_tokens,
              |  min(cf) AS min_cf,
              |  CAST(sum(cf) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_cf
-             |FROM c GROUP BY doc_id""".stripMargin)))
+             |FROM c GROUP BY doc_id""".stripMargin)),
+
+    // Cross-source overlap matrix — the mixing diagnostic run before
+    // blending corpora: trigram-shingle Jaccard between every source
+    // pair. The join is keyed on the shingle; a shingle appearing in k
+    // sources expands to k·(k-1)/2 pair rows, bounded by (#sources choose
+    // 2) — a CATALOG constant, independent of corpus size — so the
+    // shuffle stays proportional to the distinct (source, shingle) set
+    // (the same cardinality class as exact dedup). Set sizes broadcast
+    // back for the exact-rational Jaccard.
+    QueryDef(
+      "source_overlap_matrix",
+      (s, d) => {
+        val sets = t(s, d, "documents")
+          .select(col("source"),
+            explode(graft.dedup.Dedup.shingleSet(col("text"), 3)).as("ng"))
+          .distinct()
+        val sizes = sets.groupBy("source").agg(count(lit(1)).as("sz"))
+        val shared = sets.select(col("source").as("src_a"), col("ng"))
+          .join(sets.select(col("source").as("src_b"), col("ng")), "ng")
+          .filter(col("src_a") < col("src_b"))
+          .groupBy("src_a", "src_b")
+          .agg(count(lit(1)).as("n_shared"))
+        shared
+          .join(broadcast(sizes.select(col("source").as("src_a"), col("sz").as("sz_a"))), "src_a")
+          .join(broadcast(sizes.select(col("source").as("src_b"), col("sz").as("sz_b"))), "src_b")
+          .select(col("src_a"), col("src_b"), col("n_shared"), col("sz_a"), col("sz_b"),
+            (col("n_shared").cast("double") /
+              (col("sz_a") + col("sz_b") - col("n_shared")).cast("double")).as("jaccard"))
+      },
+      Some {
+        val ng3 = "list_transform(range(0, len(string_split(text, ' ')) - 2), " +
+          "i -> array_to_string((string_split(text, ' '))[i+1:i+3], ' '))"
+        s"""WITH sets AS (
+           |  SELECT DISTINCT source, unnest(list_distinct($ng3)) AS ng
+           |  FROM documents),
+           |sizes AS (SELECT source, count(*) AS sz FROM sets GROUP BY 1),
+           |shared AS (
+           |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+           |  FROM sets a JOIN sets b ON a.ng = b.ng AND a.source < b.source
+           |  GROUP BY 1, 2)
+           |SELECT src_a, src_b, n_shared, sa.sz AS sz_a, sb.sz AS sz_b,
+           |  CAST(n_shared AS DOUBLE) /
+           |    CAST(sa.sz + sb.sz - n_shared AS DOUBLE) AS jaccard
+           |FROM shared
+           |JOIN sizes sa ON shared.src_a = sa.source
+           |JOIN sizes sb ON shared.src_b = sb.source""".stripMargin
+      }))
 }
