@@ -127,7 +127,18 @@ object ScaleSmoke {
     // the thing to watch — colorful sampling + degree orientation must
     // keep it linear; key offsets keep copies disjoint and 10^8 % 16 = 0
     // preserves the color classes per copy)
-    "dedup_incremental_newbatch", "graph_triangle_census")
+    "dedup_incremental_newbatch", "graph_triangle_census",
+    // round 7: the corpus-global shingle window (the dup-ngram shuffle is
+    // the exact-dedup cardinality class — must scale with distinct
+    // shingles) and the source-pair shingle matrix (per-shingle expansion
+    // is capped by sources², so growth must track the distinct
+    // (source, shingle) set, not pairs). sim_cluster_neardup_pairs is
+    // deliberately NOT smoked: the scaler clones embedding vectors
+    // verbatim, so every copy lands in the same 8 fixed centroids and
+    // within-cluster pairs grow quadratically BY CONSTRUCTION — in
+    // production SemDeDup's nlist scales with corpus size precisely to
+    // bound that term (see the QueryDef Scaladoc).
+    "corpus_dup_ngram_frac", "source_overlap_matrix")
 
   /** Run each smoke query twice on the scaled dir, return min seconds. */
   def run(spark: SparkSession, scaledDir: String): Map[String, Double] =

@@ -263,7 +263,10 @@ object SimilarityQueries {
     // to the SAME centroid, never across the corpus. At 100 TB the
     // centroid_id equi-join is the partitioner (nlist buckets, each a
     // tiny fraction of the corpus); the quadratic term is bounded by the
-    // largest cluster, not corpus size. Both join sides are the same
+    // largest cluster, not corpus size — which is exactly why production
+    // SemDeDup scales nlist with the corpus (∝√N, keeping expected
+    // cluster size √N and pair work ~N); the fixed nlist=8 here is the
+    // sf-pinned test parameter. Both join sides are the same
     // assignment subtree shuffled on the same key, so Spark reuses one
     // exchange. Similarity is quantized to an integer (round(cos·1e12))
     // BEFORE the threshold compare and in the output, so the boundary and

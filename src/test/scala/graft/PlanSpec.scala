@@ -294,6 +294,19 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("SemDeDup pair join reuses the assignment exchange at runtime") {
+    // both sides of the within-cluster self-join are the same centroid
+    // assignment subtree shuffled on centroid_id; AQE must compute it
+    // once and wire the second side through ReusedExchange — recomputing
+    // the assignment doubles the dominant cost at scale
+    val df = SparkEntry.queries("sim_cluster_neardup_pairs")(spark, sf)
+    df.collect()
+    // AQE materializes stages as leaf QueryStageExec nodes — collect()
+    // cannot descend into them, so assert on the printed final plan
+    assert(df.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+      "centroid self-join must reuse one shuffled assignment subtree")
+  }
+
   test("flagship entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
