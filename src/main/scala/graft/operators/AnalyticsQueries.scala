@@ -843,5 +843,100 @@ object AnalyticsQueries {
              |  max(value) AS high_v, min(value) AS low_v,
              |  max(CASE WHEN rl = 1 THEN value END) AS close_v,
              |  count(*) AS n_events
-             |FROM r GROUP BY 1, 2""".stripMargin)))
+             |FROM r GROUP BY 1, 2""".stripMargin)),
+
+    // Null repair via group-mean imputation — the feature-engineering fill
+    // pass. The testdata has no nulls, so the query knocks out a
+    // deterministic subset first (every 7th event) and then imputes from
+    // the REMAINING values' per-type mean — numerator and denominator are
+    // exact DECIMAL/COUNT aggregates (FILTER clause on both engines), the
+    // mean is one exact division, and the imputed sum re-aggregates in
+    // DECIMAL. Two hash aggregations and a broadcast join back; no row
+    // ever leaves its partition twice.
+    QueryDef(
+      "impute_group_mean",
+      (s, d) => {
+        val base = t(s, d, "events").withColumn("v",
+          when(col("event_id") % 7 === 0, lit(null).cast("double"))
+            .otherwise(col("value")))
+        val means = base.groupBy("event_type").agg(
+          (sum(col("v").cast("decimal(18,2)")).cast("double") /
+            count(col("v")).cast("double")).as("mean_v"))
+        base.join(broadcast(means), "event_type")
+          // micro-unit quantization (round(x·1e6) → BIGINT) keeps the
+          // re-aggregated total integer-exact across engines — summing
+          // the imputed doubles directly would hash on addition order
+          .withColumn("v_micro",
+            round(coalesce(col("v"), col("mean_v")) * lit(1e6)).cast("long"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_imputed"),
+            sum(col("v_micro")).as("sum_filled_micro"))
+      },
+      Some("""WITH base AS (
+             |  SELECT event_type,
+             |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+             |  FROM events),
+             |means AS (
+             |  SELECT event_type,
+             |    CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE)
+             |      / CAST(count(v) AS DOUBLE) AS mean_v
+             |  FROM base GROUP BY 1)
+             |SELECT base.event_type, count(*) AS n_rows,
+             |  CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_imputed,
+             |  CAST(sum(CAST(round(coalesce(v, mean_v) * 1e6) AS BIGINT)) AS BIGINT)
+             |    AS sum_filled_micro
+             |FROM base JOIN means ON base.event_type = means.event_type
+             |GROUP BY base.event_type""".stripMargin)),
+
+    // Variance-band outlier screen with the comparison kept ENTIRELY in
+    // exact decimal arithmetic: |v − μ| > 2σ is algebraically cleared of
+    // divisions — (n·v − S)² > 4·(n·SS − S²) with S = Σv, SS = Σv² as
+    // DECIMAL sums — so the boundary decision is integer-exact on both
+    // engines (no Welford-vs-textbook FP drift, no ULP flips at the
+    // threshold). Every intermediate is cast to a width sized to this
+    // lake's magnitudes (v < 10⁴ with 2 dp, n < 10⁸ per type) so no
+    // product exceeds DuckDB's hard 38-digit multiply limit; a larger
+    // deployment re-sizes the widths with the lake. Two aggregation
+    // passes (moments, then the screen), 1-row-per-type moments
+    // broadcast back.
+    QueryDef(
+      "value_outlier_screen",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_type"), col("value").cast("decimal(18,2)").as("v"))
+        val moments = ev.groupBy("event_type").agg(
+          count(lit(1)).cast("decimal(8,0)").as("n"),
+          sum(col("v")).cast("decimal(16,2)").as("s"),
+          sum((col("v") * col("v")).cast("decimal(29,4)")).cast("decimal(29,4)").as("ss"))
+        ev.join(broadcast(moments), "event_type")
+          .withColumn("lhs", (col("n") * col("v") - col("s")).cast("decimal(16,2)"))
+          .withColumn("rhs",
+            (col("n") * col("ss") - (col("s") * col("s")).cast("decimal(33,4)"))
+              .cast("decimal(24,4)"))
+          .withColumn("is_out",
+            (col("lhs") * col("lhs")).cast("decimal(33,4)") >
+              (lit(4).cast("decimal(2,0)") * col("rhs")).cast("decimal(27,4)"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v FROM events),
+             |m AS (
+             |  SELECT event_type, CAST(count(*) AS DECIMAL(8,0)) AS n,
+             |    CAST(sum(v) AS DECIMAL(16,2)) AS s,
+             |    CAST(sum(CAST(v * v AS DECIMAL(29,4))) AS DECIMAL(29,4)) AS ss
+             |  FROM ev GROUP BY 1),
+             |scr AS (
+             |  SELECT ev.event_type, v,
+             |    CAST(n * v - s AS DECIMAL(16,2)) AS lhs,
+             |    CAST(n * ss - CAST(s * s AS DECIMAL(33,4)) AS DECIMAL(24,4)) AS rhs
+             |  FROM ev JOIN m ON ev.event_type = m.event_type)
+             |SELECT event_type, count(*) AS n_rows,
+             |  CAST(sum(CASE WHEN
+             |    CAST(lhs * lhs AS DECIMAL(33,4)) >
+             |    CAST(CAST(4 AS DECIMAL(2,0)) * rhs AS DECIMAL(27,4))
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+             |FROM scr GROUP BY event_type""".stripMargin)))
 }

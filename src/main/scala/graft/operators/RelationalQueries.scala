@@ -568,5 +568,29 @@ object RelationalQueries {
              |           FROM orders
              |           WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
              |           GROUP BY o_custkey) o
-             |ON c_custkey = o_custkey""".stripMargin)))
+             |ON c_custkey = o_custkey""".stripMargin)),
+
+    // Correlated LATERAL subquery — the remaining correlation surface next
+    // to EXISTS/IN (§2.3): top-3 customers by balance per nation, written
+    // as LATERAL in BOTH engines. Catalyst decorrelates the LIMIT-under-
+    // correlation into a partitioned rank (DuckDB does the equivalent
+    // dependent-join unnesting), so the execution is the WindowGroupLimit
+    // shape, never nation × customer nested-loop re-execution. The
+    // explicit custkey tiebreak keeps LIMIT membership engine-stable.
+    QueryDef(
+      "lateral_topn_per_nation",
+      (s, d) => {
+        t(s, d, "nation").createOrReplaceTempView("nation_v")
+        t(s, d, "customer").createOrReplaceTempView("customer_v")
+        s.sql("""SELECT n_name, c_custkey, c_acctbal
+                |FROM nation_v,
+                |LATERAL (SELECT c_custkey, c_acctbal FROM customer_v
+                |         WHERE c_nationkey = n_nationkey
+                |         ORDER BY c_acctbal DESC, c_custkey LIMIT 3)""".stripMargin)
+      },
+      Some("""SELECT n_name, c_custkey, c_acctbal
+             |FROM nation,
+             |LATERAL (SELECT c_custkey, c_acctbal FROM customer
+             |         WHERE c_nationkey = n_nationkey
+             |         ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t""".stripMargin)))
 }
