@@ -40,30 +40,17 @@ object Dedup {
     */
   val MinhashMod: Long = 1000000007L
 
-  /** MinHash signature (single-expression form, for ad-hoc column use):
-    * array of `numHashes` numeric minima. The pipeline path is
-    * [[minhashSignatures]] — Catalyst inlines projections, so embedding
-    * this expression into several downstream band digests would re-hash
-    * every shingle per digest.
+  /** MinHash signature column: array of `numHashes` numeric minima,
+    * computed by the codegen'd per-document kernel
+    * ([[graft.functions.MinhashSignature]]). Hash family: md5 per word
+    * shingle, split into two 60-bit halves h1/h2 (top 15 hex chars of
+    * each 8-byte half), affine-combined (h1 + i·h2) % [[MinhashMod]] —
+    * pure integer arithmetic, byte-for-byte reproducible in DuckDB via
+    * ('0x'||substr(md5(s),…))::BIGINT. NULL for docs with < shingleN
+    * tokens.
     */
-  def minhashSignature(text: Column, numHashes: Int, shingleN: Int = 3): Column = {
-    val sh = shingles(text, shingleN)
-    array((0 until numHashes).map { i =>
-      array_min(transform(sh, s => hashFn(md5(s), i)))
-    }: _*)
-  }
-
-  /** The i-th simulated hash of a shingle's md5 hex digest: two 60-bit
-    * halves of the digest, affine-combined mod [[MinhashMod]] (the
-    * classic h1 + i·h2 construction). Pure integer arithmetic on a hex
-    * substring parse — byte-for-byte reproducible in DuckDB via
-    * ('0x'||substr(md5(s),…))::BIGINT.
-    */
-  private def hashFn(m: Column, i: Int): Column = {
-    val h1 = conv(substring(m, 1, 15), 16, 10).cast("long") % MinhashMod
-    val h2 = conv(substring(m, 17, 15), 16, 10).cast("long") % MinhashMod
-    (h1 + lit(i.toLong) * h2) % MinhashMod
-  }
+  def minhashSignature(text: Column, numHashes: Int, shingleN: Int = 3): Column =
+    graft.functions.GraftFunctions.minhashSignature(text, numHashes, shingleN)
 
   /** MinHash signatures as a DataFrame: (idCol, m0..m{numHashes-1}), each a
     * Long. Shape: explode(shingles) → ONE md5 per shingle → numHashes
@@ -75,26 +62,22 @@ object Dedup {
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int, shingleN: Int = 3): DataFrame = {
-    // Repartition by id BEFORE exploding: the shuffle then carries whole
-    // texts (small) instead of the exploded shingle rows, spreads the md5
-    // work across all cores even when the source is one parquet split, and
-    // the groupBy(id) below reuses the partitioning — zero extra
-    // exchanges in the plan.
-    val exploded = df
-      .filter(size(TextOps.tokens(col(textCol))) >= shingleN)
+    // One codegen'd kernel per document (graft.functions.MinhashSignature)
+    // — no shingle explode, no 16-min aggregation, no exchange for the
+    // signature stage itself (arithmetic bit-identical to the previous
+    // explode → md5 → min() pipeline, so every oracle is unchanged). The
+    // repartition remains for LOCAL parallelism only: a small lake is one
+    // parquet split and the per-document md5 loop would pin a single core
+    // (at production split counts the scan partitioning already spreads
+    // it; the moved rows are whole small texts either way).
+    val sig = graft.functions.GraftFunctions
+      .minhashSignature(col(textCol), numHashes, shingleN)
+    df.filter(size(TextOps.tokens(col(textCol))) >= shingleN)
       .select(col(idCol), col(textCol))
       .repartition(col(idCol))
-      .select(col(idCol), explode(shingles(col(textCol), shingleN)).as("s"))
-      .select(col(idCol), md5(col("s")).as("m"))
-      // project h1/h2 once per shingle — each agg below reuses them
-      // instead of re-parsing the hex digest (2 parses vs 2·numHashes)
-      .select(col(idCol),
-        (conv(substring(col("m"), 1, 15), 16, 10).cast("long") % MinhashMod).as("h1"),
-        (conv(substring(col("m"), 17, 15), 16, 10).cast("long") % MinhashMod).as("h2"))
-    val aggs = (0 until numHashes).map { i =>
-      min((col("h1") + lit(i.toLong) * col("h2")) % MinhashMod).as(s"m$i")
-    }
-    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol), sig.as("__sig"))
+      .select(col(idCol) +: (0 until numHashes).map(i =>
+        element_at(col("__sig"), i + 1).as(s"m$i")): _*)
   }
 
   /** LSH band digests: signature rows grouped into `bands` bands of

@@ -36,6 +36,16 @@ object GraftFunctions {
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_signature",
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(text, k, n) => MinhashSignature(text,
+          intLiteral(k, "minhash_signature(text, numHashes, n)"),
+          intLiteral(n, "minhash_signature(text, numHashes, n)"))
+        case other => throw new IllegalArgumentException(
+          s"minhash_signature(text, numHashes, n) takes 3 arguments, got ${other.size}")
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_might_contain_long",
       (exprs: Seq[Expression]) => exprs match {
         case Seq(f, v) => BloomMightContainLong(f, v)
@@ -61,6 +71,12 @@ object GraftFunctions {
   def arrayDot(a: Column, b: Column): Column = {
     register(SparkSession.active)
     call_function("array_dot", a, b)
+  }
+
+  /** Column-API wrapper; auto-registers in the active session. */
+  def minhashSignature(text: Column, numHashes: Int, n: Int): Column = {
+    register(SparkSession.active)
+    call_function("minhash_signature", text, lit(numHashes), lit(n))
   }
 
   /** Column-API wrapper; auto-registers in the active session.

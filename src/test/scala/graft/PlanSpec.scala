@@ -53,18 +53,18 @@ class PlanSpec extends SparkSuite {
   test("minhash near-dup pipeline computes the candidate subtree once") {
     // nearDuplicates dropped its persist() in round 2 on the claim that the
     // signature pipeline appears exactly once in the downstream join chain;
-    // pin that with the physical plan: exactly one shingle-explode Generate
-    // (the signature pipeline — the Jaccard sets side uses word_shingles
-    // only inside projections) and exactly one final-mode collect_list
-    // aggregate (the LSH bucket build; partial+final of ONE aggregation,
-    // not two aggregations).
+    // pin that with the physical plan: exactly one projection invoking the
+    // minhash_signature kernel (since round 7 the signature stage is one
+    // codegen'd per-row expression — no shingle explode, no 16-min
+    // aggregation) and exactly one final-mode collect_list aggregate (the
+    // LSH bucket build; partial+final of ONE aggregation, not two).
     val p = plan("dedup_minhash_verified")
-    val shingleGenerates = collectAll(p) {
-      case g: org.apache.spark.sql.execution.GenerateExec
-        if g.generator.toString.contains("word_shingles") => g
+    val sigProjects = collectAll(p) {
+      case pr: org.apache.spark.sql.execution.ProjectExec
+        if pr.projectList.exists(_.toString.contains("minhash_signature")) => pr
     }
-    assert(shingleGenerates.size == 1,
-      s"signature pipeline must run once, found ${shingleGenerates.size} shingle explodes")
+    assert(sigProjects.size == 1,
+      s"signature kernel must project once, found ${sigProjects.size} projections")
     val finalBucketAggs = collectAll(p) {
       case h: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
         if h.aggregateExpressions.exists(a =>
@@ -251,15 +251,15 @@ class PlanSpec extends SparkSuite {
   test("incremental dedup buckets both sides in one signature pass") {
     // The new-batch probe must NOT plan as a band self-join (which would
     // recompute the whole minhash pipeline per side): exactly one
-    // shingle-explode Generate feeds one bucket aggregation that carries
-    // BOTH collect_lists (news + seens).
+    // projection invoking the minhash_signature kernel feeds one bucket
+    // aggregation that carries BOTH collect_lists (news + seens).
     val p = plan("dedup_incremental_newbatch")
-    val shingleGenerates = collectAll(p) {
-      case g: org.apache.spark.sql.execution.GenerateExec
-        if g.generator.toString.contains("word_shingles") => g
+    val sigProjects = collectAll(p) {
+      case pr: org.apache.spark.sql.execution.ProjectExec
+        if pr.projectList.exists(_.toString.contains("minhash_signature")) => pr
     }
-    assert(shingleGenerates.size == 1,
-      s"signature pipeline must run once, found ${shingleGenerates.size} shingle explodes")
+    assert(sigProjects.size == 1,
+      s"signature kernel must project once, found ${sigProjects.size} projections")
     val finalBucketAggs = collectAll(p) {
       case h: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
         if h.aggregateExpressions.exists(a =>

@@ -110,6 +110,48 @@ class FunctionsSpec extends SparkSuite {
     }
   }
 
+  /** The SQL arithmetic the kernel must reproduce bit-for-bit — the same
+    * formulation every DuckDB oracle replays.
+    */
+  private def sqlSignature(text: org.apache.spark.sql.Column, numHashes: Int, n: Int) = {
+    val mod = graft.dedup.Dedup.MinhashMod
+    def h(m: org.apache.spark.sql.Column, i: Int) = {
+      val h1 = conv(substring(m, 1, 15), 16, 10).cast("long") % mod
+      val h2 = conv(substring(m, 17, 15), 16, 10).cast("long") % mod
+      (h1 + lit(i.toLong) * h2) % mod
+    }
+    val sh = GraftFunctions.wordShingles(text, n)
+    when(size(sh) > 0, array((0 until numHashes).map { i =>
+      array_min(transform(sh, s => h(md5(s), i)))
+    }: _*)).otherwise(lit(null))
+  }
+
+  test("minhash_signature == md5/conv SQL formulation on random strings") {
+    val wordGen = Gen.oneOf(Gen.alphaNumStr.map(_.take(6)), Gen.const(""), Gen.const("é漢"))
+    val textGen = Gen.listOf(wordGen).map(_.mkString(" "))
+    val texts = (1 to 150).flatMap(i => textGen(Gen.Parameters.default, Seed(700 + i.toLong))) ++
+      Seq("", "a", "a b", "a b c", "a  b  c", "x y z x y z")
+    val df = texts.toDF("text")
+    for ((k, n) <- Seq((16, 3), (8, 2), (1, 1))) {
+      val diff = df.select(
+        GraftFunctions.minhashSignature(col("text"), k, n).as("custom"),
+        sqlSignature(col("text"), k, n).as("sql"))
+        .filter(not(col("custom") <=> col("sql")))
+      assert(diff.count() == 0, s"k=$k n=$n: kernel diverges from SQL; e.g. " +
+        diff.limit(1).collect().mkString)
+    }
+  }
+
+  test("minhash_signature survives the interpreted (non-codegen) path") {
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+        "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val out = Seq("a b c d").toDF("text")
+        .select(GraftFunctions.minhashSignature(col("text"), 4, 2).as("s"))
+        .head().getSeq[Long](0)
+      assert(out.size == 4 && out.forall(v => v >= 0 && v < graft.dedup.Dedup.MinhashMod))
+    }
+  }
+
   private def withSQLConf(pairs: (String, String)*)(body: => Unit): Unit = {
     val conf = spark.conf
     val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }
