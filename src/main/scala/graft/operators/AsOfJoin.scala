@@ -74,4 +74,54 @@ object AsOfJoin {
       .select(left.columns.map(col) ++
         payload.map(p => col(s"__match.$p").as(s"asof_$p")): _*)
   }
+
+  /** Forward as-of: for each left row, the EARLIEST right row with the
+    * same key and `rightT >= leftT` (ties broken by the smallest
+    * `rightSeq`) — "the next event at or after this instant", the
+    * attribution-window / next-touch lookup. Same union-window shape as
+    * [[asOf]] (one key shuffle, no join node); the window just runs over
+    * DESCENDING time, so the running `last` at a left row is the nearest
+    * future right row. Right rows sort before left at equal instants
+    * (inclusive) and by seq DESC so the smallest seq is seen last.
+    */
+  def asOfForward(left: DataFrame, right: DataFrame,
+                  leftKey: String, rightKey: String,
+                  leftT: String, rightT: String, rightSeq: String,
+                  payload: Seq[String]): DataFrame = {
+    val key = "__asof_key"
+    val t = "__asof_t"
+    val side = "__asof_side"
+    val seq = "__asof_seq"
+    val pay = "__asof_payload"
+
+    val payStruct = struct(payload.map(right(_)): _*)
+    val r = right.select(
+      right(rightKey).as(key),
+      right(rightT).cast("timestamp_ntz").as(t),
+      lit(0).as(side),
+      right(rightSeq).cast("long").as(seq),
+      payStruct.as(pay))
+
+    val lCols = left.columns.map(left(_))
+    val l = left.select(lCols :+
+      left(leftKey).as(key) :+
+      left(leftT).cast("timestamp_ntz").as(t) :+
+      lit(1).as(side) :+
+      lit(null).cast("long").as(seq) :+
+      lit(null).cast(r.schema(pay).dataType).as(pay): _*)
+
+    val rAligned = r.select(
+      left.columns.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(col(key), col(t), col(side), col(seq), col(pay)): _*)
+
+    val w = Window.partitionBy(key)
+      .orderBy(col(t).desc, col(side).asc, col(seq).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    l.unionByName(rAligned)
+      .withColumn("__match", last(col(pay), ignoreNulls = true).over(w))
+      .filter(col(side) === 1)
+      .select(left.columns.map(col) ++
+        payload.map(p => col(s"__match.$p").as(s"asof_$p")): _*)
+  }
 }

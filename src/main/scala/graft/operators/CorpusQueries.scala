@@ -34,6 +34,25 @@ object CorpusQueries {
              |   ORDER BY ts DESC, event_id DESC LIMIT 1) AS asof_event_id
              |FROM orders""".stripMargin)),
 
+    // Forward as-of: the next event AT OR AFTER each order — the
+    // attribution-window lookup (asof_join_last_event is the backward
+    // point-in-time read). Same union-window shape, descending time.
+    QueryDef(
+      "asof_join_next_event",
+      (s, d) => AsOfJoin.asOfForward(
+        left = t(s, d, "orders").select("o_orderkey", "o_custkey", "o_orderdate"),
+        right = t(s, d, "events"),
+        leftKey = "o_custkey", rightKey = "user_id",
+        leftT = "o_orderdate", rightT = "ts", rightSeq = "event_id",
+        payload = Seq("event_id"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+                col("asof_event_id").as("next_event_id")),
+      Some("""SELECT o_orderkey, o_custkey, o_orderdate,
+             |  (SELECT event_id FROM events
+             |   WHERE user_id = o_custkey AND ts >= o_orderdate
+             |   ORDER BY ts ASC, event_id ASC LIMIT 1) AS next_event_id
+             |FROM orders""".stripMargin)),
+
     // Classic distributed wordcount over the corpus (map-side partial agg).
     QueryDef(
       "text_wordcount",

@@ -402,6 +402,36 @@ object StreamingQueries {
     q.awaitTermination()
   }
 
+  /** Streaming OHLC maintenance — argmin/argmax STATE per bar: min_by/
+    * max_by aggregation state must track the (ts, event_id)-earliest and
+    * -latest value per (event_type, day) correctly across micro-batch
+    * boundaries (an open/close that only considered within-batch order
+    * would be wrong whenever a bar spans triggers — which the 4-slice
+    * staging guarantees here). Complete-mode snapshot ≡ the batch
+    * ohlc_bars aggregation.
+    */
+  private def runOhlc(s: SparkSession, sfDir: String, scratch: String, resultOut: String): Unit = {
+    val glob = stageEventSlices(s, sfDir, s"$scratch/evlake")
+    val agg = eventStream(s, glob)
+      .withColumn("day", col("ts").cast("date"))
+      .groupBy("event_type", "day")
+      .agg(min_by(col("value"), struct(col("ts"), col("event_id"))).as("open_v"),
+        max(col("value")).as("high_v"),
+        min(col("value")).as("low_v"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close_v"),
+        count(lit(1)).as("n_events"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.coalesce(1).write.mode("overwrite").parquet(resultOut)
+        ()
+      }
+      .option("checkpointLocation", s"$scratch/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Hopping (sliding) event-time windows over the multi-trigger stream —
     * the overlapping-window state shape: each event updates TWO window
     * states (30-min windows every 15), and the state store carries both
@@ -651,6 +681,26 @@ object StreamingQueries {
              |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
              |FROM events, unnest([0, 1]) AS hop(k)
              |GROUP BY 1, 2""".stripMargin),
+      bench = false, sideEffecting = true),
+
+    // Streaming OHLC == the batch bars: argmin/argmax aggregation state
+    // must merge correctly across micro-batches (bars span triggers).
+    QueryDef(
+      "streaming_ohlc_snapshot",
+      (s, d) => cachedStream(s, "streaming_ohlc_snapshot", d)(runOhlc(s, d, _, _)),
+      Some("""WITH r AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS day, value,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+             |      ORDER BY ts, event_id) AS rf,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+             |      ORDER BY ts DESC, event_id DESC) AS rl
+             |  FROM events)
+             |SELECT event_type, day,
+             |  max(CASE WHEN rf = 1 THEN value END) AS open_v,
+             |  max(value) AS high_v, min(value) AS low_v,
+             |  max(CASE WHEN rl = 1 THEN value END) AS close_v,
+             |  count(*) AS n_events
+             |FROM r GROUP BY 1, 2""".stripMargin),
       bench = false, sideEffecting = true),
 
     // Stream-static enrichment == the batch join+group: the stateless
