@@ -471,5 +471,37 @@ object CorpusQueries {
            |FROM shared
            |JOIN sizes sa ON shared.src_a = sa.source
            |JOIN sizes sb ON shared.src_b = sb.source""".stripMargin
+      }),
+
+    // Kneser-Ney continuation counts — the lower-order distribution an
+    // n-gram language model is trained on: per word, how many DISTINCT
+    // left contexts it follows (N1+(•w)) next to its raw occurrence
+    // count. "the" is frequent but predictable (few novel contexts);
+    // KN smoothing weights by context diversity instead of frequency.
+    // One bigram explode (the codegen shingle kernel), one aggregation
+    // keyed on the word — the count-distinct shuffles (w1, w2) pairs,
+    // the same cardinality class as the distinct-bigram vocabulary.
+    // Integer-exact throughout; top-100 fully tie-broken.
+    QueryDef(
+      "kn_continuation_counts",
+      (s, d) => t(s, d, "documents")
+        .select(explode(graft.dedup.Dedup.shingles(col("text"), 2)).as("bg"))
+        .select(split(col("bg"), " ").as("p"))
+        .select(element_at(col("p"), 1).as("w1"), element_at(col("p"), 2).as("w2"))
+        .groupBy(col("w2").as("word"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("w1")).as("n_contexts"))
+        .orderBy(col("n_contexts").desc, col("n_occurrences").desc, col("word"))
+        .limit(100),
+      Some {
+        val ng2 = "list_transform(range(0, len(string_split(text, ' ')) - 1), " +
+          "i -> array_to_string((string_split(text, ' '))[i+1:i+2], ' '))"
+        s"""WITH bg AS (SELECT unnest($ng2) AS b FROM documents),
+           |pairs AS (SELECT string_split(b, ' ')[1] AS w1,
+           |                 string_split(b, ' ')[2] AS w2 FROM bg)
+           |SELECT w2 AS word, count(*) AS n_occurrences,
+           |  count(DISTINCT w1) AS n_contexts
+           |FROM pairs GROUP BY w2
+           |ORDER BY n_contexts DESC, n_occurrences DESC, word LIMIT 100""".stripMargin
       }))
 }
