@@ -938,5 +938,52 @@ object AnalyticsQueries {
              |    CAST(lhs * lhs AS DECIMAL(33,4)) >
              |    CAST(CAST(4 AS DECIMAL(2,0)) * rhs AS DECIMAL(27,4))
              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
-             |FROM scr GROUP BY event_type""".stripMargin)))
+             |FROM scr GROUP BY event_type""".stripMargin)),
+
+    // One-pass Pearson correlation moments: n, Σq, Σp, Σq², Σp², Σqp in a
+    // SINGLE scan with map-side partial aggregation — the textbook
+    // shift-free covariance pattern (never two passes, never a centered
+    // second scan). Every moment is an exact decimal sum (the doubles are
+    // quantized to their storage scale first), so the aggregates are
+    // bit-identical across engines; the final correlation is scalar IEEE
+    // double arithmetic over those identical aggregates — deterministic
+    // without any rounding fudge, because +,-,*,/,sqrt are correctly
+    // rounded in both engines and the sums carry no FP accumulation
+    // order dependence.
+    QueryDef(
+      "corr_onepass_moments",
+      (s, d) => {
+        val q = col("l_quantity").cast(DecimalType(12, 2))
+        val p = col("l_extendedprice").cast(DecimalType(14, 2))
+        t(s, d, "lineitem")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(q).cast("double").as("sum_q"),
+            sum(p).cast("double").as("sum_p"),
+            sum((q * q).cast(DecimalType(28, 4))).cast("double").as("sum_qq"),
+            sum((p * p).cast(DecimalType(30, 4))).cast("double").as("sum_pp"),
+            sum((q * p).cast(DecimalType(28, 4))).cast("double").as("sum_qp"))
+          .withColumn("nd", col("n").cast("double"))
+          .withColumn("corr_qp",
+            (col("nd") * col("sum_qp") - col("sum_q") * col("sum_p")) /
+              sqrt((col("nd") * col("sum_qq") - col("sum_q") * col("sum_q")) *
+                   (col("nd") * col("sum_pp") - col("sum_p") * col("sum_p"))))
+          .select("n", "sum_q", "sum_p", "sum_qq", "sum_pp", "sum_qp", "corr_qp")
+      },
+      Some("""WITH m AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_q,
+             |    CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_p,
+             |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(12,2)) *
+             |      CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(28,4))) AS DOUBLE) AS sum_qq,
+             |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) *
+             |      CAST(l_extendedprice AS DECIMAL(14,2)) AS DECIMAL(30,4))) AS DOUBLE) AS sum_pp,
+             |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(12,2)) *
+             |      CAST(l_extendedprice AS DECIMAL(14,2)) AS DECIMAL(28,4))) AS DOUBLE) AS sum_qp
+             |  FROM lineitem)
+             |SELECT n, sum_q, sum_p, sum_qq, sum_pp, sum_qp,
+             |  (CAST(n AS DOUBLE) * sum_qp - sum_q * sum_p) /
+             |  sqrt((CAST(n AS DOUBLE) * sum_qq - sum_q * sum_q) *
+             |       (CAST(n AS DOUBLE) * sum_pp - sum_p * sum_p)) AS corr_qp
+             |FROM m""".stripMargin)))
 }

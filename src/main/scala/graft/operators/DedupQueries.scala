@@ -416,7 +416,111 @@ object DedupQueries {
              |      / CAST(len(list_distinct(list_concat(a.sset, b.sset))) AS DOUBLE) >= 0.2)
              |SELECT doc_id FROM documents
              |WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT new_id FROM rejected)
-             |ORDER BY doc_id""".stripMargin)))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Sparse-vector cosine similarity join via inverted-index postings —
+    // the bag-of-words sibling of `simjoin_prefix_filter`'s set join.
+    // Entirely integer arithmetic: tf counts, squared norms, and the
+    // threshold test 25·dot² ≥ 16·‖a‖²·‖b‖² (⟺ cosine ≥ 4/5, dot ≥ 0)
+    // are all exact BIGINTs, so the oracle comparison is bit-stable with
+    // no FP ranking boundary. Scale shape: pairs are generated ONLY
+    // through shared postings (an equi-join on token — never all-pairs),
+    // and the posting lists are bounded by a RELATIVE df cut (df·5 ≤
+    // n_docs, scale-free like `rare_token_docs`' rarity test): a stopword
+    // that would explode the self-join into df² pairs is dropped from the
+    // similarity space on BOTH engines. The df cut rides the same
+    // count-over-window exchange that the postings join needs anyway, and
+    // the 1-row corpus total is a broadcast.
+    QueryDef(
+      "simjoin_cosine_postings",
+      (s, d) => {
+        val wTok = org.apache.spark.sql.expressions.Window.partitionBy("tok")
+        val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+        val total = t(s, d, "documents")
+          .agg(count(lit(1)).as("nd"))
+        // norms ride the postings as a doc-partitioned window instead of a
+        // separate aggregate: no per-pair norm re-joins, and the pair
+        // self-join's two sides are ONE subtree (AQE reuses the exchange).
+        val kept = t(s, d, "documents")
+          .select(col("doc_id"),
+            explode(graft.text.TextOps.tokens(col("text"))).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+          .withColumn("df", count(lit(1)).over(wTok))
+          .join(broadcast(total))
+          .filter(col("df") * lit(5L) <= col("nd"))
+          .withColumn("n2", sum(col("tf") * col("tf")).over(wDoc))
+          .select("doc_id", "tok", "tf", "n2")
+        kept.select(col("doc_id").as("ida"), col("tok"),
+            col("tf").as("tfa"), col("n2").as("n2a"))
+          .join(kept.select(col("doc_id").as("idb"), col("tok"),
+            col("tf").as("tfb"), col("n2").as("n2b")), "tok")
+          .filter(col("ida") < col("idb"))
+          .groupBy("ida", "idb", "n2a", "n2b")
+          .agg(sum(col("tfa") * col("tfb")).as("dot"))
+          .filter(col("dot") * col("dot") * lit(25L) >=
+            col("n2a") * col("n2b") * lit(16L))
+          .select(col("ida").as("doc_id_a"), col("idb").as("doc_id_b"),
+            col("dot"), col("n2a"), col("n2b"))
+      },
+      Some("""WITH tf AS (
+             |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+             |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |        FROM documents)
+             |  GROUP BY doc_id, tok),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+             |kept AS (
+             |  SELECT doc_id, tok, tf,
+             |    CAST(sum(tf * tf) OVER (PARTITION BY doc_id) AS BIGINT) AS n2
+             |  FROM (
+             |    SELECT tf.*, COUNT(*) OVER (PARTITION BY tok) AS df FROM tf)
+             |  CROSS JOIN tot WHERE df * 5 <= nd)
+             |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             |  CAST(sum(a.tf * b.tf) AS BIGINT) AS dot,
+             |  a.n2 AS n2a, b.n2 AS n2b
+             |FROM kept a JOIN kept b ON a.tok = b.tok AND a.doc_id < b.doc_id
+             |GROUP BY 1, 2, 4, 5
+             |HAVING CAST(sum(a.tf * b.tf) AS BIGINT) *
+             |       CAST(sum(a.tf * b.tf) AS BIGINT) * 25 >= a.n2 * b.n2 * 16""".stripMargin)),
+
+    // Entity resolution by blocking + sorted-neighborhood: block on the
+    // first name token, order within the block, and compare each record
+    // only to its w=2 sorted neighbors — the classic way to turn an n²
+    // fuzzy-match into O(n·w) (Hernández & Stolfo's merge/purge). The
+    // neighborhood pairing is a per-block range self-join on row_number
+    // (window partitioned by block — no global sort), and the verify step
+    // (1 ≤ Levenshtein ≤ 4 — exact-name matches are exact-dedup's job,
+    // not fuzzy ER's) runs only on those pairs. The total order
+    // (p_name, p_partkey) makes neighbor membership engine-stable.
+    QueryDef(
+      "er_sorted_neighborhood",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("blk").orderBy("p_name", "p_partkey")
+        val blk = t(s, d, "part")
+          .select(col("p_partkey"), col("p_name"),
+            substring_index(col("p_name"), " ", 1).as("blk"))
+          .withColumn("rn", row_number().over(w))
+        val a = blk.select(col("blk"), col("rn"),
+          col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+        val b = blk.select(col("blk"), col("rn").as("rnb"),
+          col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+        a.join(b, Seq("blk"))
+          .filter(col("rnb") > col("rn") && col("rnb") <= col("rn") + 2)
+          .withColumn("lev", levenshtein(col("name_a"), col("name_b")).cast("long"))
+          .filter(col("lev").between(1, 4))
+          .select("key_a", "key_b", "name_a", "name_b", "lev")
+      },
+      Some("""WITH blk AS (
+             |  SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk,
+             |    ROW_NUMBER() OVER (PARTITION BY string_split(p_name, ' ')[1]
+             |                       ORDER BY p_name, p_partkey) AS rn
+             |  FROM part)
+             |SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+             |  a.p_name AS name_a, b.p_name AS name_b,
+             |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev
+             |FROM blk a JOIN blk b
+             |  ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + 2
+             |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 4""".stripMargin)))
 
   /** The SimHash fingerprint CTE chain (tokh → voted → packed), shared by
     * the fingerprint query and the hamming-radius search; `shape` is the

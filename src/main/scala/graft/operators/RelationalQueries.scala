@@ -592,5 +592,48 @@ object RelationalQueries {
              |FROM nation,
              |LATERAL (SELECT c_custkey, c_acctbal FROM customer
              |         WHERE c_nationkey = n_nationkey
-             |         ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t""".stripMargin)))
+             |         ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t""".stripMargin)),
+
+    // WITH RECURSIVE (Spark 4's UnionLoop): bounded path expansion over
+    // the event-type transition graph. The recursion runs over the
+    // AGGREGATED edge catalog — |event types|² rows, scale-free — never
+    // the raw event stream, so each iteration is a join against a
+    // broadcast-sized relation no matter the input SF; the only
+    // data-sized work is the one windowed pass that derives the edges.
+    // Depth is capped by a counter column (4 hops), keeping the loop
+    // finite on both engines without relying on engine-level recursion
+    // limits.
+    QueryDef(
+      "recursive_cte_paths",
+      (s, d) => {
+        t(s, d, "events").createOrReplaceTempView("events_v")
+        s.sql("""WITH RECURSIVE edges AS (
+                |  SELECT DISTINCT src, dst FROM (
+                |    SELECT event_type AS src,
+                |      LEAD(event_type) OVER (PARTITION BY user_id
+                |                             ORDER BY ts, event_id) AS dst
+                |    FROM events_v) WHERE dst IS NOT NULL),
+                |paths(path, terminal, depth) AS (
+                |  SELECT 'signup', 'signup', 1
+                |  UNION ALL
+                |  SELECT concat(p.path, '>', e.dst), e.dst, p.depth + 1
+                |  FROM paths p JOIN edges e ON p.terminal = e.src
+                |  WHERE p.depth < 4)
+                |SELECT path, terminal, CAST(depth AS BIGINT) AS depth
+                |FROM paths""".stripMargin)
+      },
+      Some("""WITH RECURSIVE edges AS (
+             |  SELECT DISTINCT src, dst FROM (
+             |    SELECT event_type AS src,
+             |      LEAD(event_type) OVER (PARTITION BY user_id
+             |                             ORDER BY ts, event_id) AS dst
+             |    FROM events) WHERE dst IS NOT NULL),
+             |paths(path, terminal, depth) AS (
+             |  SELECT 'signup', 'signup', 1
+             |  UNION ALL
+             |  SELECT p.path || '>' || e.dst, e.dst, p.depth + 1
+             |  FROM paths p JOIN edges e ON p.terminal = e.src
+             |  WHERE p.depth < 4)
+             |SELECT path, terminal, CAST(depth AS BIGINT) AS depth
+             |FROM paths""".stripMargin)))
 }

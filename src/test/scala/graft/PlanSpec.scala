@@ -310,4 +310,48 @@ class PlanSpec extends SparkSuite {
   test("flagship entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("cosine postings join pairs only through shared tokens, never all-pairs") {
+    // The df-cut + postings equi-join is the whole scale story: pair
+    // generation must be a shuffled equi join on tok; the only
+    // nested-loop join allowed is the 1-row broadcast corpus total.
+    val p = plan("simjoin_cosine_postings")
+    val cart = collectAll(p) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(cart.isEmpty, "cosine postings join must never plan a cartesian product")
+    val bnl = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(bnl.size <= 2,
+      s"only the 1-row corpus-total broadcast (once per self-join side) may " +
+        s"nested-loop, found ${bnl.size}")
+    // The two self-join sides are one subtree; AQE must wire the second
+    // through ReusedExchange rather than re-tokenizing the corpus.
+    val df = SparkEntry.queries("simjoin_cosine_postings")(spark, sf)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+      "postings self-join must reuse one tokenized-corpus exchange")
+  }
+
+  test("sorted-neighborhood ER blocks the self-join (equi on blk, no cartesian)") {
+    val p = plan("er_sorted_neighborhood")
+    val cart = collectAll(p) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(cart.isEmpty, "blocked neighborhood join must never be a cartesian")
+    val bnl = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(bnl.isEmpty,
+      s"neighborhood pairing must be an equi join on the block key, found ${bnl.size} nested loops")
+  }
+
+  test("recursive CTE plans a UnionLoop over the aggregated edge catalog") {
+    val p = plan("recursive_cte_paths")
+    val loops = collectAll(p) {
+      case u: org.apache.spark.sql.execution.UnionLoopExec => u
+    }
+    assert(loops.size == 1, s"expected one UnionLoop, found ${loops.size}")
+  }
 }
