@@ -35,8 +35,7 @@ object AtomicPublish {
     */
   def ensure(dst: String, stamp: String = "")(build: String => Unit): String = {
     val dstPath = Paths.get(dst)
-    val marker = dstPath.resolve(MarkerName)
-    if (currentStamp(marker).contains(stamp)) return dst
+    if (isCurrent(dstPath, stamp)) return dst
 
     val tag = s"${ProcessHandle.current().pid()}-${System.nanoTime()}"
     val tmp = Paths.get(s"$dst.tmp-$tag")
@@ -45,7 +44,7 @@ object AtomicPublish {
     // orphaned trees (ADVICE r4).
     try {
       build(tmp.toString)
-      Files.writeString(tmp.resolve(MarkerName), stamp)
+      Files.writeString(tmp.resolve(MarkerName), (stamp +: manifestOf(tmp)).mkString("\n"))
     } catch {
       case t: Throwable => deleteTree(tmp); throw t
     }
@@ -63,7 +62,7 @@ object AtomicPublish {
           // pid; only trees whose owner is dead are swept, so a live
           // concurrent publisher's private dirs are never touched.
           sweepDeadSiblings(dstPath)
-          if (currentStamp(marker).contains(stamp)) deleteTree(tmp) // another writer won with the same stamp
+          if (isCurrent(dstPath, stamp)) deleteTree(tmp) // another writer won with the same stamp
           else {
             // Stale publication: move it ASIDE first, then install, then
             // delete the doomed copy. `dst` flips old-complete →
@@ -105,8 +104,47 @@ object AtomicPublish {
     }
   }
 
-  private def currentStamp(marker: Path): Option[String] =
-    if (Files.exists(marker)) Some(Files.readString(marker)) else None
+  /** Marker format: line 1 = stamp, remaining lines = `size\trelpath` for
+    * every published regular file. A matching stamp alone is NOT proof of a
+    * live publication: /tmp reapers delete large, old data files while
+    * keeping the 0-byte marker and small `.crc` siblings, leaving a
+    * "complete" directory whose glob matches nothing (observed round 7:
+    * the CDC lake's `part-*.txt` vanished under an intact marker). The
+    * manifest makes the marker self-validating — any listed file missing
+    * or resized means the publication is gone and must be rebuilt.
+    */
+  private def manifestOf(dir: Path): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    Files.walk(dir).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.getFileName.toString != MarkerName)
+      .map(p => s"${Files.size(p)}\t${dir.relativize(p)}")
+      .toSeq.sorted
+  }
+
+  private def isCurrent(dstPath: Path, stamp: String): Boolean = {
+    import scala.jdk.CollectionConverters._
+    val marker = dstPath.resolve(MarkerName)
+    if (!Files.exists(marker)) return false
+    val lines = Files.readAllLines(marker).asScala.toSeq
+    if (lines.headOption.getOrElse("") != stamp) return false
+    val manifest = lines.drop(1)
+    if (manifest.nonEmpty) manifest.forall { line =>
+      line.split("\t", 2) match {
+        case Array(sz, rel) =>
+          val f = dstPath.resolve(rel)
+          Files.isRegularFile(f) && Files.size(f) == sz.toLong
+        case _ => false
+      }
+    } else {
+      // Pre-manifest marker (earlier rounds): trust it only if some
+      // non-hidden data file survived alongside it — an empty husk whose
+      // large files were reaped must rebuild.
+      Files.walk(dstPath).iterator().asScala.exists { p =>
+        val n = p.getFileName.toString
+        Files.isRegularFile(p) && !n.startsWith(".") && !n.startsWith("_")
+      }
+    }
+  }
 
   /** Recursively delete `p` if present. */
   def deleteTree(p: Path): Unit = if (Files.exists(p)) {

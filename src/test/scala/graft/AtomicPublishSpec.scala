@@ -56,6 +56,39 @@ class AtomicPublishSpec extends AnyFunSuite {
     assert(Files.readString(Paths.get(dst, "data.txt")) == "legacy")
   }
 
+  test("a reaped data file under an intact marker forces a rebuild") {
+    // /tmp cleaners delete large, old files but keep the 0-byte marker
+    // (observed round 7: the CDC lake's part files vanished, the marker
+    // survived, and every glob reader crashed on an "empty" complete dir).
+    val dst = freshDst()
+    var builds = 0
+    def build(tmp: String): Unit = {
+      builds += 1
+      Files.createDirectories(Paths.get(tmp))
+      Files.writeString(Paths.get(tmp, "part-00000.txt"), s"build-$builds")
+    }
+    AtomicPublish.ensure(dst, "v1")(build)
+    Files.delete(Paths.get(dst, "part-00000.txt")) // the reaper strikes
+    AtomicPublish.ensure(dst, "v1")(build)
+    assert(builds == 2, "missing manifest file must invalidate the publication")
+    assert(Files.readString(Paths.get(dst, "part-00000.txt")) == "build-2")
+  }
+
+  test("a legacy manifest-less marker over an empty husk forces a rebuild") {
+    val dst = freshDst()
+    Files.createDirectories(Paths.get(dst))
+    Files.writeString(Paths.get(dst, "_GRAFT_COMPLETE"), "")
+    Files.writeString(Paths.get(dst, "._reaped.crc"), "checksum") // only hidden debris left
+    var builds = 0
+    AtomicPublish.ensure(dst) { tmp =>
+      builds += 1
+      Files.createDirectories(Paths.get(tmp))
+      Files.writeString(Paths.get(tmp, "data.txt"), "rebuilt")
+    }
+    assert(builds == 1, "a husk with no visible data files must rebuild")
+    assert(Files.readString(Paths.get(dst, "data.txt")) == "rebuilt")
+  }
+
   test("dirFingerprint changes when a file's content size changes") {
     val d = Files.createTempDirectory("fp")
     Files.writeString(d.resolve("a.parquet"), "12345")
