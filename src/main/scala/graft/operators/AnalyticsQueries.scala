@@ -985,5 +985,42 @@ object AnalyticsQueries {
              |  (CAST(n AS DOUBLE) * sum_qp - sum_q * sum_p) /
              |  sqrt((CAST(n AS DOUBLE) * sum_qq - sum_q * sum_q) *
              |       (CAST(n AS DOUBLE) * sum_pp - sum_p * sum_p)) AS corr_qp
-             |FROM m""".stripMargin)))
+             |FROM m""".stripMargin)),
+
+    // COUNT(DISTINCT) over a sliding window — 7-day distinct active users
+    // per event type, sliding daily. Spark has no distinct aggregate over
+    // a RANGE frame, and the naive fix (per-day collect_set unions or a
+    // range self-join) is quadratic in the window. The scalable shape:
+    // dedup to (type, user, day) FIRST (map-side combinable, collapses
+    // the raw stream), then explode each surviving row to the ≤7 window
+    // starts that cover it and run one hash countDistinct per (type,
+    // window) — the expansion factor is window/slide, a constant, and the
+    // heavy dedup happens BEFORE the 7× blow-up, not after. Days are
+    // exact integer epoch-day numbers on both engines (the date_trunc
+    // DATE-vs-TIMESTAMP trap); everything is integers.
+    QueryDef(
+      "window_sliding_distinct",
+      (s, d) => {
+        t(s, d, "events")
+          .select(col("event_type"),
+            datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+              .cast("long").as("dnum"),
+            col("user_id"))
+          .distinct()
+          .select(col("event_type"), col("user_id"),
+            explode(sequence(col("dnum") - 6, col("dnum"))).as("win_day"))
+          .groupBy("event_type", "win_day")
+          .agg(countDistinct(col("user_id")).as("n_users"))
+      },
+      Some("""WITH days AS (
+             |  SELECT DISTINCT event_type,
+             |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dnum,
+             |    user_id
+             |  FROM events),
+             |expanded AS (
+             |  SELECT event_type, user_id, unnest(generate_series(dnum - 6, dnum)) AS win_day
+             |  FROM days)
+             |SELECT event_type, win_day,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+             |FROM expanded GROUP BY 1, 2""".stripMargin)))
 }

@@ -629,5 +629,56 @@ object PipelineQueries {
              |  count(*) AS n_docs,
              |  CAST(sum(n_chars) AS BIGINT) AS shard_bytes,
              |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
-             |FROM cur GROUP BY 1, 2""".stripMargin)))
+             |FROM cur GROUP BY 1, 2""".stripMargin)),
+
+    // Temperature-balanced sampling quotas (the multilingual-corpus
+    // rebalancing of GPT-3 / XLM-R: sample language l with probability
+    // ∝ n_l^α, α=1/2, so head languages are downweighted and the tail is
+    // upsampled): per-language quotas out of a 10 000-doc budget via the
+    // largest-remainder method. Numeric policy: the only FP op is
+    // sqrt(n) — correctly rounded in both engines — immediately quantized
+    // to an integer weight (round(√n·1e6)); quota base/remainder are then
+    // exact integer div/mod, and the remainder ranking that distributes
+    // the leftover slots compares integers with a lang tie-break, so the
+    // whole allocation is bit-exact by construction. Scale shape: the
+    // input is one map-side-combined count per language — everything
+    // after the first aggregate is O(|langs|) metadata riding two 1-row
+    // broadcasts (total weight, slot deficit); the global window orders
+    // ~20 rows, not data.
+    QueryDef(
+      "mix_temperature_quota",
+      (s, d) => {
+        val counts = t(s, d, "documents")
+          .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+          .withColumn("wq",
+            round(sqrt(col("n_docs").cast("double")) * lit(1e6)).cast("long"))
+        val tot = broadcast(counts.agg(sum(col("wq")).as("wtot")))
+        val based = counts.join(tot)
+          .withColumn("base", expr("(wq * 10000) div wtot"))
+          .withColumn("rem", expr("(wq * 10000) % wtot"))
+        val deficit = broadcast(based.agg((lit(10000L) - sum(col("base"))).as("deficit")))
+        val rk = org.apache.spark.sql.expressions.Window
+          .orderBy(col("rem").desc, col("lang"))
+        based.join(deficit)
+          .withColumn("rk", row_number().over(rk))
+          .select(col("lang"), col("n_docs"), col("wq"),
+            (col("base") + when(col("rk") <= col("deficit"), 1L).otherwise(0L))
+              .as("quota"))
+          .orderBy("lang")
+      },
+      Some("""WITH counts AS (
+             |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(round(sqrt(CAST(count(*) AS DOUBLE)) * 1e6) AS BIGINT) AS wq
+             |  FROM documents GROUP BY lang),
+             |tot AS (SELECT CAST(sum(wq) AS BIGINT) AS wtot FROM counts),
+             |based AS (
+             |  SELECT lang, n_docs, wq,
+             |    (wq * 10000) // wtot AS base, (wq * 10000) % wtot AS rem
+             |  FROM counts CROSS JOIN tot),
+             |def AS (SELECT 10000 - CAST(sum(base) AS BIGINT) AS deficit FROM based),
+             |ranked AS (
+             |  SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rk FROM based)
+             |SELECT lang, n_docs, wq,
+             |  CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT) AS quota
+             |FROM ranked CROSS JOIN def ORDER BY lang""".stripMargin)))
 }

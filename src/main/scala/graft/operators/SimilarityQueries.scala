@@ -412,5 +412,65 @@ object SimilarityQueries {
               |       GROUP BY 1)
               |SELECT ov.q_id, brute_k, coalesce(ivf_k, 0) AS ivf_k, n_overlap,
               |  CAST(n_overlap AS DOUBLE) / CAST(brute_k AS DOUBLE) AS recall_at_10
-              |FROM ov LEFT JOIN ivfk ON ov.q_id = ivfk.q_id""".stripMargin)))
+              |FROM ov LEFT JOIN ivfk ON ov.q_id = ivfk.q_id""".stripMargin)),
+
+    // Matryoshka-style truncated-dimension retrieval audit (Kusupati et
+    // al. 2022, arXiv:2205.13147): rank the corpus per probe by the full
+    // 64-dim cosine AND by the 16-dim PREFIX cosine, and count the top-10
+    // overlap — the measurement behind serving ANN on a cheap prefix and
+    // re-ranking survivors with full vectors (4× less memory bandwidth on
+    // the candidate pass). Scale shape: ONE corpus scan computes both
+    // similarities (the prefix is sliced in the same projection, never a
+    // second table), and both row_number rankings partition on q_id, so
+    // the second window rides the first's exchange — two sorts, one
+    // shuffle. Both ranking keys are integer-quantized cosines
+    // (round(sim·1e12), the knn_label_vote lesson), making top-10
+    // membership immune to last-bit cross-engine divergence; the output
+    // is pure integers.
+    QueryDef(
+      "sim_matryoshka_recall",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+        val emb = t(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val q = broadcast(emb.filter(col("id") < 50)
+          .select(col("id").as("q_id"), col("vec").as("qvec"),
+            slice(col("vec"), 1, 16).as("qpre")))
+        val byFull = w.partitionBy("q_id").orderBy(col("sim_full").desc, col("c_id"))
+        val byPre = w.partitionBy("q_id").orderBy(col("sim_pre").desc, col("c_id"))
+        emb.filter(col("id") >= 50)
+          .select(col("id").as("c_id"), col("vec").as("cvec"),
+            slice(col("vec"), 1, 16).as("cpre"))
+          .crossJoin(q)
+          .withColumn("sim_full",
+            round(Similarity.cosine(col("qvec"), col("cvec")) * lit(1e12)).cast("long"))
+          .withColumn("sim_pre",
+            round(Similarity.cosine(col("qpre"), col("cpre")) * lit(1e12)).cast("long"))
+          .withColumn("rn_full", row_number().over(byFull))
+          .withColumn("rn_pre", row_number().over(byPre))
+          .filter(col("rn_full") <= 10)
+          .groupBy("q_id")
+          .agg(count(lit(1)).as("full_k"),
+            sum(when(col("rn_pre") <= 10, 1L).otherwise(0L)).as("n_overlap"))
+          .orderBy("q_id")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qvec,
+              |                  embedding[1:16] AS qpre
+              |           FROM embeddings WHERE vec_id < 50),
+              |c AS (SELECT vec_id AS c_id, embedding AS cvec,
+              |             embedding[1:16] AS cpre
+              |      FROM embeddings WHERE vec_id >= 50),
+              |scored AS (
+              |  SELECT q_id, c_id,
+              |    CAST(round(${cosineSql("qvec", "cvec")} * 1e12) AS BIGINT) AS sim_full,
+              |    CAST(round(${cosineSql("qpre", "cpre")} * 1e12) AS BIGINT) AS sim_pre
+              |  FROM c CROSS JOIN q),
+              |ranked AS (
+              |  SELECT q_id, c_id,
+              |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim_full DESC, c_id) AS rn_full,
+              |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim_pre DESC, c_id) AS rn_pre
+              |  FROM scored)
+              |SELECT q_id, CAST(count(*) AS BIGINT) AS full_k,
+              |  CAST(sum(CASE WHEN rn_pre <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+              |FROM ranked WHERE rn_full <= 10
+              |GROUP BY q_id ORDER BY q_id""".stripMargin)))
 }

@@ -354,4 +354,61 @@ class PlanSpec extends SparkSuite {
     }
     assert(loops.size == 1, s"expected one UnionLoop, found ${loops.size}")
   }
+
+  test("matryoshka audit scores once: both rankings ride one q_id exchange") {
+    // One corpus pass computes full+prefix sims; the two row_number
+    // windows partition on the same key, so the second must stack on the
+    // first's shuffle (plus only the final presentation sort).
+    val p = plan("sim_matryoshka_recall")
+    val wins = collectAll(p) { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(wins.size == 2, s"expected the two ranking windows, found ${wins.size}")
+    val hashShuffles = collectAll(p) {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    assert(hashShuffles.size == 1,
+      s"both windows must share one q_id hash exchange, found ${hashShuffles.size}")
+  }
+
+  test("sliding distinct dedups BEFORE the 7x window expansion") {
+    // The (type,user,day) dedup aggregate must sit BELOW the explode so
+    // the raw event stream collapses before being multiplied by
+    // window/slide; Generate above an aggregate, count-distinct above the
+    // Generate.
+    val p = plan("window_sliding_distinct")
+    val norm = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val gens = collectAll(p) { case g: org.apache.spark.sql.execution.GenerateExec => g }
+    assert(gens.size == 1, s"expected one explode, found ${gens.size}")
+    // under the Generate there is an aggregate (the dedup); walking the
+    // generate's child subtree must find one
+    val dedupBelow = gens.head.collect {
+      case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec => h
+    }
+    assert(dedupBelow.nonEmpty, "the distinct must collapse rows below the explode")
+  }
+
+  test("ivm delta path: seed lookup is a hash join, merge never cartesian") {
+    val p = plan("ivm_delta_agg")
+    val cart = collectAll(p) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(cart.isEmpty, "IVM must never plan a cartesian product")
+    // the state0 ⋈ delta-keys seed lookup compiles to an equi hash join
+    // (broadcast at this sf) — not a nested loop over the base
+    val hashJoins = collectAll(p) {
+      case j: BroadcastHashJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(hashJoins.nonEmpty, "seed lookup must be an equi join")
+    // nested loops are only the 1-row T0 scalar broadcasts
+    val bnl = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(bnl.forall(_.children.exists(_.schema.fieldNames.sameElements(Array("t0")))),
+      "only the 1-row T0 broadcast may nested-loop")
+  }
 }
