@@ -535,6 +535,66 @@ object AnalyticsQueries {
              |GROUP BY 1, 2
              |ORDER BY n_orders DESC, part_a, part_b LIMIT 50""".stripMargin)),
 
+    // Common-neighbor link prediction over the co-purchase graph — the
+    // "customers also bought" candidate generator: score part pairs that
+    // were NEVER bought together by how many shared co-purchase partners
+    // they have (distance-2 wedges), top 50. Scale shape: the wedge
+    // self-join is the quadratic hazard, so neighbor lists are DEGREE-
+    // CAPPED first (row_number ≤ 32 per node, deterministic nbr-key
+    // order, mirrored exactly in the oracle) — per-node wedge fanout is
+    // then ≤ C(32,2) regardless of how hot a part is, the same bounded-
+    // expansion discipline as the triangle census's orientation. Both
+    // sides of the wedge join are the one capped subtree (exchange
+    // reuse), existing edges leave via an anti join, and the top-50 is
+    // fully tie-broken (count DESC, part_a, part_b). All integers.
+    QueryDef(
+      "link_prediction_common_nbrs",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("node").orderBy("nbr")
+        val items = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val edges = items.select(col("l_orderkey"), col("l_partkey").as("a"))
+          .join(items.select(col("l_orderkey"), col("l_partkey").as("b")),
+            "l_orderkey")
+          .filter(col("a") < col("b"))
+          .select("a", "b").distinct()
+        val capped = edges.select(col("a").as("node"), col("b").as("nbr"))
+          .unionByName(edges.select(col("b").as("node"), col("a").as("nbr")))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 32)
+          .select("node", "nbr")
+        val cand = capped.select(col("node"), col("nbr").as("pa"))
+          .join(capped.select(col("node"), col("nbr").as("pb")), "node")
+          .filter(col("pa") < col("pb"))
+          .groupBy("pa", "pb").agg(count(lit(1)).as("common_neighbors"))
+        cand.join(edges,
+            cand("pa") === edges("a") && cand("pb") === edges("b"), "left_anti")
+          .select(col("pa").as("part_a"), col("pb").as("part_b"),
+            col("common_neighbors"))
+          .orderBy(col("common_neighbors").desc, col("part_a"), col("part_b"))
+          .limit(50)
+      },
+      Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |edges AS (
+             |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+             |  FROM items a JOIN items b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+             |capped AS (
+             |  SELECT node, nbr FROM (
+             |    SELECT node, nbr, ROW_NUMBER() OVER (PARTITION BY node ORDER BY nbr) AS rn
+             |    FROM (SELECT a AS node, b AS nbr FROM edges
+             |          UNION ALL SELECT b AS node, a AS nbr FROM edges))
+             |  WHERE rn <= 32),
+             |cand AS (
+             |  SELECT n1.nbr AS pa, n2.nbr AS pb, CAST(count(*) AS BIGINT) AS common_neighbors
+             |  FROM capped n1 JOIN capped n2
+             |    ON n1.node = n2.node AND n1.nbr < n2.nbr
+             |  GROUP BY 1, 2)
+             |SELECT pa AS part_a, pb AS part_b, common_neighbors
+             |FROM cand c LEFT JOIN edges e ON c.pa = e.a AND c.pb = e.b
+             |WHERE e.a IS NULL
+             |ORDER BY common_neighbors DESC, part_a, part_b LIMIT 50""".stripMargin)),
+
     // Triangle census over the co-purchase graph — the canonical
     // distributed-graph pattern beyond one power-iteration step
     // (pagerank_one_step), made scale-honest TWICE over. (1) COLORFUL

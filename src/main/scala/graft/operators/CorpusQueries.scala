@@ -503,5 +503,53 @@ object CorpusQueries {
            |  count(DISTINCT w1) AS n_contexts
            |FROM pairs GROUP BY w2
            |ORDER BY n_contexts DESC, n_occurrences DESC, word LIMIT 100""".stripMargin
-      }))
+      }),
+
+    // Heavy hitters (frequency > N/200) by two-phase Misra-Gries: each
+    // partition summarizes its token stream with k=256 bounded counters
+    // (the classic streaming sketch — Misra & Gries 1982), and only the
+    // surviving CANDIDATES are exact-counted and filtered against the
+    // global threshold. Soundness: freq > N/200 globally forces freq >
+    // n_p/200 in at least one partition (weighted average), and MG with
+    // k=256 > 200 counters keeps any token with local freq > n_p/(k+1) —
+    // so the candidate union is a guaranteed superset of the true heavy
+    // hitters, and the final exact filter makes the output independent of
+    // partitioning. Scale shape: the LONG TAIL NEVER SHUFFLES — the only
+    // shuffled tokens are the ≤ 256·partitions candidates (semi-join
+    // broadcast), vs a full groupBy shuffling every distinct token. This
+    // is the honest mapPartitions case: per-partition bounded mutable
+    // state no declarative operator expresses. The oracle recomputes the
+    // naive full groupBy — equality proves the sketch's superset logic.
+    QueryDef(
+      "heavy_hitters_misra_gries",
+      (s, d) => {
+        import s.implicits._
+        val toks = t(s, d, "documents")
+          .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        val total = broadcast(toks.agg(count(lit(1)).as("n_total")))
+        val candidates = broadcast(toks.as[String].mapPartitions { it =>
+          val k = 256
+          val counters = scala.collection.mutable.HashMap.empty[String, Long]
+          it.foreach { tok =>
+            if (counters.contains(tok)) counters(tok) += 1L
+            else if (counters.size < k) counters(tok) = 1L
+            else {
+              counters.mapValuesInPlace((_, v) => v - 1L)
+              counters.filterInPlace((_, v) => v > 0L)
+            }
+          }
+          counters.keysIterator
+        }.toDF("tok").distinct())
+        toks.join(candidates, Seq("tok"), "left_semi")
+          .groupBy("tok").agg(count(lit(1)).as("cnt"))
+          .join(total)
+          .filter(col("cnt") * lit(200L) > col("n_total"))
+          .select(col("tok"), col("cnt"))
+          .orderBy("tok")
+      },
+      Some("""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM tok),
+             |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY tok)
+             |SELECT tok, cnt FROM c CROSS JOIN tot
+             |WHERE cnt * 200 > n_total ORDER BY tok""".stripMargin)))
 }

@@ -298,6 +298,38 @@ object EnvelopeQueries {
             .coalesce(1).write.mode("overwrite").parquet(resultOut)
       },
       Some("SELECT event_id, user_id, ts, event_type, value FROM events"),
+      bench = false, sideEffecting = true),
+
+    // XML lake round trip over Spark 4's NATIVE xml source (new in 4.0 —
+    // no external spark-xml module): events → row-tagged XML → explicit
+    // no-inference read → parquet, hash-compared against the original
+    // table. The lossy spots XML can hide are pinned exactly: doubles
+    // serialize via shortest-roundtrip toString (re-parse is
+    // bit-identical), and the timestamp format is forced to
+    // microsecond precision on BOTH legs — the default millis pattern
+    // would silently truncate the micro component and hash-fail.
+    QueryDef(
+      "xml_lake_roundtrip",
+      (s, d) => StreamingQueries.cachedRun(s, "xml_lake_roundtrip", d) {
+        (scratch, resultOut) =>
+          val lake = s"$scratch/xml_lake"
+          val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+          t(s, d, "events")
+            .select(col("event_id"), col("user_id"),
+              col("ts").cast("timestamp_ntz").as("ts"),
+              col("event_type"), col("value"))
+            .write.mode("overwrite")
+            .option("rowTag", "event").option("rootTag", "events")
+            .option("timestampNTZFormat", tsFmt)
+            .format("xml").save(lake)
+          s.read
+            .schema("event_id LONG, user_id LONG, ts TIMESTAMP_NTZ, event_type STRING, value DOUBLE")
+            .option("rowTag", "event")
+            .option("timestampNTZFormat", tsFmt)
+            .format("xml").load(lake + "/part-*")
+            .coalesce(1).write.mode("overwrite").parquet(resultOut)
+      },
+      Some("SELECT event_id, user_id, ts, event_type, value FROM events"),
       bench = false, sideEffecting = true))
 
   /** The reference SCD2 SQL instantiated for `commerce.users` — identical

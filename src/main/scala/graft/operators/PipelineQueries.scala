@@ -344,20 +344,22 @@ object PipelineQueries {
       "profile_numeric_sketch",
       (s, d) => {
         val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-        // The sketches live in their OWN single-pass aggregation: mixing
-        // them into the exact multi-distinct agg drags every HLL buffer
-        // through the 5× Expand (measured 116 s at sf0.1 vs ~2 s split);
-        // the two 1-row results meet in a broadcast join.
-        val exact = t(s, d, "lineitem")
-          .agg(countDistinct(col(cols.head)).as(s"${cols.head}__nd"),
-            cols.tail.map(c => countDistinct(col(c)).as(s"${c}__nd")): _*)
-        val approx = t(s, d, "lineitem")
-          .agg(approx_count_distinct(col(cols.head), rsd = 0.01).as(s"${cols.head}__ad"),
-            cols.tail.map(c => approx_count_distinct(col(c), rsd = 0.01).as(s"${c}__ad")): _*)
-        val stackArgs = cols.map(c => s"'$c', ${c}__nd, ${c}__ad").mkString(", ")
-        exact.join(broadcast(approx))
-          .selectExpr(
-            s"stack(${cols.size}, $stackArgs) AS (col_name, n_distinct, approx_nd)")
+        // Both sides aggregate the STACKED (col_name, value) stream, so
+        // neither plans the multi-distinct 5× Expand (measured 116 s at
+        // sf0.1 when the HLL buffers rode it; the Expand-free multi-agg
+        // still shuffled every raw row 4× wide and cost 5.5 s). Stacked,
+        // the exact side is an ordinary two-phase distinct — the shuffle
+        // carries only per-partition-DISTINCT (col, value) pairs — and
+        // the approx side shuffles 4 HLL buffers. The sketches stay in
+        // their own aggregation (never mixed with countDistinct); the
+        // two 4-row results meet in a broadcast join.
+        val stacked = t(s, d, "lineitem").selectExpr(
+          s"stack(${cols.size}, ${cols.map(c => s"'$c', $c").mkString(", ")}) AS (col_name, v)")
+        val exact = stacked.groupBy("col_name")
+          .agg(countDistinct(col("v")).as("n_distinct"))
+        val approx = stacked.groupBy("col_name")
+          .agg(approx_count_distinct(col("v"), rsd = 0.01).as("approx_nd"))
+        exact.join(broadcast(approx), "col_name")
           .select(col("col_name"), col("n_distinct"),
             (col("approx_nd") >= col("n_distinct") * 0.95 &&
              col("approx_nd") <= col("n_distinct") * 1.05).as("sketch_in_bounds"))

@@ -411,4 +411,26 @@ class PlanSpec extends SparkSuite {
     assert(bnl.forall(_.children.exists(_.schema.fieldNames.sameElements(Array("t0")))),
       "only the 1-row T0 broadcast may nested-loop")
   }
+
+  test("numeric sketch profile plans without the multi-distinct Expand") {
+    // Stacked (col_name, v) keeps both the exact and HLL sides ordinary
+    // two-phase aggregations; an Expand reappearing means the 4-way
+    // multi-distinct (116 s at sf0.1 in round 6's first attempt) is back.
+    val p = plan("profile_numeric_sketch")
+    val expands = collectAll(p) { case e: org.apache.spark.sql.execution.ExpandExec => e }
+    assert(expands.isEmpty, s"multi-distinct Expand resurfaced: ${expands.size}")
+  }
+
+  test("heavy hitters shuffles candidates only (broadcast semi), tail stays local") {
+    val p = plan("heavy_hitters_misra_gries")
+    val semis = collectAll(p) {
+      case j: BroadcastHashJoinExec if j.joinType.sql == "LEFT SEMI" => j
+    }
+    assert(semis.size == 1,
+      s"the exact recount must semi-join BROADCAST candidates, found ${semis.size}")
+    val smj = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.isEmpty, "no sort-merge join: the long tail must never shuffle")
+  }
 }
