@@ -138,7 +138,16 @@ object ScaleSmoke {
     // within-cluster pairs grow quadratically BY CONSTRUCTION — in
     // production SemDeDup's nlist scales with corpus size precisely to
     // bound that term (see the QueryDef Scaladoc).
-    "corpus_dup_ngram_frac", "source_overlap_matrix")
+    "corpus_dup_ngram_frac", "source_overlap_matrix",
+    // round 7 batch 2: the two-phase heavy hitters (candidate volume must
+    // stay 256·partitions — the tail must never shuffle, so growth tracks
+    // the scan, not the vocabulary), the degree-capped wedge scorer
+    // (fanout bounded by C(32,2) per node regardless of part hotness),
+    // the sliding COUNT DISTINCT (expansion pinned at window/slide = 7×),
+    // and the IVM merge (delta-side cost must track |delta|, the base
+    // behind the checkpoint only pays its one-off argmax)
+    "heavy_hitters_misra_gries", "link_prediction_common_nbrs",
+    "window_sliding_distinct", "ivm_delta_agg")
 
   /** Run each smoke query twice on the scaled dir, return min seconds. */
   def run(spark: SparkSession, scaledDir: String): Map[String, Double] =

@@ -565,6 +565,51 @@ object StreamingQueries {
       .coalesce(1).write.mode("overwrite").parquet(resultOut)
   }
 
+  /** Retract-stream (changelog) maintenance of a grouped aggregate — see
+    * [[graft.streaming.StatefulAgg.ChangelogAgg]]. The per-entity state
+    * emits ±delta rows against the entity's current group; the converged
+    * downstream SUM of deltas per group must equal the batch
+    * recompute-from-scratch (the streaming sibling of `ivm_delta_agg`).
+    */
+  private def runChangelogAgg(s: SparkSession, sfDir: String, scratch: String, resultOut: String): Unit = {
+    import s.implicits._
+    val glob = stageEventSlices(s, sfDir, s"$scratch/evlake")
+    val out = s"$scratch/deltas"
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = s.conf.getOption(providerKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ds = eventStream(s, glob)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+            .cast("long").as("cents"))
+        .as[(Long, Long, String, Long)]
+      val deltas = ds.groupByKey(_._1)
+        .transformWithState(new graft.streaming.StatefulAgg.ChangelogAgg,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+      val q = deltas.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.streaming.StatefulAgg.GroupDelta], _: Long) =>
+          b.write.mode("append").parquet(out)
+          ()
+        }
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally prior match {
+      case Some(v) => s.conf.set(providerKey, v)
+      case None => s.conf.unset(providerKey)
+    }
+    s.read.parquet(out)
+      .groupBy("grp")
+      .agg(sum(col("dn")).as("n_entities"), sum(col("dcents")).as("sum_cents"))
+      .filter(col("n_entities") > 0)
+      .select(col("grp").as("event_type"), col("n_entities"), col("sum_cents"))
+      .coalesce(1).write.mode("overwrite").parquet(resultOut)
+  }
+
   /** Stream-stream interval join over two unbounded inputs (views and
     * clicks carved from the same multi-trigger event stream): each click
     * attributes to every view by the same user in the preceding 30
@@ -743,6 +788,22 @@ object StreamingQueries {
       Some("""SELECT user_id, count(*) AS n_events,
              |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
              |FROM events GROUP BY user_id""".stripMargin),
+      bench = false, sideEffecting = true),
+
+    // The retract-stream grouped aggregate must converge to the batch
+    // per-current-group recompute: a missing retraction leaves an entity
+    // double-counted in its previous group, a double-applied batch or a
+    // replay that slips the LSN guard breaks the count — each hash-fails.
+    QueryDef(
+      "streaming_changelog_agg",
+      (s, d) => cachedStream(s, "streaming_changelog_agg", d)(runChangelogAgg(s, d, _, _)),
+      Some("""WITH cur AS (
+             |  SELECT user_id, arg_max(event_type, event_id) AS event_type,
+             |    arg_max(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), event_id) AS cents
+             |  FROM events GROUP BY user_id)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n_entities,
+             |  CAST(sum(cents) AS BIGINT) AS sum_cents
+             |FROM cur GROUP BY event_type""".stripMargin),
       bench = false, sideEffecting = true),
 
     // The lake-persisted current-state maintainer must converge to the

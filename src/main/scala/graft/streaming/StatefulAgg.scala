@@ -38,4 +38,44 @@ object StatefulAgg {
       Iterator.single(UserAgg(key, n, sum))
     }
   }
+
+  /** One retract/insert delta on the downstream CHANGELOG: `dn`/`dcents`
+    * are ±1 / ±cents against the entity's current group. */
+  case class GroupDelta(grp: String, dn: Long, dcents: Long)
+
+  /** Retract-stream maintenance of a grouped aggregate (the streaming
+    * sibling of the batch `ivm_delta_agg`, and the Flink-style changelog
+    * shape): each entity's state is its current (lsn, group, cents); a
+    * batch of updates folds to ONE retraction of the pre-batch image plus
+    * ONE insertion of the post-batch image (within-batch transitions
+    * telescope away — per-key emission is O(1) per batch, not O(events)).
+    * Out-of-order replays are guarded by the LSN: a stale event neither
+    * moves state nor emits. Downstream, summing the deltas per group
+    * yields the maintained aggregate; equality with the batch
+    * recompute-from-scratch oracle proves the retraction algebra across
+    * real micro-batch boundaries.
+    */
+  final class ChangelogAgg
+      extends StatefulProcessor[Long, (Long, Long, String, Long), GroupDelta] {
+    @transient private var st: ValueState[(Long, String, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, String, Long)](
+        "cur", Encoders.product[(Long, String, Long)], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long, String, Long)],
+                                 timerValues: TimerValues): Iterator[GroupDelta] = {
+      val batchLast = rows.maxBy(_._2) // highest LSN in this batch
+      val prior = if (st.exists()) Some(st.get()) else None
+      if (prior.exists(_._1 >= batchLast._2)) Iterator.empty
+      else {
+        st.update((batchLast._2, batchLast._3, batchLast._4))
+        val insert = GroupDelta(batchLast._3, 1L, batchLast._4)
+        prior match {
+          case Some((_, g, c)) => Iterator(GroupDelta(g, -1L, -c), insert)
+          case None => Iterator.single(insert)
+        }
+      }
+    }
+  }
 }
