@@ -486,11 +486,16 @@ object DedupQueries {
     // first name token, order within the block, and compare each record
     // only to its w=2 sorted neighbors — the classic way to turn an n²
     // fuzzy-match into O(n·w) (Hernández & Stolfo's merge/purge). The
-    // neighborhood pairing is a per-block range self-join on row_number
-    // (window partitioned by block — no global sort), and the verify step
-    // (1 ≤ Levenshtein ≤ 4 — exact-name matches are exact-dedup's job,
-    // not fuzzy ER's) runs only on those pairs. The total order
-    // (p_name, p_partkey) makes neighbor membership engine-stable.
+    // neighborhood pairing is a FULLY-equi self-join on (blk, rank):
+    // each record explodes to its two probe ranks (rn+1, rn+2) and
+    // equi-joins the block-mate holding that rank — a blk-only join with
+    // a rank range as post-filter would materialize every within-block
+    // pair first (quadratic in block size, the hazard this operator
+    // exists to avoid; it cost 2.3 s of the sf0.1 bench before the
+    // rewrite). The verify step (1 ≤ Levenshtein ≤ 4 — exact-name
+    // matches are exact-dedup's job, not fuzzy ER's) runs only on the
+    // O(n·w) candidates. The total order (p_name, p_partkey) makes
+    // neighbor membership engine-stable.
     QueryDef(
       "er_sorted_neighborhood",
       (s, d) => {
@@ -501,11 +506,11 @@ object DedupQueries {
             substring_index(col("p_name"), " ", 1).as("blk"))
           .withColumn("rn", row_number().over(w))
         val a = blk.select(col("blk"), col("rn"),
-          col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+            col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+          .withColumn("rnb", explode(array(col("rn") + 1, col("rn") + 2)))
         val b = blk.select(col("blk"), col("rn").as("rnb"),
           col("p_partkey").as("key_b"), col("p_name").as("name_b"))
-        a.join(b, Seq("blk"))
-          .filter(col("rnb") > col("rn") && col("rnb") <= col("rn") + 2)
+        a.join(b, Seq("blk", "rnb"))
           .withColumn("lev", levenshtein(col("name_a"), col("name_b")).cast("long"))
           .filter(col("lev").between(1, 4))
           .select("key_a", "key_b", "name_a", "name_b", "lev")

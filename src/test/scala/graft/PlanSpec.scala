@@ -334,7 +334,7 @@ class PlanSpec extends SparkSuite {
       "postings self-join must reuse one tokenized-corpus exchange")
   }
 
-  test("sorted-neighborhood ER blocks the self-join (equi on blk, no cartesian)") {
+  test("sorted-neighborhood ER pairs on (blk, rank) — never whole blocks") {
     val p = plan("er_sorted_neighborhood")
     val cart = collectAll(p) {
       case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
@@ -344,7 +344,17 @@ class PlanSpec extends SparkSuite {
       case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
     }
     assert(bnl.isEmpty,
-      s"neighborhood pairing must be an equi join on the block key, found ${bnl.size} nested loops")
+      s"neighborhood pairing must be an equi join, found ${bnl.size} nested loops")
+    // the join must be equi on BOTH blk and the probe rank: a blk-only
+    // key with the rank as post-filter materializes quadratic
+    // within-block pairs
+    val keys = collectAll(p) {
+      case j: BroadcastHashJoinExec => j.leftKeys.size
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j.leftKeys.size
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j.leftKeys.size
+    }
+    assert(keys.nonEmpty && keys.forall(_ >= 2),
+      s"neighbor join must key on (blk, rank), found key counts $keys")
   }
 
   test("recursive CTE plans a UnionLoop over the aggregated edge catalog") {
