@@ -330,6 +330,35 @@ object EnvelopeQueries {
             .coalesce(1).write.mode("overwrite").parquet(resultOut)
       },
       Some("SELECT event_id, user_id, ts, event_type, value FROM events"),
+      bench = false, sideEffecting = true),
+
+    // Hive-partitioned lake + partition-pruned read: events written
+    // partitioned BY event_type, then read with a partition-column
+    // predicate — the listing-level prune (only the matching
+    // subdirectories are even enumerated) that turns a 100 TB lake scan
+    // into a one-partition scan. The pruning itself is plan-pinned in
+    // PlanSpec (PartitionFilters non-empty, one selected partition);
+    // this row pins the round trip's VALUES: partition columns leave the
+    // data files entirely (they live in the directory name) and must be
+    // restored losslessly on read, including rows where the partition
+    // value interacts with the row payload.
+    QueryDef(
+      "partition_pruned_scan",
+      (s, d) => StreamingQueries.cachedRun(s, "partition_pruned_scan", d) {
+        (scratch, resultOut) =>
+          val lake = s"$scratch/ev_by_type"
+          t(s, d, "events")
+            .select(col("event_id"), col("user_id"),
+              col("ts").cast("timestamp_ntz").as("ts"),
+              col("value"), col("event_type"))
+            .write.mode("overwrite").partitionBy("event_type").parquet(lake)
+          s.read.parquet(lake)
+            .filter(col("event_type") === "purchase")
+            .select("event_id", "user_id", "ts", "event_type", "value")
+            .coalesce(1).write.mode("overwrite").parquet(resultOut)
+      },
+      Some("""SELECT event_id, user_id, ts, event_type, value
+             |FROM events WHERE event_type = 'purchase'""".stripMargin),
       bench = false, sideEffecting = true))
 
   /** The reference SCD2 SQL instantiated for `commerce.users` — identical

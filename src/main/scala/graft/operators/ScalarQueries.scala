@@ -201,5 +201,38 @@ object ScalarQueries {
              |  count(*) FILTER (event_type = 'view') AS views,
              |  count(*) FILTER (event_type = 'purchase') AS purchases,
              |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
-             |FROM events GROUP BY user_id""".stripMargin)))
+             |FROM events GROUP BY user_id""".stripMargin)),
+
+    // Spark 4 VARIANT round trip: a nested document (object + array +
+    // numeric leaf from the props JSON) parsed into the binary VARIANT
+    // type, then shredded back out with typed variant_get paths — the
+    // semi-structured ingestion shape that replaces string-JSON
+    // re-parsing per access. The oracle recomputes every extracted leaf
+    // from the RELATIONAL base columns (t/u/seq1 never pass through
+    // JSON on the DuckDB side), so a lossy encode, a wrong path, or a
+    // 1-based array index slip hash-fails; schema_of_variant's inferred
+    // type string is pinned literally. At scale VARIANT parses once at
+    // ingest and every downstream access is a binary field hop, not a
+    // regex/JSON re-parse.
+    QueryDef(
+      "variant_shred_extract",
+      (s, d) => t(s, d, "events")
+        .select(col("event_id"), col("event_type"), col("user_id"), col("props"))
+        .withColumn("doc", to_json(struct(
+          col("event_type").as("t"),
+          col("user_id").as("u"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"),
+          array(col("event_id"), col("user_id")).as("seq"))))
+        .withColumn("v", parse_json(col("doc")))
+        .select(col("event_id"),
+          expr("variant_get(v, '$.t', 'string')").as("t"),
+          expr("variant_get(v, '$.u', 'bigint')").as("u"),
+          expr("variant_get(v, '$.k', 'int')").as("k"),
+          expr("variant_get(v, '$.seq[1]', 'bigint')").as("seq1"),
+          schema_of_variant(col("v")).as("vschema")),
+      Some("""SELECT event_id, event_type AS t, user_id AS u,
+             |  CAST(json_extract_string(props, '$.k') AS INT) AS k,
+             |  user_id AS seq1,
+             |  'OBJECT<k: BIGINT, seq: ARRAY<BIGINT>, t: STRING, u: BIGINT>' AS vschema
+             |FROM events""".stripMargin)))
 }

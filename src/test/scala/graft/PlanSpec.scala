@@ -443,4 +443,27 @@ class PlanSpec extends SparkSuite {
     }
     assert(smj.isEmpty, "no sort-merge join: the long tail must never shuffle")
   }
+
+  test("partition-column predicate prunes the lake at the listing level") {
+    // The partition_pruned_scan QueryDef pins the round-trip VALUES;
+    // this pins the PLAN: the event_type predicate must land in
+    // PartitionFilters (directory-listing prune) — not as a data Filter
+    // over a full scan — and exactly one partition directory survives.
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("prune").toString + "/lake"
+    SparkEntry.queries("scd2_current")(spark, sf) // any events source works; use t() shape
+    graft.QueryDef.t(spark, sf, "events")
+      .select(col("event_id"), col("event_type"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val df = spark.read.parquet(dir).filter(col("event_type") === "purchase")
+    val scans = collectAll(df.queryExecution.executedPlan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val scan = scans.head
+    assert(scan.metadata.get("PartitionFilters").exists(_.contains("event_type")),
+      s"predicate not pushed to the listing: ${scan.metadata.get("PartitionFilters")}")
+    assert(scan.selectedPartitions.partitionCount == 1,
+      s"expected one surviving partition dir, got ${scan.selectedPartitions.partitionCount}")
+  }
 }
