@@ -1082,5 +1082,78 @@ object AnalyticsQueries {
              |  FROM days)
              |SELECT event_type, win_day,
              |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-             |FROM expanded GROUP BY 1, 2""".stripMargin)))
+             |FROM expanded GROUP BY 1, 2""".stripMargin)),
+
+    // Equi-depth histogram build (the statistics a cost-based optimizer
+    // collects: 10 buckets of equal row count with value bounds) via
+    // NTILE over a global sort. The global ORDER BY is the honest cost —
+    // a distributed range-partitioned sort, exactly how production stats
+    // builders work — and the only one in the catalog outside
+    // presentation sorts. Determinism under duplicate sort keys: only
+    // the ORDERING VALUE itself is aggregated (count/min/max of
+    // l_extendedprice), so tied rows are interchangeable and the bucket
+    // stats are engine-stable without a unique tiebreak; the values pass
+    // through untouched (no FP arithmetic anywhere).
+    QueryDef(
+      "equidepth_histogram",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window.orderBy("l_extendedprice")
+        t(s, d, "lineitem")
+          .select(col("l_extendedprice"))
+          .withColumn("bucket", ntile(10).over(w).cast("long"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("l_extendedprice")).as("lo"),
+            max(col("l_extendedprice")).as("hi"))
+          .orderBy("bucket")
+      },
+      Some("""SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+             |  min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+             |FROM (SELECT l_extendedprice,
+             |        CAST(NTILE(10) OVER (ORDER BY l_extendedprice) AS BIGINT) AS bucket
+             |      FROM lineitem)
+             |GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // Running COUNT(DISTINCT) — cumulative distinct active users per
+    // event type by day — via the first-occurrence decomposition: a
+    // distinct-user-day grid, row_number = 1 marks each user's FIRST day
+    // per type (one keyed window), daily first-timer counts aggregate,
+    // and a running sum over the tiny (type, day) series yields the
+    // cumulative distinct count. No growing distinct-state window ever
+    // exists — the heavy data passes one hash window; the cumulative
+    // frame runs over |types|·|days| rows. Pure integers.
+    QueryDef(
+      "window_running_distinct",
+      (s, d) => {
+        val firstW = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type", "user_id").orderBy("dnum")
+        val cumW = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy("dnum")
+        t(s, d, "events")
+          .select(col("event_type"),
+            datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+              .cast("long").as("dnum"),
+            col("user_id"))
+          .distinct()
+          .withColumn("rn", row_number().over(firstW))
+          .filter(col("rn") === 1)
+          .groupBy("event_type", "dnum")
+          .agg(count(lit(1)).as("new_users"))
+          .withColumn("cum_users", sum(col("new_users")).over(cumW))
+          .select("event_type", "dnum", "new_users", "cum_users")
+      },
+      Some("""WITH grid AS (
+             |  SELECT DISTINCT event_type,
+             |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dnum,
+             |    user_id
+             |  FROM events),
+             |firsts AS (
+             |  SELECT event_type, user_id, min(dnum) AS dnum
+             |  FROM grid GROUP BY 1, 2),
+             |daily AS (
+             |  SELECT event_type, dnum, CAST(count(*) AS BIGINT) AS new_users
+             |  FROM firsts GROUP BY 1, 2)
+             |SELECT event_type, dnum, new_users,
+             |  CAST(sum(new_users) OVER (PARTITION BY event_type ORDER BY dnum) AS BIGINT) AS cum_users
+             |FROM daily""".stripMargin)))
 }

@@ -466,4 +466,36 @@ class PlanSpec extends SparkSuite {
     assert(scan.selectedPartitions.partitionCount == 1,
       s"expected one surviving partition dir, got ${scan.selectedPartitions.partitionCount}")
   }
+
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // Spark's InjectRuntimeFilter: when a shuffle join's build side
+    // carries a selective predicate, a bloom filter built from it is
+    // pushed into the fact side's scan stage — rows that cannot join are
+    // dropped BEFORE the shuffle. This is a first-class 100 TB lever
+    // (the fact table never shuffles non-joining rows); pin that the
+    // optimizer actually injects it in this build rather than assuming.
+    import org.apache.spark.sql.functions.col
+    val confs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtimeFilter.number.threshold" -> "10",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prior = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val li = graft.QueryDef.t(spark, sf, "lineitem")
+      val ord = graft.QueryDef.t(spark, sf, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy().count()
+      val planStr = joined.queryExecution.executedPlan.toString
+      assert(planStr.contains("might_contain"),
+        s"runtime bloom filter not injected; plan:\n${planStr.take(2000)}")
+    } finally prior.foreach { case (k, v) =>
+      v match {
+        case Some(x) => spark.conf.set(k, x)
+        case None => spark.conf.unset(k)
+      }
+    }
+  }
 }
