@@ -147,7 +147,14 @@ object ScaleSmoke {
     // and the IVM merge (delta-side cost must track |delta|, the base
     // behind the checkpoint only pays its one-off argmax)
     "heavy_hitters_misra_gries", "link_prediction_common_nbrs",
-    "window_sliding_distinct", "ivm_delta_agg")
+    "window_sliding_distinct", "ivm_delta_agg",
+    // round 7 batch 3: the one-sided containment join (candidate volume
+    // is Σ_A Σ_{tok∈prefix(A)} df(tok) — rare-token df growth is the
+    // thing to watch, there is no size upper bound on the super side by
+    // design) and the exact AUC (the single-partition rank window must
+    // stay bounded by DISTINCT scores, not rows — a quantized score
+    // domain grows sublinearly while row counts scale 10×)
+    "dedup_containment", "eval_auc_ranksum")
 
   /** Run each smoke query twice on the scaled dir, return min seconds. */
   def run(spark: SparkSession, scaledDir: String): Map[String, Double] =

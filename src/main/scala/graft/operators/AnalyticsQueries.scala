@@ -1155,5 +1155,149 @@ object AnalyticsQueries {
              |  FROM firsts GROUP BY 1, 2)
              |SELECT event_type, dnum, new_users,
              |  CAST(sum(new_users) OVER (PARTITION BY event_type ORDER BY dnum) AS BIGINT) AS cum_users
-             |FROM daily""".stripMargin)))
+             |FROM daily""".stripMargin)),
+
+    // Exact ROC-AUC by rank-sum (Mann-Whitney with average-rank tie
+    // handling): score = event value, positive class = purchases. The
+    // scale shape: never a row-level global sort — rows collapse to one
+    // row PER DISTINCT SCORE first (map-side combinable groupBy), and the
+    // single-partition window runs over that collapsed series (thousands
+    // of distinct scores, not billions of rows; a production metric with
+    // quantized scores — cents, logit buckets — bounds this by
+    // construction). All rank arithmetic is ×2-scaled integer (tie
+    // midpoints are halves), so num/den are exact BIGINTs on both engines
+    // and the final AUC is one identical IEEE division.
+    QueryDef(
+      "eval_auc_ranksum",
+      (s, d) => {
+        val ev = t(s, d, "events").select(col("value").as("score"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+        val g = ev.groupBy("score")
+          .agg(sum(col("pos")).as("pos_g"), count(lit(1)).as("cnt_g"))
+        val w = Window.orderBy("score")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        g.withColumn("cb", coalesce(sum(col("cnt_g")).over(w), lit(0L)))
+          .agg(sum(col("pos_g")).as("np"), sum(col("cnt_g")).as("tot"),
+            sum(col("pos_g") * (col("cb") * lit(2L) + col("cnt_g") + lit(1L)))
+              .as("tr"))
+          .select(col("np").as("n_pos"), (col("tot") - col("np")).as("n_neg"),
+            (col("tr") - col("np") * (col("np") + lit(1L))).as("auc_num"),
+            (col("np") * (col("tot") - col("np")) * lit(2L)).as("auc_den"))
+          .withColumn("auc",
+            col("auc_num").cast("double") / col("auc_den").cast("double"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT value AS score,
+             |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+             |  FROM events),
+             |g AS (
+             |  SELECT score, CAST(sum(pos) AS BIGINT) AS pos_g,
+             |    CAST(count(*) AS BIGINT) AS cnt_g
+             |  FROM ev GROUP BY 1),
+             |r AS (
+             |  SELECT pos_g, cnt_g,
+             |    COALESCE(CAST(sum(cnt_g) OVER (ORDER BY score
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+             |      0) AS cb
+             |  FROM g),
+             |a AS (
+             |  SELECT CAST(sum(pos_g) AS BIGINT) AS np,
+             |    CAST(sum(cnt_g) AS BIGINT) AS tot,
+             |    CAST(sum(pos_g * (cb * 2 + cnt_g + 1)) AS BIGINT) AS tr
+             |  FROM r)
+             |SELECT np AS n_pos, tot - np AS n_neg,
+             |  tr - np * (np + 1) AS auc_num,
+             |  np * (tot - np) * 2 AS auc_den,
+             |  CAST(tr - np * (np + 1) AS DOUBLE) /
+             |    CAST(np * (tot - np) * 2 AS DOUBLE) AS auc
+             |FROM a""".stripMargin)),
+
+    // Distribution drift between two time slices of the event stream as
+    // an EXACT total-variation distance over fixed-width value bins:
+    // TVD = Σ_bins tvd_num / tvd_den with both terms integer (cross-
+    // multiplied counts, never per-engine float ratios — the ln() in the
+    // classic PSI is exactly the cross-engine FP hazard this avoids).
+    // One scan, one 10-row aggregate, a width-10 window for the totals;
+    // at 100 TB the monitor runs per ingestion batch with the reference
+    // histogram broadcast instead of windowed.
+    QueryDef(
+      "drift_tvd_bins",
+      (s, d) => {
+        val ev = t(s, d, "events").select(
+          least(floor(col("value") / lit(50.0)), lit(9L)).cast("long").as("bin"),
+          when(expr("ts < TIMESTAMP_NTZ '2024-01-16 00:00:00'"), 1L)
+            .otherwise(0L).as("is_ref"))
+        val g = ev.groupBy("bin").agg(
+          sum(col("is_ref")).as("ref_cnt"),
+          sum(lit(1L) - col("is_ref")).as("cur_cnt"))
+        val wAll = Window.partitionBy(lit(1))
+        g.withColumn("tot_ref", sum(col("ref_cnt")).over(wAll))
+          .withColumn("tot_cur", sum(col("cur_cnt")).over(wAll))
+          .select(col("bin"), col("ref_cnt"), col("cur_cnt"),
+            abs(col("ref_cnt") * col("tot_cur") - col("cur_cnt") * col("tot_ref"))
+              .as("tvd_num"),
+            (col("tot_ref") * col("tot_cur") * lit(2L)).as("tvd_den"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT CAST(least(floor(value / 50.0), 9) AS BIGINT) AS bin,
+             |    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS is_ref
+             |  FROM events),
+             |g AS (
+             |  SELECT bin, CAST(sum(is_ref) AS BIGINT) AS ref_cnt,
+             |    CAST(sum(1 - is_ref) AS BIGINT) AS cur_cnt
+             |  FROM ev GROUP BY 1),
+             |tt AS (
+             |  SELECT bin, ref_cnt, cur_cnt,
+             |    CAST(sum(ref_cnt) OVER () AS BIGINT) AS tot_ref,
+             |    CAST(sum(cur_cnt) OVER () AS BIGINT) AS tot_cur
+             |  FROM g)
+             |SELECT bin, ref_cnt, cur_cnt,
+             |  abs(ref_cnt * tot_cur - cur_cnt * tot_ref) AS tvd_num,
+             |  tot_ref * tot_cur * 2 AS tvd_den
+             |FROM tt""".stripMargin)),
+
+    // Per-group OLS regression (extendedprice ~ quantity per returnflag)
+    // from one-pass exact-decimal moments — the corr_onepass_moments
+    // pattern extended to the fitted line: slope and intercept are scalar
+    // IEEE arithmetic over bit-identical decimal sums, so the comparison
+    // stays exact without any rounding fudge. One scan, map-side partial
+    // aggregation to 3 rows; the same moments power any per-segment
+    // linear fit (trend monitors, price curves) at any scale.
+    QueryDef(
+      "ols_group_regression",
+      (s, d) => {
+        val q = col("l_quantity").cast(DecimalType(12, 2))
+        val p = col("l_extendedprice").cast(DecimalType(14, 2))
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(q).cast("double").as("sum_q"),
+            sum(p).cast("double").as("sum_p"),
+            sum((q * q).cast(DecimalType(28, 4))).cast("double").as("sum_qq"),
+            sum((q * p).cast(DecimalType(28, 4))).cast("double").as("sum_qp"))
+          .withColumn("nd", col("n").cast("double"))
+          .withColumn("slope",
+            (col("nd") * col("sum_qp") - col("sum_q") * col("sum_p")) /
+            (col("nd") * col("sum_qq") - col("sum_q") * col("sum_q")))
+          .withColumn("intercept",
+            (col("sum_p") - col("slope") * col("sum_q")) / col("nd"))
+          .select("l_returnflag", "n", "slope", "intercept")
+      },
+      Some("""WITH m AS (
+             |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_q,
+             |    CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_p,
+             |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(12,2)) *
+             |      CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(28,4))) AS DOUBLE) AS sum_qq,
+             |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(12,2)) *
+             |      CAST(l_extendedprice AS DECIMAL(14,2)) AS DECIMAL(28,4))) AS DOUBLE) AS sum_qp
+             |  FROM lineitem GROUP BY 1),
+             |f AS (
+             |  SELECT l_returnflag, n, sum_q, sum_p,
+             |    (CAST(n AS DOUBLE) * sum_qp - sum_q * sum_p) /
+             |    (CAST(n AS DOUBLE) * sum_qq - sum_q * sum_q) AS slope
+             |  FROM m)
+             |SELECT l_returnflag, n, slope,
+             |  (sum_p - slope * sum_q) / CAST(n AS DOUBLE) AS intercept
+             |FROM f""".stripMargin)))
 }

@@ -525,7 +525,139 @@ object DedupQueries {
              |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev
              |FROM blk a JOIN blk b
              |  ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + 2
-             |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 4""".stripMargin)))
+             |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 4""".stripMargin)),
+
+    // ASYMMETRIC set-containment join: C(A→B) = |A∩B| / |A| ≥ 0.8 finds
+    // documents nearly CONTAINED in a larger one (quoted posts, boiler-
+    // plate supersets, truncated re-crawls) — pairs symmetric Jaccard
+    // structurally misses because the big side's size sinks the union.
+    // Candidate generation is still prefix-filtered, but one-sided: among
+    // any (|A| − ⌈0.8·|A|⌉ + 1) tokens of A, at least one must be in B,
+    // so only A's that-many RAREST tokens (global-rarity order, the
+    // AllPairs ordering) join against B's FULL token list — candidate
+    // volume is Σ_A Σ_{tok∈prefix(A)} df(tok), bounded because prefix
+    // tokens are by construction the rare ones (at 100 TB, add a df cap
+    // on prefix tokens and route the few capped docs to direct verify).
+    // One-sided size prune: containment ≥ 0.8 forces |B| ≥ 0.8·|A|;
+    // there is deliberately NO upper bound on |B| — that asymmetry is
+    // the operator. All threshold math integer-exact on both engines.
+    QueryDef(
+      "dedup_containment",
+      (s, d) => {
+        val toks = t(s, d, "documents")
+          .filter(size(graft.text.TextOps.tokens(col("text"))) >= 3)
+          .select(col("doc_id"), explode(
+            graft.dedup.Dedup.shingleSet(col("text"), 3)).as("tok"))
+        val freq = toks.groupBy("tok").agg(count(lit(1)).as("f"))
+        val wOrd = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("f"), col("tok"))
+        val wSz = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+        val sized = toks.join(freq, "tok")
+          .withColumn("pos", row_number().over(wOrd))
+          .withColumn("sz", count(lit(1)).over(wSz))
+        val pref = sized.filter(
+          col("pos") <= col("sz") - expr("(4 * sz + 4) div 5") + 1)
+        val cands = pref
+          .select(col("doc_id").as("ida"), col("tok"), col("sz").as("sza"))
+          .join(sized.select(col("doc_id").as("idb"), col("tok"),
+            col("sz").as("szb")), "tok")
+          .filter(col("ida") =!= col("idb") && col("szb") * 5 >= col("sza") * 4)
+          .select("ida", "idb", "sza", "szb").distinct()
+        val inter = cands
+          .join(toks.select(col("doc_id").as("ida"), col("tok")), Seq("ida"))
+          .join(toks.select(col("doc_id").as("idb"), col("tok")), Seq("idb", "tok"))
+          .groupBy("ida", "idb", "sza", "szb")
+          .agg(count(lit(1)).as("ov"))
+        inter.filter(col("ov") * 5 >= col("sza") * 4)
+          .select(col("ida").as("doc_id_sub"), col("idb").as("doc_id_super"),
+            col("sza").as("sz_sub"), col("szb").as("sz_super"), col("ov"),
+            (col("ov").cast("double") / col("sza").cast("double"))
+              .as("containment"))
+      },
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id, unnest(list_distinct($shinglesSql)) AS tok
+             |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+             |freq AS (SELECT tok, count(*) AS f FROM toks GROUP BY tok),
+             |sized AS (
+             |  SELECT doc_id, tok,
+             |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY f, tok) AS pos,
+             |    COUNT(*) OVER (PARTITION BY doc_id) AS sz
+             |  FROM toks JOIN freq USING (tok)),
+             |pref AS (SELECT * FROM sized WHERE pos <= sz - (4 * sz + 4) // 5 + 1),
+             |cands AS (
+             |  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb,
+             |    a.sz AS sza, b.sz AS szb
+             |  FROM pref a JOIN sized b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+             |    AND b.sz * 5 >= a.sz * 4),
+             |inter AS (
+             |  SELECT c.ida, c.idb, c.sza, c.szb, count(*) AS ov
+             |  FROM cands c
+             |  JOIN toks x ON x.doc_id = c.ida
+             |  JOIN toks y ON y.doc_id = c.idb AND y.tok = x.tok
+             |  GROUP BY 1, 2, 3, 4)
+             |SELECT ida AS doc_id_sub, idb AS doc_id_super,
+             |  CAST(sza AS BIGINT) AS sz_sub, CAST(szb AS BIGINT) AS sz_super,
+             |  CAST(ov AS BIGINT) AS ov,
+             |  CAST(ov AS DOUBLE) / CAST(sza AS DOUBLE) AS containment
+             |FROM inter WHERE ov * 5 >= sza * 4""".stripMargin)),
+
+    // Sketch-accuracy audit for the MinHash family — the quantitative
+    // answer to "how wrong is the 16-hash estimate on the pairs we act
+    // on?": for every LSH candidate pair, the estimated Jaccard
+    // (matching signature components / 16) next to the exact
+    // shingle-set Jaccard, with the deviation cross-multiplied into one
+    // exact BIGINT (|est·union − 16·inter| — never a per-engine float
+    // ratio). This is the audit that justifies (or indicts) the sketch
+    // width before a 100 TB dedup commits to it; cost is one signature
+    // join plus the standard verify joins over candidates only.
+    QueryDef(
+      "minhash_estimate_audit",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val cands = Dedup.minhashCandidates(docs, "doc_id", "text")
+        val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 16)
+          .select(col("doc_id"),
+            array((0 until 16).map(h => col(s"m$h")): _*).as("sig"))
+        val sets = docs.select(col("doc_id"),
+          Dedup.shingleSet(col("text"), 3).as("sset"))
+        cands
+          .join(sigs.select(col("doc_id").as("doc_id_a"), col("sig").as("sa")),
+            "doc_id_a")
+          .join(sigs.select(col("doc_id").as("doc_id_b"), col("sig").as("sb")),
+            "doc_id_b")
+          .join(sets.select(col("doc_id").as("doc_id_a"), col("sset").as("seta")),
+            "doc_id_a")
+          .join(sets.select(col("doc_id").as("doc_id_b"), col("sset").as("setb")),
+            "doc_id_b")
+          .select(col("doc_id_a"), col("doc_id_b"),
+            aggregate(zip_with(col("sa"), col("sb"),
+              (x, y) => when(x === y, 1L).otherwise(0L)),
+              lit(0L), (acc, v) => acc + v).as("est_matches"),
+            size(array_intersect(col("seta"), col("setb"))).cast("long")
+              .as("inter"),
+            size(array_union(col("seta"), col("setb"))).cast("long").as("uni"))
+          .withColumn("err_scaled",
+            abs(col("est_matches") * col("uni") - col("inter") * lit(16L)))
+      },
+      Some {
+        val estSql = (0 until 16)
+          .map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""$candidatesCte,
+           |sets AS (SELECT doc_id, list_distinct($shinglesSql) AS sset FROM documents),
+           |est AS (
+           |  SELECT c.doc_id_a, c.doc_id_b, $estSql AS est_matches
+           |  FROM cands c JOIN sig a ON c.doc_id_a = a.doc_id
+           |               JOIN sig b ON c.doc_id_b = b.doc_id)
+           |SELECT e.doc_id_a, e.doc_id_b,
+           |  CAST(est_matches AS BIGINT) AS est_matches,
+           |  CAST(len(list_intersect(x.sset, y.sset)) AS BIGINT) AS inter,
+           |  CAST(len(list_distinct(list_concat(x.sset, y.sset))) AS BIGINT) AS uni,
+           |  CAST(abs(est_matches * len(list_distinct(list_concat(x.sset, y.sset)))
+           |    - len(list_intersect(x.sset, y.sset)) * 16) AS BIGINT) AS err_scaled
+           |FROM est e JOIN sets x ON e.doc_id_a = x.doc_id
+           |           JOIN sets y ON e.doc_id_b = y.doc_id""".stripMargin
+      }))
 
   /** The SimHash fingerprint CTE chain (tokh → voted → packed), shared by
     * the fingerprint query and the hamming-radius search; `shape` is the

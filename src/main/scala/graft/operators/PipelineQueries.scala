@@ -682,5 +682,38 @@ object PipelineQueries {
              |  SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rk FROM based)
              |SELECT lang, n_docs, wq,
              |  CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT) AS quota
-             |FROM ranked CROSS JOIN def ORDER BY lang""".stripMargin)))
+             |FROM ranked CROSS JOIN def ORDER BY lang""".stripMargin)),
+
+    // Padding-waste audit for fixed-bucket batching: truncate each doc to
+    // the 1024-token context, round its length up to the next 16-token
+    // bucket, and report per-bucket doc counts, kept tokens, and padding
+    // waste — the number a pipeline compares against pack_sequences'
+    // packed layout to justify packing (pad_frac is the fraction of
+    // compute spent on PAD). Pure integer bucket math on both engines;
+    // the one double is a single division of exact integer sums. One
+    // scan, ~16-row map-side-combined aggregate at any corpus size.
+    QueryDef(
+      "seqlen_padding_audit",
+      (s, d) => {
+        val ntok = size(TextOps.tokens(col("text"))).cast("long")
+        t(s, d, "documents")
+          .select(least(ntok, lit(1024L)).as("kept"))
+          .withColumn("bucket_len", expr("((kept + 15) div 16) * 16"))
+          .groupBy("bucket_len")
+          .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("sum_tokens"),
+            sum(col("bucket_len") - col("kept")).as("sum_waste"))
+          .withColumn("pad_frac", col("sum_waste").cast("double") /
+            (col("sum_waste") + col("sum_tokens")).cast("double"))
+      },
+      Some("""WITH k AS (
+             |  SELECT least(len(string_split(text, ' ')), 1024) AS kept
+             |  FROM documents),
+             |b AS (SELECT kept, ((kept + 15) // 16) * 16 AS bucket_len FROM k)
+             |SELECT CAST(bucket_len AS BIGINT) AS bucket_len,
+             |  count(*) AS n_docs,
+             |  CAST(sum(kept) AS BIGINT) AS sum_tokens,
+             |  CAST(sum(bucket_len - kept) AS BIGINT) AS sum_waste,
+             |  CAST(sum(bucket_len - kept) AS DOUBLE) /
+             |    CAST(sum(bucket_len - kept) + sum(kept) AS DOUBLE) AS pad_frac
+             |FROM b GROUP BY 1""".stripMargin)))
 }

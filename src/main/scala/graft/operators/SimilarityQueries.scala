@@ -472,5 +472,53 @@ object SimilarityQueries {
               |SELECT q_id, CAST(count(*) AS BIGINT) AS full_k,
               |  CAST(sum(CASE WHEN rn_pre <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
               |FROM ranked WHERE rn_full <= 10
-              |GROUP BY q_id ORDER BY q_id""".stripMargin)))
+              |GROUP BY q_id ORDER BY q_id""".stripMargin)),
+
+    // One power-iteration step toward the corpus's top principal
+    // component, on the int8-QUANTIZED embeddings (the form the corpus
+    // ships in at 100 TB — see embedding_int8_quantize): with v = 1⃗,
+    // compute (XᵀX)·v per dimension as Σ_i q_ij · (q_i·v). Quantization
+    // makes every term an exact BIGINT — the whole Gram-vector product
+    // is integer arithmetic, so the cross-engine comparison is exact
+    // where a float covariance would be accumulation-order-dependent.
+    // Shape: one scan, per-row dot (codegen'd fold), posexplode to
+    // (dim, term), map-side-combined 64-row aggregate — no shuffle wider
+    // than the dimension count at any corpus size; subsequent iterations
+    // broadcast the current v the same way.
+    QueryDef(
+      "pca_power_step_int8",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            array_max(transform(col("embedding"), v => abs(v.cast("double"))))
+              .as("mx"))
+          .filter(col("mx") > 0)
+          .withColumn("scale", lit(127.0) / col("mx"))
+          .select(col("vec_id"), transform(col("embedding"), v =>
+            round(v.cast("double") * col("scale")).cast("long")).as("q"))
+        emb
+          .withColumn("dotv", aggregate(col("q"), lit(0L), (acc, x) => acc + x))
+          .select(col("dotv"), posexplode(col("q")).as(Seq("dim", "qj")))
+          .groupBy("dim")
+          .agg(count(lit(1)).as("n_vecs"), sum(col("qj") * col("dotv")).as("gram_v"))
+          .select(col("dim").cast("long").as("dim"), col("n_vecs"), col("gram_v"))
+          .orderBy("dim")
+      },
+      Some("""WITH v AS (
+             |  SELECT vec_id, embedding,
+             |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+             |  FROM embeddings),
+             |q AS (
+             |  SELECT vec_id, list_transform(embedding,
+             |    x -> CAST(round(CAST(x AS DOUBLE) * scale) AS BIGINT)) AS q
+             |  FROM (SELECT vec_id, embedding, 127.0 / mx AS scale
+             |        FROM v WHERE mx > 0)),
+             |wd AS (SELECT vec_id, q, CAST(list_sum(q) AS BIGINT) AS dotv FROM q),
+             |x AS (
+             |  SELECT unnest(list_transform(range(0, len(q)),
+             |    i -> struct_pack(dim := i, term := q[i + 1] * dotv))) AS u
+             |  FROM wd)
+             |SELECT CAST(u.dim AS BIGINT) AS dim, count(*) AS n_vecs,
+             |  CAST(sum(u.term) AS BIGINT) AS gram_v
+             |FROM x GROUP BY 1 ORDER BY dim""".stripMargin)))
 }

@@ -498,4 +498,50 @@ class PlanSpec extends SparkSuite {
       }
     }
   }
+
+  test("exact AUC ranks DISTINCT scores — the global window input is aggregated") {
+    // The rank-sum needs a total order over scores, but the plan must
+    // never sort ROWS globally: the single-partition window may only see
+    // the collapsed one-row-per-distinct-score aggregate. Pin that the
+    // (sole) WindowExec has a HashAggregate beneath it.
+    val wins = collectAll(plan("eval_auc_ranksum")) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.size == 1, s"expected exactly one rank window, got ${wins.size}")
+    val aggsBelow = wins.head.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }
+    assert(aggsBelow.nonEmpty,
+      "expected the groupBy(score) collapse below the rank window — " +
+        "a row-level global sort would be the 100 TB killer")
+  }
+
+  test("containment join pairs only through shared prefix tokens, never all-pairs") {
+    val p = plan("dedup_containment")
+    val cart = collectAll(p) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    val bnlj = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(cart.isEmpty && bnlj.isEmpty,
+      s"containment candidates must come from equi joins on tok/doc ids; " +
+        s"found ${cart.size} cartesian + ${bnlj.size} nested-loop joins")
+  }
+
+  test("int8 power step combines per-dim terms map-side — shuffles stay dim-wide") {
+    // The Gram-vector product must reduce to |dims| rows before any
+    // exchange: partial aggregation on dim (map-side combine over the
+    // posexplode output), one hash exchange of ≤64 rows, one range
+    // exchange for the ordered output. Anything more means per-row terms
+    // crossed the wire.
+    val p = plan("pca_power_step_int8")
+    val shuffles = collectAll(p) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 2,
+      s"expected only the dim-agg and output-sort exchanges, got ${shuffles.size}")
+    val aggs = collectAll(p) {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }
+    assert(aggs.size >= 2, "expected partial+final hash aggregation on dim")
+  }
 }
