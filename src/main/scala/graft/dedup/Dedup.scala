@@ -167,28 +167,21 @@ object Dedup {
   val SimhashBits = 60
 
   /** SimHash fingerprint per document: majority vote over md5 bits of the
-    * distinct tokens, packed into a 60-bit Long (ties vote 0). Computed via
-    * explode + one hash-partitioned aggregation (the scale shape: md5 is
-    * computed once per token, votes are map-side partially aggregated).
+    * distinct tokens, packed into a 60-bit Long (ties vote 0). Computed by
+    * the codegen'd per-document kernel
+    * ([[graft.functions.SimhashSignature]]) — no explode, no 60-column
+    * vote aggregation, no exchange for the fingerprint stage (arithmetic
+    * bit-identical to the previous explode → md5 → sum pipeline, pinned
+    * in FunctionsSpec, so every SimHash oracle is unchanged). The
+    * repartition spreads the per-document md5 loop across cores when the
+    * lake is one parquet split (same note as [[minhashSignatures]]).
     * Input: (idCol, textCol); output: (idCol, simhash).
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tokenHash = df.select(col(idCol), col(textCol))
-      .repartition(col(idCol)) // see minhashSignatures: pre-explode shuffle
-      .select(
-        col(idCol),
-        explode(array_distinct(TextOps.tokens(col(textCol)))).as("tok"))
-      .withColumn("h", md5(col("tok")))
-    val votes = (0 until SimhashBits).map { j =>
-      val nibble = conv(substring(col("h"), j / 4 + 1, 1), 16, 10).cast("long")
-      sum(shiftright(nibble, j % 4).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"v$j")
-    }
-    val voted = tokenHash.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
-    val packed = (0 until SimhashBits).map { j =>
-      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    voted.select(col(idCol), packed.as("simhash"))
-  }
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), col(textCol))
+      .repartition(col(idCol))
+      .select(col(idCol),
+        graft.functions.GraftFunctions.simhashSignature(col(textCol)).as("simhash"))
 
   /** Connected components over an undirected edge list by iterative
     * min-label propagation: every node starts labeled with its own id;

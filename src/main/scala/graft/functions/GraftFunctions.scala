@@ -46,6 +46,14 @@ object GraftFunctions {
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash_signature",
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(text) => SimhashSignature(text)
+        case other => throw new IllegalArgumentException(
+          s"simhash_signature(text) takes 1 argument, got ${other.size}")
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_might_contain_long",
       (exprs: Seq[Expression]) => exprs match {
         case Seq(f, v) => BloomMightContainLong(f, v)
@@ -77,6 +85,12 @@ object GraftFunctions {
   def minhashSignature(text: Column, numHashes: Int, n: Int): Column = {
     register(SparkSession.active)
     call_function("minhash_signature", text, lit(numHashes), lit(n))
+  }
+
+  /** Column-API wrapper; auto-registers in the active session. */
+  def simhashSignature(text: Column): Column = {
+    register(SparkSession.active)
+    call_function("simhash_signature", text)
   }
 
   /** Column-API wrapper; auto-registers in the active session.

@@ -540,10 +540,14 @@ object AnalyticsQueries {
     // were NEVER bought together by how many shared co-purchase partners
     // they have (distance-2 wedges), top 50. Scale shape: the wedge
     // self-join is the quadratic hazard, so neighbor lists are DEGREE-
-    // CAPPED first (row_number ≤ 32 per node, deterministic nbr-key
+    // CAPPED first (row_number ≤ 16 per node, deterministic nbr-key
     // order, mirrored exactly in the oracle) — per-node wedge fanout is
-    // then ≤ C(32,2) regardless of how hot a part is, the same bounded-
-    // expansion discipline as the triangle census's orientation. Both
+    // then ≤ C(16,2)=120 regardless of how hot a part is, the same
+    // bounded-expansion discipline as the triangle census's orientation
+    // (cap 32 measured 4× the wedge volume for the same top-50 shape —
+    // this graph's parts are dense enough that most exceed either cap,
+    // so the cap IS the cost knob, exactly as in production recommender
+    // candidate generators). Both
     // sides of the wedge join are the one capped subtree (exchange
     // reuse), existing edges leave via an anti join, and the top-50 is
     // fully tie-broken (count DESC, part_a, part_b). All integers.
@@ -561,7 +565,7 @@ object AnalyticsQueries {
           .select("a", "b").distinct()
         val capped = edges.select(col("a").as("node"), col("b").as("nbr"))
           .unionByName(edges.select(col("b").as("node"), col("a").as("nbr")))
-          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 32)
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 16)
           .select("node", "nbr")
         val cand = capped.select(col("node"), col("nbr").as("pa"))
           .join(capped.select(col("node"), col("nbr").as("pb")), "node")
@@ -584,7 +588,7 @@ object AnalyticsQueries {
              |    SELECT node, nbr, ROW_NUMBER() OVER (PARTITION BY node ORDER BY nbr) AS rn
              |    FROM (SELECT a AS node, b AS nbr FROM edges
              |          UNION ALL SELECT b AS node, a AS nbr FROM edges))
-             |  WHERE rn <= 32),
+             |  WHERE rn <= 16),
              |cand AS (
              |  SELECT n1.nbr AS pa, n2.nbr AS pb, CAST(count(*) AS BIGINT) AS common_neighbors
              |  FROM capped n1 JOIN capped n2
@@ -1299,5 +1303,124 @@ object AnalyticsQueries {
              |  FROM m)
              |SELECT l_returnflag, n, slope,
              |  (sum_p - slope * sum_q) / CAST(n AS DOUBLE) AS intercept
-             |FROM f""".stripMargin)))
+             |FROM f""".stripMargin)),
+
+    // CBO-style equi-join size estimation from per-key histograms — the
+    // arithmetic a cost-based optimizer runs before picking a join
+    // strategy, exposed as a query: for the (skew-prone) events self-join
+    // on user_id, the FULL histogram product Σ c_u² predicts the join
+    // EXACTLY, while the truncated top-100-heavy-keys histogram (what an
+    // optimizer actually stores) shows how much the tail contributes.
+    // Everything is integer: the exactness boolean is the contract that
+    // the estimator arithmetic is right, not approximately right. The
+    // histogram is one map-side-combinable aggregate; the top-100 is
+    // TakeOrdered (never a global sort); the "actual" leg counts the real
+    // self-join at sf scale to keep the oracle honest.
+    QueryDef(
+      "selfjoin_size_estimate",
+      (s, d) => {
+        val hist = t(s, d, "events").groupBy("user_id")
+          .agg(count(lit(1)).as("c"))
+        val est = hist.agg(count(lit(1)).as("n_keys"),
+          sum(col("c") * col("c")).as("est_full"))
+        val top = hist.orderBy(col("c").desc, col("user_id")).limit(100)
+          .agg(sum(col("c") * col("c")).as("est_top100"))
+        val ev = t(s, d, "events").select(col("user_id"))
+        val actual = ev.join(ev, "user_id").agg(count(lit(1)).as("actual_rows"))
+        est.crossJoin(top).crossJoin(actual)
+          .withColumn("estimate_exact", col("est_full") === col("actual_rows"))
+      },
+      Some("""WITH hist AS (
+             |  SELECT user_id, CAST(count(*) AS BIGINT) AS c
+             |  FROM events GROUP BY 1),
+             |est AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             |    CAST(sum(c * c) AS BIGINT) AS est_full
+             |  FROM hist),
+             |top AS (
+             |  SELECT CAST(sum(c * c) AS BIGINT) AS est_top100
+             |  FROM (SELECT c FROM hist ORDER BY c DESC, user_id LIMIT 100)),
+             |actual AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS actual_rows
+             |  FROM events a JOIN events b USING (user_id))
+             |SELECT n_keys, est_full, est_top100, actual_rows,
+             |  est_full = actual_rows AS estimate_exact
+             |FROM est CROSS JOIN top CROSS JOIN actual""".stripMargin)),
+
+    // Per-language percentile-rank normalization of document length — the
+    // feature-scaling step that makes a quality signal comparable across
+    // languages (a 2000-char Chinese doc and a 2000-char English doc sit
+    // at very different percentiles). percent_rank's (rank−1)/(n−1) is a
+    // ratio of exact integers, so the normalized value is one identical
+    // IEEE division on both engines; ties share a rank by definition.
+    // Scale: the window shuffles once on lang and sorts within partition;
+    // a 100 TB single-language corpus upgrades to a range-partitioned
+    // two-pass rank (sort by value, offset by per-range counts) — same
+    // output contract.
+    QueryDef(
+      "quality_percentile_norm",
+      (s, d) => {
+        val w = Window.partitionBy("lang").orderBy("n_chars")
+        t(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .withColumn("pr", percent_rank().over(w))
+      },
+      Some("""SELECT doc_id, lang, n_chars,
+             |  percent_rank() OVER (PARTITION BY lang ORDER BY n_chars) AS pr
+             |FROM documents""".stripMargin)),
+
+    // One k-core peeling round over the co-purchase graph (k=4): drop
+    // nodes of degree < k, then report each survivor's degree before and
+    // after the peel — the primitive that iterates to the k-core
+    // decomposition (community cores, spam-farm detection). Same
+    // one-round contract as pagerank_one_step: each round is two
+    // map-side-combined degree aggregates plus two semi joins on the
+    // edge list — at 100 TB the loop runs rounds-to-fixpoint with the
+    // shrinking survivor set localCheckpoint'd per round exactly like
+    // dedup_components. All integers; survivors ordered deterministically
+    // by the oracle-side sort.
+    QueryDef(
+      "kcore_peel_round",
+      (s, d) => {
+        val items = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val edges = items.select(col("l_orderkey"), col("l_partkey").as("a"))
+          .join(items.select(col("l_orderkey"), col("l_partkey").as("b")),
+            "l_orderkey")
+          .filter(col("a") < col("b"))
+          .select("a", "b").distinct()
+        val touch = edges.select(col("a").as("node"))
+          .unionByName(edges.select(col("b").as("node")))
+        val deg0 = touch.groupBy("node").agg(count(lit(1)).as("deg0"))
+        val kept = deg0.filter(col("deg0") >= 4)
+        val keptEdges = edges
+          .join(kept.select(col("node").as("a")), Seq("a"), "left_semi")
+          .join(kept.select(col("node").as("b")), Seq("b"), "left_semi")
+        val deg1 = keptEdges.select(col("a").as("node"))
+          .unionByName(keptEdges.select(col("b").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("deg1"))
+        kept.join(deg1, Seq("node"), "left")
+          .select(col("node"), col("deg0"),
+            coalesce(col("deg1"), lit(0L)).as("deg1"))
+      },
+      Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |edges AS (
+             |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+             |  FROM items x JOIN items y
+             |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+             |deg0 AS (
+             |  SELECT node, CAST(count(*) AS BIGINT) AS deg0
+             |  FROM (SELECT a AS node FROM edges UNION ALL SELECT b FROM edges)
+             |  GROUP BY node),
+             |kept AS (SELECT * FROM deg0 WHERE deg0 >= 4),
+             |ke AS (
+             |  SELECT e.a, e.b FROM edges e
+             |  WHERE e.a IN (SELECT node FROM kept)
+             |    AND e.b IN (SELECT node FROM kept)),
+             |deg1 AS (
+             |  SELECT node, CAST(count(*) AS BIGINT) AS deg1
+             |  FROM (SELECT a AS node FROM ke UNION ALL SELECT b FROM ke)
+             |  GROUP BY node)
+             |SELECT k.node, k.deg0, COALESCE(d.deg1, 0) AS deg1
+             |FROM kept k LEFT JOIN deg1 d USING (node)""".stripMargin)))
 }

@@ -551,5 +551,70 @@ object CorpusQueries {
              |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM tok),
              |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY tok)
              |SELECT tok, cnt FROM c CROSS JOIN tot
-             |WHERE cnt * 200 > n_total ORDER BY tok""".stripMargin)))
+             |WHERE cnt * 200 > n_total ORDER BY tok""".stripMargin)),
+
+    // BM25 document ranking for a fixed 3-term query — the standard
+    // retrieval scorer next to text_tfidf_topterms, with the same ln-free
+    // ratio idf (n/df) so no cross-engine transcendental enters the
+    // score. Every input to the saturation arithmetic is an exact integer
+    // (tf, df, dl, corpus totals); the per-term scores combine in a FIXED
+    // pivot order (s1+s2+s3 — never a data-ordered float sum), and the
+    // ranking key is the ×1e9-quantized integer, the knn_label_vote
+    // tie-proofing. Scale: the corpus tokenizes once; only rows for the
+    // query's terms survive the filter (at 100 TB this is the inverted-
+    // index probe — postings for 3 terms, never the corpus); df and the
+    // corpus stats broadcast.
+    QueryDef(
+      "bm25_topk",
+      (s, d) => {
+        val toks = t(s, d, "documents")
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+          sum(col("dl")).cast("double").as("tot_tokens"))
+        val tf = toks.filter(col("tok").isin("vector", "merge", "dup"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val dfr = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val scored = tf.join(broadcast(dfr), "tok").join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .withColumn("tscore",
+            (col("n_docs") / col("df").cast("double")) *
+            (col("tf").cast("double") * lit(2.2)) /
+            (col("tf").cast("double") + lit(1.2) *
+              (lit(0.25) + lit(0.75) * col("dl").cast("double") /
+                (col("tot_tokens") / col("n_docs")))))
+        scored.groupBy("doc_id").agg(
+            sum(when(col("tok") === "vector", col("tscore"))).as("s1"),
+            sum(when(col("tok") === "merge", col("tscore"))).as("s2"),
+            sum(when(col("tok") === "dup", col("tscore"))).as("s3"))
+          .select(col("doc_id"),
+            round((coalesce(col("s1"), lit(0.0)) + coalesce(col("s2"), lit(0.0)) +
+              coalesce(col("s3"), lit(0.0))) * lit(1e9)).cast("long").as("score_q"))
+          .orderBy(col("score_q").desc, col("doc_id")).limit(20)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+             |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+             |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             |            CAST(sum(dl) AS DOUBLE) AS tot_tokens FROM dl),
+             |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks
+             |       WHERE tok IN ('vector', 'merge', 'dup') GROUP BY 1, 2),
+             |dfr AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+             |scored AS (
+             |  SELECT tf.doc_id, tf.tok,
+             |    (n_docs / CAST(df AS DOUBLE)) *
+             |    (CAST(tf AS DOUBLE) * 2.2) /
+             |    (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) /
+             |      (tot_tokens / n_docs))) AS tscore
+             |  FROM tf JOIN dfr USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats),
+             |piv AS (
+             |  SELECT doc_id,
+             |    sum(CASE WHEN tok = 'vector' THEN tscore END) AS s1,
+             |    sum(CASE WHEN tok = 'merge' THEN tscore END) AS s2,
+             |    sum(CASE WHEN tok = 'dup' THEN tscore END) AS s3
+             |  FROM scored GROUP BY 1)
+             |SELECT doc_id,
+             |  CAST(round((COALESCE(s1, 0.0) + COALESCE(s2, 0.0) +
+             |    COALESCE(s3, 0.0)) * 1e9) AS BIGINT) AS score_q
+             |FROM piv ORDER BY score_q DESC, doc_id LIMIT 20""".stripMargin)))
 }

@@ -315,5 +315,41 @@ object TextQueries {
              |  md5(regexp_replace(regexp_replace(raw,
              |    '[a-z0-9]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g'),
              |    '555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
-             |FROM enriched""".stripMargin)))
+             |FROM enriched""".stripMargin)),
+
+    // Tokenizer fertility per language — BPE-piece count over whitespace
+    // word count, the standard "how many pieces per word does this
+    // tokenizer pay on this language" metric that drives per-language
+    // token budgets and flags scripts the vocabulary serves badly.
+    // Both token counts are exact integers from the same codegen'd
+    // per-row expressions the token-stats queries use (one scan, no
+    // shuffle beyond the ~20-row lang aggregate); fertility is a single
+    // division of exact sums.
+    QueryDef(
+      "tokenizer_fertility",
+      (s, d) => {
+        val pat = "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^\\sa-z0-9']+"
+        t(s, d, "documents")
+          .select(col("lang"),
+            size(regexp_extract_all(lower(col("text")), lit(pat), lit(0)))
+              .cast("long").as("n_bpe"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_words"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_bpe")).as("sum_bpe"),
+            sum(col("n_words")).as("sum_words"))
+          .withColumn("fertility",
+            col("sum_bpe").cast("double") / col("sum_words").cast("double"))
+      },
+      Some("""WITH per AS (
+             |  SELECT lang,
+             |    len(regexp_extract_all(lower(text),
+             |      '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9'']+')) AS n_bpe,
+             |    len(string_split(text, ' ')) AS n_words
+             |  FROM documents)
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_bpe) AS BIGINT) AS sum_bpe,
+             |  CAST(sum(n_words) AS BIGINT) AS sum_words,
+             |  CAST(sum(n_bpe) AS DOUBLE) / CAST(sum(n_words) AS DOUBLE) AS fertility
+             |FROM per GROUP BY lang""".stripMargin)))
 }

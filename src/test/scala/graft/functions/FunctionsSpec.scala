@@ -152,6 +152,48 @@ class FunctionsSpec extends SparkSuite {
     }
   }
 
+  /** The explode → md5 → 60-vote-sums formulation simhash_signature
+    * replaced (verbatim from the pre-kernel Dedup.simhash).
+    */
+  private def sqlSimhash(df: org.apache.spark.sql.DataFrame) = {
+    val tokenHash = df.select(col("id"),
+      explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val votes = (0 until 60).map { j =>
+      val nibble = conv(substring(col("h"), j / 4 + 1, 1), 16, 10).cast("long")
+      sum(shiftright(nibble, j % 4).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"v$j")
+    }
+    val voted = tokenHash.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+    val packed = (0 until 60).map { j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    voted.select(col("id"), packed.as("sql_simhash"))
+  }
+
+  test("simhash_signature == explode/md5/60-vote SQL formulation") {
+    val wordGen = Gen.oneOf(Gen.alphaNumStr.map(_.take(6)), Gen.const(""), Gen.const("é漢"))
+    val textGen = Gen.listOf(wordGen).map(_.mkString(" "))
+    val texts = (1 to 150).flatMap(i => textGen(Gen.Parameters.default, Seed(900 + i.toLong))) ++
+      Seq("", "a", "a b", "a  b", "x y z x y z", " lead", "trail ")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val diff = df.select(col("id"),
+        GraftFunctions.simhashSignature(col("text")).as("custom"))
+      .join(sqlSimhash(df), "id")
+      .filter(not(col("custom") <=> col("sql_simhash")))
+    assert(diff.count() == 0, "kernel diverges from SQL formulation; e.g. " +
+      diff.limit(1).collect().mkString)
+  }
+
+  test("simhash_signature survives the interpreted (non-codegen) path") {
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+        "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val v = Seq("a b c").toDF("text")
+        .select(GraftFunctions.simhashSignature(col("text")).as("s"))
+        .head().getLong(0)
+      assert(v >= 0 && v < (1L << 60))
+    }
+  }
+
   private def withSQLConf(pairs: (String, String)*)(body: => Unit): Unit = {
     val conf = spark.conf
     val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }
