@@ -1422,5 +1422,49 @@ object AnalyticsQueries {
              |  FROM (SELECT a AS node FROM ke UNION ALL SELECT b FROM ke)
              |  GROUP BY node)
              |SELECT k.node, k.deg0, COALESCE(d.deg1, 0) AS deg1
-             |FROM kept k LEFT JOIN deg1 d USING (node)""".stripMargin)))
+             |FROM kept k LEFT JOIN deg1 d USING (node)""".stripMargin)),
+
+    // RFM customer segmentation — the serving-layer scoring table every
+    // commerce warehouse materializes: per customer, NTILE(5) quintiles
+    // of recency (latest order date), frequency (order count), and
+    // monetary (exact-decimal revenue), concatenated into the 3-digit
+    // segment code. Each quintile assignment is deterministic because the
+    // ordering is total (metric, then custkey) on both engines. The
+    // global NTILEs run over the 1-row-per-customer aggregate — the
+    // equidepth_histogram discipline: collapse first, rank the collapsed
+    // series (at 100 TB that series is range-partition-sorted, not
+    // single-task).
+    QueryDef(
+      "rfm_segmentation",
+      (s, d) => {
+        val agg = t(s, d, "orders").groupBy("o_custkey").agg(
+          max(col("o_orderdate")).as("last_order"),
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("monetary_d"))
+        val wR = Window.orderBy(col("last_order").desc, col("o_custkey"))
+        val wF = Window.orderBy(col("n_orders").desc, col("o_custkey"))
+        val wM = Window.orderBy(col("monetary_d").desc, col("o_custkey"))
+        agg
+          .withColumn("r", ntile(5).over(wR).cast("long"))
+          .withColumn("f", ntile(5).over(wF).cast("long"))
+          .withColumn("m", ntile(5).over(wM).cast("long"))
+          .select(col("o_custkey"), col("n_orders"),
+            col("monetary_d").cast("double").as("monetary"),
+            col("r"), col("f"), col("m"),
+            (col("r") * 100 + col("f") * 10 + col("m")).as("segment"))
+      },
+      Some("""WITH agg AS (
+             |  SELECT o_custkey, max(o_orderdate) AS last_order,
+             |    CAST(count(*) AS BIGINT) AS n_orders,
+             |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary_d
+             |  FROM orders GROUP BY 1),
+             |scored AS (
+             |  SELECT o_custkey, n_orders, monetary_d,
+             |    CAST(ntile(5) OVER (ORDER BY last_order DESC, o_custkey) AS BIGINT) AS r,
+             |    CAST(ntile(5) OVER (ORDER BY n_orders DESC, o_custkey) AS BIGINT) AS f,
+             |    CAST(ntile(5) OVER (ORDER BY monetary_d DESC, o_custkey) AS BIGINT) AS m
+             |  FROM agg)
+             |SELECT o_custkey, n_orders, CAST(monetary_d AS DOUBLE) AS monetary,
+             |  r, f, m, r * 100 + f * 10 + m AS segment
+             |FROM scored""".stripMargin)))
 }

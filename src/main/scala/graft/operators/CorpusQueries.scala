@@ -53,6 +53,72 @@ object CorpusQueries {
              |   ORDER BY ts ASC, event_id ASC LIMIT 1) AS next_event_id
              |FROM orders""".stripMargin)),
 
+    // NEAREST-in-time as-of: the event temporally closest to each order,
+    // either side (sensor alignment, log correlation — backward-only
+    // as-of picks a stale match when the next reading is nearer). A
+    // composition of the two window passes: the backward pass's output IS
+    // the forward pass's left input, so the plan is two per-key window
+    // stages on the same key — still no join node, still linear per key.
+    // Distances are exact epoch-microsecond BIGINTs (session-UTC cast on
+    // both engines); exact-tie prefers the backward match, null sides
+    // fall to the other, both-null users stay null.
+    QueryDef(
+      "asof_join_nearest_event",
+      (s, d) => {
+        val orders = t(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderdate")
+        val ev = t(s, d, "events")
+        val withPrev = AsOfJoin.asOf(orders, ev,
+          leftKey = "o_custkey", rightKey = "user_id",
+          leftT = "o_orderdate", rightT = "ts", rightSeq = "event_id",
+          payload = Seq("event_id", "ts"))
+          .withColumnRenamed("asof_event_id", "prev_id")
+          .withColumnRenamed("asof_ts", "prev_ts")
+        val both = AsOfJoin.asOfForward(withPrev, ev,
+          leftKey = "o_custkey", rightKey = "user_id",
+          leftT = "o_orderdate", rightT = "ts", rightSeq = "event_id",
+          payload = Seq("event_id", "ts"))
+          .withColumnRenamed("asof_event_id", "next_id")
+          .withColumnRenamed("asof_ts", "next_ts")
+        val pickPrev = col("next_id").isNull ||
+          (col("prev_id").isNotNull && col("d_prev") <= col("d_next"))
+        both
+          .withColumn("ord_us", expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))"))
+          .withColumn("d_prev",
+            col("ord_us") - expr("unix_micros(CAST(prev_ts AS TIMESTAMP))"))
+          .withColumn("d_next",
+            expr("unix_micros(CAST(next_ts AS TIMESTAMP))") - col("ord_us"))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+            when(pickPrev, col("prev_id")).otherwise(col("next_id"))
+              .as("nearest_event_id"),
+            when(pickPrev, col("d_prev")).otherwise(col("d_next"))
+              .as("nearest_abs_us"))
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey, o_custkey, o_orderdate,
+             |    epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS ord_us,
+             |    (SELECT event_id FROM events
+             |     WHERE user_id = o_custkey AND ts <= o_orderdate
+             |     ORDER BY ts DESC, event_id DESC LIMIT 1) AS prev_id,
+             |    (SELECT epoch_us(ts) FROM events
+             |     WHERE user_id = o_custkey AND ts <= o_orderdate
+             |     ORDER BY ts DESC, event_id DESC LIMIT 1) AS prev_us,
+             |    (SELECT event_id FROM events
+             |     WHERE user_id = o_custkey AND ts >= o_orderdate
+             |     ORDER BY ts ASC, event_id ASC LIMIT 1) AS next_id,
+             |    (SELECT epoch_us(ts) FROM events
+             |     WHERE user_id = o_custkey AND ts >= o_orderdate
+             |     ORDER BY ts ASC, event_id ASC LIMIT 1) AS next_us
+             |  FROM orders)
+             |SELECT o_orderkey, o_custkey, o_orderdate,
+             |  CASE WHEN next_id IS NULL
+             |         OR (prev_id IS NOT NULL AND ord_us - prev_us <= next_us - ord_us)
+             |       THEN prev_id ELSE next_id END AS nearest_event_id,
+             |  CASE WHEN next_id IS NULL
+             |         OR (prev_id IS NOT NULL AND ord_us - prev_us <= next_us - ord_us)
+             |       THEN ord_us - prev_us ELSE next_us - ord_us END AS nearest_abs_us
+             |FROM base""".stripMargin)),
+
     // Classic distributed wordcount over the corpus (map-side partial agg).
     QueryDef(
       "text_wordcount",
