@@ -665,7 +665,73 @@ object DedupQueries {
            |    - len(list_intersect(x.sset, y.sset)) * 16) AS BIGINT) AS err_scaled
            |FROM est e JOIN sets x ON e.doc_id_a = x.doc_id
            |           JOIN sets y ON e.doc_id_b = y.doc_id""".stripMargin
-      }))
+      }),
+
+    // Deterministic negative sampling for contrastive training: 5 "hard
+    // random" negatives per document, drawn as the next documents in a
+    // SEEDED md5 hash order (the reproducible global shuffle — epoch
+    // changes mean changing the seed string) and FILTERED against the
+    // near-dup closure so no negative is a transitive duplicate of its
+    // anchor (the classic false-negative bug in contrastive batches:
+    // in-batch negatives that are actually paraphrases). Composes three
+    // catalog primitives: the hash-order shuffle, a 7-wide lead window,
+    // and the LSH→verify→connected-components closure as the exclusion
+    // set. At 100 TB the hash-order sort is range-partitioned and only
+    // each range's trailing 7 rows hand off to the next range — the
+    // window never needs a single partition (kept single-range here at
+    // oracle scale).
+    QueryDef(
+      "contrastive_negative_sample",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window.orderBy("h")
+        val wRank = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("slot")
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.nearDuplicates(docs, "doc_id", "text", threshold = 0.2)
+        val comp = Dedup.connectedComponents(docs, "doc_id", pairs,
+          "doc_id_a", "doc_id_b")
+        docs
+          .select(col("doc_id"),
+            md5(concat(lit("neg:"), col("doc_id").cast("string"))).as("h"))
+          .withColumn("negs",
+            array((1 to 7).map(k => lead(col("doc_id"), k).over(w)): _*))
+          .select(col("doc_id"), posexplode(col("negs")).as(Seq("slot", "neg_id")))
+          .filter(col("neg_id").isNotNull)
+          .join(comp.select(col("doc_id"), col("component_id").as("comp_a")),
+            "doc_id")
+          .join(comp.select(col("doc_id").as("neg_id"),
+            col("component_id").as("comp_b")), "neg_id")
+          .filter(col("comp_a") =!= col("comp_b"))
+          .withColumn("rk", row_number().over(wRank))
+          .filter(col("rk") <= 5)
+          .select(col("doc_id"), col("neg_id"), col("rk").cast("long").as("rk"))
+      },
+      Some(s"""$closureCte,
+              |comp AS (SELECT node AS doc_id, min(lbl) AS component_id
+              |         FROM reach GROUP BY node),
+              |hashed AS (SELECT doc_id,
+              |             md5('neg:' || CAST(doc_id AS VARCHAR)) AS h
+              |           FROM documents),
+              |nx AS (
+              |  SELECT doc_id,
+              |    [lead(doc_id, 1) OVER w, lead(doc_id, 2) OVER w,
+              |     lead(doc_id, 3) OVER w, lead(doc_id, 4) OVER w,
+              |     lead(doc_id, 5) OVER w, lead(doc_id, 6) OVER w,
+              |     lead(doc_id, 7) OVER w] AS negs
+              |  FROM hashed WINDOW w AS (ORDER BY h)),
+              |ex AS (
+              |  SELECT doc_id, slot, negs[slot + 1] AS neg_id
+              |  FROM (SELECT doc_id, negs, unnest(range(0, 7)) AS slot FROM nx)),
+              |j AS (
+              |  SELECT e.doc_id, e.neg_id, e.slot
+              |  FROM ex e JOIN comp a ON a.doc_id = e.doc_id
+              |            JOIN comp b ON b.doc_id = e.neg_id
+              |  WHERE e.neg_id IS NOT NULL
+              |    AND a.component_id <> b.component_id)
+              |SELECT doc_id, neg_id, CAST(rk AS BIGINT) AS rk FROM (
+              |  SELECT doc_id, neg_id,
+              |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY slot) AS rk
+              |  FROM j) WHERE rk <= 5""".stripMargin)))
 
   /** The SimHash fingerprint CTE chain (tokh → voted → packed), shared by
     * the fingerprint query and the hamming-radius search; `shape` is the
