@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSuite}
+
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Property checks that run CATALOG queries (through `SparkEntry.queries`,
+  * i.e. the exact code the driver checks) against brute-force definitions
+  * on randomized synthetic lakes — evidence the fixed-testdata oracle
+  * can't give: recall/exactness holds on corpora we didn't tune for.
+  */
+class CatalogPropertySpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Write a one-table lake under a temp dir and return the dir. */
+  private def lake(table: String)(write: String => Unit): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-prop").toString
+    write(s"$dir/$table.parquet")
+    dir
+  }
+
+  test("dedup_containment == brute-force containment on a random corpus " +
+      "with planted subsets (recall 1)") {
+    val rnd = new Random(20260813L)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lam", "mu", "nu", "xi", "omi", "pi")
+    def doc(n: Int): String =
+      Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val bases = (0L until 40L).map(i => (i, doc(8 + rnd.nextInt(10))))
+    // planted containments: the base text plus a couple of extra words —
+    // the base's shingle set is (nearly) contained in the extension's
+    val planted = bases.take(12).map { case (i, t) =>
+      (100L + i, s"$t ${doc(2)}")
+    }
+    val docs = (bases ++ planted).toDF("doc_id", "text")
+    val dir = lake("documents") { p => docs.write.parquet(p) }
+
+    val got = SparkEntry.queries("dedup_containment")(spark, dir)
+      .select("doc_id_sub", "doc_id_super").as[(Long, Long)].collect().toSet
+
+    val sets = docs.select(col("doc_id"),
+      graft.dedup.Dedup.shingleSet(col("text"), 3).as("s"))
+      .filter(size(col("s")) > 0)
+    val brute = sets.toDF("ida", "sa").crossJoin(sets.toDF("idb", "sb"))
+      .filter(col("ida") =!= col("idb"))
+      .select(col("ida"), col("idb"),
+        size(array_intersect(col("sa"), col("sb"))).as("ov"), size(col("sa")).as("sza"))
+      .filter(col("ov") * 5 >= col("sza") * 4)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+
+    assert(brute.nonEmpty, "fixture must contain containment pairs")
+    assert(got == brute,
+      s"prefix-filtered containment diverges from brute force: " +
+        s"missed=${brute -- got} extra=${got -- brute}")
+  }
+
+  test("eval_auc_ranksum == brute-force pairwise AUC on random scores") {
+    val rnd = new Random(42L)
+    // duplicate-heavy score domain so average-rank tie handling is exercised
+    val rows = (1 to 400).map { _ =>
+      val pos = rnd.nextBoolean()
+      val score = (rnd.nextInt(30) + (if (pos) 3 else 0)).toDouble / 7.0
+      (if (pos) "purchase" else "view", score)
+    }
+    val dir = lake("events") { p =>
+      rows.toDF("event_type", "value").write.parquet(p)
+    }
+    val row = SparkEntry.queries("eval_auc_ranksum")(spark, dir).head()
+    val (numQ, denQ) = (row.getAs[Long]("auc_num"), row.getAs[Long]("auc_den"))
+
+    val pos = rows.collect { case ("purchase", s) => s }
+    val neg = rows.collect { case ("view", s) => s }
+    val gt = pos.map(p => neg.count(p > _).toLong).sum
+    val eq = pos.map(p => neg.count(p == _).toLong).sum
+    assert(eq > 0, "fixture must contain cross-class score ties")
+    assert(numQ == 2 * gt + eq && denQ == 2L * pos.size * neg.size,
+      s"rank-sum AUC ($numQ/$denQ) != pairwise definition " +
+        s"(${2 * gt + eq}/${2L * pos.size * neg.size})")
+  }
+}
