@@ -462,6 +462,46 @@ object StreamingQueries {
     q.awaitTermination()
   }
 
+  /** Streaming drift monitor: the per-bin reference/current histogram of
+    * drift_tvd_bins maintained INCREMENTALLY across micro-batches — the
+    * ingestion-time data-quality monitor that flags a shifted value
+    * distribution before a bad batch lands in the lake. The state is the
+    * ~10-row histogram (bounded by bin count, not data), complete-mode
+    * snapshot per trigger; the exact cross-multiplied TVD terms are
+    * computed on the final converged snapshot in foreachBatch and must
+    * hash-equal the batch operator's oracle. The stream's `ts` is
+    * session-UTC TIMESTAMP, so the literal split instant selects the
+    * same rows the batch NTZ comparison does.
+    */
+  private def runDriftTvd(s: SparkSession, sfDir: String, scratch: String, resultOut: String): Unit = {
+    val glob = stageEventSlices(s, sfDir, s"$scratch/evlake")
+    val binned = eventStream(s, glob)
+      .select(
+        least(floor(col("value") / lit(50.0)), lit(9L)).cast("long").as("bin"),
+        when(expr("ts < TIMESTAMP '2024-01-16 00:00:00'"), 1L)
+          .otherwise(0L).as("is_ref"))
+      .groupBy("bin")
+      .agg(sum(col("is_ref")).as("ref_cnt"),
+        sum(lit(1L) - col("is_ref")).as("cur_cnt"))
+    val q = binned.writeStream
+      .outputMode("complete")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+        b.withColumn("tot_ref", sum(col("ref_cnt")).over(wAll))
+          .withColumn("tot_cur", sum(col("cur_cnt")).over(wAll))
+          .select(col("bin"), col("ref_cnt"), col("cur_cnt"),
+            abs(col("ref_cnt") * col("tot_cur") - col("cur_cnt") * col("tot_ref"))
+              .as("tvd_num"),
+            (col("tot_ref") * col("tot_cur") * lit(2L)).as("tvd_den"))
+          .coalesce(1).write.mode("overwrite").parquet(resultOut)
+        ()
+      }
+      .option("checkpointLocation", s"$scratch/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Gap-based session windows (`session_window`, 30-minute gap) per user
     * over the multi-trigger event stream, APPEND output mode — the
     * bounded-state session mode (update is unsupported for session
@@ -726,6 +766,32 @@ object StreamingQueries {
              |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
              |FROM events, unnest([0, 1]) AS hop(k)
              |GROUP BY 1, 2""".stripMargin),
+      bench = false, sideEffecting = true),
+
+    // Streaming drift monitor == the batch drift_tvd_bins: the bounded
+    // per-bin histogram state must accumulate correctly across real
+    // micro-batches, and the converged snapshot's exact TVD integers
+    // hash-check against the same oracle as the batch operator.
+    QueryDef(
+      "streaming_drift_tvd",
+      (s, d) => cachedStream(s, "streaming_drift_tvd", d)(runDriftTvd(s, d, _, _)),
+      Some("""WITH ev AS (
+             |  SELECT CAST(least(floor(value / 50.0), 9) AS BIGINT) AS bin,
+             |    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS is_ref
+             |  FROM events),
+             |g AS (
+             |  SELECT bin, CAST(sum(is_ref) AS BIGINT) AS ref_cnt,
+             |    CAST(sum(1 - is_ref) AS BIGINT) AS cur_cnt
+             |  FROM ev GROUP BY 1),
+             |tt AS (
+             |  SELECT bin, ref_cnt, cur_cnt,
+             |    CAST(sum(ref_cnt) OVER () AS BIGINT) AS tot_ref,
+             |    CAST(sum(cur_cnt) OVER () AS BIGINT) AS tot_cur
+             |  FROM g)
+             |SELECT bin, ref_cnt, cur_cnt,
+             |  abs(ref_cnt * tot_cur - cur_cnt * tot_ref) AS tvd_num,
+             |  tot_ref * tot_cur * 2 AS tvd_den
+             |FROM tt""".stripMargin),
       bench = false, sideEffecting = true),
 
     // Streaming OHLC == the batch bars: argmin/argmax aggregation state
