@@ -549,12 +549,16 @@ object DedupQueries {
           .select(col("doc_id"), explode(
             graft.dedup.Dedup.shingleSet(col("text"), 3)).as("tok"))
         val freq = toks.groupBy("tok").agg(count(lit(1)).as("f"))
+        // set sizes via a map-side-combinable aggregate, NOT a
+        // count-over-window: the B (super) side of the candidate join
+        // needs only (doc_id, tok, sz) — the old formulation dragged the
+        // full rarity join + sort + window along just for sz (measured:
+        // the whole subtree re-ran per side at 10×)
+        val szs = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
         val wOrd = org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id").orderBy(col("f"), col("tok"))
-        val wSz = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-        val sized = toks.join(freq, "tok")
+        val sized = toks.join(freq, "tok").join(szs, "doc_id")
           .withColumn("pos", row_number().over(wOrd))
-          .withColumn("sz", count(lit(1)).over(wSz))
         val pref = sized.filter(
           col("pos") <= col("sz") - expr("(4 * sz + 4) div 5") + 1)
         // NOTE: simjoin_prefix_filter's PPJoin positional upper bound is
@@ -567,8 +571,9 @@ object DedupQueries {
         // prunes only because BOTH sides are prefix-restricted.
         val cands = pref
           .select(col("doc_id").as("ida"), col("tok"), col("sz").as("sza"))
-          .join(sized.select(col("doc_id").as("idb"), col("tok"),
-            col("sz").as("szb")), "tok")
+          .join(toks.join(szs, "doc_id")
+            .select(col("doc_id").as("idb"), col("tok"), col("sz").as("szb")),
+            "tok")
           .filter(col("ida") =!= col("idb") && col("szb") * 5 >= col("sza") * 4)
           .select("ida", "idb", "sza", "szb").distinct()
         val inter = cands
@@ -586,17 +591,18 @@ object DedupQueries {
              |  SELECT doc_id, unnest(list_distinct($shinglesSql)) AS tok
              |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
              |freq AS (SELECT tok, count(*) AS f FROM toks GROUP BY tok),
+             |szs AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
              |sized AS (
-             |  SELECT doc_id, tok,
-             |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY f, tok) AS pos,
-             |    COUNT(*) OVER (PARTITION BY doc_id) AS sz
-             |  FROM toks JOIN freq USING (tok)),
+             |  SELECT doc_id, tok, sz,
+             |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY f, tok) AS pos
+             |  FROM toks JOIN freq USING (tok) JOIN szs USING (doc_id)),
              |pref AS (SELECT * FROM sized WHERE pos <= sz - (4 * sz + 4) // 5 + 1),
              |cands AS (
              |  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb,
-             |    a.sz AS sza, b.sz AS szb
-             |  FROM pref a JOIN sized b ON a.tok = b.tok AND a.doc_id <> b.doc_id
-             |    AND b.sz * 5 >= a.sz * 4),
+             |    a.sz AS sza, bs.sz AS szb
+             |  FROM pref a JOIN toks b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+             |  JOIN szs bs ON bs.doc_id = b.doc_id
+             |  WHERE bs.sz * 5 >= a.sz * 4),
              |inter AS (
              |  SELECT c.ida, c.idb, c.sza, c.szb, count(*) AS ov
              |  FROM cands c
