@@ -55,6 +55,43 @@ class CatalogPropertySpec extends SparkSuite {
         s"missed=${brute -- got} extra=${got -- brute}")
   }
 
+  test("simjoin_prefix_filter == brute-force Jaccard join on a random corpus " +
+      "with planted near-dups (recall 1)") {
+    val rnd = new Random(7L)
+    val vocab = Vector("red", "blue", "green", "dark", "light", "deep",
+      "pale", "warm", "cool", "soft", "hard", "wide", "thin", "tall")
+    def doc(n: Int): String =
+      Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val bases = (0L until 35L).map(i => (i, doc(10 + rnd.nextInt(8))))
+    // planted near-dups: swap one word — Jaccard on 3-shingles stays high
+    val planted = bases.take(10).map { case (i, t) =>
+      val w = t.split(" ")
+      w(w.length / 2) = vocab(rnd.nextInt(vocab.size))
+      (200L + i, w.mkString(" "))
+    }
+    val docs = (bases ++ planted).toDF("doc_id", "text")
+    val dir = lake("documents") { p => docs.write.parquet(p) }
+
+    val got = SparkEntry.queries("simjoin_prefix_filter")(spark, dir)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+
+    val sets = docs.select(col("doc_id"),
+      graft.dedup.Dedup.shingleSet(col("text"), 3).as("s"))
+      .filter(size(col("s")) > 0)
+    val brute = sets.toDF("ida", "sa").crossJoin(sets.toDF("idb", "sb"))
+      .filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"),
+        size(array_intersect(col("sa"), col("sb"))).as("ov"),
+        size(array_union(col("sa"), col("sb"))).as("un"))
+      .filter(col("ov") * 5 >= col("un") * 3)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+
+    assert(brute.nonEmpty, "fixture must contain J >= 3/5 pairs")
+    assert(got == brute,
+      s"prefix-filtered Jaccard join diverges from brute force: " +
+        s"missed=${brute -- got} extra=${got -- brute}")
+  }
+
   test("eval_auc_ranksum == brute-force pairwise AUC on random scores") {
     val rnd = new Random(42L)
     // duplicate-heavy score domain so average-rank tie handling is exercised
