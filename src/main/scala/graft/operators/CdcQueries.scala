@@ -299,5 +299,50 @@ object CdcQueries {
              |SELECT event_type,
              |  CAST(count(*) AS BIGINT) AS n_entities,
              |  CAST(sum(value) AS DOUBLE) AS sum_balance
-             |FROM cur GROUP BY event_type ORDER BY event_type""".stripMargin)))
+             |FROM cur GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Late-arriving-change correction audit — the question a CDC consumer
+    // asks before applying a replayed/late batch: exactly WHICH history
+    // rows does it rewrite? Simulated by withholding a deterministic ~1%
+    // of the change log (event_id % 97 = 0): the history built without
+    // them vs the full history, diffed by set EXCEPT in both directions.
+    // The diff is precisely the correction set — each late event's own
+    // version row ('upsert') plus every neighbor whose version_num /
+    // valid_to it perturbs (old rows to 'retract', renumbered rows to
+    // upsert). At 100 TB both histories restrict to the late events'
+    // KEYS first (the touched-keys discipline the streaming maintainer
+    // uses); kept whole-log here so the oracle replays it verbatim.
+    QueryDef(
+      "scd2_late_corrections",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val cols = Seq("user_id", "event_id", "version_num",
+          "valid_from", "valid_to")
+        def h(df: org.apache.spark.sql.DataFrame) =
+          Scd2.versionize(df, "user_id", "event_id", "ts")
+            .select(cols.head, cols.tail: _*)
+        val full = h(ev)
+        val part = h(ev.filter(col("event_id") % 97 =!= 0))
+        full.except(part).withColumn("correction", lit("upsert"))
+          .unionByName(part.except(full).withColumn("correction", lit("retract")))
+      },
+      Some(s"""WITH full_h AS (
+              |  SELECT user_id, event_id,
+              |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS version_num,
+              |    ts AS valid_from,
+              |    COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY event_id),
+              |             $sentinelSql) AS valid_to
+              |  FROM events),
+              |part_h AS (
+              |  SELECT user_id, event_id,
+              |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS version_num,
+              |    ts AS valid_from,
+              |    COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY event_id),
+              |             $sentinelSql) AS valid_to
+              |  FROM events WHERE event_id % 97 <> 0)
+              |SELECT *, 'upsert' AS correction
+              |FROM (SELECT * FROM full_h EXCEPT SELECT * FROM part_h)
+              |UNION ALL
+              |SELECT *, 'retract' AS correction
+              |FROM (SELECT * FROM part_h EXCEPT SELECT * FROM full_h)""".stripMargin)))
 }
