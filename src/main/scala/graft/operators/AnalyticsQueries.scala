@@ -1466,5 +1466,62 @@ object AnalyticsQueries {
              |  FROM agg)
              |SELECT o_custkey, n_orders, CAST(monetary_d AS DOUBLE) AS monetary,
              |  r, f, m, r * 100 + f * 10 + m AS segment
-             |FROM scored""".stripMargin)))
+             |FROM scored""".stripMargin)),
+
+    // CUSUM change-point statistic per event-type over the daily series —
+    // the sequential drift alarm next to drift_tvd_bins' two-slice
+    // histogram: how far has the cumulative deviation from the mean rate
+    // run up, at its worst? The recursive CUSUM fold
+    // S_t = max(0, S_{t-1} + dev_t) is deliberately NOT computed as a
+    // fold: its maximum equals the maximum DRAWUP of the plain prefix
+    // sum, max_t (P_t − min_{k≤t} P_k) — two ordinary windows (cumsum +
+    // running min) over the per-day aggregate, scan-friendly at any
+    // scale where a stateful fold would serialize. Deviations are
+    // mean-centered with cross-multiplied integers (n_days·cnt_t −
+    // total), so the whole statistic is exact BIGINT arithmetic.
+    QueryDef(
+      "cusum_rate_drift",
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"),
+            expr("CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)")
+              .as("dnum"))
+          .agg(count(lit(1)).as("cnt"))
+        val wT = Window.partitionBy("event_type")
+        val wCum = Window.partitionBy("event_type").orderBy("dnum")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily
+          .withColumn("n_days", count(lit(1)).over(wT))
+          .withColumn("total", sum(col("cnt")).over(wT))
+          .withColumn("dev", col("n_days") * col("cnt") - col("total"))
+          .withColumn("p", sum(col("dev")).over(wCum))
+          .withColumn("runmin", min(col("p")).over(wCum))
+          .groupBy("event_type")
+          .agg(max(col("n_days")).as("n_days"), max(col("total")).as("total_cnt"),
+            greatest(max(col("p") - col("runmin")), lit(0L)).as("max_cusum"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type,
+             |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+             |      AS dnum,
+             |    CAST(count(*) AS BIGINT) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |dev AS (
+             |  SELECT event_type, dnum, cnt,
+             |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days,
+             |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS total
+             |  FROM daily),
+             |pre AS (
+             |  SELECT event_type, dnum, n_days, total,
+             |    CAST(sum(n_days * cnt - total) OVER (PARTITION BY event_type
+             |      ORDER BY dnum ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
+             |  FROM dev),
+             |dd AS (
+             |  SELECT event_type, n_days, total, p,
+             |    CAST(min(p) OVER (PARTITION BY event_type
+             |      ORDER BY dnum ROWS UNBOUNDED PRECEDING) AS BIGINT) AS runmin
+             |  FROM pre)
+             |SELECT event_type, max(n_days) AS n_days, max(total) AS total_cnt,
+             |  greatest(max(p - runmin), 0) AS max_cusum
+             |FROM dd GROUP BY event_type""".stripMargin)))
 }
