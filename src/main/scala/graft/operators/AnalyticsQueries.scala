@@ -1523,5 +1523,61 @@ object AnalyticsQueries {
              |  FROM pre)
              |SELECT event_type, max(n_days) AS n_days, max(total) AS total_cnt,
              |  greatest(max(p - runmin), 0) AS max_cusum
-             |FROM dd GROUP BY event_type""".stripMargin)))
+             |FROM dd GROUP BY event_type""".stripMargin)),
+
+    // Exact-integer modularity audit of a graph partition — the metric
+    // that scores any community assignment (here the mod-16 hash
+    // coloring, a NULL partition: per-community contributions should
+    // hover near zero, which is the null-model lesson the audit
+    // teaches). Q = Σ_c (e_c/m − (d_c/2m)²) is all rationals, so it is
+    // emitted cross-multiplied: q_num_c = 4m·e_c − d_c² over the common
+    // denominator 4m² — every column BIGINT, no per-engine float in the
+    // comparison. Cost: the edge build plus two map-side-combined
+    // aggregates (internal-edge count per community, degree sum per
+    // community); scoring a real clustering (e.g. the near-dup
+    // components) swaps the assignment join, nothing else.
+    QueryDef(
+      "graph_modularity_audit",
+      (s, d) => {
+        val items = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val edges = items.select(col("l_orderkey"), col("l_partkey").as("a"))
+          .join(items.select(col("l_orderkey"), col("l_partkey").as("b")),
+            "l_orderkey")
+          .filter(col("a") < col("b"))
+          .select("a", "b").distinct()
+          .withColumn("ca", col("a") % 16).withColumn("cb", col("b") % 16)
+        val m = edges.agg(count(lit(1)).as("m"))
+        val internal = edges.filter(col("ca") === col("cb"))
+          .groupBy(col("ca").as("community")).agg(count(lit(1)).as("e_c"))
+        val degrees = edges.select(col("ca").as("community"))
+          .unionByName(edges.select(col("cb").as("community")))
+          .groupBy("community").agg(count(lit(1)).as("d_c"))
+        degrees.join(internal, Seq("community"), "left")
+          .select(col("community"), coalesce(col("e_c"), lit(0L)).as("e_c"),
+            col("d_c"))
+          .crossJoin(broadcast(m))
+          .select(col("community"), col("e_c"), col("d_c"), col("m"),
+            (col("m") * 4 * col("e_c") - col("d_c") * col("d_c")).as("q_num"),
+            (col("m") * col("m") * 4).as("q_den"))
+      },
+      Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |edges AS (
+             |  SELECT a, b, a % 16 AS ca, b % 16 AS cb FROM (
+             |    SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+             |    FROM items x JOIN items y
+             |      ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey)),
+             |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM edges),
+             |internal AS (
+             |  SELECT ca AS community, CAST(count(*) AS BIGINT) AS e_c
+             |  FROM edges WHERE ca = cb GROUP BY 1),
+             |degrees AS (
+             |  SELECT community, CAST(count(*) AS BIGINT) AS d_c
+             |  FROM (SELECT ca AS community FROM edges
+             |        UNION ALL SELECT cb FROM edges)
+             |  GROUP BY 1)
+             |SELECT community, COALESCE(e_c, 0) AS e_c, d_c, m,
+             |  m * 4 * COALESCE(e_c, 0) - d_c * d_c AS q_num,
+             |  m * m * 4 AS q_den
+             |FROM degrees LEFT JOIN internal USING (community) CROSS JOIN mm""".stripMargin)))
 }
