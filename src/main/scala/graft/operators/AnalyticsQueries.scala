@@ -1579,5 +1579,111 @@ object AnalyticsQueries {
              |SELECT community, COALESCE(e_c, 0) AS e_c, d_c, m,
              |  m * 4 * COALESCE(e_c, 0) - d_c * d_c AS q_num,
              |  m * m * 4 AS q_den
-             |FROM degrees LEFT JOIN internal USING (community) CROSS JOIN mm""".stripMargin)))
+             |FROM degrees LEFT JOIN internal USING (community) CROSS JOIN mm""".stripMargin)),
+
+    // Funnel latency: p50/p90 time from each user's FIRST signup to their
+    // first purchase at or after it — the time-to-convert percentiles
+    // next to funnel_signup_purchase's counts. Diffs are exact epoch-
+    // MICROsecond integers (second-level truncation is engine-ambiguous
+    // on sub-second timestamps); the percentiles are linear-interpolated over them
+    // (the engine-identical double arithmetic the stats_quantiles row
+    // established); the conversion rate is one division of exact counts.
+    // Shape: two filtered aggregates + one join, nothing row-scale sorts
+    // globally (percentile over the converted-user diffs only).
+    QueryDef(
+      "funnel_time_to_convert",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val su = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min(col("ts")).as("su_ts"))
+        val fp = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("pu_ts"))
+          .join(su, "user_id")
+          .filter(col("pu_ts") >= col("su_ts"))
+          .groupBy("user_id")
+          .agg(min(col("pu_ts")).as("fp_ts"), min(col("su_ts")).as("su0"))
+          .withColumn("diff_us",
+            expr("unix_micros(CAST(fp_ts AS TIMESTAMP))") -
+              expr("unix_micros(CAST(su0 AS TIMESTAMP))"))
+        val a = su.agg(count(lit(1)).as("n_signup"))
+        val b = fp.agg(count(lit(1)).as("n_converted"),
+          expr("percentile(diff_us, 0.5D)").as("p50_us"),
+          expr("percentile(diff_us, 0.9D)").as("p90_us"))
+        a.crossJoin(b).withColumn("conv_rate",
+          col("n_converted").cast("double") / col("n_signup").cast("double"))
+      },
+      Some("""WITH su AS (
+             |  SELECT user_id, min(ts) AS su_ts FROM events
+             |  WHERE event_type = 'signup' GROUP BY 1),
+             |fp AS (
+             |  SELECT e.user_id, min(e.ts) AS fp_ts, min(su.su_ts) AS su0
+             |  FROM events e JOIN su ON e.user_id = su.user_id
+             |    AND e.ts >= su.su_ts
+             |  WHERE e.event_type = 'purchase' GROUP BY 1),
+             |dd AS (
+             |  SELECT epoch_us(fp_ts) - epoch_us(su0) AS diff_us
+             |  FROM fp),
+             |a AS (SELECT CAST(count(*) AS BIGINT) AS n_signup FROM su),
+             |b AS (SELECT CAST(count(*) AS BIGINT) AS n_converted,
+             |        quantile_cont(diff_us, 0.5) AS p50_us,
+             |        quantile_cont(diff_us, 0.9) AS p90_us
+             |      FROM dd)
+             |SELECT n_signup, n_converted, p50_us, p90_us,
+             |  CAST(n_converted AS DOUBLE) / CAST(n_signup AS DOUBLE) AS conv_rate
+             |FROM a CROSS JOIN b""".stripMargin)),
+
+    // Association-rule metrics over the co-purchase pairs: support,
+    // confidence, and lift for the 20 most-supported part pairs — the
+    // market-basket layer above copurchase_pairs' raw counts. Selection
+    // is fully tie-broken on exact integers (support DESC, part_a,
+    // part_b); confidence and lift are single divisions of exact counts
+    // (lift cross-multiplied first: n_ab·N over n_a·n_b), so both
+    // engines divide identical integers. Per-part order frequencies
+    // broadcast; N is the 1-row order count.
+    QueryDef(
+      "basket_rule_lift",
+      (s, d) => {
+        val items = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val nOrd = items.select(col("l_orderkey")).distinct()
+          .agg(count(lit(1)).as("n_orders"))
+        val freq = items.groupBy("l_partkey").agg(count(lit(1)).as("n_x"))
+        val pairs = items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+          .join(items.select(col("l_orderkey"), col("l_partkey").as("part_b")),
+            "l_orderkey")
+          .filter(col("part_a") < col("part_b"))
+          .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_ab"))
+          .orderBy(col("n_ab").desc, col("part_a"), col("part_b")).limit(20)
+        pairs
+          .join(broadcast(freq.select(col("l_partkey").as("part_a"),
+            col("n_x").as("n_a"))), "part_a")
+          .join(broadcast(freq.select(col("l_partkey").as("part_b"),
+            col("n_x").as("n_b"))), "part_b")
+          .crossJoin(broadcast(nOrd))
+          .select(col("part_a"), col("part_b"), col("n_ab"), col("n_a"),
+            col("n_b"), col("n_orders"),
+            (col("n_ab").cast("double") / col("n_a").cast("double"))
+              .as("confidence"),
+            ((col("n_ab") * col("n_orders")).cast("double") /
+              (col("n_a") * col("n_b")).cast("double")).as("lift"))
+      },
+      Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+             |      FROM items),
+             |freq AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_x
+             |         FROM items GROUP BY 1),
+             |pairs AS (
+             |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             |    CAST(count(*) AS BIGINT) AS n_ab
+             |  FROM items a JOIN items b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2
+             |  ORDER BY n_ab DESC, part_a, part_b LIMIT 20)
+             |SELECT part_a, part_b, n_ab, fa.n_x AS n_a, fb.n_x AS n_b, n_orders,
+             |  CAST(n_ab AS DOUBLE) / CAST(fa.n_x AS DOUBLE) AS confidence,
+             |  CAST(n_ab * n_orders AS DOUBLE) /
+             |    CAST(fa.n_x * fb.n_x AS DOUBLE) AS lift
+             |FROM pairs JOIN freq fa ON fa.l_partkey = part_a
+             |           JOIN freq fb ON fb.l_partkey = part_b
+             |CROSS JOIN n""".stripMargin)))
 }
