@@ -22,6 +22,11 @@ object Bench {
       // repo-local ./spark-warehouse default (same choice as GraftSession).
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.ui.enabled", "false")
+      // 208 queries × several codegen units ≫ the 100-entry default
+      // generated-class cache — without this, later executions pay a
+      // fixed Janino recompile per run (see GraftSession for the full
+      // note; static conf, must precede session creation)
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (codegen compiler, parquet footer reads, shuffle

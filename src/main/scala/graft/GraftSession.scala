@@ -23,6 +23,13 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
+      // the generated-class cache defaults to 100 entries; a 208-query
+      // catalog holds several codegen units per query, so the default
+      // thrashes and every re-execution pays a Janino recompile (~0.3-2 s
+      // of pure fixed cost — the r7 driver bench's flat-time signature on
+      // embedding_dim_stats). Static conf: must be set before the first
+      // session in the JVM.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       // saveAsTable targets (bucketed-join tables): keep the warehouse in
       // /tmp, not the process cwd (the in-memory catalog means metadata is
       // per-session; data dirs persist and are overwritten on re-create)

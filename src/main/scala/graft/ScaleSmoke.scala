@@ -73,7 +73,7 @@ object ScaleSmoke {
     * (which would make `ratio_vs_headline` compare different datasets).
     */
   private def fingerprint(sfDir: String): String =
-    s"src=$sfDir md5=${AtomicPublish.dirFingerprint(sfDir)} factor=$Factor gen=2"
+    s"src=$sfDir md5=${AtomicPublish.dirFingerprint(sfDir)} factor=$Factor gen=3"
 
   /** Materialize the scaled lake once per (sfDir content, scaler version):
     * built in a temp dir and atomically published via [[AtomicPublish]],
@@ -83,7 +83,14 @@ object ScaleSmoke {
     * would otherwise inherit the source's 1-2 input partitions, and a 10×
     * lake packed into 2 parquet files caps every smoke query at 2-3 tasks
     * — measuring the file layout, not the operator (the r03 smoke flagged
-    * q1 as "superlinear" for exactly this reason).
+    * q1 as "superlinear" for exactly this reason). Files are RANGE-
+    * partitioned on the table's first key, not hash-scattered: the source
+    * testdata is written key-clustered, so a randomly shuffled scaled
+    * lake would hand every smoke query a layout the headline never sees —
+    * key-selective scans (decontam's doc_id < 20 eval slice, r7's 30.7×
+    * flag) lose all row-group pruning and the "superlinear" signal
+    * measures the layout, not the operator. Range files keep min/max
+    * stats tight, which is also how a real lake is written.
     */
   def ensureScaled(spark: SparkSession, sfDir: String,
                    outDir: String = "/tmp/graft_scaled_x10"): String =
@@ -92,7 +99,9 @@ object ScaleSmoke {
         val src = spark.read.parquet(s"$sfDir/$name.parquet")
         val scaled = scaledTable(src, keys, texts)
         val out = if (tableIsFixed(keys, texts)) scaled
-                  else scaled.repartition(spark.sparkContext.defaultParallelism)
+                  else scaled.repartitionByRange(
+                    spark.sparkContext.defaultParallelism, col(keys.head))
+                    .sortWithinPartitions(keys.head)
         out.write.mode("overwrite").parquet(s"$tmp/$name.parquet")
       }
     }

@@ -21,6 +21,9 @@ object Verify {
       // repo-local ./spark-warehouse default (same choice as GraftSession).
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.ui.enabled", "false")
+      // one codegen pass per catalog query ≫ the 100-entry default cache
+      // (see GraftSession note)
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -175,10 +175,15 @@ object Dedup {
     * in FunctionsSpec, so every SimHash oracle is unchanged). The
     * repartition spreads the per-document md5 loop across cores when the
     * lake is one parquet split (same note as [[minhashSignatures]]).
+    * NULL-text documents are dropped — matching the pre-kernel
+    * explode(array_distinct(split(...))) pipeline, where explode of a
+    * NULL array emits no row (the kernel expression alone is nullable
+    * and would otherwise emit (id, NULL) rows the oracles don't expect).
     * Input: (idCol, textCol); output: (idCol, simhash).
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), col(textCol))
+      .filter(col(textCol).isNotNull)
       .repartition(col(idCol))
       .select(col(idCol),
         graft.functions.GraftFunctions.simhashSignature(col(textCol)).as("simhash"))

@@ -513,11 +513,16 @@ object AnalyticsQueries {
     // basket size (≤ itemcount² per order, never corpus-quadratic: TPC-H
     // orders carry ≤ 7-13 items; a production basket cap filters larger
     // groups first). p1 < p2 halves the pairs and canonicalizes them.
+    // The merge hint pins sort-merge: the build side GROWS with the fact
+    // table, so letting AQE broadcast it is a scale cliff (the r7 driver
+    // smoke measured 42× at 10× when AQE hash-built the ~2M-row distinct
+    // side); SMJ also keeps the one-exchange reuse between the two legs.
     QueryDef(
       "copurchase_pairs",
       (s, d) => {
         val items = t(s, d, "lineitem")
           .select(col("l_orderkey"), col("l_partkey")).distinct()
+          .hint("merge")
         items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
           .join(items.select(col("l_orderkey"), col("l_partkey").as("part_b")),
             "l_orderkey")
@@ -558,6 +563,7 @@ object AnalyticsQueries {
           .partitionBy("node").orderBy("nbr")
         val items = t(s, d, "lineitem")
           .select(col("l_orderkey"), col("l_partkey")).distinct()
+          .hint("merge") // same scale-cliff pin as copurchase_pairs
         val edges = items.select(col("l_orderkey"), col("l_partkey").as("a"))
           .join(items.select(col("l_orderkey"), col("l_partkey").as("b")),
             "l_orderkey")
@@ -1474,7 +1480,11 @@ object AnalyticsQueries {
     // run up, at its worst? The recursive CUSUM fold
     // S_t = max(0, S_{t-1} + dev_t) is deliberately NOT computed as a
     // fold: its maximum equals the maximum DRAWUP of the plain prefix
-    // sum, max_t (P_t − min_{k≤t} P_k) — two ordinary windows (cumsum +
+    // sum, max_t (P_t − min(0, min_{k≤t} P_k)) — the min is floored at 0
+    // because the fold starts from the empty prefix P_0 = 0 (without the
+    // floor, a series whose deviations start positive under-reports: devs
+    // [8,4,−8,−4] → P = [8,12,4,0], true max CUSUM 12, observed-min-only
+    // drawup 4) — two ordinary windows (cumsum +
     // running min) over the per-day aggregate, scan-friendly at any
     // scale where a stateful fold would serialize. Deviations are
     // mean-centered with cross-multiplied integers (n_days·cnt_t −
@@ -1498,7 +1508,8 @@ object AnalyticsQueries {
           .withColumn("runmin", min(col("p")).over(wCum))
           .groupBy("event_type")
           .agg(max(col("n_days")).as("n_days"), max(col("total")).as("total_cnt"),
-            greatest(max(col("p") - col("runmin")), lit(0L)).as("max_cusum"))
+            greatest(max(col("p") - least(col("runmin"), lit(0L))), lit(0L))
+              .as("max_cusum"))
       },
       Some("""WITH daily AS (
              |  SELECT event_type,
@@ -1522,7 +1533,7 @@ object AnalyticsQueries {
              |      ORDER BY dnum ROWS UNBOUNDED PRECEDING) AS BIGINT) AS runmin
              |  FROM pre)
              |SELECT event_type, max(n_days) AS n_days, max(total) AS total_cnt,
-             |  greatest(max(p - runmin), 0) AS max_cusum
+             |  greatest(max(p - least(runmin, 0)), 0) AS max_cusum
              |FROM dd GROUP BY event_type""".stripMargin)),
 
     // Exact-integer modularity audit of a graph partition — the metric

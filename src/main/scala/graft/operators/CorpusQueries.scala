@@ -147,6 +147,113 @@ object CorpusQueries {
              |      FROM documents WHERE len(string_split(text, ' ')) >= 2)
              |GROUP BY bigram ORDER BY freq DESC, bigram LIMIT 50""".stripMargin)),
 
+    // Pointwise mutual information over adjacent token pairs — the
+    // collocation detector (word2vec/GloVe-era PMI matrices; still the
+    // standard phrase-mining signal): PMI(a,b) = log2(p(ab)/(p(a)p(b))),
+    // computed from three integer count aggregates (unigrams, bigrams,
+    // corpus totals). Numeric policy: every count is an exact BIGINT; the
+    // only FP is log2 over those integers, combined in a FIXED expression
+    // tree (identical association on both engines) and immediately
+    // quantized to millibits, with the bigram string as the final
+    // tie-break — a sub-ulp log divergence cannot reorder the top-k.
+    // Scale shape: two token-keyed aggregates + two token-keyed joins
+    // (vocabulary-sized, not corpus-sized) + two 1-row broadcast totals;
+    // the min-support filter (cb ≥ 5) prunes the long tail before the
+    // joins, exactly as production phrase miners do.
+    QueryDef(
+      "token_pmi_pairs",
+      (s, d) => {
+        val uni = t(s, d, "documents")
+          .select(explode(TextOps.tokens(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("cu"))
+        val totU = uni.agg(sum(col("cu")).as("tu"))
+        val totB = t(s, d, "documents")
+          .select(greatest(size(split(col("text"), " ")) - 1, lit(0))
+            .cast("long").as("nb"))
+          .agg(sum(col("nb")).as("tb"))
+        val bi = t(s, d, "documents")
+          .select(explode(Dedup.shingles(col("text"), 2)).as("bigram"))
+          .groupBy("bigram").agg(count(lit(1)).as("cb"))
+          .filter(col("cb") >= 5)
+          .withColumn("a", expr("split(bigram, ' ')[0]"))
+          .withColumn("b", expr("split(bigram, ' ')[1]"))
+        bi
+          .join(uni.select(col("tok").as("a"), col("cu").as("cua")), "a")
+          .join(uni.select(col("tok").as("b"), col("cu").as("cub")), "b")
+          .crossJoin(broadcast(totU)).crossJoin(broadcast(totB))
+          .withColumn("pmi_millibits",
+            round(lit(1000.0) * (log2(col("cb")) + lit(2.0) * log2(col("tu"))
+              - log2(col("tb")) - log2(col("cua")) - log2(col("cub"))))
+              .cast("long"))
+          .select(col("bigram"), col("cb").as("n_cooccur"),
+            col("cua"), col("cub"), col("pmi_millibits"))
+          .orderBy(col("pmi_millibits").desc, col("bigram"))
+          .limit(20)
+      },
+      Some {
+        val ng2 = "list_transform(range(0, len(string_split(text, ' ')) - 1), " +
+          "i -> array_to_string((string_split(text, ' '))[i+1:i+2], ' '))"
+        s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+           |uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS cu FROM toks GROUP BY tok),
+           |tu AS (SELECT CAST(sum(cu) AS BIGINT) AS tu FROM uni),
+           |tb AS (SELECT CAST(sum(greatest(len(string_split(text, ' ')) - 1, 0)) AS BIGINT) AS tb
+           |       FROM documents),
+           |bi AS (SELECT bigram, CAST(count(*) AS BIGINT) AS cb
+           |       FROM (SELECT unnest($ng2) AS bigram
+           |             FROM documents WHERE len(string_split(text, ' ')) >= 2)
+           |       GROUP BY bigram HAVING count(*) >= 5)
+           |SELECT bigram, cb AS n_cooccur, ua.cu AS cua, ub.cu AS cub,
+           |  CAST(round(1000.0 * (log2(cb) + 2.0 * log2(tu)
+           |    - log2(tb) - log2(ua.cu) - log2(ub.cu))) AS BIGINT) AS pmi_millibits
+           |FROM bi, uni ua, uni ub, tu, tb
+           |WHERE string_split(bigram, ' ')[1] = ua.tok
+           |  AND string_split(bigram, ' ')[2] = ub.tok
+           |ORDER BY pmi_millibits DESC, bigram LIMIT 20""".stripMargin
+      }),
+
+    // Per-document unigram-LM surprisal — the perplexity proxy quality
+    // filters use when a real LM is too expensive to run over the whole
+    // corpus (high mean surprisal ⇒ rare-token-heavy / possibly noisy
+    // doc; low ⇒ boilerplate). Numeric policy: each token's surprisal
+    // log2(total/count) is quantized to integer millibits BEFORE the
+    // per-doc sum, so the aggregate is an order-independent integer sum —
+    // summing raw doubles across a shuffle would be non-associative and
+    // hash-unstable by construction. Scale shape: one vocabulary
+    // aggregate, one token-keyed join back to the token stream (the
+    // standard scatter-gather LM scoring join), one per-doc aggregate;
+    // nothing global except a 1-row total.
+    QueryDef(
+      "doc_unigram_surprisal",
+      (s, d) => {
+        val toks = t(s, d, "documents")
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        val uni = toks.groupBy("tok").agg(count(lit(1)).as("cu"))
+        val totU = uni.agg(sum(col("cu")).as("tu"))
+        toks.join(uni, "tok")
+          .crossJoin(broadcast(totU))
+          .withColumn("surp",
+            round(lit(1000.0) * (log2(col("tu")) - log2(col("cu")))).cast("long"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_toks"), sum(col("surp")).as("surprisal_sum"))
+          .withColumn("mean_surprisal_millibits",
+            expr("surprisal_sum div n_toks"))
+          .orderBy(col("mean_surprisal_millibits").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |              FROM documents),
+             |uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS cu FROM toks GROUP BY tok),
+             |tu AS (SELECT CAST(sum(cu) AS BIGINT) AS tu FROM uni),
+             |scored AS (
+             |  SELECT doc_id,
+             |    CAST(round(1000.0 * (log2(tu) - log2(cu))) AS BIGINT) AS surp
+             |  FROM toks JOIN uni USING (tok), tu)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+             |  CAST(sum(surp) AS BIGINT) AS surprisal_sum,
+             |  CAST(CAST(sum(surp) AS BIGINT) // count(*) AS BIGINT) AS mean_surprisal_millibits
+             |FROM scored GROUP BY doc_id
+             |ORDER BY mean_surprisal_millibits DESC, doc_id LIMIT 20""".stripMargin)),
+
     // One BPE merge step (tokenizer training): the 20 most frequent
     // ADJACENT CHARACTER PAIRS across the corpus, each word's pairs
     // weighted by the word's corpus frequency — the argmax pair is the

@@ -144,6 +144,65 @@ object SimilarityQueries {
              |  min(u.v) AS min_v, max(u.v) AS max_v
              |FROM x GROUP BY 1 ORDER BY dim""".stripMargin)),
 
+    // Per-label, per-dimension centroid drift between two corpus halves
+    // (vec_id parity — a deterministic A/B split at any scale) — the
+    // embedding-distribution monitor that catches an encoder change or a
+    // corrupted ingest batch before an index rebuild: a healthy corpus
+    // shows near-zero mean shift per dimension. Numeric policy: per-half
+    // per-dim sums ride exact DECIMAL(18,9), are converted to integer
+    // NANOS, and the mean difference is cross-multiplied (s0·n1 − s1·n0)
+    // so the whole audit is BIGINT-exact — no FP ever compares. Scale
+    // shape: one posexplode + map-side-combined aggregate on
+    // (label, half, dim) — |labels|·2·dims rows of state regardless of
+    // corpus size — then an O(labels·dims) pivot; consumers threshold
+    // diff_nano, which avoids squaring (an int64 overflow at corpus
+    // counts) and keeps the argmax to the reader.
+    QueryDef(
+      "embedding_centroid_drift",
+      (s, d) => {
+        val ex = t(s, d, "embeddings")
+          .select(col("label"), (col("vec_id") % 2).cast("long").as("half"),
+            posexplode(col("embedding")).as(Seq("dim", "v")))
+          .select(col("label"), col("half"), col("dim").cast("long").as("dim"),
+            col("v").cast("double").cast("decimal(18,9)").as("vd"))
+        ex.groupBy("label", "half", "dim")
+          .agg(sum(col("vd")).as("sv"), count(lit(1)).as("n"))
+          .groupBy("label", "dim")
+          .agg(
+            max(when(col("half") === 0, col("sv"))).as("s0"),
+            max(when(col("half") === 0, col("n"))).as("n0"),
+            max(when(col("half") === 1, col("sv"))).as("s1"),
+            max(when(col("half") === 1, col("n"))).as("n1"))
+          .select(col("label"), col("dim"),
+            col("n0").as("n_even"), col("n1").as("n_odd"),
+            (expr("CAST(s0 * 1000000000 AS BIGINT)") * col("n1")
+              - expr("CAST(s1 * 1000000000 AS BIGINT)") * col("n0"))
+              .as("diff_nano"))
+          .orderBy("label", "dim")
+      },
+      Some("""WITH ex AS (
+             |  SELECT label, CAST(vec_id % 2 AS BIGINT) AS half,
+             |    CAST(u.dim AS BIGINT) AS dim,
+             |    CAST(CAST(u.v AS DOUBLE) AS DECIMAL(18,9)) AS vd
+             |  FROM (SELECT label, vec_id,
+             |          unnest(list_transform(range(0, len(embedding)),
+             |            i -> struct_pack(dim := i, v := embedding[i + 1]))) AS u
+             |        FROM embeddings)),
+             |agg AS (
+             |  SELECT label, half, dim, sum(vd) AS sv, CAST(count(*) AS BIGINT) AS n
+             |  FROM ex GROUP BY 1, 2, 3),
+             |piv AS (
+             |  SELECT label, dim,
+             |    max(CASE WHEN half = 0 THEN sv END) AS s0,
+             |    max(CASE WHEN half = 0 THEN n END) AS n0,
+             |    max(CASE WHEN half = 1 THEN sv END) AS s1,
+             |    max(CASE WHEN half = 1 THEN n END) AS n1
+             |  FROM agg GROUP BY 1, 2)
+             |SELECT label, dim, n0 AS n_even, n1 AS n_odd,
+             |  CAST(CAST(s0 * 1000000000 AS BIGINT) * n1
+             |     - CAST(s1 * 1000000000 AS BIGINT) * n0 AS BIGINT) AS diff_nano
+             |FROM piv ORDER BY label, dim""".stripMargin)),
+
     // Per-label centroid-free stats: vector norms + label aggregation —
     // exercises HOF arithmetic inside a grouped aggregation.
     QueryDef(
@@ -254,7 +313,7 @@ object SimilarityQueries {
               |              ORDER BY n_votes DESC, c_label) AS rk
               |    FROM votes) WHERE rk = 1)
               |SELECT true_label, count(*) AS n_probes,
-              |  sum(CASE WHEN c_label = true_label THEN 1 ELSE 0 END) AS n_correct
+              |  CAST(sum(CASE WHEN c_label = true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
               |FROM pred GROUP BY true_label ORDER BY true_label""".stripMargin)),
 
     // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic

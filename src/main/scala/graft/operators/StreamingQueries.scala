@@ -469,16 +469,19 @@ object StreamingQueries {
     * ~10-row histogram (bounded by bin count, not data), complete-mode
     * snapshot per trigger; the exact cross-multiplied TVD terms are
     * computed on the final converged snapshot in foreachBatch and must
-    * hash-equal the batch operator's oracle. The stream's `ts` is
-    * session-UTC TIMESTAMP, so the literal split instant selects the
-    * same rows the batch NTZ comparison does.
+    * hash-equal the batch operator's oracle. The ref/current split
+    * compares `ts` cast to TIMESTAMP_NTZ against an NTZ literal — the
+    * SAME comparison the batch drift_tvd_bins runs — so the row split is
+    * identical under ANY spark.sql.session.timeZone, not only UTC (a
+    * zoned literal would silently shift rows between the histograms if a
+    * runner ever unpinned the session timezone).
     */
   private def runDriftTvd(s: SparkSession, sfDir: String, scratch: String, resultOut: String): Unit = {
     val glob = stageEventSlices(s, sfDir, s"$scratch/evlake")
     val binned = eventStream(s, glob)
       .select(
         least(floor(col("value") / lit(50.0)), lit(9L)).cast("long").as("bin"),
-        when(expr("ts < TIMESTAMP '2024-01-16 00:00:00'"), 1L)
+        when(expr("CAST(ts AS TIMESTAMP_NTZ) < TIMESTAMP_NTZ '2024-01-16 00:00:00'"), 1L)
           .otherwise(0L).as("is_ref"))
       .groupBy("bin")
       .agg(sum(col("is_ref")).as("ref_cnt"),

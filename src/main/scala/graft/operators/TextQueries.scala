@@ -99,6 +99,36 @@ object TextQueries {
               |        ${hitsSql(TextOps.FrStop)} AS fr
               |      FROM documents)""".stripMargin)),
 
+    // Language-ID agreement matrix: heuristic prediction (TextOps.langId)
+    // cross-tabulated against the corpus's labeled `lang` column — the
+    // classifier-audit every lang-filtered training mix needs before the
+    // filter runs at scale (a systematic en→und leak at 100 TB silently
+    // drops an entire language from the mix; the confusion matrix is how
+    // it gets caught). One projection pass + one tiny rollup shuffle
+    // (|langs|² rows); counts are integer-exact.
+    QueryDef(
+      "lang_id_confusion",
+      (s, d) => t(s, d, "documents")
+        .select(col("lang"), TextOps.langId(col("text")).as("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "lang_pred"),
+      Some(s"""SELECT lang,
+              |  CASE
+              |    WHEN en > 0 AND en >= es AND en >= de AND en >= fr THEN 'en'
+              |    WHEN es > 0 AND es >= de AND es >= fr THEN 'es'
+              |    WHEN de > 0 AND de >= fr THEN 'de'
+              |    WHEN fr > 0 THEN 'fr'
+              |    ELSE 'und' END AS lang_pred,
+              |  count(*) AS n_docs
+              |FROM (SELECT lang,
+              |        ${hitsSql(TextOps.EnStop)} AS en,
+              |        ${hitsSql(TextOps.EsStop)} AS es,
+              |        ${hitsSql(TextOps.DeStop)} AS de,
+              |        ${hitsSql(TextOps.FrStop)} AS fr
+              |      FROM documents)
+              |GROUP BY 1, 2 ORDER BY lang, lang_pred""".stripMargin)),
+
     // Quality scoring: per-row double arithmetic, engine-identical.
     QueryDef(
       "text_quality_score",

@@ -417,36 +417,47 @@ object TpchExtraQueries {
     // TPC-H Q21 shape: double-correlated EXISTS + NOT EXISTS against the
     // same fact table — suppliers who were the ONLY late shipper on a
     // multi-supplier finished order. Adaptation: no commit/receipt dates,
-    // so "late" = shipped more than 60 days after the order date. Both
-    // correlated subqueries become shuffle semi/anti joins on l_orderkey
-    // with the supplier-inequality as a residual condition — the plan
-    // shape that scales (no per-row subquery execution).
+    // so "late" = shipped more than 60 days after the order date. The
+    // correlated pair is rewritten as per-orderkey AGGREGATES, not
+    // semi/anti self-joins of the fact table: EXISTS(other supplier on
+    // the order) ⟺ min(l_suppkey) ≠ max(l_suppkey) per order, and
+    // NOT EXISTS(other LATE supplier) ⟺ the late lines' per-order
+    // supplier range is degenerate (l1's own row is late, so the sole
+    // late supplier must be l1's). Both aggregates map-side-combine to
+    // O(orders) rows before any join — the r7 driver smoke showed the
+    // semi/anti formulation going 75× superlinear at 10× because the
+    // join's right side was the full fact table with a supplier
+    // inequality as residual (quadratic within multi-line orders); the
+    // min/max ranges shuffle once and join O(orders)-sized sides.
     QueryDef(
       "q21_waiting_supplier",
       (s, d) => {
         val orders = t(s, d, "orders").filter(col("o_orderstatus") === "F")
           .select("o_orderkey", "o_orderdate")
-        val l1 = t(s, d, "lineitem")
+        // all late lines on finished orders, ALL suppliers (the late-
+        // supplier aggregate must see every nation, so the NATION_4
+        // filter applies only to the l1 leg below)
+        val late = t(s, d, "lineitem")
           .select("l_orderkey", "l_suppkey", "l_shipdate")
           .join(orders, col("l_orderkey") === col("o_orderkey"))
           .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .select("l_orderkey", "l_suppkey")
+        val multiSupp = t(s, d, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(min(col("l_suppkey")).as("smin"), max(col("l_suppkey")).as("smax"))
+          .filter(col("smin") =!= col("smax"))
+          .select(col("l_orderkey").as("ms_orderkey"))
+        val soleLate = late.groupBy("l_orderkey")
+          .agg(min(col("l_suppkey")).as("lmin"), max(col("l_suppkey")).as("lmax"))
+          .filter(col("lmin") === col("lmax"))
+          .select(col("l_orderkey").as("sl_orderkey"))
+        late
           .join(broadcast(t(s, d, "supplier")
               .join(broadcast(t(s, d, "nation").filter(col("n_name") === "NATION_4")),
                 col("s_nationkey") === col("n_nationkey"), "left_semi")),
             col("l_suppkey") === col("s_suppkey"))
-        val l2 = t(s, d, "lineitem")
-          .select(col("l_orderkey").as("l2_orderkey"), col("l_suppkey").as("l2_suppkey"))
-        val l3 = t(s, d, "lineitem")
-          .select(col("l_orderkey").as("l3_orderkey"), col("l_suppkey").as("l3_suppkey"),
-            col("l_shipdate").as("l3_shipdate"))
-          .join(orders.select(col("o_orderkey").as("l3_o_orderkey"),
-              col("o_orderdate").as("l3_o_orderdate")),
-            col("l3_orderkey") === col("l3_o_orderkey"))
-          .filter(col("l3_shipdate") > col("l3_o_orderdate") + expr("INTERVAL 60 DAYS"))
-        l1.join(l2, col("l_orderkey") === col("l2_orderkey") &&
-            col("l2_suppkey") =!= col("l_suppkey"), "left_semi")
-          .join(l3, col("l_orderkey") === col("l3_orderkey") &&
-            col("l3_suppkey") =!= col("l_suppkey"), "left_anti")
+          .join(multiSupp, col("l_orderkey") === col("ms_orderkey"), "left_semi")
+          .join(soleLate, col("l_orderkey") === col("sl_orderkey"), "left_semi")
           .groupBy("s_name")
           .agg(count(lit(1)).as("numwait"))
           .orderBy(col("numwait").desc, col("s_name"))

@@ -140,21 +140,56 @@ class PlanSpec extends SparkSuite {
       s"packing must shuffle once on the shard key; found ${shuffles.size}")
   }
 
-  test("q21 correlated EXISTS/NOT EXISTS plan as semi+anti joins, no nested loop") {
-    // the double-correlated subqueries must become set-oriented joins on
-    // l_orderkey — a per-row subquery (BroadcastNestedLoopJoin over the
-    // fact table) would be quadratic at scale
+  test("q21 correlated pair plans as per-order AGGREGATES, not fact self-joins") {
+    // the r7 driver smoke measured the semi/anti formulation (right side =
+    // full lineitem with a supplier inequality as residual) going 75× at
+    // 10× — quadratic within multi-line orders. The scale-safe rewrite
+    // answers both correlated subqueries from per-orderkey min/max
+    // supplier ranges: every semi join's build side must sit ABOVE an
+    // aggregation (O(orders) rows), never the raw fact table, and there
+    // must be no anti join and no nested loop at all.
     val p = plan("q21_waiting_supplier")
-    val joinTypes = collectAll(p) {
-      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j.joinType.toString
+    val joins = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
     }
-    assert(joinTypes.contains("LeftSemi") && joinTypes.contains("LeftAnti"),
-      s"expected LeftSemi + LeftAnti, got $joinTypes")
+    val types = joins.map(_.joinType.toString)
+    assert(types.count(_ == "LeftSemi") >= 2,
+      s"expected the two per-order range semi joins, got $types")
+    assert(!types.contains("LeftAnti"),
+      s"anti join against the fact table must be gone, got $types")
     val bnl = collectAll(p) {
-      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
-        if !j.joinType.toString.contains("Existence") => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
     }
-    assert(bnl.isEmpty, "correlated subqueries must not plan as nested loops over the fact table")
+    assert(bnl.isEmpty, "no nested loops")
+    // both range aggregates present: ≥2 final-mode hash aggregates keyed
+    // on l_orderkey below the semi joins
+    val orderAggs = collectAll(p) {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+        if a.groupingExpressions.exists(_.toString.contains("l_orderkey")) => a
+    }
+    assert(orderAggs.size >= 2,
+      s"expected per-orderkey range aggregates, found ${orderAggs.size}")
+  }
+
+  test("copurchase self-join is pinned to sort-merge (no scaled-side broadcast)") {
+    // the distinct-items side GROWS with the fact table; AQE broadcasting
+    // it at 10× was the r7 42× cliff. The merge hint must hold: the
+    // l_orderkey self-join plans as SortMergeJoin, and no broadcast
+    // exchange feeds a join keyed on l_orderkey.
+    for (q <- Seq("copurchase_pairs", "link_prediction_common_nbrs")) {
+      val p = plan(q)
+      val smj = collectAll(p) {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+          if j.leftKeys.exists(_.toString.contains("l_orderkey")) => j
+      }
+      assert(smj.nonEmpty, s"$q: items self-join must be SortMergeJoin")
+      val bhjOnOrder = collectAll(p) {
+        case j: BroadcastHashJoinExec
+          if j.leftKeys.exists(_.toString.contains("l_orderkey")) => j
+      }
+      assert(bhjOnOrder.isEmpty,
+        s"$q: a growing side is broadcast on the l_orderkey self-join")
+    }
   }
 
   test("q2 computes the correlated per-part min in one window pass") {

@@ -184,6 +184,18 @@ class FunctionsSpec extends SparkSuite {
       diff.limit(1).collect().mkString)
   }
 
+  test("Dedup.simhash drops NULL-text docs (matches pre-kernel explode)") {
+    // The kernel expression is nullable, but Dedup.simhash must keep the
+    // pre-kernel cardinality contract: explode of a NULL token array
+    // emitted no row, so NULL-text documents are absent from the output.
+    val df = Seq((1L, Option("a b c")), (2L, None), (3L, Option("")))
+      .toDF("id", "text")
+    val out = graft.dedup.Dedup.simhash(df, "id", "text")
+    assert(out.count() == 2, "NULL-text doc leaked into simhash output")
+    assert(out.filter(col("id") === 2L).count() == 0)
+    assert(out.filter(col("simhash").isNull).count() == 0)
+  }
+
   test("simhash_signature survives the interpreted (non-codegen) path") {
     withSQLConf("spark.sql.codegen.wholeStage" -> "false",
         "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {

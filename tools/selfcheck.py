@@ -49,6 +49,23 @@ def main():
             print(f"FAIL {name}: exec error: {str(e)[:300]}")
             n_fail += 1
             continue
+        # HUGEINT guard: DuckDB promotes sum(int) to int128; the driver's
+        # hasher distinguishes int128 from Spark's int64 even when Python
+        # repr does not (the round-7 three-red root cause). Any oracle
+        # output column typed HUGEINT/UHUGEINT is a fail regardless of
+        # value equality — cast it to BIGINT in the oracle SQL.
+        try:
+            o_types = [r[1] for r in con.execute(
+                f"DESCRIBE ({sql})").fetchall()]
+        except Exception:
+            o_types = []
+        huge = [f"{c}:{t}" for c, t in zip(o_cols, o_types)
+                if "HUGEINT" in str(t).upper()]
+        if huge:
+            print(f"FAIL {name}: oracle column(s) typed int128 "
+                  f"(driver hash will diverge): {huge}")
+            n_fail += 1
+            continue
         sc, sr = canon(s_rows, s_cols)
         oc, orows = canon(o_rows, o_cols)
         if sc != oc:
