@@ -156,6 +156,82 @@ object AnalyticsQueries {
              |FROM grid g LEFT JOIN daily d
              |  ON g.user_id = d.user_id AND g.day = d.day""".stripMargin)),
 
+    // Time-series gap-fill + LINEAR interpolation — the other standard
+    // densification (LOCF above carries a step function; telemetry and
+    // rate series want the line between observations). Same distributed
+    // grid; the interpolation v = vp + (vn−vp)·(t−tp)/(tn−tp) is
+    // evaluated as exact integer micro-units in the numerator
+    // (vp·(tn−t) + vn·(t−tp), all BIGINT) with ONE final double
+    // division — no accumulated FP, engine-identical by construction.
+    // Four bounded windows per user (past/future value+day carries);
+    // everything shuffles once on user_id.
+    QueryDef(
+      "timeseries_gapfill_linear",
+      (s, d) => {
+        val ev = t(s, d, "events").withColumn("day", to_date(col("ts")))
+        val daily = ev.groupBy("user_id", "day")
+          .agg(count(lit(1)).as("n"),
+               sum(col("value").cast(DecimalType(18, 6))).as("v_dec"))
+        val grid = ev.groupBy("user_id")
+          .agg(min("day").as("d0"), max("day").as("d1"))
+          .select(col("user_id"),
+            explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+        val w = Window.partitionBy("user_id").orderBy("day")
+        val wPast = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wFut = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        grid.join(daily, Seq("user_id", "day"), "left_outer")
+          .withColumn("v_mic", (col("v_dec") * lit(1000000)).cast("long"))
+          .withColumn("dp", last(when(col("v_mic").isNotNull, col("day")), ignoreNulls = true).over(wPast))
+          .withColumn("vp", last(col("v_mic"), ignoreNulls = true).over(wPast))
+          .withColumn("dn", first(when(col("v_mic").isNotNull, col("day")), ignoreNulls = true).over(wFut))
+          .withColumn("vn", first(col("v_mic"), ignoreNulls = true).over(wFut))
+          .select(col("user_id"), col("day"),
+            coalesce(col("n"), lit(0L)).as("n_events"),
+            when(col("v_mic").isNotNull,
+                col("v_mic").cast("double") / lit(1000000.0))
+              .when(col("vp").isNull, col("vn").cast("double") / lit(1000000.0))
+              .when(col("vn").isNull, col("vp").cast("double") / lit(1000000.0))
+              .otherwise(
+                (col("vp") * datediff(col("dn"), col("day"))
+                  + col("vn") * datediff(col("day"), col("dp"))).cast("double")
+                / (datediff(col("dn"), col("dp")).cast("long") * lit(1000000L)).cast("double"))
+              .as("v_interp"))
+      },
+      Some("""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, value FROM events),
+             |daily AS (SELECT user_id, day, count(*) AS n,
+             |                 CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS v_mic
+             |          FROM ev GROUP BY 1, 2),
+             |grid AS (SELECT user_id,
+             |           CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+             |         FROM (SELECT user_id, min(day) AS d0, max(day) AS d1
+             |               FROM ev GROUP BY 1)),
+             |carried AS (
+             |  SELECT g.user_id, g.day, d.n, d.v_mic,
+             |    last_value(CASE WHEN d.v_mic IS NOT NULL THEN g.day END IGNORE NULLS)
+             |      OVER (PARTITION BY g.user_id ORDER BY g.day
+             |            ROWS UNBOUNDED PRECEDING) AS dp,
+             |    last_value(d.v_mic IGNORE NULLS)
+             |      OVER (PARTITION BY g.user_id ORDER BY g.day
+             |            ROWS UNBOUNDED PRECEDING) AS vp,
+             |    first_value(CASE WHEN d.v_mic IS NOT NULL THEN g.day END IGNORE NULLS)
+             |      OVER (PARTITION BY g.user_id ORDER BY g.day
+             |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS dn,
+             |    first_value(d.v_mic IGNORE NULLS)
+             |      OVER (PARTITION BY g.user_id ORDER BY g.day
+             |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vn
+             |  FROM grid g LEFT JOIN daily d
+             |    ON g.user_id = d.user_id AND g.day = d.day)
+             |SELECT user_id, day, coalesce(n, 0) AS n_events,
+             |  CASE
+             |    WHEN v_mic IS NOT NULL THEN CAST(v_mic AS DOUBLE) / 1000000.0
+             |    WHEN vp IS NULL THEN CAST(vn AS DOUBLE) / 1000000.0
+             |    WHEN vn IS NULL THEN CAST(vp AS DOUBLE) / 1000000.0
+             |    ELSE CAST(vp * datediff('day', day, dn)
+             |            + vn * datediff('day', dp, day) AS DOUBLE)
+             |         / CAST(datediff('day', dp, dn) * 1000000 AS DOUBLE)
+             |  END AS v_interp
+             |FROM carried""".stripMargin)),
+
     // Sessionization: 30-minute inactivity gap → new session (LAG + running
     // conditional sum — the batch shape of streaming session windows).
     QueryDef(
@@ -970,6 +1046,71 @@ object AnalyticsQueries {
     // deployment re-sizes the widths with the lake. Two aggregation
     // passes (moments, then the screen), 1-row-per-type moments
     // broadcast back.
+    // Robust (median/MAD) outlier screen — the companion to
+    // value_outlier_screen's mean/stddev z-score: a single fat-tailed
+    // batch inflates the stddev and hides its own outliers, while the
+    // median absolute deviation barely moves (breakdown point 50%).
+    // Median policy: the LOWER median by rank ((n+1) div 2 under a
+    // fully tie-broken order) — a rank-selected ROW VALUE, never an
+    // interpolated average, so both engines pick the identical double
+    // and the 3×MAD threshold compares identical values. Scale shape:
+    // two rank windows partitioned by event_type plus two broadcast
+    // joins of the O(|types|) median tables; at 100 TB the per-type
+    // sort is the honest cost of an exact median (the approx path is
+    // profile_numeric_sketch).
+    QueryDef(
+      "robust_mad_screen",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_type"), col("event_id"), col("value"))
+        val byType = Window.partitionBy("event_type")
+        val wv = byType.orderBy(col("value"), col("event_id"))
+        val med = ev.withColumn("rn", row_number().over(wv).cast("long"))
+          .withColumn("nt", count(lit(1)).over(byType))
+          .filter(col("rn") === expr("(nt + 1) div 2"))
+          .select(col("event_type"), col("value").as("med"))
+        val devs = ev.join(broadcast(med), "event_type")
+          .withColumn("dev", abs(col("value") - col("med")))
+        val wd = byType.orderBy(col("dev"), col("event_id"))
+        val mad = devs.withColumn("rn", row_number().over(wd).cast("long"))
+          .withColumn("nt", count(lit(1)).over(byType))
+          .filter(col("rn") === expr("(nt + 1) div 2"))
+          .select(col("event_type"), col("dev").as("mad"))
+        devs.join(broadcast(mad), "event_type")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_rows"),
+            max(col("med")).as("median_value"),
+            max(col("mad")).as("mad_value"),
+            sum(when(col("dev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+              .as("n_outliers"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (SELECT event_type, event_id, value FROM events),
+             |med AS (
+             |  SELECT event_type, value AS med FROM (
+             |    SELECT event_type, value,
+             |      ROW_NUMBER() OVER (PARTITION BY event_type
+             |        ORDER BY value, event_id) AS rn,
+             |      count(*) OVER (PARTITION BY event_type) AS nt
+             |    FROM ev) WHERE rn = (nt + 1) // 2),
+             |devs AS (
+             |  SELECT e.event_type, e.event_id, m.med,
+             |         abs(e.value - m.med) AS dev
+             |  FROM ev e JOIN med m USING (event_type)),
+             |mad AS (
+             |  SELECT event_type, dev AS mad FROM (
+             |    SELECT event_type, dev,
+             |      ROW_NUMBER() OVER (PARTITION BY event_type
+             |        ORDER BY dev, event_id) AS rn,
+             |      count(*) OVER (PARTITION BY event_type) AS nt
+             |    FROM devs) WHERE rn = (nt + 1) // 2)
+             |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n_rows,
+             |  max(d.med) AS median_value, max(m.mad) AS mad_value,
+             |  CAST(sum(CASE WHEN d.dev > 3.0 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_outliers
+             |FROM devs d JOIN mad m USING (event_type)
+             |GROUP BY d.event_type ORDER BY event_type""".stripMargin)),
+
     QueryDef(
       "value_outlier_screen",
       (s, d) => {

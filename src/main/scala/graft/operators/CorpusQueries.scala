@@ -254,6 +254,63 @@ object CorpusQueries {
              |FROM scored GROUP BY doc_id
              |ORDER BY mean_surprisal_millibits DESC, doc_id LIMIT 20""".stripMargin)),
 
+    // Zipf slope of the vocabulary head — the corpus-health scalar
+    // (natural language sits near slope ≈ −1 on log rank vs log freq;
+    // a flat head means boilerplate/duplication, a cliff means a
+    // truncated vocab): OLS over the top-100 tokens' (log2 rank,
+    // log2 freq). Numeric policy: both logs are quantized to integer
+    // millibits per point, every OLS sum is then exact int64, and the
+    // slope is emitted as the cross-multiplied num/den pair plus ONE
+    // final double division — no accumulated FP. Scale shape: one
+    // vocabulary aggregate; the rank window orders exactly 100 rows
+    // (post-LIMIT), bounded at any corpus size.
+    QueryDef(
+      "zipf_slope_fit",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("freq").desc, col("tok"))
+        val top = t(s, d, "documents")
+          .select(explode(TextOps.tokens(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("freq"))
+          .orderBy(col("freq").desc, col("tok")).limit(100)
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .select(
+            round(lit(1000.0) * log2(col("rk"))).cast("long").as("x"),
+            round(lit(1000.0) * log2(col("freq"))).cast("long").as("y"))
+        top.agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .select(col("n"),
+            (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+            (col("n") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+          .withColumn("slope",
+            col("slope_num").cast("double") / col("slope_den").cast("double"))
+      },
+      Some("""WITH counts AS (
+             |  SELECT tok, CAST(count(*) AS BIGINT) AS freq
+             |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+             |  GROUP BY tok),
+             |top AS (
+             |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS BIGINT) AS rk,
+             |         freq
+             |  FROM (SELECT tok, freq FROM counts ORDER BY freq DESC, tok LIMIT 100)),
+             |pts AS (
+             |  SELECT CAST(round(1000.0 * log2(rk)) AS BIGINT) AS x,
+             |         CAST(round(1000.0 * log2(freq)) AS BIGINT) AS y
+             |  FROM top),
+             |sums AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             |    CAST(sum(x * y) AS BIGINT) AS sxy,
+             |    CAST(sum(x * x) AS BIGINT) AS sxx
+             |  FROM pts)
+             |SELECT n, n * sxy - sx * sy AS slope_num,
+             |  n * sxx - sx * sx AS slope_den,
+             |  CAST(n * sxy - sx * sy AS DOUBLE)
+             |    / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+             |FROM sums""".stripMargin)),
+
     // One BPE merge step (tokenizer training): the 20 most frequent
     // ADJACENT CHARACTER PAIRS across the corpus, each word's pairs
     // weighted by the word's corpus frequency — the argmax pair is the

@@ -75,6 +75,30 @@ object DedupQueries {
              |  min(doc_id) AS keep_id, count(*) AS dup_count
              |FROM documents GROUP BY 1""".stripMargin)),
 
+    // Per-source duplicate-rate card — the first number a corpus intake
+    // review reads (a source whose dup_rate jumps between crawls is
+    // re-serving content; one near 0 across snapshots is healthy). Same
+    // normalized fingerprint as dedup_exact, aggregated per source:
+    // count + distinct-count, both map-side-combinable; dup_rate is one
+    // double division over exact integers.
+    QueryDef(
+      "source_dup_rate",
+      (s, d) => t(s, d, "documents")
+        .select(col("source"), graft.text.TextOps.fingerprintMd5(col("text")).as("h"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("h")).as("n_unique"))
+        .select(col("source"), col("n_docs"), col("n_unique"),
+          (lit(1.0) - col("n_unique").cast("double") / col("n_docs").cast("double"))
+            .as("dup_rate"))
+        .orderBy("source"),
+      Some("""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS BIGINT)
+             |    AS n_unique,
+             |  1.0 - CAST(count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS DOUBLE)
+             |      / CAST(count(*) AS DOUBLE) AS dup_rate
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
     // MinHash + LSH candidate generation (signature → band → bucket join).
     QueryDef(
       "dedup_minhash_candidates",
