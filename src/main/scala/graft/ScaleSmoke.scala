@@ -167,7 +167,15 @@ object ScaleSmoke {
     // round 7 batch 4: one k-core peel round — the co-purchase edge
     // build plus two degree aggregates and two semi joins; growth must
     // track edges (copies are key-disjoint, so linear by construction)
-    "kcore_peel_round")
+    "kcore_peel_round",
+    // round 8: the per-doc similar-items cap (candidate volume must stay
+    // LSH-banded after symmetrization; the ROW_NUMBER cap holds per-doc
+    // state at 3 rows), the high-cardinality weighted-median window
+    // (per-supplier state only — the window key grows WITH the data, so
+    // no partition can outgrow an executor), and the first-seen novelty
+    // window (distinct-shingle cardinality class, same exchange as the
+    // dup-ngram fraction)
+    "topk_similar_per_doc", "weighted_median_price", "ngram_novelty_rate")
 
   /** Run each smoke query twice on the scaled dir, return min seconds. */
   def run(spark: SparkSession, scaledDir: String): Map[String, Double] =

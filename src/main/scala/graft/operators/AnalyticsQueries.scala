@@ -1837,5 +1837,187 @@ object AnalyticsQueries {
              |    CAST(fa.n_x * fb.n_x AS DOUBLE) AS lift
              |FROM pairs JOIN freq fa ON fa.l_partkey = part_a
              |           JOIN freq fb ON fb.l_partkey = part_b
-             |CROSS JOIN n""".stripMargin)))
+             |CROSS JOIN n""".stripMargin)),
+
+    // Exact weighted median (lower) of line price per supplier, weighted by
+    // quantity — the robust per-group price statistic percentile_approx
+    // cannot give exactly. Rank-selection, never interpolation: sort each
+    // supplier's lines by (price, orderkey, linenumber), take the first row
+    // whose 2·cumulative-weight reaches the group total. The median is a
+    // row VALUE (no arithmetic on the double), and the weights ride exact
+    // int64, so both engines select the identical row. Scale shape: the
+    // window partitions on l_suppkey (high-cardinality — per-key state is
+    // one supplier's lines, never a global sort) plus one map-side-combined
+    // total per key; at 100 TB this is a single hash exchange on the key.
+    QueryDef(
+      "weighted_median_price",
+      (s, d) => {
+        val li = t(s, d, "lineitem").select(
+          col("l_suppkey"), col("l_extendedprice"), col("l_orderkey"),
+          col("l_linenumber"), col("l_quantity").cast("long").as("qty"))
+        val w = Window.partitionBy("l_suppkey")
+          .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+        val tot = Window.partitionBy("l_suppkey")
+        li.withColumn("cum", sum("qty").over(w))
+          .withColumn("total_weight", sum("qty").over(tot))
+          .filter(col("cum") * 2 >= col("total_weight"))
+          .groupBy("l_suppkey")
+          .agg(min("l_extendedprice").as("weighted_median_price"),
+            max("total_weight").as("total_weight"))
+          .orderBy("l_suppkey")
+      },
+      Some("""WITH r AS (
+             |  SELECT l_suppkey, l_extendedprice,
+             |    CAST(l_quantity AS BIGINT) AS qty,
+             |    sum(CAST(l_quantity AS BIGINT)) OVER (
+             |      PARTITION BY l_suppkey
+             |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS cum,
+             |    sum(CAST(l_quantity AS BIGINT)) OVER (
+             |      PARTITION BY l_suppkey) AS total_weight
+             |  FROM lineitem)
+             |SELECT l_suppkey, min(l_extendedprice) AS weighted_median_price,
+             |  CAST(max(total_weight) AS BIGINT) AS total_weight
+             |FROM r WHERE cum * 2 >= total_weight
+             |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin)),
+
+    // Pareto frontier (skyline) over part on (minimize p_retailprice,
+    // maximize p_size): a part is excluded iff some strictly cheaper part
+    // has a strictly larger size. Not a quadratic dominance join — the
+    // classic 2-D skyline reduction: collapse to max-size-per-distinct-
+    // price (bounded by the PRICE DOMAIN, not the row count), one running
+    // max over prices strictly below, then a broadcast-sized join back.
+    // The single-partition window runs over distinct prices only, so the
+    // shape survives 100× row growth untouched; dominance compares are on
+    // stored values — no FP arithmetic.
+    QueryDef(
+      "pareto_frontier_parts",
+      (s, d) => {
+        val p = t(s, d, "part")
+        val byPrice = p.groupBy("p_retailprice")
+          .agg(max("p_size").as("max_size_at_price"))
+        val w = Window.orderBy("p_retailprice")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val run = byPrice.select(col("p_retailprice"),
+          max("max_size_at_price").over(w).as("best_cheaper"))
+        p.join(broadcast(run), Seq("p_retailprice"))
+          .filter(col("best_cheaper").isNull || col("best_cheaper") <= col("p_size"))
+          .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+          .orderBy("p_retailprice", "p_partkey")
+      },
+      Some("""WITH bp AS (SELECT p_retailprice, max(p_size) AS ms
+             |            FROM part GROUP BY 1),
+             |run AS (SELECT p_retailprice,
+             |  max(ms) OVER (ORDER BY p_retailprice
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_cheaper
+             |  FROM bp)
+             |SELECT p.p_partkey, p.p_retailprice, p.p_size
+             |FROM part p JOIN run USING (p_retailprice)
+             |WHERE best_cheaper IS NULL OR best_cheaper <= p.p_size
+             |ORDER BY p.p_retailprice, p.p_partkey""".stripMargin)),
+
+    // Benford leading-digit audit of l_extendedprice — the classic
+    // fabricated-data / corrupted-ingest screen: observed first-digit
+    // frequency of the integer part. Counts are exact int64; the single
+    // double division happens once per digit on identical integers, so
+    // both engines emit bit-identical fractions. Scale shape: one
+    // map-side-combined 9-row aggregate + a broadcast 1-row total —
+    // corpus size only touches the scan.
+    QueryDef(
+      "benford_leading_digit",
+      (s, d) => {
+        val digits = t(s, d, "lineitem").select(
+          substring(floor(col("l_extendedprice")).cast("long").cast("string"), 1, 1)
+            .cast("int").as("digit"))
+        val counts = digits.groupBy("digit").agg(count(lit(1)).as("n"))
+        val total = counts.agg(sum("n").as("total"))
+        counts.crossJoin(broadcast(total))
+          .select(col("digit"), col("n"),
+            (col("n").cast("double") / col("total").cast("double")).as("frac"))
+          .orderBy("digit")
+      },
+      Some("""WITH d AS (
+             |  SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT)
+             |    AS VARCHAR), 1, 1) AS INTEGER) AS digit
+             |  FROM lineitem),
+             |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+             |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+             |SELECT digit, n, CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS frac
+             |FROM c CROSS JOIN tot ORDER BY digit""".stripMargin)),
+
+    // Union-of-intervals coverage per customer: each order opens a 30-day
+    // activity interval; emit the total UNION length (overlaps merged) and
+    // the number of merged activity islands. The companion to
+    // interval_overlap_sweep's max-concurrency — same sweep-line reduction
+    // (±1 events, one running sum per key), never a quadratic interval
+    // self-join: coverage is the sum of gaps-to-next-boundary while the
+    // open count is positive, and an island starts exactly where the
+    // pre-event count (open − delta) is zero. All day arithmetic is
+    // integer-exact on midnight timestamps.
+    QueryDef(
+      "interval_union_coverage",
+      (s, d) => {
+        val iv = t(s, d, "orders").select(col("o_custkey"), col("o_orderdate"))
+        val sweep = iv.select(col("o_custkey"), col("o_orderdate").as("ts"),
+            lit(1L).as("delta"))
+          .unionAll(iv.select(col("o_custkey"),
+            (col("o_orderdate") + expr("INTERVAL 30 DAY")).as("ts"),
+            lit(-1L).as("delta")))
+        val g = sweep.groupBy("o_custkey", "ts").agg(sum("delta").as("d"))
+        val w = Window.partitionBy("o_custkey").orderBy("ts")
+        g.withColumn("open", sum("d").over(w))
+          .withColumn("next_ts", lead("ts", 1).over(w))
+          .groupBy("o_custkey")
+          .agg(
+            sum(when(col("open") > 0,
+              datediff(col("next_ts"), col("ts")).cast("long"))
+              .otherwise(0L)).as("covered_days"),
+            sum(when(col("open") > 0 && (col("open") - col("d")) === 0, 1L)
+              .otherwise(0L)).as("n_islands"))
+          .orderBy("o_custkey")
+      },
+      Some("""WITH sweep AS (
+             |  SELECT o_custkey, o_orderdate AS ts, 1 AS delta FROM orders
+             |  UNION ALL
+             |  SELECT o_custkey, o_orderdate + INTERVAL 30 DAY AS ts, -1 AS delta
+             |  FROM orders),
+             |g AS (SELECT o_custkey, ts, CAST(sum(delta) AS BIGINT) AS d
+             |      FROM sweep GROUP BY 1, 2),
+             |r AS (
+             |  SELECT o_custkey, ts, d,
+             |    sum(d) OVER (PARTITION BY o_custkey ORDER BY ts
+             |                 ROWS UNBOUNDED PRECEDING) AS open,
+             |    lead(ts) OVER (PARTITION BY o_custkey ORDER BY ts) AS next_ts
+             |  FROM g)
+             |SELECT o_custkey,
+             |  CAST(sum(CASE WHEN open > 0
+             |    THEN date_diff('day', ts, next_ts) ELSE 0 END) AS BIGINT)
+             |    AS covered_days,
+             |  CAST(sum(CASE WHEN open > 0 AND open - d = 0 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_islands
+             |FROM r GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
+
+    // Deterministic mode (argmax with total tie-break) per user: the most
+    // frequent event_type, ties to the lexicographically smallest type —
+    // the grouped-mode operator exact at any scale: one (user, type) count
+    // aggregate, then a WindowGroupLimit-eligible ROW_NUMBER pick — never
+    // a per-group collect.
+    QueryDef(
+      "mode_event_per_user",
+      (s, d) => {
+        val counts = t(s, d, "events")
+          .groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("n").desc, col("event_type"))
+        counts.withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("user_id"), col("event_type").as("mode_event"), col("n"))
+          .orderBy("user_id")
+      },
+      Some("""WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+             |           FROM events GROUP BY 1, 2),
+             |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+             |        ORDER BY n DESC, event_type) AS rk FROM c)
+             |SELECT user_id, event_type AS mode_event, n FROM r
+             |WHERE rk = 1 ORDER BY user_id""".stripMargin)))
 }

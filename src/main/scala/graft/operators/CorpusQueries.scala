@@ -846,5 +846,107 @@ object CorpusQueries {
              |SELECT doc_id,
              |  CAST(round((COALESCE(s1, 0.0) + COALESCE(s2, 0.0) +
              |    COALESCE(s3, 0.0)) * 1e9) AS BIGINT) AS score_q
-             |FROM piv ORDER BY score_q DESC, doc_id LIMIT 20""".stripMargin)))
+             |FROM piv ORDER BY score_q DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // Conjunctive multi-term retrieval (AND of three terms) — the
+    // postings-intersection read every search/RAG stack runs. Spark side is
+    // the scale path: explode tokens, FILTER TO THE QUERY TERMS BEFORE the
+    // shuffle (postings-sized exchange, not corpus-sized), then one
+    // map-side-combined conditional aggregate per doc with a HAVING on all
+    // three counts. The oracle scans per-row (engine-idiomatic for DuckDB);
+    // results are exact integer counts either way.
+    QueryDef(
+      "search_conjunctive_terms",
+      (s, d) => {
+        val hits = t(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .filter(col("w").isin("join", "hash", "vector"))
+        hits.groupBy("doc_id")
+          .agg(
+            sum(when(col("w") === "join", 1L).otherwise(0L)).as("n_join"),
+            sum(when(col("w") === "hash", 1L).otherwise(0L)).as("n_hash"),
+            sum(when(col("w") === "vector", 1L).otherwise(0L)).as("n_vector"))
+          .filter(col("n_join") > 0 && col("n_hash") > 0 && col("n_vector") > 0)
+          .orderBy("doc_id")
+      },
+      Some("""WITH c AS (
+             |  SELECT doc_id,
+             |    CAST(len(list_filter(string_split(text, ' '), w -> w = 'join')) AS BIGINT) AS n_join,
+             |    CAST(len(list_filter(string_split(text, ' '), w -> w = 'hash')) AS BIGINT) AS n_hash,
+             |    CAST(len(list_filter(string_split(text, ' '), w -> w = 'vector')) AS BIGINT) AS n_vector
+             |  FROM documents)
+             |SELECT doc_id, n_join, n_hash, n_vector FROM c
+             |WHERE n_join > 0 AND n_hash > 0 AND n_vector > 0
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Positional phrase search ("fast join") — the phrase leg of the same
+    // search surface, via POSITIONAL postings: posexplode tokens, keep only
+    // the two phrase terms (again: filter before the shuffle), and join
+    // term-1 positions to term-2 positions at offset +1 within each doc.
+    // At 100 TB the join inputs are the two terms' postings lists — tiny
+    // against the corpus — co-hashed on doc_id.
+    QueryDef(
+      "search_phrase_positional",
+      (s, d) => {
+        val tk = t(s, d, "documents")
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        val first = tk.filter(col("w") === "fast")
+          .select(col("doc_id"), col("pos"))
+        val second = tk.filter(col("w") === "join")
+          .select(col("doc_id").as("doc_id_b"), col("pos").as("pos_b"))
+        first.join(second,
+            col("doc_id") === col("doc_id_b") && col("pos_b") === col("pos") + 1)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_occurrences"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+             |c AS (
+             |  SELECT doc_id, CAST(len(list_filter(range(0, len(ts) - 1),
+             |    i -> ts[i + 1] = 'fast' AND ts[i + 2] = 'join')) AS BIGINT)
+             |    AS n_occurrences
+             |  FROM tk)
+             |SELECT doc_id, n_occurrences FROM c
+             |WHERE n_occurrences > 0 ORDER BY doc_id""".stripMargin)),
+
+    // Per-document n-gram NOVELTY: the fraction of a doc's distinct
+    // 3-gram shingles whose corpus-wide FIRST appearance (min doc_id,
+    // the ingestion-order proxy) is this document. The curriculum /
+    // crawl-health trend: novelty collapsing toward zero means the crawl
+    // is re-reading itself; corpus_dup_ngram_frac counts how duplicated a
+    // doc is, this counts how much NEW text it contributes. Same scale
+    // class as exact dedup: one shingle-keyed window (min over the
+    // posting) — never a self-join; counts exact int64, one final
+    // division.
+    QueryDef(
+      "ngram_novelty_rate",
+      (s, d) => {
+        val wNg = org.apache.spark.sql.expressions.Window.partitionBy("ng")
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            explode(graft.dedup.Dedup.shingleSet(col("text"), 3)).as("ng"))
+          .withColumn("first_doc", min("doc_id").over(wNg))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_ngrams"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+              .as("n_novel"))
+          .withColumn("novelty_frac",
+            col("n_novel").cast("double") / col("n_ngrams").cast("double"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val ng3 = "list_transform(range(0, len(string_split(text, ' ')) - 2), " +
+          "i -> array_to_string((string_split(text, ' '))[i+1:i+3], ' '))"
+        s"""WITH sh AS (SELECT doc_id, unnest(list_distinct($ng3)) AS ng
+           |            FROM documents),
+           |f AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY ng) AS first_doc
+           |      FROM sh)
+           |SELECT doc_id, count(*) AS n_ngrams,
+           |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_novel,
+           |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / CAST(count(*) AS DOUBLE) AS novelty_frac
+           |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      }))
 }

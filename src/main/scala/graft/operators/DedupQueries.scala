@@ -178,6 +178,77 @@ object DedupQueries {
               |WHERE c.doc_id = c.component_id""".stripMargin),
       bench = false), // same closure as dedup_components — benched once there
 
+    // Duplication-cluster size histogram — the dedup QA card (how much of
+    // the corpus is singletons vs large dup families; a sudden mass at
+    // size ≥ k is a crawler loop or template blowup). Two map-side-combined
+    // aggregates over the component labels: O(components) then O(distinct
+    // sizes) rows of state, independent of corpus size beyond the closure
+    // itself (benched once in dedup_components).
+    QueryDef(
+      "dup_cluster_size_hist",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.nearDuplicates(docs, "doc_id", "text", threshold = 0.2)
+        val comp = Dedup.connectedComponents(docs, "doc_id", pairs, "doc_id_a", "doc_id_b")
+        comp.groupBy("component_id").agg(count(lit(1)).as("cluster_size"))
+          .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+          .orderBy("cluster_size")
+      },
+      Some(s"""$closureCte,
+              |comp AS (SELECT node AS doc_id, min(lbl) AS component_id
+              |         FROM reach GROUP BY node),
+              |sizes AS (SELECT component_id, CAST(count(*) AS BIGINT) AS cluster_size
+              |          FROM comp GROUP BY 1)
+              |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+              |FROM sizes GROUP BY 1 ORDER BY cluster_size""".stripMargin),
+      bench = false), // same closure as dedup_components — benched once there
+
+    // Top-3 most-similar documents PER document — the "related items" /
+    // nearest-neighbor-by-content read, served from the LSH candidate
+    // graph (threshold 0.05 keeps the long tail) rather than any all-pairs
+    // scan. Pairs are symmetrized so both endpoints see the edge, ranked
+    // by a 1e9-quantized Jaccard (the ratio is the same IEEE divide on
+    // both engines; round() is half-up on both) with doc-id tie-break,
+    // and capped by a WindowGroupLimit-eligible ROW_NUMBER — per-doc
+    // state is 3 rows no matter the corpus.
+    QueryDef(
+      "topk_similar_per_doc",
+      (s, d) => {
+        val pairs = Dedup.nearDuplicates(t(s, d, "documents"), "doc_id", "text",
+          threshold = 0.05)
+        val sym = pairs.select(col("doc_id_a").as("doc_id"),
+            col("doc_id_b").as("similar_doc"), col("jaccard_sim"))
+          .unionAll(pairs.select(col("doc_id_b").as("doc_id"),
+            col("doc_id_a").as("similar_doc"), col("jaccard_sim")))
+          .withColumn("score_q",
+            round(col("jaccard_sim") * lit(1e9)).cast("long"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("score_q").desc, col("similar_doc"))
+        sym.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select("doc_id", "similar_doc", "score_q", "rk")
+          .orderBy("doc_id", "rk")
+      },
+      Some(s"""$candidatesCte,
+              |sets AS (SELECT doc_id, list_distinct($shinglesSql) AS sset FROM documents),
+              |ver AS (SELECT doc_id_a, doc_id_b,
+              |  CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+              |    / CAST(len(list_distinct(list_concat(a.sset, b.sset))) AS DOUBLE) AS j
+              |  FROM cands JOIN sets a ON doc_id_a = a.doc_id
+              |             JOIN sets b ON doc_id_b = b.doc_id
+              |  WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+              |    / CAST(len(list_distinct(list_concat(a.sset, b.sset))) AS DOUBLE) >= 0.05),
+              |sym AS (SELECT doc_id_a AS doc_id, doc_id_b AS similar_doc, j FROM ver
+              |        UNION ALL
+              |        SELECT doc_id_b AS doc_id, doc_id_a AS similar_doc, j FROM ver),
+              |r AS (SELECT doc_id, similar_doc,
+              |        CAST(round(j * 1e9) AS BIGINT) AS score_q,
+              |        ROW_NUMBER() OVER (PARTITION BY doc_id
+              |          ORDER BY CAST(round(j * 1e9) AS BIGINT) DESC, similar_doc) AS rk
+              |      FROM sym)
+              |SELECT doc_id, similar_doc, score_q, rk FROM r
+              |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)),
+
     // LSH candidates re-verified by exact character edit distance — the
     // fuzzy-match leg of the dedup family (catches small in-word edits that
     // word-shingle Jaccard is blind to). Same sub-quadratic shape as

@@ -359,6 +359,55 @@ object EnvelopeQueries {
       },
       Some("""SELECT event_id, user_id, ts, event_type, value
              |FROM events WHERE event_type = 'purchase'""".stripMargin),
+      bench = false, sideEffecting = true),
+
+    // Dynamic partition pruning: the fact lake is partitioned by order
+    // month, the month dimension (month → quarter) is filtered on a
+    // DIM attribute — so the fact partitions to read are only known at
+    // runtime, and Catalyst inserts a `dynamicpruning#...` subquery that
+    // broadcasts the dim's surviving months to prune the fact scan before
+    // it starts (the static-literal leg is partition_pruned_scan above).
+    // On a 100 TB date-partitioned lake this is the difference between
+    // scanning 3 months and scanning 7 years. The oracle replays the
+    // dim join over the raw table; exact decimal revenue both sides.
+    QueryDef(
+      "dynamic_partition_prune_join",
+      (s, d) => StreamingQueries.cachedRun(s, "dynamic_partition_prune_join", d) {
+        (scratch, resultOut) =>
+          import org.apache.spark.sql.functions.broadcast
+          val lake = s"$scratch/orders_by_month"
+          val orders = t(s, d, "orders")
+          orders.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+              date_format(col("o_orderdate"), "yyyy-MM").as("om"))
+            .write.mode("overwrite").partitionBy("om").parquet(lake)
+          val dim = orders.select(
+              date_format(col("o_orderdate"), "yyyy-MM").as("om"),
+              concat(year(col("o_orderdate")).cast("string"), lit("-Q"),
+                quarter(col("o_orderdate")).cast("string")).as("oq"))
+            .distinct()
+          s.read.parquet(lake)
+            .join(broadcast(dim.filter(col("oq") === "1996-Q1")), Seq("om"))
+            .groupBy("om")
+            .agg(count(lit(1)).as("n_orders"),
+              sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+                .as("revenue"))
+            .orderBy("om")
+            .coalesce(1).write.mode("overwrite").parquet(resultOut)
+      },
+      Some("""WITH fact AS (
+             |  SELECT o_orderkey, o_totalprice,
+             |    strftime(o_orderdate, '%Y-%m') AS om
+             |  FROM orders),
+             |dim AS (
+             |  SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS om,
+             |    concat(CAST(year(o_orderdate) AS VARCHAR), '-Q',
+             |           CAST(quarter(o_orderdate) AS VARCHAR)) AS oq
+             |  FROM orders)
+             |SELECT f.om, CAST(count(*) AS BIGINT) AS n_orders,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM fact f JOIN dim USING (om)
+             |WHERE oq = '1996-Q1'
+             |GROUP BY f.om ORDER BY f.om""".stripMargin),
       bench = false, sideEffecting = true))
 
   /** The reference SCD2 SQL instantiated for `commerce.users` — identical

@@ -686,6 +686,65 @@ object StreamingQueries {
     s.read.parquet(out).coalesce(1).write.mode("overwrite").parquet(resultOut)
   }
 
+  /** LEFT OUTER stream-stream interval join: every view emits — matched
+    * pairs as they join, UNMATCHED views as (view_id, NULL) once the
+    * global watermark proves no click can still arrive. The semantics the
+    * inner join (runStreamJoin) cannot express: state eviction itself is
+    * an OUTPUT. Outer emission needs a micro-batch to EXECUTE while the
+    * watermark already exceeds the row's expiry (wm is computed from the
+    * PREVIOUS batch's data), so the lake is staged with three far-future
+    * sentinel slices after the four real ones: a +100 h view advances the
+    * view-side watermark, a +110 h click advances the click side (the
+    * global wm is the MIN of the sides), and a final +100 h +1 min view
+    * gives that watermark a batch to emit in. The sentinels use negative
+    * user_ids (no real match) and their own expiries sit ABOVE the final
+    * watermark, so none of the three can reach the output — the converged
+    * result is exactly the batch LEFT JOIN over real events.
+    */
+  private def runStreamLeftJoin(s: SparkSession, sfDir: String, scratch: String, resultOut: String): Unit = {
+    val stage = s"$scratch/evlake"
+    val glob = stageEventSlices(s, sfDir, stage)
+    val t1 = graft.QueryDef.t(s, sfDir, "events")
+      .agg(max(col("ts").cast("timestamp"))).head().getTimestamp(0).getTime
+    Seq(
+      (4, "view", -1L, t1 + 100L * 3600 * 1000),
+      (5, "click", -2L, t1 + 110L * 3600 * 1000),
+      (6, "view", -3L, t1 + 100L * 3600 * 1000 + 60000L)
+    ).foreach { case (i, typ, uid, ms) =>
+      val dir = s"$stage/b$i"
+      s.range(1).select(
+          timestamp_millis(lit(ms)).as("ts"), lit(typ).as("event_type"),
+          lit(0.0).as("value"), lit(uid).as("user_id"), lit(-i.toLong).as("event_id"))
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      new java.io.File(dir).listFiles().filter(_.getName.startsWith("part-")).foreach {
+        f => f.setLastModified(1700000000000L + i * 60000L)
+      }
+    }
+    val out = s"$scratch/matches"
+    val views = eventStream(s, glob).filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "2 hours")
+    val clicks = eventStream(s, glob).filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val joined = views.join(clicks,
+        col("v_user") === col("c_user") &&
+          col("c_ts") >= col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr("interval 30 minutes"),
+        "left_outer")
+      .select(col("v_user").as("user_id"), col("view_id"), col("click_id"))
+    val q = joined.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("append").parquet(out); ()
+      }
+      .option("checkpointLocation", s"$scratch/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out).filter(col("user_id") >= 0)
+      .coalesce(1).write.mode("overwrite").parquet(resultOut)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // The converged gap-session set must equal the batch gaps-and-islands
@@ -740,6 +799,23 @@ object StreamingQueries {
              |  ON v.user_id = c.user_id
              | AND v.event_type = 'view' AND c.event_type = 'click'
              | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE""".stripMargin),
+      bench = false, sideEffecting = true),
+
+    // LEFT OUTER stream-stream interval join: unmatched views must ALSO
+    // emit — as (view_id, NULL) — exactly once, when the watermark proves
+    // no click can still arrive. The converged emissions must equal the
+    // batch LEFT JOIN row-for-row: a null row for a view that actually
+    // matched, a missing null row (state evicted silently), or a double
+    // emission all hash-fail. See runStreamLeftJoin for how sentinel
+    // slices make the outer flush deterministic under AvailableNow.
+    QueryDef(
+      "streaming_left_join_outer",
+      (s, d) => cachedStream(s, "streaming_left_join_outer", d)(runStreamLeftJoin(s, d, _, _)),
+      Some("""SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+             |FROM events v LEFT JOIN events c
+             |  ON v.user_id = c.user_id AND c.event_type = 'click'
+             | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+             |WHERE v.event_type = 'view'""".stripMargin),
       bench = false, sideEffecting = true),
 
     // Watermarked tumbling windows fed by a genuinely multi-trigger stream

@@ -502,6 +502,36 @@ class PlanSpec extends SparkSuite {
       s"expected one surviving partition dir, got ${scan.selectedPartitions.partitionCount}")
   }
 
+  test("dim-filtered join prunes fact partitions at RUNTIME (DPP subquery)") {
+    // dynamic_partition_prune_join's plan contract: the fact lake is
+    // partitioned by order month and the selective predicate lives on a
+    // DIM attribute (quarter), so the surviving months are only known at
+    // runtime — Catalyst must insert a dynamicpruning#... subquery into
+    // the fact scan's PartitionFilters (reusing the dim broadcast), not
+    // scan all partitions and filter post-join.
+    import org.apache.spark.sql.functions.{broadcast, col, concat, date_format, lit, quarter, year}
+    val dir = java.nio.file.Files.createTempDirectory("dpp").toString + "/lake"
+    val orders = graft.QueryDef.t(spark, sf, "orders")
+    orders.select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("om"))
+      .write.mode("overwrite").partitionBy("om").parquet(dir)
+    val dim = orders.select(
+        date_format(col("o_orderdate"), "yyyy-MM").as("om"),
+        concat(year(col("o_orderdate")).cast("string"), lit("-Q"),
+          quarter(col("o_orderdate")).cast("string")).as("oq"))
+      .distinct()
+    val df = spark.read.parquet(dir)
+      .join(broadcast(dim.filter(col("oq") === "1996-Q1")), Seq("om"))
+      .groupBy("om").count()
+    val scans = collectAll(df.queryExecution.executedPlan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    val pruned = scans.exists(
+      _.metadata.get("PartitionFilters").exists(_.contains("dynamicpruning")))
+    assert(pruned, "no dynamicpruning subquery in the fact scan's " +
+      s"PartitionFilters: ${scans.flatMap(_.metadata.get("PartitionFilters"))}")
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     // Spark's InjectRuntimeFilter: when a shuffle join's build side
     // carries a selective predicate, a bloom filter built from it is

@@ -115,4 +115,76 @@ class CatalogPropertySpec extends SparkSuite {
       s"rank-sum AUC ($numQ/$denQ) != pairwise definition " +
         s"(${2 * gt + eq}/${2L * pos.size * neg.size})")
   }
+
+  test("weighted_median_price == expand-and-index weighted median on random lines") {
+    val rnd = new Random(20260814L)
+    // duplicate prices + weights ≥ 1 so the cumulative-crossing tie logic
+    // (lower weighted median) is exercised, not just distinct-value sorts
+    val rows = (1 to 500).map { i =>
+      (1L + rnd.nextInt(7), // l_suppkey
+        (900 + rnd.nextInt(40)).toDouble, // l_extendedprice, heavy ties
+        (i / 3).toLong, i % 3, // l_orderkey, l_linenumber
+        (1 + rnd.nextInt(5)).toDouble) // l_quantity
+    }
+    val dir = lake("lineitem") { p =>
+      rows.toDF("l_suppkey", "l_extendedprice", "l_orderkey", "l_linenumber",
+        "l_quantity").write.parquet(p)
+    }
+    val got = SparkEntry.queries("weighted_median_price")(spark, dir)
+      .select("l_suppkey", "weighted_median_price", "total_weight")
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+
+    val want = rows.groupBy(_._1).map { case (k, rs) =>
+      val sorted = rs.sortBy(r => (r._2, r._3, r._4))
+      val total = sorted.map(_._5.toLong).sum
+      var cum = 0L
+      val med = sorted.find { r => cum += r._5.toLong; 2 * cum >= total }.get._2
+      k -> ((med, total))
+    }
+    assert(got == want, s"weighted medians diverge: got $got want $want")
+  }
+
+  test("pareto_frontier_parts == quadratic dominance filter on random parts") {
+    val rnd = new Random(7L)
+    // small discrete domains force price ties and equal-size boundary cases
+    val parts = (1L to 300L).map { id =>
+      (id, (900 + rnd.nextInt(25)).toDouble, 1 + rnd.nextInt(12))
+    }
+    val dir = lake("part") { p =>
+      parts.toDF("p_partkey", "p_retailprice", "p_size").write.parquet(p)
+    }
+    val got = SparkEntry.queries("pareto_frontier_parts")(spark, dir)
+      .select("p_partkey").as[Long].collect().toSet
+    val want = parts.filter { case (_, price, size) =>
+      !parts.exists { case (_, p2, s2) => p2 < price && s2 > size }
+    }.map(_._1).toSet
+    assert(got == want,
+      s"skyline diverges: extra=${got -- want} missing=${want -- got}")
+  }
+
+  test("interval_union_coverage == day-set union on random order dates") {
+    val rnd = new Random(99L)
+    val base = java.time.LocalDate.of(1995, 1, 1)
+    val rows = (1 to 200).map { _ =>
+      (1L + rnd.nextInt(6),
+        java.sql.Timestamp.valueOf(
+          base.plusDays(rnd.nextInt(120)).atStartOfDay()))
+    }
+    val dir = lake("orders") { p =>
+      rows.toDF("o_custkey", "o_orderdate").write.parquet(p)
+    }
+    val got = SparkEntry.queries("interval_union_coverage")(spark, dir)
+      .select("o_custkey", "covered_days", "n_islands")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+
+    val want = rows.groupBy(_._1).map { case (k, rs) =>
+      val days: Set[java.time.LocalDate] = rs.flatMap { r =>
+        val d0 = r._2.toLocalDateTime.toLocalDate
+        (0 until 30).map(i => d0.plusDays(i.toLong))
+      }.toSet
+      val islands = days.count(d => !days.contains(d.minusDays(1)))
+      k -> ((days.size.toLong, islands.toLong))
+    }
+    assert(got == want, s"coverage diverges: got $got want $want")
+  }
 }
