@@ -2019,5 +2019,48 @@ object AnalyticsQueries {
              |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
              |        ORDER BY n DESC, event_type) AS rk FROM c)
              |SELECT user_id, event_type AS mode_event, n FROM r
-             |WHERE rk = 1 ORDER BY user_id""".stripMargin)))
+             |WHERE rk = 1 ORDER BY user_id""".stripMargin)),
+
+    // Share-of-parent analytics: each nation's fraction of its REGION's
+    // order revenue — the hierarchical-contribution read every BI rollup
+    // serves. Aggregate once to (region, nation) on exact DECIMAL, get
+    // the region total with a window over the 25-row aggregate (never a
+    // second pass over the fact), and divide as doubles only at the end
+    // (both decimal→double casts are exact at these magnitudes, and the
+    // IEEE divide is engine-identical). Scale shape: one fact-side
+    // map-side-combined aggregate after two broadcast dim hops; the
+    // window runs over O(nations) rows.
+    QueryDef(
+      "share_of_region_revenue",
+      (s, d) => {
+        val rev = t(s, d, "orders")
+          .join(broadcast(t(s, d, "customer")
+            .select(col("c_custkey"), col("c_nationkey"))),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev_d"))
+        val w = Window.partitionBy("r_name")
+        rev.withColumn("region_d", sum("rev_d").over(w))
+          .select(col("r_name"), col("n_name"),
+            col("rev_d").cast("double").as("nation_rev"),
+            (col("rev_d").cast("double") / col("region_d").cast("double"))
+              .as("region_share"))
+          .orderBy("r_name", "n_name")
+      },
+      Some("""WITH rev AS (
+             |  SELECT r_name, n_name,
+             |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_d
+             |  FROM orders
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation ON c_nationkey = n_nationkey
+             |  JOIN region ON n_regionkey = r_regionkey
+             |  GROUP BY 1, 2),
+             |t AS (SELECT r_name, n_name, rev_d,
+             |        sum(rev_d) OVER (PARTITION BY r_name) AS region_d
+             |      FROM rev)
+             |SELECT r_name, n_name, CAST(rev_d AS DOUBLE) AS nation_rev,
+             |  CAST(rev_d AS DOUBLE) / CAST(region_d AS DOUBLE) AS region_share
+             |FROM t ORDER BY r_name, n_name""".stripMargin)))
 }

@@ -277,6 +277,54 @@ object EnvelopeQueries {
       Some("SELECT doc_id, text, lang, source, n_chars FROM documents"),
       bench = false, sideEffecting = true),
 
+    // Malformed-row tolerance of the CSV source (PERMISSIVE mode): a lake
+    // file carrying rows that cannot parse against the schema (type
+    // garbage in typed columns) must quarantine those rows into the
+    // corrupt-record column WITHOUT poisoning the good rows. The audit
+    // proves both sides: the good-row count and an exact integer checksum
+    // over a typed column (any silently nulled or mangled good row moves
+    // it), plus the exact count of quarantined rows (a dropped-or-parsed
+    // bad row moves that). This is the ingest contract at 100 TB — real
+    // crawls always carry a malformed tail, and DROPMALFORMED-style
+    // silent loss is the failure mode this guards against.
+    QueryDef(
+      "csv_corrupt_records_audit",
+      (s, d) => StreamingQueries.cachedRun(s, "csv_corrupt_records_audit", d) {
+        (scratch, resultOut) =>
+          val lake = s"$scratch/csv_lake"
+          t(s, d, "documents")
+            .write.mode("overwrite")
+            .option("header", "true").option("quoteAll", "true")
+            .option("escape", "\"")
+            .csv(lake)
+          // inject a file with 7 unparseable rows (header line first —
+          // the reader skips the first line of every file under
+          // header=true)
+          val badLines = "doc_id,text,lang,source,n_chars" +:
+            (1 to 7).map(i => s"not_a_long_$i,broken row $i,xx,srcX,also_not_a_long")
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(lake, "part-bad.csv"),
+            badLines.mkString("\n").getBytes("UTF-8"))
+          val parsed = s.read
+            .schema("doc_id LONG, text STRING, lang STRING, source STRING, " +
+              "n_chars LONG, _corrupt_record STRING")
+            .option("header", "true").option("escape", "\"")
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .csv(lake + "/part-*")
+          parsed
+            .agg(
+              sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L)).as("n_good"),
+              sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+              sum(when(col("_corrupt_record").isNull, col("n_chars"))).as("sum_chars"))
+            .coalesce(1).write.mode("overwrite").parquet(resultOut)
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_good,
+             |  CAST(7 AS BIGINT) AS n_corrupt,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents""".stripMargin),
+      bench = false, sideEffecting = true),
+
     // ORC round-trip — the second columnar format (Spark ships the ORC
     // reader/writer alongside parquet; lakes migrating between the two is
     // routine). Type fidelity across the encode/decode is what's checked:

@@ -526,6 +526,44 @@ object PipelineQueries {
              |  CAST(top_occurrences AS DOUBLE) / CAST(total_occurrences AS DOUBLE) AS coverage
              |FROM top, total""".stripMargin)),
 
+    // Out-of-vocabulary rate PER LANGUAGE against a fixed-size corpus
+    // vocabulary (top-20 tokens, count-desc tie-broken by token) — the
+    // per-slice tokenizer-fit card: a language whose OOV mass spikes is
+    // under-served by the shared vocabulary and will fragment into
+    // fall-back tokens at training time. The vocabulary is a broadcast
+    // O(V) set; the corpus is tokenized ONCE and aggregated per lang with
+    // an anti-membership flag — exact integer masses, one final division.
+    QueryDef(
+      "oov_rate_per_lang",
+      (s, d) => {
+        val toks = t(s, d, "documents")
+          .select(col("lang"), explode(TextOps.tokens(col("text"))).as("tok"))
+        val vocab = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("tok")).limit(20)
+          .select(col("tok").as("v_tok"))
+        toks.join(broadcast(vocab), col("tok") === col("v_tok"), "left_outer")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("total_tokens"),
+            sum(when(col("v_tok").isNull, 1L).otherwise(0L)).as("oov_tokens"))
+          .withColumn("oov_frac",
+            col("oov_tokens").cast("double") / col("total_tokens").cast("double"))
+          .orderBy("lang")
+      },
+      Some("""WITH toks AS (
+             |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+             |vocab AS (
+             |  SELECT tok FROM (
+             |    SELECT tok, count(*) AS n FROM toks GROUP BY tok
+             |    ORDER BY n DESC, tok LIMIT 20)),
+             |flagged AS (
+             |  SELECT lang,
+             |    CASE WHEN tok IN (SELECT tok FROM vocab) THEN 0 ELSE 1 END AS oov
+             |  FROM toks)
+             |SELECT lang, CAST(count(*) AS BIGINT) AS total_tokens,
+             |  CAST(sum(oov) AS BIGINT) AS oov_tokens,
+             |  CAST(sum(oov) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_frac
+             |FROM flagged GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // Deterministic curriculum ordering: tier documents by length (the
     // easy→hard proxy), spread each tier over 16 hash buckets, and rank
     // within (tier, bucket) under a salted-hash order. Consumers stream

@@ -635,5 +635,25 @@ object RelationalQueries {
              |  FROM paths p JOIN edges e ON p.terminal = e.src
              |  WHERE p.depth < 4)
              |SELECT path, terminal, CAST(depth AS BIGINT) AS depth
-             |FROM paths""".stripMargin)))
+             |FROM paths""".stripMargin)),
+
+    // Ordered string aggregation (LISTAGG): per language, the CSV of its
+    // distinct sources. collect_set is unordered BY CONTRACT on a
+    // distributed engine, so determinism comes from array_sort before the
+    // join — the only way a listagg is reproducible at any scale (an
+    // ORDER BY inside the aggregate would impose a per-group sort anyway;
+    // this makes the contract explicit). Per-group state is the distinct
+    // set, map-side combined.
+    QueryDef(
+      "string_agg_sources",
+      (s, d) => t(s, d, "documents")
+        .groupBy("lang")
+        .agg(
+          array_join(array_sort(collect_set(col("source"))), ",").as("sources_csv"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy("lang"),
+      Some("""SELECT lang,
+             |  string_agg(DISTINCT source, ',' ORDER BY source) AS sources_csv,
+             |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)))
 }
