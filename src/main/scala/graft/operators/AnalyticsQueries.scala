@@ -2062,5 +2062,123 @@ object AnalyticsQueries {
              |      FROM rev)
              |SELECT r_name, n_name, CAST(rev_d AS DOUBLE) AS nation_rev,
              |  CAST(rev_d AS DOUBLE) / CAST(region_d AS DOUBLE) AS region_share
-             |FROM t ORDER BY r_name, n_name""".stripMargin)))
+             |FROM t ORDER BY r_name, n_name""".stripMargin)),
+
+    // Mergeable-sketch architecture: per-DAY HLL sketches of distinct
+    // users, UNIONED up to per-type estimates — the incremental pattern a
+    // 100 TB deployment runs (each day's partition is sketched once at
+    // ingest; any date-range distinct count is a cheap sketch union, the
+    // raw data is never re-scanned). approx_distinct_users checks the
+    // one-shot estimator; this checks that the union of daily sketches
+    // still lands within tolerance. Driver-checkable via the established
+    // tolerance-boolean contract (exact values + a bound the oracle
+    // asserts TRUE; lgConfigK=14 ⇒ ~0.8% rse, 10% is >10 sigma).
+    QueryDef(
+      "hll_mergeable_daily_union",
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(hll_sketch_agg(col("user_id"), 14).as("sk"))
+        val merged = daily.groupBy("event_type")
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"), allowDifferentLgConfigK = false))
+            .as("merged_est"))
+        val exact = t(s, d, "events")
+          .groupBy("event_type")
+          .agg(count_distinct(col("user_id")).as("exact_users"),
+            count_distinct(to_date(col("ts"))).as("n_days"))
+        exact.join(merged, "event_type")
+          .select(col("event_type"), col("exact_users"), col("n_days"),
+            (abs(col("merged_est") - col("exact_users")) <=
+              col("exact_users").cast("double") * 0.10).as("union_within_10pct"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+             |  CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+             |  TRUE AS union_within_10pct
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Position-weighted multi-touch attribution: every view in the 7 days
+    // before a purchase (same user) gets credit — 40% to the first touch,
+    // 40% to the last, the middle 20% split evenly (1.0 / 0.5-0.5 for
+    // 1-2 touch paths). The marketing read behind funnel analysis, kept
+    // per-edge (no credit SUM — each row's credit is one exact division,
+    // identical IEEE on both engines). Scale shape: a per-user equi-join
+    // bounded by the attribution window, then one window pass per
+    // purchase for rank/count — never a global sort.
+    QueryDef(
+      "multi_touch_attribution",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+            col("ts").as("p_ts"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+            col("ts").as("v_ts"))
+        val touches = purchases.join(views,
+          col("p_user") === col("v_user") &&
+            col("v_ts") <= col("p_ts") &&
+            col("v_ts") > col("p_ts") - expr("INTERVAL 7 DAY"))
+        val w = Window.partitionBy("purchase_id")
+          .orderBy(col("v_ts"), col("view_id"))
+        val cnt = Window.partitionBy("purchase_id")
+        touches
+          .withColumn("rk", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(cnt))
+          .select(col("purchase_id"), col("view_id"),
+            col("rk").cast("long").as("rk"), col("n"),
+            when(col("n") === 1, lit(1.0))
+              .when(col("n") === 2, lit(0.5))
+              .when(col("rk") === 1 || col("rk") === col("n"), lit(0.4))
+              .otherwise(lit(0.2) / (col("n") - 2).cast("double"))
+              .as("credit"))
+          .orderBy("purchase_id", "rk")
+      },
+      Some("""WITH touches AS (
+             |  SELECT p.event_id AS purchase_id, v.event_id AS view_id, v.ts AS v_ts
+             |  FROM events p JOIN events v
+             |    ON p.user_id = v.user_id
+             |   AND p.event_type = 'purchase' AND v.event_type = 'view'
+             |   AND v.ts <= p.ts AND v.ts > p.ts - INTERVAL 7 DAY),
+             |r AS (
+             |  SELECT purchase_id, view_id,
+             |    ROW_NUMBER() OVER (PARTITION BY purchase_id
+             |                       ORDER BY v_ts, view_id) AS rk,
+             |    CAST(count(*) OVER (PARTITION BY purchase_id) AS BIGINT) AS n
+             |  FROM touches)
+             |SELECT purchase_id, view_id, rk, n,
+             |  CASE WHEN n = 1 THEN 1.0
+             |       WHEN n = 2 THEN 0.5
+             |       WHEN rk = 1 OR rk = n THEN 0.4
+             |       ELSE 0.2 / CAST(n - 2 AS DOUBLE) END AS credit
+             |FROM r ORDER BY purchase_id, rk""".stripMargin)),
+
+    // Time-INTERVAL range frame: each order sees its customer's trailing
+    // 7-day revenue — the event-time sliding window expressed as a WINDOW
+    // FRAME (RANGE BETWEEN INTERVAL ... PRECEDING), not a self-join. The
+    // numeric range frame is window_range_frame; this covers the temporal
+    // frame surface, which peers rows by TIME DISTANCE, handles ties by
+    // frame (not by ROWS), and is the shape backfills use for trailing
+    // metrics. Exact decimal sum inside the frame, one double cast out;
+    // partitioned by customer — per-key state only.
+    QueryDef(
+      "window_interval_range_sum",
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("orders_w7")
+        s.sql("""SELECT o_custkey, o_orderkey, o_orderdate,
+                |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                |    PARTITION BY o_custkey ORDER BY o_orderdate
+                |    RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+                |    AS DOUBLE) AS trailing_7d
+                |FROM orders_w7
+                |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             |    PARTITION BY o_custkey ORDER BY o_orderdate
+             |    RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+             |    AS DOUBLE) AS trailing_7d
+             |FROM orders
+             |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)))
 }

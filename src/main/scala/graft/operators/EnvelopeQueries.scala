@@ -325,6 +325,46 @@ object EnvelopeQueries {
              |FROM documents""".stripMargin),
       bench = false, sideEffecting = true),
 
+    // Right-to-be-forgotten rewrite: delete every row for an erasure list
+    // of user_ids from an immutable lake by anti-filtered rewrite, then
+    // audit the REWRITTEN files — n_residual must be 0 from the new lake
+    // itself (not from the plan that wrote it), and the surviving-row
+    // checksum proves no unrelated row was dropped or duplicated by the
+    // rewrite. The mutable-UPDATE sibling is merge_into_upsert; this is
+    // the deletion leg every compliance pipeline needs. At scale the
+    // rewrite touches only files whose min/max user_id stats overlap the
+    // list — the audit shape is identical.
+    QueryDef(
+      "gdpr_delete_rewrite",
+      (s, d) => StreamingQueries.cachedRun(s, "gdpr_delete_rewrite", d) {
+        (scratch, resultOut) =>
+          val lake = s"$scratch/ev_lake"
+          t(s, d, "events").select(col("event_id"), col("user_id"))
+            .write.mode("overwrite").parquet(lake)
+          val forgotten = Seq(3L, 7L, 11L, 19L)
+          val before = s.read.parquet(lake)
+          val nBefore = before.count()
+          val rewritten = s"$scratch/ev_lake_v2"
+          before.filter(!col("user_id").isin(forgotten: _*))
+            .write.mode("overwrite").parquet(rewritten)
+          s.read.parquet(rewritten)
+            .agg(count(lit(1)).as("n_after"),
+              sum(when(col("user_id").isin(forgotten: _*), 1L).otherwise(0L))
+                .as("n_residual"),
+              sum(col("event_id")).as("id_checksum"))
+            .select(lit(nBefore).as("n_before"), col("n_after"),
+              col("n_residual"), col("id_checksum"))
+            .coalesce(1).write.mode("overwrite").parquet(resultOut)
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_before,
+             |  CAST(sum(CASE WHEN user_id NOT IN (3, 7, 11, 19)
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
+             |  CAST(0 AS BIGINT) AS n_residual,
+             |  CAST(sum(CASE WHEN user_id NOT IN (3, 7, 11, 19)
+             |    THEN event_id ELSE 0 END) AS BIGINT) AS id_checksum
+             |FROM events""".stripMargin),
+      bench = false, sideEffecting = true),
+
     // ORC round-trip — the second columnar format (Spark ships the ORC
     // reader/writer alongside parquet; lakes migrating between the two is
     // routine). Type fidelity across the encode/decode is what's checked:
