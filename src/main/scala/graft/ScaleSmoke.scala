@@ -175,7 +175,10 @@ object ScaleSmoke {
     // no partition can outgrow an executor), and the first-seen novelty
     // window (distinct-shingle cardinality class, same exchange as the
     // dup-ngram fraction)
-    "topk_similar_per_doc", "weighted_median_price", "ngram_novelty_rate")
+    "topk_similar_per_doc", "weighted_median_price", "ngram_novelty_rate",
+    // the attribution pair join: growth must track events within the
+    // 7-day window per user, never the purchases x views cross product
+    "multi_touch_attribution")
 
   /** Run each smoke query twice on the scaled dir, return min seconds. */
   def run(spark: SparkSession, scaledDir: String): Map[String, Double] =

@@ -564,6 +564,48 @@ object PipelineQueries {
              |  CAST(sum(oov) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_frac
              |FROM flagged GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // Source-mix Shannon entropy per language — the diversity card for
+    // mixture tuning (entropy collapsing means one source dominates a
+    // slice; max = log2 n_sources). FP-determinism policy for an entropy
+    // SUM: H = log2 N − (Σ n·log2 n)/N, and the Σ term is quantized to
+    // integer millibit·count PER GROUP ROW before aggregation, so the
+    // sum is exact int64 and aggregation order cannot move the result
+    // (same contract as doc_unigram_surprisal); the final expression is
+    // a fixed tree over exact integers. One (lang, source) aggregate —
+    // O(langs·sources) state.
+    QueryDef(
+      "source_mix_entropy",
+      (s, d) => {
+        val c = t(s, d, "documents")
+          .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+          .withColumn("q",
+            round(lit(1000.0) * col("n").cast("double") * log2(col("n")))
+              .cast("long"))
+        c.groupBy("lang")
+          .agg(sum("n").as("n_docs"), count(lit(1)).as("n_sources"),
+            sum("q").as("sumq"))
+          .select(col("lang"), col("n_docs"), col("n_sources"),
+            round(lit(1000.0) * log2(col("n_docs")) -
+              col("sumq").cast("double") / col("n_docs").cast("double"))
+              .cast("long").as("entropy_millibits"))
+          .orderBy("lang")
+      },
+      Some("""WITH c AS (
+             |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+             |  FROM documents GROUP BY 1, 2),
+             |q AS (SELECT lang, n,
+             |        CAST(round(1000.0 * CAST(n AS DOUBLE) * log2(n)) AS BIGINT) AS q
+             |      FROM c),
+             |a AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_docs,
+             |        CAST(count(*) AS BIGINT) AS n_sources,
+             |        CAST(sum(q) AS BIGINT) AS sumq
+             |      FROM q GROUP BY lang)
+             |SELECT lang, n_docs, n_sources,
+             |  CAST(round(1000.0 * log2(n_docs) -
+             |    CAST(sumq AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS BIGINT)
+             |    AS entropy_millibits
+             |FROM a ORDER BY lang""".stripMargin)),
+
     // Deterministic curriculum ordering: tier documents by length (the
     // easy→hard proxy), spread each tier over 16 hash buckets, and rank
     // within (tier, bucket) under a salted-hash order. Consumers stream

@@ -745,6 +745,80 @@ object StreamingQueries {
       .coalesce(1).write.mode("overwrite").parquet(resultOut)
   }
 
+  /** Stage `documents` as four doc_id-quartile slices (modtime-ordered,
+    * one file per trigger) — the ingestion-ordered corpus stream the
+    * at-ingest dedup consumes. doc_id is the arrival order by contract.
+    */
+  private def stageDocSlices(s: SparkSession, sfDir: String, stage: String): String = {
+    val docs = graft.QueryDef.t(s, sfDir, "documents").select(col("doc_id"), col("text"))
+    val bounds = docs.agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+    val sliced = docs.crossJoin(broadcast(bounds))
+      .withColumn("slice", least(lit(3),
+        floor((col("doc_id") - col("d0")) * 4 / (col("d1") - col("d0") + 1)).cast("int")))
+    (0 until 4).foreach { i =>
+      val dir = s"$stage/b$i"
+      sliced.filter(col("slice") === i).drop("slice", "d0", "d1")
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      new java.io.File(dir).listFiles().filter(_.getName.startsWith("part-")).foreach {
+        f => f.setLastModified(1700000000000L + i * 60000L)
+      }
+    }
+    stage + "/b*/part-*.parquet"
+  }
+
+  /** Streaming LSH dedup AT INGEST — the 100 TB streaming-corpus shape:
+    * every arriving document is fingerprinted by the codegen MinHash
+    * kernel, exploded to its 8 band digests, and each band consults an
+    * O(distinct-bands) RocksDB state for its owner (minimum doc_id seen).
+    * A document flagged on ≥1 band has a near-duplicate already in the
+    * corpus. The per-band running-minimum makes the emission independent
+    * of micro-batch boundaries (see [[graft.streaming.StatefulAgg.BandOwner]]),
+    * so the converged flags equal the batch first-seen-per-band replay
+    * the oracle computes. The batch sibling is dedup_incremental_newbatch
+    * (probe of a static index); this is the continuous leg.
+    */
+  private def runLshDedupIngest(s: SparkSession, sfDir: String, scratch: String, resultOut: String): Unit = {
+    import s.implicits._
+    val glob = stageDocSlices(s, sfDir, s"$scratch/doclake")
+    val out = s"$scratch/flags"
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = s.conf.getOption(providerKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val sigExpr = graft.functions.GraftFunctions
+        .minhashSignature(col("text"), 16, 3)
+      val banded = s.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1).parquet(glob)
+        .filter(size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id"), sigExpr.as("__sig"))
+        .select(col("doc_id"),
+          explode(graft.dedup.Dedup.lshBandDigests(col("__sig"), 8, 2)).as("band"))
+        .as[(Long, String)]
+      val flags = banded.groupByKey(_._2)
+        .transformWithState(new graft.streaming.StatefulAgg.BandOwner,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+      val q = flags.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.streaming.StatefulAgg.BandFlag], _: Long) =>
+          b.write.mode("append").parquet(out)
+          ()
+        }
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally prior match {
+      case Some(v) => s.conf.set(providerKey, v)
+      case None => s.conf.unset(providerKey)
+    }
+    s.read.parquet(out)
+      .groupBy("doc_id")
+      .agg(sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_bands"),
+        (sum(when(col("dup"), 1L).otherwise(0L)) > 0).as("is_duplicate"))
+      .coalesce(1).write.mode("overwrite").parquet(resultOut)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // The converged gap-session set must equal the batch gaps-and-islands
@@ -816,6 +890,26 @@ object StreamingQueries {
              |  ON v.user_id = c.user_id AND c.event_type = 'click'
              | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
              |WHERE v.event_type = 'view'""".stripMargin),
+      bench = false, sideEffecting = true),
+
+    // Streaming LSH dedup at ingest: per-band owner state flags every
+    // arriving document that shares a MinHash band with an earlier one.
+    // The converged (doc, n_dup_bands, is_duplicate) set must equal the
+    // batch first-seen-per-band replay — a state loss (flag missing), a
+    // batch-boundary dependence (flag flipped), or a band-key collision
+    // bug all hash-fail. See runLshDedupIngest / StatefulAgg.BandOwner.
+    QueryDef(
+      "streaming_lsh_dedup_ingest",
+      (s, d) => cachedStream(s, "streaming_lsh_dedup_ingest", d)(runLshDedupIngest(s, d, _, _)),
+      Some(s"""${DedupQueries.candidatesCte},
+              |firsts AS (SELECT band, min(doc_id) AS first_doc
+              |           FROM bands GROUP BY band)
+              |SELECT b.doc_id,
+              |  CAST(sum(CASE WHEN f.first_doc < b.doc_id THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_dup_bands,
+              |  bool_or(f.first_doc < b.doc_id) AS is_duplicate
+              |FROM bands b JOIN firsts f USING (band)
+              |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin),
       bench = false, sideEffecting = true),
 
     // Watermarked tumbling windows fed by a genuinely multi-trigger stream

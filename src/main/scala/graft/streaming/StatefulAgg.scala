@@ -78,4 +78,43 @@ object StatefulAgg {
       }
     }
   }
+
+  /** One LSH-band observation for a document: `dup` is true iff some
+    * STRICTLY EARLIER document (smaller doc_id — the ingestion order)
+    * already owned this band when the document arrived. */
+  case class BandFlag(doc_id: Long, band: String, dup: Boolean)
+
+  /** Streaming LSH dedup-at-ingest state: per band digest, the minimum
+    * doc_id ever seen (the band's "owner"). A batch's documents are
+    * processed in doc_id order with a running minimum, so for an
+    * INGESTION-ORDERED stream (doc_id monotone across batches — the
+    * staging contract, since doc_id is arrival order) the emitted flag
+    * for document d is exactly "some earlier document shares this band",
+    * regardless of where micro-batch boundaries fall (pinned in
+    * StreamingDedupSpec). That makes the converged output equal the
+    * batch first-seen-per-band replay the oracle computes. State is
+    * O(distinct bands) longs — the bounded footprint that makes
+    * at-ingest dedup viable on an unbounded stream (production adds TTL
+    * eviction for bands not seen within the dedup horizon; TTLConfig
+    * carries that knob).
+    */
+  final class BandOwner extends StatefulProcessor[String, (Long, String), BandFlag] {
+    @transient private var st: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[Long](
+        "owner", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[(Long, String)],
+                                 timerValues: TimerValues): Iterator[BandFlag] = {
+      var cur = if (st.exists()) st.get() else Long.MaxValue
+      val flags = rows.map(_._1).toArray.sorted.map { d =>
+        val f = BandFlag(d, key, cur < d)
+        if (d < cur) cur = d
+        f
+      }
+      st.update(cur)
+      flags.iterator
+    }
+  }
 }

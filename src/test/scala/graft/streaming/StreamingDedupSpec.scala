@@ -101,4 +101,48 @@ class StreamingDedupSpec extends SparkSuite {
     assert(kept == Set(10L, 12L, 13L),
       "11 suppressed inside horizon; 13 re-admitted after state eviction")
   }
+
+  test("LSH band owner: flags equal the batch replay under ANY slicing of " +
+      "an ingestion-ordered stream") {
+    // The streaming_lsh_dedup_ingest invariant: for doc_id-monotone
+    // arrival (the staging contract), the per-band running-min state
+    // emits identical flags whether the stream arrives as one batch,
+    // three, or one-row-per-trigger — and they equal the batch
+    // first-seen-per-band computation the DuckDB oracle replays.
+    implicit val sqlCtx = spark.sqlContext
+    // several bands, shared across docs; ordered by doc_id
+    val pairs = Seq(
+      1L -> "b2", 2L -> "b1", 3L -> "b1", 4L -> "b2", 5L -> "b3",
+      6L -> "b1", 7L -> "b3", 8L -> "b4", 9L -> "b2", 10L -> "b4")
+    def run(batches: Seq[Seq[(Long, String)]], name: String): Set[(Long, String, Boolean)] = {
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prior = spark.conf.getOption(providerKey)
+      spark.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val input = MemoryStream[(Long, String)]
+        val flags = input.toDS().groupByKey(_._2)
+          .transformWithState(new StatefulAgg.BandOwner,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Append())
+        val q = flags.writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        q.stop()
+        spark.table(name).as[StatefulAgg.BandFlag].collect()
+          .map(f => (f.doc_id, f.band, f.dup)).toSet
+      } finally prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+    val one = run(Seq(pairs), "band_one")
+    val three = run(Seq(pairs.take(4), pairs.slice(4, 7), pairs.drop(7)), "band_three")
+    val rowwise = run(pairs.map(Seq(_)), "band_rowwise")
+    val firsts = pairs.groupBy(_._2).map { case (b, ps) => b -> ps.map(_._1).min }
+    val want = pairs.map { case (d, b) => (d, b, firsts(b) < d) }.toSet
+    assert(one == want, s"single-batch flags diverge from batch replay: $one")
+    assert(three == want && rowwise == want,
+      "flags depend on micro-batch boundaries")
+  }
 }
