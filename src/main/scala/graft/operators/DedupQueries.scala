@@ -51,7 +51,7 @@ object DedupQueries {
     * `min(lbl) GROUP BY node` is the component id (min doc_id in the
     * component) — the recursive replay of [[Dedup.connectedComponents]].
     */
-  private val closureCte: String =
+  private[operators] val closureCte: String =
     s"""${candidatesCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
        |sets AS (SELECT doc_id, list_distinct($shinglesSql) AS sset FROM documents),
        |verified AS (SELECT doc_id_a, doc_id_b
@@ -201,6 +201,57 @@ object DedupQueries {
               |          FROM comp GROUP BY 1)
               |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
               |FROM sizes GROUP BY 1 ORDER BY cluster_size""".stripMargin),
+      bench = false), // same closure as dedup_components — benched once there
+
+    // Split-leakage audit: near-duplicate clusters that SPAN dataset
+    // splits — the contamination mode a doc-level split cannot prevent
+    // (doc A in train, its near-duplicate B in test ⇒ the eval is
+    // compromised even though no document leaked verbatim). Composes the
+    // catalog's own primitives: the verified-pair closure and the
+    // deterministic hash split, joined and aggregated per cluster; the
+    // report lists each offending cluster with its per-split composition.
+    // Production fix is to split by CLUSTER, not by doc — this query is
+    // the audit that proves when that is needed.
+    QueryDef(
+      "split_leakage_audit",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.nearDuplicates(docs, "doc_id", "text", threshold = 0.2)
+        val comp = Dedup.connectedComponents(docs, "doc_id", pairs, "doc_id_a", "doc_id_b")
+        val h = PipelineQueries.hashPermille(col("doc_id"), "split")
+        val split = docs.select(col("doc_id"),
+          when(h < 800000L, "train").when(h < 900000L, "val").otherwise("test")
+            .as("split"))
+        comp.join(split, "doc_id")
+          .groupBy("component_id")
+          .agg(countDistinct(col("split")).as("n_splits"),
+            count(lit(1)).as("cluster_size"),
+            sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+            sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+            sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+          .filter(col("n_splits") > 1)
+          .orderBy("component_id")
+      },
+      Some {
+        val h = PipelineQueries.hashSqlExpr("doc_id", "split")
+        s"""$closureCte,
+           |comp AS (SELECT node AS doc_id, min(lbl) AS component_id
+           |         FROM reach GROUP BY node),
+           |sp AS (SELECT doc_id,
+           |         CASE WHEN $h < 800000 THEN 'train'
+           |              WHEN $h < 900000 THEN 'val'
+           |              ELSE 'test' END AS split
+           |       FROM documents),
+           |ag AS (SELECT component_id,
+           |         CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+           |         CAST(count(*) AS BIGINT) AS cluster_size,
+           |         CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+           |         CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+           |         CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+           |       FROM comp JOIN sp USING (doc_id) GROUP BY component_id)
+           |SELECT component_id, n_splits, cluster_size, n_train, n_val, n_test
+           |FROM ag WHERE n_splits > 1 ORDER BY component_id""".stripMargin
+      },
       bench = false), // same closure as dedup_components — benched once there
 
     // Top-3 most-similar documents PER document — the "related items" /

@@ -29,11 +29,11 @@ object PipelineQueries {
   /** Uniform hash in [0, 1e6) from a salted md5 of the id — deterministic,
     * engine-portable, independent across salts (a "seed" is a new salt).
     */
-  private def hashPermille(id: Column, salt: String): Column =
+  private[operators] def hashPermille(id: Column, salt: String): Column =
     conv(substring(md5(concat(lit(salt + ":"), id.cast("string"))), 1, 15), 16, 10)
       .cast("long") % 1000000L
 
-  private def hashSqlExpr(idSql: String, salt: String): String =
+  private[operators] def hashSqlExpr(idSql: String, salt: String): String =
     s"CAST(('0x' || substr(md5('$salt:' || CAST($idSql AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000"
 
   /** Per-lake-dir eval-set artifacts for decontam_bloom_prefilter: the

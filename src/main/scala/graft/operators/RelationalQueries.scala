@@ -655,5 +655,55 @@ object RelationalQueries {
       Some("""SELECT lang,
              |  string_agg(DISTINCT source, ',' ORDER BY source) AS sources_csv,
              |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
-             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)))
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Null-safe equality join (<=> / IS NOT DISTINCT FROM): a nullable
+    // join key — NULL here means "no return flag recorded" — must match
+    // its own NULL dimension row instead of silently dropping (the
+    // standard-equality behavior that loses the whole NULL slice in a
+    // reconciliation). Each fact row joins exactly its own group, so
+    // n_joined == n_dim per key INCLUDING the NULL key; a plain `=` would
+    // hash-fail by losing that row. Spark plans <=> as a hash join on a
+    // null-wrapped key — same exchange as any equi-join at scale.
+    QueryDef(
+      "null_safe_join",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select(expr("nullif(l_returnflag, 'N')").as("rf_a"))
+        val dim = t(s, d, "lineitem")
+          .select(expr("nullif(l_returnflag, 'N')").as("rf"))
+          .groupBy("rf").agg(count(lit(1)).as("n_dim"))
+        li.join(broadcast(dim), col("rf_a") <=> col("rf"))
+          .groupBy("rf", "n_dim")
+          .agg(count(lit(1)).as("n_joined"))
+          .select(col("rf"), col("n_dim"), col("n_joined"))
+          .orderBy(col("rf").asc_nulls_first)
+      },
+      Some("""WITH li AS (SELECT nullif(l_returnflag, 'N') AS rf FROM lineitem),
+             |dim AS (SELECT rf, CAST(count(*) AS BIGINT) AS n_dim
+             |        FROM li GROUP BY rf)
+             |SELECT d.rf, d.n_dim, CAST(count(*) AS BIGINT) AS n_joined
+             |FROM li a JOIN dim d ON a.rf IS NOT DISTINCT FROM d.rf
+             |GROUP BY d.rf, d.n_dim ORDER BY d.rf NULLS FIRST""".stripMargin)),
+
+    // Aggregate-function breadth: count_if and the boolean aggregates
+    // (bool_and/bool_or) — the predicate-summary layer dashboards ask
+    // for; all exact (counts + three-valued boolean folds over exact
+    // comparisons on stored doubles).
+    QueryDef(
+      "agg_predicate_funcs",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count_if(col("l_quantity") > 25).as("n_bulk"),
+          count_if(col("l_discount") === 0.0).as("n_undiscounted"),
+          expr("bool_and(l_extendedprice > 900)").as("all_above_floor"),
+          expr("bool_or(l_discount > 0.08)").as("any_deep_discount"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  CAST(count(*) FILTER (l_quantity > 25) AS BIGINT) AS n_bulk,
+             |  CAST(count(*) FILTER (l_discount = 0.0) AS BIGINT) AS n_undiscounted,
+             |  bool_and(l_extendedprice > 900) AS all_above_floor,
+             |  bool_or(l_discount > 0.08) AS any_deep_discount
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)))
 }
