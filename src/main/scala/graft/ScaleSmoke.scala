@@ -178,7 +178,15 @@ object ScaleSmoke {
     "topk_similar_per_doc", "weighted_median_price", "ngram_novelty_rate",
     // the attribution pair join: growth must track events within the
     // 7-day window per user, never the purchases x views cross product
-    "multi_touch_attribution")
+    "multi_touch_attribution",
+    // round 8 batch 2: the duplicated-span extractor (two shingle-keyed
+    // shuffles — the count-distinct and the semi join back — growth must
+    // track the distinct-shingle set; the Caesar-rotated copies keep
+    // cross-copy shingles disjoint so duplication volume scales
+    // linearly) and the winnowing fingerprint selection (per-doc ROWS
+    // frame window over the shingle stream — strictly scan-proportional,
+    // the selection density is a constant ~2/(w+1))
+    "dup_span_extraction", "winnowing_fingerprints")
 
   /** Run each smoke query twice on the scaled dir, return min seconds. */
   def run(spark: SparkSession, scaledDir: String): Map[String, Double] =

@@ -2180,5 +2180,180 @@ object AnalyticsQueries {
              |    RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
              |    AS DOUBLE) AS trailing_7d
              |FROM orders
-             |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)))
+             |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)),
+
+    // Two-sample Kolmogorov-Smirnov statistic between the reference and
+    // current `value` distributions (same ref/current split as
+    // drift_tvd_bins) — the binning-free companion to TVD: KS catches a
+    // location/shape shift that happens to preserve bin masses. EXACT
+    // integer arithmetic: the CDF difference at observed point v is
+    // |cumref·totcur − cumcur·totref| / (totref·totcur), so the argmax is
+    // taken over integer numerators and the single division happens once
+    // in the one-row output. The running window is keyed by DISTINCT
+    // value — a quantized (2-decimal) domain that grows sublinearly in
+    // rows, the same boundedness argument as eval_auc_ranksum's rank
+    // window.
+    QueryDef(
+      "drift_ks_statistic",
+      (s, d) => {
+        val ev = t(s, d, "events").select(col("value"),
+          when(expr("ts < TIMESTAMP_NTZ '2024-01-16 00:00:00'"), 1L)
+            .otherwise(0L).as("is_ref"))
+        val g = ev.groupBy("value").agg(
+          sum(col("is_ref")).as("ref_cnt"),
+          sum(lit(1L) - col("is_ref")).as("cur_cnt"))
+        val wRun = Window.orderBy("value")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy(lit(1))
+        g.withColumn("cum_ref", sum("ref_cnt").over(wRun))
+          .withColumn("cum_cur", sum("cur_cnt").over(wRun))
+          .withColumn("tot_ref", sum("ref_cnt").over(wAll))
+          .withColumn("tot_cur", sum("cur_cnt").over(wAll))
+          .withColumn("ks_num",
+            abs(col("cum_ref") * col("tot_cur") - col("cum_cur") * col("tot_ref")))
+          .orderBy(col("ks_num").desc, col("value"))
+          .limit(1)
+          .select(col("value").as("ks_at_value"), col("ks_num"),
+            col("tot_ref"), col("tot_cur"),
+            (col("ks_num").cast("double") /
+              (col("tot_ref") * col("tot_cur")).cast("double")).as("ks"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT value,
+             |    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS is_ref
+             |  FROM events),
+             |g AS (
+             |  SELECT value, CAST(sum(is_ref) AS BIGINT) AS ref_cnt,
+             |    CAST(sum(1 - is_ref) AS BIGINT) AS cur_cnt
+             |  FROM ev GROUP BY 1),
+             |c AS (
+             |  SELECT value,
+             |    CAST(sum(ref_cnt) OVER (ORDER BY value
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_ref,
+             |    CAST(sum(cur_cnt) OVER (ORDER BY value
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cur,
+             |    CAST(sum(ref_cnt) OVER () AS BIGINT) AS tot_ref,
+             |    CAST(sum(cur_cnt) OVER () AS BIGINT) AS tot_cur
+             |  FROM g)
+             |SELECT value AS ks_at_value,
+             |  abs(cum_ref * tot_cur - cum_cur * tot_ref) AS ks_num,
+             |  tot_ref, tot_cur,
+             |  CAST(abs(cum_ref * tot_cur - cum_cur * tot_ref) AS DOUBLE)
+             |    / CAST(tot_ref * tot_cur AS DOUBLE) AS ks
+             |FROM c ORDER BY ks_num DESC, ks_at_value LIMIT 1""".stripMargin)),
+
+    // Population Stability Index over the same fixed-width bins as
+    // drift_tvd_bins — the scorecard-monitoring drift metric (PSI > 0.2
+    // = investigate). Laplace-smoothed (+1 per observed bin, +10 on each
+    // total) so a bin empty on ONE side stays finite and deterministic;
+    // only observed bins emit rows. Integer counts to the end; the PSI
+    // term is emitted QUANTIZED to nano-units (round(term·1e9) as
+    // BIGINT, the doc_unigram_surprisal pattern) because ln is not
+    // correctly rounded and the last double bit differs between the JDK
+    // and libm. One groupBy + a 10-row broadcast total — nothing global
+    // at any scale.
+    QueryDef(
+      "drift_psi_bins",
+      (s, d) => {
+        val ev = t(s, d, "events").select(
+          least(floor(col("value") / lit(50.0)), lit(9L)).cast("long").as("bin"),
+          when(expr("ts < TIMESTAMP_NTZ '2024-01-16 00:00:00'"), 1L)
+            .otherwise(0L).as("is_ref"))
+        val g = ev.groupBy("bin").agg(
+          sum(col("is_ref")).as("ref_cnt"),
+          sum(lit(1L) - col("is_ref")).as("cur_cnt"))
+        val wAll = Window.partitionBy(lit(1))
+        val pr = (col("ref_cnt") + 1L).cast("double") /
+          (col("tot_ref") + 10L).cast("double")
+        val pc = (col("cur_cnt") + 1L).cast("double") /
+          (col("tot_cur") + 10L).cast("double")
+        g.withColumn("tot_ref", sum("ref_cnt").over(wAll))
+          .withColumn("tot_cur", sum("cur_cnt").over(wAll))
+          .select(col("bin"), col("ref_cnt"), col("cur_cnt"),
+            round((pc - pr) * log(pc / pr) * lit(1e9)).cast("long")
+              .as("psi_term_nano"))
+          .orderBy("bin")
+      },
+      Some("""WITH ev AS (
+             |  SELECT CAST(least(floor(value / 50.0), 9) AS BIGINT) AS bin,
+             |    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS is_ref
+             |  FROM events),
+             |g AS (
+             |  SELECT bin, CAST(sum(is_ref) AS BIGINT) AS ref_cnt,
+             |    CAST(sum(1 - is_ref) AS BIGINT) AS cur_cnt
+             |  FROM ev GROUP BY 1),
+             |tt AS (
+             |  SELECT bin, ref_cnt, cur_cnt,
+             |    CAST(sum(ref_cnt) OVER () AS BIGINT) AS tot_ref,
+             |    CAST(sum(cur_cnt) OVER () AS BIGINT) AS tot_cur
+             |  FROM g)
+             |SELECT bin, ref_cnt, cur_cnt,
+             |  CAST(round((CAST(cur_cnt + 1 AS DOUBLE) / CAST(tot_cur + 10 AS DOUBLE)
+             |   - CAST(ref_cnt + 1 AS DOUBLE) / CAST(tot_ref + 10 AS DOUBLE))
+             |  * ln((CAST(cur_cnt + 1 AS DOUBLE) / CAST(tot_cur + 10 AS DOUBLE))
+             |       / (CAST(ref_cnt + 1 AS DOUBLE) / CAST(tot_ref + 10 AS DOUBLE)))
+             |  * 1e9) AS BIGINT) AS psi_term_nano
+             |FROM tt ORDER BY bin""".stripMargin)),
+
+    // Degree assortativity (Newman 2002) of the co-purchase graph: the
+    // Pearson correlation of endpoint degrees over edges — one scalar
+    // that says whether hub parts co-occur with other hubs (r > 0) or
+    // with niche parts (r < 0). Uses the same merge-hinted distinct-items
+    // edge build as copurchase_pairs/kcore (no broadcast cliff at scale).
+    // EXACT integer moment sums (degrees and their squares sum in
+    // BIGINT), one double division at the end:
+    //   r = (4·M·Sjk − Ssum²) / (2·M·Ssq − Ssum²).
+    QueryDef(
+      "graph_degree_assortativity",
+      (s, d) => {
+        val items = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+          .hint("merge")
+        val edges = items.select(col("l_orderkey"), col("l_partkey").as("a"))
+          .join(items.select(col("l_orderkey"), col("l_partkey").as("b")),
+            "l_orderkey")
+          .filter(col("a") < col("b"))
+          .select("a", "b").distinct()
+        val deg = edges.select(col("a").as("node"))
+          .unionByName(edges.select(col("b").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("deg"))
+        val withDeg = edges
+          .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+          .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+        withDeg.agg(
+            count(lit(1)).as("m_edges"),
+            sum(col("da") * col("db")).as("s_jk"),
+            sum(col("da") + col("db")).as("s_sum"),
+            sum(col("da") * col("da") + col("db") * col("db")).as("s_sq"))
+          .select(col("m_edges"), col("s_jk"), col("s_sum"), col("s_sq"),
+            ((lit(4L) * col("m_edges") * col("s_jk") - col("s_sum") * col("s_sum"))
+              .cast("double") /
+             (lit(2L) * col("m_edges") * col("s_sq") - col("s_sum") * col("s_sum"))
+              .cast("double")).as("assortativity"))
+      },
+      Some("""WITH items AS (
+             |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |edges AS (
+             |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+             |  FROM items x JOIN items y ON x.l_orderkey = y.l_orderkey
+             |  WHERE x.l_partkey < y.l_partkey),
+             |deg AS (
+             |  SELECT node, count(*) AS deg FROM (
+             |    SELECT a AS node FROM edges
+             |    UNION ALL SELECT b AS node FROM edges)
+             |  GROUP BY node),
+             |wd AS (
+             |  SELECT da.deg AS dda, db.deg AS ddb
+             |  FROM edges e JOIN deg da ON da.node = e.a
+             |               JOIN deg db ON db.node = e.b),
+             |mom AS (
+             |  SELECT count(*) AS m_edges,
+             |    CAST(sum(dda * ddb) AS BIGINT) AS s_jk,
+             |    CAST(sum(dda + ddb) AS BIGINT) AS s_sum,
+             |    CAST(sum(dda * dda + ddb * ddb) AS BIGINT) AS s_sq
+             |  FROM wd)
+             |SELECT m_edges, s_jk, s_sum, s_sq,
+             |  CAST(4 * m_edges * s_jk - s_sum * s_sum AS DOUBLE)
+             |    / CAST(2 * m_edges * s_sq - s_sum * s_sum AS DOUBLE) AS assortativity
+             |FROM mom""".stripMargin)))
 }

@@ -1,0 +1,440 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.QueryDef.t
+import graft.functions.GraftFunctions
+import graft.text.TextOps
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation forensics and model-evaluation queries: exact duplicated
+  * substring spans (the Lee et al. 2022 "Deduplicating Training Data Makes
+  * Language Models Better" operator at shingle granularity), MOSS winnowing
+  * fingerprints (Schleimer et al. 2003), a Count-Min sketch frequency audit
+  * (Cormode & Muthukrishnan 2005), and the experiment/eval trio a/b z-test,
+  * reliability (calibration) bins, and decile lift. All oracle-checked with
+  * exact integer arithmetic up to a final division.
+  *
+  * Reference scope: the reference POC's analytics layer stops at SCD2 +
+  * SQL rollups (duckdb/analytics/transform_scd2.py); these are the
+  * training-data-pipeline extensions the build brief asks for beyond it.
+  */
+object CurationQueries {
+
+  /** md5-derived 20-bit-ish integer hash in [0, 1e6), reproducible in
+    * DuckDB SQL byte-for-byte (same scheme as PipelineQueries.hashPermille
+    * but over an arbitrary string column).
+    */
+  private def strHash(c: org.apache.spark.sql.Column, salt: String) =
+    conv(substring(md5(concat(lit(salt + ":"), c)), 1, 15), 16, 10)
+      .cast("long") % 1000000L
+
+  private def strHashSql(sqlExpr: String, salt: String): String =
+    s"CAST(('0x' || substr(md5('$salt:' || $sqlExpr), 1, 15)) AS BIGINT) % 1000000"
+
+  /** Per-user conversion flag: did the user's FIRST event (by ts,
+    * event_id) land on `purchase`? "Any purchase ever" saturates to 1.0
+    * as events-per-user grows with scale factor (every user eventually
+    * purchases), which would make every downstream eval readout
+    * vacuous; the first-event definition stays near the purchase share
+    * of the event-type mix at any scale. Computed as an arg-min
+    * aggregate (`min(struct(ts, event_id, event_type))`) — map-side
+    * combinable, no per-user window, the 100 TB shape for "first row
+    * per key".
+    */
+  private def firstEventConv(s: org.apache.spark.sql.SparkSession, d: String) =
+    t(s, d, "events")
+      .groupBy("user_id")
+      .agg(min(struct(col("ts"), col("event_id"), col("event_type"))).as("fst"))
+      .select(col("user_id"),
+        when(col("fst.event_type") === "purchase", 1L).otherwise(0L).as("conv"))
+
+  private val firstEventConvSql: String =
+    """SELECT user_id,
+      |     CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS BIGINT) AS conv
+      |   FROM (SELECT user_id, event_type,
+      |           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |         FROM events) WHERE rn = 1""".stripMargin
+
+  /** Shared "scored user" base for the eval trio: the first-event
+    * conversion flag plus a deterministic synthetic model score in
+    * [0, 1e6) that deliberately leaks 0.3 of signal from the label — a
+    * hash-noise score would make every calibration/lift readout vacuously
+    * flat. Integer permille units keep every aggregate exact until the
+    * final division.
+    */
+  private def scoredUsers(s: org.apache.spark.sql.SparkSession, d: String) =
+    firstEventConv(s, d)
+      .withColumn("score_pm",
+        PipelineQueries.hashPermille(col("user_id"), "score") % 700000L +
+          col("conv") * 300000L)
+
+  private val scoredUsersSql: String =
+    s"""SELECT user_id, conv,
+       |    (${PipelineQueries.hashSqlExpr("user_id", "score")}) % 700000
+       |      + conv * 300000 AS score_pm
+       |  FROM ($firstEventConvSql)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Exact duplicated-substring spans (Lee et al. 2022, "ExactSubstr"
+    // at 8-token-shingle granularity): a shingle occurring in >= 2
+    // distinct documents marks its 8-token span as duplicated text;
+    // per document, overlapping/adjacent duplicated spans merge into
+    // maximal islands (the gaps-and-islands window, threshold = shingle
+    // width). This is the cross-doc boilerplate/copy detector that exact
+    // whole-doc dedup misses. 100 TB shape: two shuffles keyed by
+    // shingle (count-distinct + semi join back) and one per-doc window —
+    // candidates are bounded by actual duplication, never all-pairs; the
+    // suffix-array original is a single-node algorithm, this is its
+    // distributed shingle-granular equivalent.
+    QueryDef(
+      "dup_span_extraction",
+      (s, d) => {
+        val sh = t(s, d, "documents")
+          .select(col("doc_id"),
+            posexplode(GraftFunctions.wordShingles(col("text"), 8)).as(Seq("pos", "shingle")))
+        val dup = sh.groupBy("shingle")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2).select("shingle")
+        val pos = sh.join(dup, Seq("shingle"), "left_semi")
+          .select(col("doc_id"), col("pos").cast("long").as("pos"))
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val isl = pos
+          .withColumn("f",
+            when(col("pos") - lag("pos", 1).over(w) <= 8L, 0L).otherwise(1L))
+          .withColumn("island", sum("f").over(w))
+        isl.groupBy("doc_id", "island")
+          .agg(min("pos").as("st"), (max("pos") + 7L).as("en"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_dup_spans"),
+            sum(col("en") - col("st") + 1L).as("dup_tokens"),
+            max(col("en") - col("st") + 1L).as("max_span_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |sh AS (
+             |  SELECT doc_id, pos, array_to_string(tk[pos+1:pos+8], ' ') AS shingle
+             |  FROM (SELECT doc_id, tk, unnest(range(len(tk) - 7)) AS pos
+             |        FROM toks WHERE len(tk) >= 8)),
+             |dup AS (SELECT shingle FROM sh GROUP BY shingle
+             |        HAVING count(DISTINCT doc_id) >= 2),
+             |p AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos FROM sh
+             |      WHERE shingle IN (SELECT shingle FROM dup)),
+             |fl AS (SELECT doc_id, pos,
+             |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+             |              THEN 0 ELSE 1 END AS f
+             |       FROM p),
+             |isl AS (SELECT doc_id, pos,
+             |          sum(f) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+             |        FROM fl),
+             |spans AS (SELECT doc_id, island, min(pos) AS st, max(pos) + 7 AS en
+             |          FROM isl GROUP BY doc_id, island)
+             |SELECT doc_id, count(*) AS n_dup_spans,
+             |  CAST(sum(en - st + 1) AS BIGINT) AS dup_tokens,
+             |  CAST(max(en - st + 1) AS BIGINT) AS max_span_tokens
+             |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003 —
+    // the MOSS plagiarism-detector scheme): hash every 4-token shingle,
+    // slide a window of 4 hashes, keep the window minimum (ties to the
+    // RIGHTMOST position, the paper's rule), dedupe selected positions.
+    // Guarantees: at least one fingerprint per w consecutive hashes and
+    // any shared run of >= k+w-1 tokens shares a fingerprint — position-
+    // robust, unlike fixed-stride sampling. The tie rule is encoded
+    // arithmetically: minimize key = h*1e6 + (999999-pos), so equal
+    // hashes prefer larger pos. Per-row hashing + a bounded ROWS frame
+    // window per doc — no shuffle beyond the doc_id partition; selection
+    // density ~2/(w+1) bounds downstream index size at 100 TB.
+    QueryDef(
+      "winnowing_fingerprints",
+      (s, d) => {
+        val sh = t(s, d, "documents")
+          .select(col("doc_id"),
+            posexplode(GraftFunctions.wordShingles(col("text"), 4)).as(Seq("pos", "shingle")))
+        val wAll = Window.partitionBy("doc_id")
+        val wFrame = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+        sh.withColumn("key",
+            strHash(col("shingle"), "win") * 1000000L + (lit(999999L) - col("pos")))
+          .withColumn("cnt", count(lit(1)).over(wAll))
+          .withColumn("wmin", min("key").over(wFrame))
+          .filter(col("pos") <= col("cnt") - 4)
+          .select(col("doc_id"), (lit(999999L) - col("wmin") % 1000000L).as("sel_pos"),
+            col("cnt"))
+          .distinct()
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_fingerprints"), (max("cnt") - 3L).as("n_windows"))
+          .withColumn("density",
+            col("n_fingerprints").cast("double") / col("n_windows").cast("double"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH sh AS (
+             |  SELECT doc_id, pos, array_to_string(tk[pos+1:pos+4], ' ') AS shingle
+             |  FROM (SELECT doc_id, tk, unnest(range(len(tk) - 3)) AS pos
+             |        FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+             |        WHERE len(tk) >= 4)),
+             |k AS (
+             |  SELECT doc_id, pos,
+             |    (${strHashSql("shingle", "win")}) * 1000000 + (999999 - pos) AS key,
+             |    count(*) OVER (PARTITION BY doc_id) AS cnt
+             |  FROM sh),
+             |m AS (
+             |  SELECT doc_id, pos, cnt,
+             |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+             |                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+             |  FROM k),
+             |sel AS (
+             |  SELECT DISTINCT doc_id, 999999 - (wmin % 1000000) AS sel_pos, cnt
+             |  FROM m WHERE pos <= cnt - 4)
+             |SELECT doc_id, count(*) AS n_fingerprints,
+             |  CAST(max(cnt) - 3 AS BIGINT) AS n_windows,
+             |  CAST(count(*) AS DOUBLE) / CAST(max(cnt) - 3 AS DOUBLE) AS density
+             |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Count-Min sketch frequency audit (Cormode & Muthukrishnan 2005):
+    // d=4 hash rows x width 256 counters, estimate = min over rows, with
+    // the CMS one-sided guarantee est >= exact surfaced as `overcount`
+    // for the corpus's top-20 tokens. Built DECLARATIVELY from the
+    // per-token exact counts (groupBy tok first, then expand 4 hash
+    // rows over the distinct-token aggregate) — map-side combine
+    // happens on the raw token stream once, and the 4x expansion only
+    // touches O(vocab) rows. The 1024-cell counter table is a mergeable
+    // fixed-size sketch: at 100 TB each executor's partial is the same
+    // 1024 cells, the reduce is cellwise sum, and the probe side is a
+    // broadcast of the 20 queried tokens.
+    QueryDef(
+      "cms_frequency_audit",
+      (s, d) => {
+        val tc = t(s, d, "documents")
+          .select(explode(TextOps.tokens(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("n"))
+        val withJ = tc.select(col("tok"), col("n"),
+            explode(sequence(lit(0), lit(3))).as("j"))
+          .withColumn("bucket",
+            conv(substring(md5(concat(lit("cms"), col("j").cast("string"),
+              lit(":"), col("tok"))), 1, 15), 16, 10).cast("long") % 256L)
+        val counters = withJ.groupBy("j", "bucket").agg(sum("n").as("c"))
+        val topk = tc.orderBy(col("n").desc, col("tok")).limit(20)
+          .withColumnRenamed("n", "n_exact")
+        topk
+          .select(col("tok"), col("n_exact"), explode(sequence(lit(0), lit(3))).as("j"))
+          .withColumn("bucket",
+            conv(substring(md5(concat(lit("cms"), col("j").cast("string"),
+              lit(":"), col("tok"))), 1, 15), 16, 10).cast("long") % 256L)
+          .join(broadcast(counters), Seq("j", "bucket"))
+          .groupBy("tok", "n_exact")
+          .agg(min("c").as("n_est"))
+          .withColumn("overcount", col("n_est") - col("n_exact"))
+          .orderBy(col("n_exact").desc, col("tok"))
+      },
+      Some("""WITH tc AS (
+             |  SELECT tok, count(*) AS n
+             |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+             |  GROUP BY tok),
+             |cells AS (
+             |  SELECT j,
+             |    CAST(('0x' || substr(md5('cms' || CAST(j AS VARCHAR) || ':' || tok), 1, 15)) AS BIGINT) % 256 AS bucket,
+             |    n
+             |  FROM (SELECT tok, n, unnest(range(0, 4)) AS j FROM tc)),
+             |counters AS (
+             |  SELECT j, bucket, CAST(sum(n) AS BIGINT) AS c
+             |  FROM cells GROUP BY j, bucket),
+             |topk AS (
+             |  SELECT tok, CAST(n AS BIGINT) AS n_exact
+             |  FROM tc ORDER BY n DESC, tok LIMIT 20),
+             |probe AS (
+             |  SELECT tok, n_exact, j,
+             |    CAST(('0x' || substr(md5('cms' || CAST(j AS VARCHAR) || ':' || tok), 1, 15)) AS BIGINT) % 256 AS bucket
+             |  FROM (SELECT tok, n_exact, unnest(range(0, 4)) AS j FROM topk))
+             |SELECT p.tok, p.n_exact, min(c.c) AS n_est,
+             |  min(c.c) - p.n_exact AS overcount
+             |FROM probe p JOIN counters c ON c.j = p.j AND c.bucket = p.bucket
+             |GROUP BY p.tok, p.n_exact
+             |ORDER BY p.n_exact DESC, p.tok""".stripMargin)),
+
+    // Two-proportion z-test over a deterministic hash-split A/B
+    // assignment: per-variant user counts + purchase conversions, pooled
+    // standard error, one z statistic. The experiment-analysis readout a
+    // monitoring stack runs per flag flip. Integer counts to the end;
+    // the z arithmetic is written with the identical operation order on
+    // both engines (each IEEE op is correctly rounded, so matching
+    // shapes give matching bits). Scale: one groupBy(user) + one
+    // 2-group aggregate — no joins, no windows.
+    QueryDef(
+      "abtest_two_proportion_z",
+      (s, d) => {
+        val u = firstEventConv(s, d)
+          .withColumn("variant", PipelineQueries.hashPermille(col("user_id"), "ab") % 2L)
+        val agg = u.groupBy()
+          .agg(sum(when(col("variant") === 0L, 1L).otherwise(0L)).as("n_a"),
+            sum(when(col("variant") === 0L, col("conv")).otherwise(0L)).as("conv_a"),
+            sum(when(col("variant") === 1L, 1L).otherwise(0L)).as("n_b"),
+            sum(when(col("variant") === 1L, col("conv")).otherwise(0L)).as("conv_b"))
+        val pa = col("conv_a").cast("double") / col("n_a").cast("double")
+        val pb = col("conv_b").cast("double") / col("n_b").cast("double")
+        val pp = (col("conv_a") + col("conv_b")).cast("double") /
+          (col("n_a") + col("n_b")).cast("double")
+        agg.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+          pa.as("rate_a"), pb.as("rate_b"),
+          ((pa - pb) /
+            sqrt(pp * (lit(1.0) - pp) *
+              (lit(1.0) / col("n_a").cast("double") +
+               lit(1.0) / col("n_b").cast("double")))).as("z_score"))
+      },
+      Some {
+        val h = PipelineQueries.hashSqlExpr("user_id", "ab")
+        s"""WITH u AS (
+           |  SELECT user_id, conv, ($h) % 2 AS variant
+           |  FROM ($firstEventConvSql)),
+           |a AS (
+           |  SELECT
+           |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           |    CAST(sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+           |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           |    CAST(sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+           |  FROM u)
+           |SELECT n_a, conv_a, n_b, conv_b,
+           |  CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+           |  CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+           |  (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+           |   - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+           |  / sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+           |         * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+           |         * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) AS z_score
+           |FROM a""".stripMargin
+      }),
+
+    // Reliability (calibration) bins: decile-of-score buckets comparing
+    // mean predicted probability against empirical conversion rate — the
+    // reliability-diagram table behind ECE. Scores are integer permille
+    // units so the per-bin sums are exact; two divisions at the end.
+    // Scale: groupBy(user) then a 10-group aggregate — nothing global.
+    QueryDef(
+      "calibration_reliability_bins",
+      (s, d) => scoredUsers(s, d)
+        .withColumn("bin", expr("score_pm div 100000"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_users"),
+          sum("conv").as("n_conv"),
+          sum("score_pm").as("sum_pm"))
+        .select(col("bin"), col("n_users"), col("n_conv"),
+          (col("sum_pm").cast("double") /
+            (col("n_users").cast("double") * 1000000.0)).as("mean_score"),
+          (col("n_conv").cast("double") / col("n_users").cast("double")).as("emp_rate"))
+        .orderBy("bin"),
+      Some(s"""WITH u AS ($scoredUsersSql)
+             |SELECT score_pm // 100000 AS bin, count(*) AS n_users,
+             |  CAST(sum(conv) AS BIGINT) AS n_conv,
+             |  CAST(sum(score_pm) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0) AS mean_score,
+             |  CAST(sum(conv) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS emp_rate
+             |FROM u GROUP BY 1 ORDER BY bin""".stripMargin)),
+
+    // Decile lift/gains table: rank users by model score, split into 10
+    // exact deciles, report per-decile conversion, capture rate, and
+    // lift vs the base rate — the targeting-model readout. The global
+    // rank is computed SCALABLY: scores are aggregated per distinct
+    // value (<= 1e6 groups) so the unpartitioned running-total window
+    // touches only the bounded score-histogram, and each user's rank is
+    // that offset plus a row_number PARTITIONED by score — no
+    // single-task window over the full user table at any scale. The
+    // DuckDB oracle uses the naive global ROW_NUMBER, proving the
+    // decomposition exact.
+    QueryDef(
+      "decile_lift_table",
+      (s, d) => {
+        val u = scoredUsers(s, d)
+        val hist = u.groupBy("score_pm").agg(count(lit(1)).as("nscore"))
+        val wRun = Window.orderBy(col("score_pm").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = hist.withColumn("base", coalesce(sum("nscore").over(wRun), lit(0L)))
+        val wIn = Window.partitionBy("score_pm").orderBy("user_id")
+        val ranked = u.join(offs.select("score_pm", "base"), Seq("score_pm"))
+          .withColumn("rn", col("base") + row_number().over(wIn))
+        val tot = u.groupBy().agg(count(lit(1)).as("n_total"), sum("conv").as("conv_total"))
+        val dec = ranked.join(broadcast(tot))
+          .withColumn("decile", expr("((rn - 1) * 10) div n_total"))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n_users"), sum("conv").as("n_conv"),
+            max("n_total").as("n_total"), max("conv_total").as("conv_total"))
+        val wCum = Window.orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        dec
+          .withColumn("cum_conv", sum("n_conv").over(wCum))
+          .select(col("decile"), col("n_users"), col("n_conv"),
+            (col("n_conv").cast("double") / col("n_users").cast("double")).as("conv_rate"),
+            (col("cum_conv").cast("double") / col("conv_total").cast("double")).as("cum_capture"),
+            ((col("n_conv").cast("double") / col("n_users").cast("double")) /
+              (col("conv_total").cast("double") / col("n_total").cast("double"))).as("lift"))
+          .orderBy("decile")
+      },
+      Some(s"""WITH u AS ($scoredUsersSql),
+             |ranked AS (
+             |  SELECT user_id, conv,
+             |    ROW_NUMBER() OVER (ORDER BY score_pm DESC, user_id) AS rn,
+             |    count(*) OVER () AS n_total,
+             |    CAST(sum(conv) OVER () AS BIGINT) AS conv_total
+             |  FROM u),
+             |dec AS (
+             |  SELECT ((rn - 1) * 10) // n_total AS decile,
+             |    count(*) AS n_users, CAST(sum(conv) AS BIGINT) AS n_conv,
+             |    max(n_total) AS n_total, max(conv_total) AS conv_total
+             |  FROM ranked GROUP BY 1)
+             |SELECT decile, n_users, n_conv,
+             |  CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE) AS conv_rate,
+             |  CAST(sum(n_conv) OVER (ORDER BY decile
+             |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             |    / CAST(conv_total AS DOUBLE) AS cum_capture,
+             |  (CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE))
+             |    / (CAST(conv_total AS DOUBLE) / CAST(n_total AS DOUBLE)) AS lift
+             |FROM dec ORDER BY decile""".stripMargin)),
+
+    // Pointwise/aggregate mutual information between the `lang` and
+    // `source` facets of the corpus — the mix-design diagnostic that
+    // says HOW MUCH the language mix depends on the source (MI = 0:
+    // sources are language-balanced; high MI: languages are siloed per
+    // source, and per-source sampling quotas will skew the language
+    // mix). Complements source_mix_entropy (marginal) with the joint.
+    // Per-cell rows carry the PMI and the MI contribution; every count
+    // is exact BIGINT (cell*N and marginal products stay < 2^53), and
+    // both log-bearing outputs are QUANTIZED to nano-units
+    // (round(term·1e9) as BIGINT, the doc_unigram_surprisal pattern —
+    // ln's last bit differs between the JDK and libm).
+    // One groupBy(lang, source) + two tiny broadcast marginals.
+    QueryDef(
+      "lang_source_mutual_info",
+      (s, d) => {
+        val cells = t(s, d, "documents")
+          .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+        val wAll = Window.partitionBy(lit(1))
+        val wL = Window.partitionBy("lang")
+        val wS = Window.partitionBy("source")
+        val ratio = (col("n") * col("n_tot")).cast("double") /
+          (col("n_lang") * col("n_src")).cast("double")
+        cells
+          .withColumn("n_tot", sum("n").over(wAll))
+          .withColumn("n_lang", sum("n").over(wL))
+          .withColumn("n_src", sum("n").over(wS))
+          .select(col("lang"), col("source"), col("n"),
+            round(log(ratio) * lit(1e9)).cast("long").as("pmi_nano"),
+            round((col("n").cast("double") / col("n_tot").cast("double")) *
+              log(ratio) * lit(1e9)).cast("long").as("mi_term_nano"))
+          .orderBy("lang", "source")
+      },
+      Some("""WITH cells AS (
+             |  SELECT lang, source, count(*) AS n
+             |  FROM documents GROUP BY lang, source),
+             |m AS (
+             |  SELECT lang, source, n,
+             |    CAST(sum(n) OVER () AS BIGINT) AS n_tot,
+             |    CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS n_lang,
+             |    CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS n_src
+             |  FROM cells)
+             |SELECT lang, source, n,
+             |  CAST(round(ln(CAST(n * n_tot AS DOUBLE) / CAST(n_lang * n_src AS DOUBLE))
+             |    * 1e9) AS BIGINT) AS pmi_nano,
+             |  CAST(round((CAST(n AS DOUBLE) / CAST(n_tot AS DOUBLE))
+             |    * ln(CAST(n * n_tot AS DOUBLE) / CAST(n_lang * n_src AS DOUBLE))
+             |    * 1e9) AS BIGINT) AS mi_term_nano
+             |FROM m ORDER BY lang, source""".stripMargin)))
+}

@@ -1,0 +1,189 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSuite}
+
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the curation/eval catalog entries — properties
+  * the DuckDB oracle parity check cannot see (it would agree with a
+  * same-shaped bug on both engines): the winnowing coverage guarantee and
+  * tie rule, planted duplicated-span geometry, the CMS one-sided error
+  * bound, and lift-table accounting identities.
+  */
+class CurationSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docLake(rows: Seq[(Long, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-curation").toString
+    rows.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("dup_span_extraction: planted shared runs produce exactly the " +
+      "planted spans, merged per island, and unique docs are absent") {
+    // Disjoint filler vocabularies so no accidental cross-doc 8-grams.
+    def filler(prefix: String, n: Int): String =
+      (0 until n).map(i => s"$prefix$i").mkString(" ")
+    val run1 = (0 until 20).map(i => s"shared$i").mkString(" ")   // 20 tokens
+    val run2 = (0 until 9).map(i => s"also$i").mkString(" ")      //  9 tokens
+    val a = s"${filler("a", 10)} $run1 ${filler("b", 10)} $run2 ${filler("c", 10)}"
+    val b = s"${filler("d", 5)} $run1 ${filler("e", 12)} $run2"
+    val c = filler("z", 40)
+    val dir = docLake(Seq((1L, a), (2L, b), (3L, c)))
+
+    val got = SparkEntry.queries("dup_span_extraction")(spark, dir)
+      .select("doc_id", "n_dup_spans", "dup_tokens", "max_span_tokens")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+
+    // Each doc shares run1 (20 tokens) and run2 (9 tokens), separated by
+    // >8 unique tokens -> two islands; span widths equal the run widths
+    // (first dup shingle starts the run, last starts at run_len - 8).
+    assert(got.map(_._1).toSeq == Seq(1L, 2L))
+    got.foreach { case (_, nSpans, dupToks, maxSpan) =>
+      assert(nSpans == 2L)
+      assert(dupToks == 29L)
+      assert(maxSpan == 20L)
+    }
+  }
+
+  test("dup_span_extraction: adjacent duplicated shingle runs merge into " +
+      "one island (gap <= shingle width)") {
+    val run = (0 until 16).map(i => s"s$i").mkString(" ")  // one 16-token run
+    val dir = docLake(Seq(
+      (1L, s"u0 u1 u2 $run u3 u4"),
+      (2L, s"v0 $run v1 v2 v3")))
+    val got = SparkEntry.queries("dup_span_extraction")(spark, dir)
+      .select("doc_id", "n_dup_spans", "dup_tokens")
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (_, nSpans, dupToks) =>
+      assert(nSpans == 1L); assert(dupToks == 16L)
+    }
+  }
+
+  test("winnowing_fingerprints: identical-hash runs take the RIGHTMOST " +
+      "position per window (the MOSS tie rule) and density obeys the " +
+      "[1/w, 1] coverage guarantee") {
+    // All-identical tokens -> every shingle hash equal -> every window's
+    // min is its rightmost member -> one distinct selection per window.
+    val dir = docLake(Seq((1L, Seq.fill(12)("a").mkString(" "))))
+    val row = SparkEntry.queries("winnowing_fingerprints")(spark, dir)
+      .select("n_fingerprints", "n_windows", "density")
+      .as[(Long, Long, Double)].collect().head
+    assert(row._2 == 6L)           // 12 tokens -> 9 shingles -> 6 windows
+    assert(row._1 == 6L)           // rightmost-tie: distinct pos per window
+    assert(row._3 == 1.0)
+
+    val real = SparkEntry.queries("winnowing_fingerprints")(spark, sf)
+      .select("density").as[Double].collect()
+    assert(real.nonEmpty)
+    // Each selected position can serve at most w=4 windows -> density >=
+    // 1/4; a selection per window caps it at 1.
+    real.foreach(dens => assert(dens >= 0.25 && dens <= 1.0))
+  }
+
+  test("cms_frequency_audit: estimates are one-sided (est >= exact) and " +
+      "bounded by the total token mass") {
+    val total = graft.QueryDef.t(spark, sf, "documents")
+      .agg(sum(size(split(col("text"), " "))).cast("long")).as[Long].collect().head
+    val rows = SparkEntry.queries("cms_frequency_audit")(spark, sf)
+      .select("n_exact", "n_est", "overcount").as[(Long, Long, Long)].collect()
+    assert(rows.length == 20)
+    rows.foreach { case (exact, est, over) =>
+      assert(est >= exact)
+      assert(over == est - exact)
+      assert(est <= total)
+    }
+  }
+
+  test("decile_lift_table: deciles partition users evenly, cum_capture is " +
+      "monotone and ends at 1.0, and lift averages to 1") {
+    val rows = SparkEntry.queries("decile_lift_table")(spark, sf)
+      .select("decile", "n_users", "n_conv", "cum_capture", "lift")
+      .as[(Long, Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (0L until 10L).toSeq)
+    val sizes = rows.map(_._2)
+    assert(sizes.max - sizes.min <= 1L)
+    val caps = rows.map(_._4)
+    caps.sliding(2).foreach { case Array(x, y) => assert(y >= x); case _ => }
+    assert(math.abs(caps.last - 1.0) < 1e-12)
+    // sum over deciles of n_conv == conv_total (capture accounting).
+    val convTotal = rows.map(_._3).sum
+    val weighted = rows.map(r => r._5 * r._2).sum / sizes.sum.toDouble
+    // lift weighted by decile size telescopes to 1 exactly in reals.
+    assert(math.abs(weighted - 1.0) < 1e-9)
+    assert(convTotal > 0L)
+  }
+
+  test("abtest_two_proportion_z and calibration bins: accounting adds up " +
+      "against the raw events table") {
+    val users = graft.QueryDef.t(spark, sf, "events")
+      .select("user_id").distinct().count()
+    val ab = SparkEntry.queries("abtest_two_proportion_z")(spark, sf)
+      .select("n_a", "conv_a", "n_b", "conv_b", "z_score")
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(ab._1 + ab._3 == users)
+    assert(ab._2 <= ab._1 && ab._4 <= ab._3)
+    assert(!ab._5.isNaN && !ab._5.isInfinite)
+
+    val cal = SparkEntry.queries("calibration_reliability_bins")(spark, sf)
+      .select("bin", "n_users", "mean_score", "emp_rate")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(cal.map(_._2).sum == users)
+    cal.foreach { case (bin, _, ms, er) =>
+      assert(bin >= 0L && bin <= 9L)
+      assert(ms >= bin / 10.0 - 1e-9 && ms <= (bin + 1) / 10.0 + 1e-9)
+      assert(er >= 0.0 && er <= 1.0)
+    }
+    // Non-vacuous fixture: conversion must be strictly between 0 and 1
+    // overall (the "any purchase ever" definition saturated to 1.0).
+    val convRate = (ab._2 + ab._4).toDouble / users
+    assert(convRate > 0.0 && convRate < 1.0)
+  }
+
+  test("drift_ks_statistic matches a driver-side brute-force KS on sf0.001") {
+    val ev = graft.QueryDef.t(spark, sf, "events")
+      .select(col("value"),
+        expr("CAST(ts < TIMESTAMP_NTZ '2024-01-16 00:00:00' AS BOOLEAN)").as("isRef"))
+      .as[(Double, Boolean)].collect()
+    val ref = ev.filter(_._2).map(_._1).sorted
+    val cur = ev.filterNot(_._2).map(_._1).sorted
+    val points = (ref ++ cur).distinct.sorted
+    def cdfCount(xs: Array[Double], v: Double): Long = xs.count(_ <= v).toLong
+    val brute = points.map { v =>
+      math.abs(cdfCount(ref, v) * cur.length.toLong -
+        cdfCount(cur, v) * ref.length.toLong)
+    }.max
+    val row = SparkEntry.queries("drift_ks_statistic")(spark, sf)
+      .select("ks_num", "tot_ref", "tot_cur", "ks")
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(row._1 == brute)
+    assert(row._2 == ref.length.toLong && row._3 == cur.length.toLong)
+    assert(row._4 >= 0.0 && row._4 <= 1.0)
+  }
+
+  test("drift_psi_bins: every PSI term is non-negative (sign(p_c - p_r) " +
+      "== sign(ln(p_c/p_r)))") {
+    val terms = SparkEntry.queries("drift_psi_bins")(spark, sf)
+      .select("psi_term_nano").as[Long].collect()
+    assert(terms.nonEmpty)
+    terms.foreach(tn => assert(tn >= 0L))
+  }
+
+  test("lang_source_mutual_info: MI is non-negative and cell counts " +
+      "reconcile with the documents table") {
+    val rows = SparkEntry.queries("lang_source_mutual_info")(spark, sf)
+      .select("n", "mi_term_nano").as[(Long, Long)].collect()
+    val nDocs = graft.QueryDef.t(spark, sf, "documents").count()
+    assert(rows.map(_._1).sum == nDocs)
+    // Σ mi_term = MI(lang; source) >= 0 up to nano-rounding of each cell.
+    assert(rows.map(_._2).sum >= -rows.length.toLong)
+  }
+
+  test("graph_degree_assortativity is a correlation: r in [-1, 1]") {
+    val r = SparkEntry.queries("graph_degree_assortativity")(spark, sf)
+      .select("assortativity").as[Double].collect().head
+    assert(r >= -1.0 && r <= 1.0)
+  }
+}
