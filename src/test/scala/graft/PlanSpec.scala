@@ -651,4 +651,86 @@ class PlanSpec extends SparkSuite {
     }
     assert(aggs.size >= 2, "expected partial+final hash aggregation on dim")
   }
+
+  test("winnowing fingerprints shuffle exactly twice: the doc_id window " +
+      "exchange and the output sort") {
+    // Both windows (the w-frame min and the per-doc count) must ride ONE
+    // exchange keyed by doc_id; the only other exchange allowed is the
+    // rangepartitioning for the ordered output. A third shuffle means a
+    // window stopped sharing the sort.
+    val shuffles = collectAll(plan("winnowing_fingerprints")) {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(shuffles.size == 2,
+      s"expected doc_id + output-sort exchanges only, got ${shuffles.size}")
+  }
+
+  test("dup-span extraction joins candidates by shingle equality, never " +
+      "all-pairs, and merges islands on one doc_id exchange") {
+    val p = plan("dup_span_extraction")
+    val cart = collectAll(p) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    val bnlj = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(cart.isEmpty && bnlj.isEmpty,
+      "dup-shingle candidates must come from an equi semi join on shingle")
+    val shuffles = collectAll(p) { case e: ShuffleExchangeExec => e }
+    // 2 for the two-level distinct-doc count keyed by shingle, 1 for the
+    // island window keyed by doc_id, 1 for the ordered output; a
+    // shuffled (non-broadcast) semi join may add one more at scale.
+    assert(shuffles.size <= 5,
+      s"dup-span should shuffle on shingle (x2), doc_id, and the output " +
+        s"sort only; got ${shuffles.size}")
+  }
+
+  test("decile lift's unpartitioned running window reads the score " +
+      "HISTOGRAM aggregate, not the raw user table") {
+    // The global rank decomposition: the only unpartitioned ordered
+    // window must sit above a hash aggregate (the <=1e6-row score
+    // histogram). If it ever binds to the raw per-user stream, the
+    // single-task window is back.
+    val p = plan("decile_lift_table")
+    val unpart = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty && w.orderSpec.nonEmpty => w
+    }
+    // one running-offset window over the histogram + the 10-row
+    // cum_capture window over the decile aggregate
+    assert(unpart.nonEmpty && unpart.size <= 2,
+      s"expected the two bounded unpartitioned windows, got ${unpart.size}")
+    unpart.foreach { w =>
+      val hasAggBelow = w.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+      }.nonEmpty
+      assert(hasAggBelow,
+        "unpartitioned window must consume an aggregate (bounded input), " +
+          "not the raw user stream")
+    }
+  }
+
+  test("KS statistic takes its one-row argmax via TakeOrdered, not a " +
+      "global sort materialization") {
+    val p = plan("drift_ks_statistic")
+    val takeOrdered = collectAll(p) {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }
+    assert(takeOrdered.nonEmpty,
+      "ORDER BY ks_num DESC LIMIT 1 must compile to TakeOrderedAndProject")
+  }
+
+  test("degree assortativity builds edges from equi joins only") {
+    val p = plan("graph_degree_assortativity")
+    val cart = collectAll(p) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    val bnlj = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(cart.isEmpty && bnlj.isEmpty,
+      "edge build and degree attach must stay equi joins on keys")
+  }
 }
