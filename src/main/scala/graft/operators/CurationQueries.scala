@@ -436,5 +436,184 @@ object CurationQueries {
              |  CAST(round((CAST(n AS DOUBLE) / CAST(n_tot AS DOUBLE))
              |    * ln(CAST(n * n_tot AS DOUBLE) / CAST(n_lang * n_src AS DOUBLE))
              |    * 1e9) AS BIGINT) AS mi_term_nano
-             |FROM m ORDER BY lang, source""".stripMargin)))
+             |FROM m ORDER BY lang, source""".stripMargin)),
+
+    // Bigram language-model perplexity of a held-out split under an
+    // add-1-smoothed LM trained on the other 80% (deterministic hash
+    // split) — the classic intrinsic data-quality scorer (CCNet/KenLM
+    // style): a corpus slice whose held-out perplexity spikes is
+    // distributionally alien to the rest. Counts are exact integers;
+    // each bigram's log-probability is quantized to nano-units BEFORE
+    // the weighted sum (the surprisal pattern), so the corpus aggregate
+    // is integer arithmetic and the one exp() at the end consumes an
+    // identical double on both engines. Scale shape: unigram/bigram
+    // count tables shuffle by token (linear in distinct n-grams), the
+    // held-out side joins GROUPED by bigram (one row per distinct
+    // bigram, not per occurrence), vocab size broadcasts. The nano sum
+    // holds to ~1e18 ≈ 10^8 held-out bigrams per final task — beyond
+    // that, route the sum through DECIMAL(38,0).
+    QueryDef(
+      "lm_bigram_perplexity",
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+          .withColumn("is_train",
+            PipelineQueries.hashPermille(col("doc_id"), "lm") < 800000L)
+        val trainToks = docs.filter(col("is_train"))
+          .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        val vocab = trainToks.agg(countDistinct(col("tok")).as("v"))
+        val uni = trainToks.groupBy("tok").agg(count(lit(1)).as("c1"))
+          .withColumnRenamed("tok", "w1")
+        val bg = docs.filter(col("is_train"))
+          .select(explode(GraftFunctions.wordShingles(col("text"), 2)).as("bg"))
+          .groupBy("bg").agg(count(lit(1)).as("c12"))
+        val ho = docs.filter(!col("is_train"))
+          .select(explode(GraftFunctions.wordShingles(col("text"), 2)).as("bg"))
+          .groupBy("bg").agg(count(lit(1)).as("m"))
+          .withColumn("w1", substring_index(col("bg"), " ", 1))
+        val lpNano = round(log(
+            (coalesce(col("c12"), lit(0L)) + 1L).cast("double") /
+            (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")) * lit(1e9))
+          .cast("long")
+        val agg = ho.join(bg, Seq("bg"), "left_outer")
+          .join(uni, Seq("w1"), "left_outer")
+          .crossJoin(broadcast(vocab))
+          .select(col("m"), col("v"), lpNano.as("lp_nano"))
+          .agg(max(col("v")).as("vocab_size"),
+            sum(col("m")).as("n_heldout_bigrams"),
+            (-sum(col("m") * col("lp_nano"))).as("xent_sum_nano"))
+        agg.select(col("vocab_size"), col("n_heldout_bigrams"), col("xent_sum_nano"),
+          round(exp((col("xent_sum_nano").cast("double") /
+            col("n_heldout_bigrams").cast("double")) / lit(1e9)) * lit(1e6))
+            .cast("long").as("ppl_micro"))
+      },
+      Some {
+        val h = PipelineQueries.hashSqlExpr("doc_id", "lm")
+        val bigrams = "list_transform(range(0, len(string_split(text, ' ')) - 1), " +
+          "i -> array_to_string((string_split(text, ' '))[i+1:i+2], ' '))"
+        s"""WITH docs AS (
+           |  SELECT doc_id, text, ($h) < 800000 AS is_train FROM documents),
+           |tr_tok AS (
+           |  SELECT unnest(string_split(text, ' ')) AS tok FROM docs WHERE is_train),
+           |vocab AS (SELECT count(DISTINCT tok) AS v FROM tr_tok),
+           |uni AS (SELECT tok, count(*) AS c1 FROM tr_tok GROUP BY tok),
+           |tr_bg AS (
+           |  SELECT bg, count(*) AS c12
+           |  FROM (SELECT unnest($bigrams) AS bg FROM docs WHERE is_train)
+           |  GROUP BY bg),
+           |ho AS (
+           |  SELECT bg, count(*) AS m
+           |  FROM (SELECT unnest($bigrams) AS bg FROM docs WHERE NOT is_train)
+           |  GROUP BY bg),
+           |j AS (
+           |  SELECT ho.m,
+           |    CAST(round(ln(CAST(coalesce(c12, 0) + 1 AS DOUBLE)
+           |        / CAST(coalesce(c1, 0) + v AS DOUBLE)) * 1e9) AS BIGINT) AS lp_nano
+           |  FROM ho
+           |  LEFT JOIN tr_bg ON tr_bg.bg = ho.bg
+           |  LEFT JOIN uni ON uni.tok = split_part(ho.bg, ' ', 1)
+           |  CROSS JOIN vocab)
+           |SELECT (SELECT v FROM vocab) AS vocab_size,
+           |  CAST(sum(m) AS BIGINT) AS n_heldout_bigrams,
+           |  CAST(-sum(m * lp_nano) AS BIGINT) AS xent_sum_nano,
+           |  CAST(round(exp((CAST(-sum(m * lp_nano) AS DOUBLE)
+           |      / CAST(sum(m) AS DOUBLE)) / 1e9) * 1e6) AS BIGINT) AS ppl_micro
+           |FROM j""".stripMargin
+      }),
+
+    // Distinct-n diversity per source (distinct 3-grams / total
+    // 3-grams) — the repetitiveness card generative-eval suites report
+    // as distinct-n: a source whose ratio collapses is template spam
+    // even when exact dedup passes. Same distinct-shingle cardinality
+    // class as corpus_dup_ngram_frac, sliced per source; both counts
+    // ride one two-level aggregate keyed by (source, shingle).
+    QueryDef(
+      "distinct_ngram_diversity",
+      (s, d) => t(s, d, "documents")
+        .select(col("source"),
+          explode(GraftFunctions.wordShingles(col("text"), 3)).as("s3"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_total"),
+          countDistinct(col("s3")).as("n_distinct"))
+        .withColumn("diversity",
+          col("n_distinct").cast("double") / col("n_total").cast("double"))
+        .orderBy("source"),
+      Some(s"""SELECT source, count(*) AS n_total,
+             |  count(DISTINCT s3) AS n_distinct,
+             |  CAST(count(DISTINCT s3) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS diversity
+             |FROM (SELECT source, unnest(${DedupQueries.shinglesSql}) AS s3
+             |      FROM documents WHERE len(string_split(text, ' ')) >= 3)
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Regex funnels over sessionized event paths: each (user, 30-min
+    // session) becomes an ordered `type>type>...` path string, and a
+    // fixed pattern set is evaluated as anchored/unanchored regexes —
+    // the product-analytics "path matches" readout (did the session
+    // view-then-purchase? start at signup? hit repeated errors?).
+    // One sessionize window (the events_sessionize rule verbatim), one
+    // per-session sort-free path build (array_sort over the collected
+    // struct, not a second window), then a single pass computes every
+    // pattern's match count; stack() unpivots to one row per pattern.
+    QueryDef(
+      "path_regex_funnel",
+      (s, d) => {
+        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val prevTs = lag(col("ts"), 1).over(byUser)
+        val isNew = when(prevTs.isNull ||
+          (unix_millis(col("ts").cast("timestamp")) -
+           unix_millis(prevTs.cast("timestamp"))) > 1800000L, 1L).otherwise(0L)
+        val paths = t(s, d, "events")
+          .withColumn("session_seq", sum(isNew).over(run))
+          .groupBy("user_id", "session_seq")
+          .agg(array_join(transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"),
+              col("event_type")))), x => x.getField("event_type")), ">").as("path"))
+        val pats = Seq(
+          "signup_first" -> "^signup",
+          "view_to_purchase" -> "view>.*purchase",
+          "repeated_errors" -> "error>.*error",
+          "ends_in_purchase" -> "purchase$")
+        val sums = paths.agg(
+          count(lit(1)).as("n_sessions"),
+          pats.map { case (nm, re) =>
+            sum(when(col("path").rlike(re), 1L).otherwise(0L)).as(s"m_$nm")
+          }: _*)
+        val stackExpr = pats.map { case (nm, _) => s"'$nm', m_$nm" }
+          .mkString("stack(" + pats.size + ", ", ", ", ") AS (pattern, n_match)")
+        sums.select(col("n_sessions"), expr(stackExpr))
+          .select(col("pattern"), col("n_sessions"), col("n_match"),
+            (col("n_match").cast("double") / col("n_sessions").cast("double"))
+              .as("match_rate"))
+          .orderBy("pattern")
+      },
+      Some("""WITH se AS (
+             |  SELECT user_id, event_id, ts, event_type,
+             |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+             |  FROM events),
+             |sess AS (
+             |  SELECT user_id, event_id, ts, event_type,
+             |    SUM(CASE WHEN prev_ts IS NULL
+             |         OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000 THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+             |  FROM se),
+             |paths AS (
+             |  SELECT user_id, session_seq,
+             |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+             |  FROM sess GROUP BY user_id, session_seq),
+             |m AS (
+             |  SELECT count(*) AS n_sessions,
+             |    CAST(sum(CASE WHEN regexp_matches(path, '^signup') THEN 1 ELSE 0 END) AS BIGINT) AS m_signup_first,
+             |    CAST(sum(CASE WHEN regexp_matches(path, 'view>.*purchase') THEN 1 ELSE 0 END) AS BIGINT) AS m_view_to_purchase,
+             |    CAST(sum(CASE WHEN regexp_matches(path, 'error>.*error') THEN 1 ELSE 0 END) AS BIGINT) AS m_repeated_errors,
+             |    CAST(sum(CASE WHEN regexp_matches(path, 'purchase$') THEN 1 ELSE 0 END) AS BIGINT) AS m_ends_in_purchase
+             |  FROM paths)
+             |SELECT p.pattern, m.n_sessions, p.n_match,
+             |  CAST(p.n_match AS DOUBLE) / CAST(m.n_sessions AS DOUBLE) AS match_rate
+             |FROM m, (
+             |  SELECT 'signup_first' AS pattern, m_signup_first AS n_match FROM m
+             |  UNION ALL SELECT 'view_to_purchase', m_view_to_purchase FROM m
+             |  UNION ALL SELECT 'repeated_errors', m_repeated_errors FROM m
+             |  UNION ALL SELECT 'ends_in_purchase', m_ends_in_purchase FROM m) p
+             |ORDER BY p.pattern""".stripMargin)))
 }

@@ -186,4 +186,65 @@ class CurationSpec extends SparkSuite {
       .select("assortativity").as[Double].collect().head
     assert(r >= -1.0 && r <= 1.0)
   }
+
+  test("lm_bigram_perplexity matches a driver-side brute-force add-1 " +
+      "bigram LM on sf0.001") {
+    import java.security.MessageDigest
+    def permille(id: Long, salt: String): Long = {
+      val md5 = MessageDigest.getInstance("MD5")
+        .digest(s"$salt:$id".getBytes("UTF-8"))
+      val hex = md5.map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 1000000L
+    }
+    val docs = graft.QueryDef.t(spark, sf, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val (train, held) = docs.partition { case (id, _) => permille(id, "lm") < 800000L }
+    def toks(t: String) = t.split(" ", -1).toSeq
+    def bigrams(t: String) = toks(t).sliding(2).filter(_.size == 2)
+      .map(_.mkString(" ")).toSeq
+    val uni = train.flatMap(d => toks(d._2)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bg = train.flatMap(d => bigrams(d._2)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val v = uni.size.toLong
+    val hoBg = held.flatMap(d => bigrams(d._2))
+    def lpNano(b: String): Long = {
+      val c12 = bg.getOrElse(b, 0L); val c1 = uni.getOrElse(b.split(" ")(0), 0L)
+      BigDecimal(math.log((c12 + 1).toDouble / (c1 + v).toDouble) * 1e9)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val xentBrute = -hoBg.map(lpNano).sum
+    val row = SparkEntry.queries("lm_bigram_perplexity")(spark, sf)
+      .select("vocab_size", "n_heldout_bigrams", "xent_sum_nano", "ppl_micro")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(row._1 == v)
+    assert(row._2 == hoBg.size.toLong)
+    assert(row._3 == xentBrute)
+    // ppl bounds: 1 <= ppl <= worst-case smoothed denominator
+    val ppl = row._4 / 1e6
+    assert(ppl >= 1.0 && ppl <= (train.map(d => toks(d._2).size).sum + v).toDouble)
+  }
+
+  test("distinct_ngram_diversity: ratios in (0, 1], distinct <= total") {
+    val rows = SparkEntry.queries("distinct_ngram_diversity")(spark, sf)
+      .select("n_total", "n_distinct", "diversity")
+      .as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (tot, dis, div) =>
+      assert(dis >= 1L && dis <= tot)
+      assert(div > 0.0 && div <= 1.0)
+    }
+  }
+
+  test("path_regex_funnel: match counts bounded by the sessionize-" +
+      "consistent session count") {
+    val nSessions = SparkEntry.queries("events_sessionize")(spark, sf)
+      .select("user_id", "session_seq").distinct().count()
+    val rows = SparkEntry.queries("path_regex_funnel")(spark, sf)
+      .select("pattern", "n_sessions", "n_match")
+      .as[(String, Long, Long)].collect()
+    assert(rows.length == 4)
+    rows.foreach { case (_, ns, m) =>
+      assert(ns == nSessions)
+      assert(m >= 0L && m <= ns)
+    }
+  }
 }
