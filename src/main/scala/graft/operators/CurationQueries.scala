@@ -615,5 +615,61 @@ object CurationQueries {
              |  UNION ALL SELECT 'view_to_purchase', m_view_to_purchase FROM m
              |  UNION ALL SELECT 'repeated_errors', m_repeated_errors FROM m
              |  UNION ALL SELECT 'ends_in_purchase', m_ends_in_purchase FROM m) p
-             |ORDER BY p.pattern""".stripMargin)))
+             |ORDER BY p.pattern""".stripMargin)),
+
+    // k-anonymity audit over the corpus's quasi-identifier tuple
+    // (lang, source, n_chars bucketed to 100): the privacy readout a
+    // release gate runs before publishing a dataset card — the minimum
+    // equivalence-class size IS the dataset's k, and the rows sitting
+    // in classes below the k=5 policy line are the re-identification
+    // surface. One groupBy + one global aggregate; every count exact.
+    QueryDef(
+      "k_anonymity_audit",
+      (s, d) => t(s, d, "documents")
+        .groupBy(col("lang"), col("source"),
+          expr("n_chars div 100").as("size_bucket"))
+        .agg(count(lit(1)).as("cls"))
+        .agg(min(col("cls")).as("k_min"),
+          count(lit(1)).as("n_classes"),
+          sum(when(col("cls") < 5L, 1L).otherwise(0L)).as("n_classes_lt5"),
+          sum(when(col("cls") < 5L, col("cls")).otherwise(0L)).as("n_docs_at_risk")),
+      Some("""WITH cls AS (
+             |  SELECT lang, source, n_chars // 100 AS size_bucket, count(*) AS cls
+             |  FROM documents GROUP BY 1, 2, 3)
+             |SELECT CAST(min(cls) AS BIGINT) AS k_min,
+             |  count(*) AS n_classes,
+             |  CAST(sum(CASE WHEN cls < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_classes_lt5,
+             |  CAST(sum(CASE WHEN cls < 5 THEN cls ELSE 0 END) AS BIGINT) AS n_docs_at_risk
+             |FROM cls""".stripMargin)),
+
+    // Freshness/completeness SLA audit of the event log, per event
+    // type: first/last seen, distinct active days, and the number of
+    // silent days inside the observed span — the data-contract
+    // monitoring card (a type whose missing_days jumps has a broken
+    // producer even if total volume looks fine). One groupBy(type) with
+    // a two-level distinct-day aggregate; span arithmetic is exact
+    // DATE math.
+    QueryDef(
+      "data_freshness_audit",
+      (s, d) => t(s, d, "events")
+        .select(col("event_type"), col("ts"),
+          col("ts").cast("date").as("day"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("first_ts"),
+          max(col("ts")).as("last_ts"),
+          countDistinct(col("day")).as("n_active_days"))
+        .withColumn("span_days",
+          (datediff(col("last_ts").cast("date"), col("first_ts").cast("date")) + 1)
+            .cast("long"))
+        .withColumn("missing_days", col("span_days") - col("n_active_days"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n_events,
+             |  min(ts) AS first_ts, max(ts) AS last_ts,
+             |  count(DISTINCT CAST(ts AS DATE)) AS n_active_days,
+             |  CAST(date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) + 1
+             |       AS BIGINT) AS span_days,
+             |  CAST(date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) + 1
+             |       AS BIGINT) - count(DISTINCT CAST(ts AS DATE)) AS missing_days
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)))
 }

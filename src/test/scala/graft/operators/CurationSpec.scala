@@ -247,4 +247,33 @@ class CurationSpec extends SparkSuite {
       assert(m >= 0L && m <= ns)
     }
   }
+
+  test("k_anonymity_audit matches a direct equivalence-class recount") {
+    val docs = graft.QueryDef.t(spark, sf, "documents")
+    val classes = docs.groupBy(col("lang"), col("source"),
+        expr("n_chars div 100")).count()
+      .select("count").as[Long].collect()
+    val row = SparkEntry.queries("k_anonymity_audit")(spark, sf)
+      .select("k_min", "n_classes", "n_classes_lt5", "n_docs_at_risk")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(row._1 == classes.min)
+    assert(row._2 == classes.length.toLong)
+    assert(row._3 == classes.count(_ < 5L).toLong)
+    assert(row._4 == classes.filter(_ < 5L).sum)
+  }
+
+  test("data_freshness_audit: day accounting is internally consistent " +
+      "and totals reconcile") {
+    val nEvents = graft.QueryDef.t(spark, sf, "events").count()
+    val rows = SparkEntry.queries("data_freshness_audit")(spark, sf)
+      .select("n_events", "n_active_days", "span_days", "missing_days")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).sum == nEvents)
+    rows.foreach { case (n, active, span, missing) =>
+      assert(n > 0L && active >= 1L)
+      assert(active <= span)
+      assert(missing == span - active && missing >= 0L)
+    }
+  }
 }
