@@ -33,6 +33,31 @@ object AnalyticsQueries {
       }
     }
 
+  /** Distinct (order, part) purchase items with the merge-join pin — the
+    * shared base of every co-purchase graph query (copurchase_pairs,
+    * link_prediction_common_nbrs, kcore_peel_round,
+    * graph_degree_assortativity). The pin is load-bearing: in round 7 a
+    * single un-hinted copy of this subtree let AQE broadcast the
+    * ~2M-row build side at 10x — a 42x cliff (BENCH_r07). Keep the hint
+    * HERE so no copy can drift.
+    */
+  private[operators] def copurchaseItems(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .hint("merge")
+
+  /** Undirected distinct co-purchase edges (a < b) over copurchaseItems. */
+  private[operators] def copurchaseEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val items = copurchaseItems(s, d)
+    items.select(col("l_orderkey"), col("l_partkey").as("a"))
+      .join(items.select(col("l_orderkey"), col("l_partkey").as("b")),
+        "l_orderkey")
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Behavioral sequence mining: the 25 most common 3-event paths across
@@ -596,9 +621,7 @@ object AnalyticsQueries {
     QueryDef(
       "copurchase_pairs",
       (s, d) => {
-        val items = t(s, d, "lineitem")
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
-          .hint("merge")
+        val items = copurchaseItems(s, d)
         items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
           .join(items.select(col("l_orderkey"), col("l_partkey").as("part_b")),
             "l_orderkey")
@@ -637,14 +660,7 @@ object AnalyticsQueries {
       (s, d) => {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("node").orderBy("nbr")
-        val items = t(s, d, "lineitem")
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
-          .hint("merge") // same scale-cliff pin as copurchase_pairs
-        val edges = items.select(col("l_orderkey"), col("l_partkey").as("a"))
-          .join(items.select(col("l_orderkey"), col("l_partkey").as("b")),
-            "l_orderkey")
-          .filter(col("a") < col("b"))
-          .select("a", "b").distinct()
+        val edges = copurchaseEdges(s, d)
         val capped = edges.select(col("a").as("node"), col("b").as("nbr"))
           .unionByName(edges.select(col("b").as("node"), col("a").as("nbr")))
           .withColumn("rn", row_number().over(w)).filter(col("rn") <= 16)
@@ -1035,17 +1051,6 @@ object AnalyticsQueries {
              |FROM base JOIN means ON base.event_type = means.event_type
              |GROUP BY base.event_type""".stripMargin)),
 
-    // Variance-band outlier screen with the comparison kept ENTIRELY in
-    // exact decimal arithmetic: |v − μ| > 2σ is algebraically cleared of
-    // divisions — (n·v − S)² > 4·(n·SS − S²) with S = Σv, SS = Σv² as
-    // DECIMAL sums — so the boundary decision is integer-exact on both
-    // engines (no Welford-vs-textbook FP drift, no ULP flips at the
-    // threshold). Every intermediate is cast to a width sized to this
-    // lake's magnitudes (v < 10⁴ with 2 dp, n < 10⁸ per type) so no
-    // product exceeds DuckDB's hard 38-digit multiply limit; a larger
-    // deployment re-sizes the widths with the lake. Two aggregation
-    // passes (moments, then the screen), 1-row-per-type moments
-    // broadcast back.
     // Robust (median/MAD) outlier screen — the companion to
     // value_outlier_screen's mean/stddev z-score: a single fat-tailed
     // batch inflates the stddev and hides its own outliers, while the
@@ -1111,6 +1116,17 @@ object AnalyticsQueries {
              |FROM devs d JOIN mad m USING (event_type)
              |GROUP BY d.event_type ORDER BY event_type""".stripMargin)),
 
+    // Variance-band outlier screen with the comparison kept ENTIRELY in
+    // exact decimal arithmetic: |v − μ| > 2σ is algebraically cleared of
+    // divisions — (n·v − S)² > 4·(n·SS − S²) with S = Σv, SS = Σv² as
+    // DECIMAL sums — so the boundary decision is integer-exact on both
+    // engines (no Welford-vs-textbook FP drift, no ULP flips at the
+    // threshold). Every intermediate is cast to a width sized to this
+    // lake's magnitudes (v < 10⁴ with 2 dp, n < 10⁸ per type) so no
+    // product exceeds DuckDB's hard 38-digit multiply limit; a larger
+    // deployment re-sizes the widths with the lake. Two aggregation
+    // passes (moments, then the screen), 1-row-per-type moments
+    // broadcast back.
     QueryDef(
       "value_outlier_screen",
       (s, d) => {
@@ -1529,13 +1545,7 @@ object AnalyticsQueries {
     QueryDef(
       "kcore_peel_round",
       (s, d) => {
-        val items = t(s, d, "lineitem")
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
-        val edges = items.select(col("l_orderkey"), col("l_partkey").as("a"))
-          .join(items.select(col("l_orderkey"), col("l_partkey").as("b")),
-            "l_orderkey")
-          .filter(col("a") < col("b"))
-          .select("a", "b").distinct()
+        val edges = copurchaseEdges(s, d)
         val touch = edges.select(col("a").as("node"))
           .unionByName(edges.select(col("b").as("node")))
         val deg0 = touch.groupBy("node").agg(count(lit(1)).as("deg0"))
@@ -1852,9 +1862,13 @@ object AnalyticsQueries {
     QueryDef(
       "weighted_median_price",
       (s, d) => {
+        // floor() before the integer cast on BOTH engines: Spark's
+        // double→long cast truncates while DuckDB's CAST rounds to
+        // nearest, so an un-floored cast is a latent divergence on any
+        // lake with non-integral quantities (TPC-H's happen to be whole).
         val li = t(s, d, "lineitem").select(
           col("l_suppkey"), col("l_extendedprice"), col("l_orderkey"),
-          col("l_linenumber"), col("l_quantity").cast("long").as("qty"))
+          col("l_linenumber"), floor(col("l_quantity")).cast("long").as("qty"))
         val w = Window.partitionBy("l_suppkey")
           .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
         val tot = Window.partitionBy("l_suppkey")
@@ -1868,11 +1882,11 @@ object AnalyticsQueries {
       },
       Some("""WITH r AS (
              |  SELECT l_suppkey, l_extendedprice,
-             |    CAST(l_quantity AS BIGINT) AS qty,
-             |    sum(CAST(l_quantity AS BIGINT)) OVER (
+             |    CAST(floor(l_quantity) AS BIGINT) AS qty,
+             |    sum(CAST(floor(l_quantity) AS BIGINT)) OVER (
              |      PARTITION BY l_suppkey
              |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS cum,
-             |    sum(CAST(l_quantity AS BIGINT)) OVER (
+             |    sum(CAST(floor(l_quantity) AS BIGINT)) OVER (
              |      PARTITION BY l_suppkey) AS total_weight
              |  FROM lineitem)
              |SELECT l_suppkey, min(l_extendedprice) AS weighted_median_price,
@@ -2306,14 +2320,7 @@ object AnalyticsQueries {
     QueryDef(
       "graph_degree_assortativity",
       (s, d) => {
-        val items = t(s, d, "lineitem")
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
-          .hint("merge")
-        val edges = items.select(col("l_orderkey"), col("l_partkey").as("a"))
-          .join(items.select(col("l_orderkey"), col("l_partkey").as("b")),
-            "l_orderkey")
-          .filter(col("a") < col("b"))
-          .select("a", "b").distinct()
+        val edges = copurchaseEdges(s, d)
         val deg = edges.select(col("a").as("node"))
           .unionByName(edges.select(col("b").as("node")))
           .groupBy("node").agg(count(lit(1)).as("deg"))

@@ -22,17 +22,6 @@ import org.apache.spark.sql.functions._
   */
 object CurationQueries {
 
-  /** md5-derived 20-bit-ish integer hash in [0, 1e6), reproducible in
-    * DuckDB SQL byte-for-byte (same scheme as PipelineQueries.hashPermille
-    * but over an arbitrary string column).
-    */
-  private def strHash(c: org.apache.spark.sql.Column, salt: String) =
-    conv(substring(md5(concat(lit(salt + ":"), c)), 1, 15), 16, 10)
-      .cast("long") % 1000000L
-
-  private def strHashSql(sqlExpr: String, salt: String): String =
-    s"CAST(('0x' || substr(md5('$salt:' || $sqlExpr), 1, 15)) AS BIGINT) % 1000000"
-
   /** Per-user conversion flag: did the user's FIRST event (by ts,
     * event_id) land on `purchase`? "Any purchase ever" saturates to 1.0
     * as events-per-user grows with scale factor (every user eventually
@@ -156,7 +145,8 @@ object CurationQueries {
         val wAll = Window.partitionBy("doc_id")
         val wFrame = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
         sh.withColumn("key",
-            strHash(col("shingle"), "win") * 1000000L + (lit(999999L) - col("pos")))
+            PipelineQueries.hashPermille(col("shingle"), "win") * 1000000L +
+              (lit(999999L) - col("pos")))
           .withColumn("cnt", count(lit(1)).over(wAll))
           .withColumn("wmin", min("key").over(wFrame))
           .filter(col("pos") <= col("cnt") - 4)
@@ -176,7 +166,7 @@ object CurationQueries {
              |        WHERE len(tk) >= 4)),
              |k AS (
              |  SELECT doc_id, pos,
-             |    (${strHashSql("shingle", "win")}) * 1000000 + (999999 - pos) AS key,
+             |    (${PipelineQueries.hashSqlExpr("shingle", "win")}) * 1000000 + (999999 - pos) AS key,
              |    count(*) OVER (PARTITION BY doc_id) AS cnt
              |  FROM sh),
              |m AS (
