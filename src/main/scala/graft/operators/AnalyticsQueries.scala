@@ -2362,5 +2362,80 @@ object AnalyticsQueries {
              |SELECT m_edges, s_jk, s_sum, s_sq,
              |  CAST(4 * m_edges * s_jk - s_sum * s_sum AS DOUBLE)
              |    / CAST(2 * m_edges * s_sq - s_sum * s_sum AS DOUBLE) AS assortativity
-             |FROM mom""".stripMargin)))
+             |FROM mom""".stripMargin)),
+
+    // Lag-k autocorrelation of the daily event volume (k = 1..3) — the
+    // time-series health card behind seasonality/anomaly detection: a
+    // weekly-periodic ingest shows r(7) >> r(1); a drifting pipeline
+    // decays slowly. The ACF is algebraically expanded so every moment
+    // (Σx, Σx², Σx·x₊ₖ and the truncated edge sums) is an EXACT BIGINT —
+    // the usual Σ(x−μ)(x₊ₖ−μ) form would sum doubles in partition order,
+    // which is nondeterministic; here the only doubles are four fixed-
+    // order ops on exact integers per output row. The lead window is
+    // ordered by day — bounded by the DATE DOMAIN, not the row count, so
+    // the unpartitioned window never outgrows a task at any scale.
+    QueryDef(
+      "acf_daily_events",
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("ts").cast("date").as("day"))
+          .agg(count(lit(1)).as("x"))
+        val w = Window.orderBy("day")
+        val led = daily.select(col("x"),
+          lead("x", 1).over(w).as("l1"),
+          lead("x", 2).over(w).as("l2"),
+          lead("x", 3).over(w).as("l3"))
+        val m = led.agg(
+          count(lit(1)).as("n"), sum("x").as("s"),
+          sum(col("x") * col("x")).as("ss"),
+          sum(col("x") * col("l1")).as("p1"),
+          sum(when(col("l1").isNotNull, col("x"))).as("a1"), sum("l1").as("b1"),
+          sum(col("x") * col("l2")).as("p2"),
+          sum(when(col("l2").isNotNull, col("x"))).as("a2"), sum("l2").as("b2"),
+          sum(col("x") * col("l3")).as("p3"),
+          sum(when(col("l3").isNotNull, col("x"))).as("a3"), sum("l3").as("b3"))
+        val mu = col("s").cast("double") / col("n").cast("double")
+        m.select(col("n"), col("s"), col("ss"),
+            expr("stack(3, 1L, p1, a1, b1, 2L, p2, a2, b2, 3L, p3, a3, b3) " +
+              "AS (lag, p, a, b)"))
+          .select(col("lag"), col("n").as("n_days"),
+            ((col("p").cast("double") - mu * (col("a") + col("b")).cast("double") +
+              (col("n") - col("lag")).cast("double") * mu * mu) /
+             (col("ss").cast("double") - col("s").cast("double") * mu)).as("acf"))
+          .orderBy("lag")
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(ts AS DATE) AS day, count(*) AS x
+             |  FROM events GROUP BY 1),
+             |l AS (
+             |  SELECT x,
+             |    lead(x, 1) OVER (ORDER BY day) AS l1,
+             |    lead(x, 2) OVER (ORDER BY day) AS l2,
+             |    lead(x, 3) OVER (ORDER BY day) AS l3
+             |  FROM daily),
+             |m AS (
+             |  SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS s,
+             |    CAST(sum(x * x) AS BIGINT) AS ss,
+             |    CAST(sum(x * l1) AS BIGINT) AS p1,
+             |    CAST(sum(CASE WHEN l1 IS NOT NULL THEN x END) AS BIGINT) AS a1,
+             |    CAST(sum(l1) AS BIGINT) AS b1,
+             |    CAST(sum(x * l2) AS BIGINT) AS p2,
+             |    CAST(sum(CASE WHEN l2 IS NOT NULL THEN x END) AS BIGINT) AS a2,
+             |    CAST(sum(l2) AS BIGINT) AS b2,
+             |    CAST(sum(x * l3) AS BIGINT) AS p3,
+             |    CAST(sum(CASE WHEN l3 IS NOT NULL THEN x END) AS BIGINT) AS a3,
+             |    CAST(sum(l3) AS BIGINT) AS b3
+             |  FROM l),
+             |u AS (
+             |  SELECT n, s, ss, CAST(1 AS BIGINT) AS lag, p1 AS p, a1 AS a, b1 AS b FROM m
+             |  UNION ALL SELECT n, s, ss, 2, p2, a2, b2 FROM m
+             |  UNION ALL SELECT n, s, ss, 3, p3, a3, b3 FROM m)
+             |SELECT lag, n AS n_days,
+             |  (CAST(p AS DOUBLE)
+             |   - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(a + b AS DOUBLE)
+             |   + CAST(n - lag AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             |     * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+             |  / (CAST(ss AS DOUBLE)
+             |     - CAST(s AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) AS acf
+             |FROM u ORDER BY lag""".stripMargin)))
 }

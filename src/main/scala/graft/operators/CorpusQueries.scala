@@ -948,5 +948,60 @@ object CorpusQueries {
            |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
            |    / CAST(count(*) AS DOUBLE) AS novelty_frac
            |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
-      }))
+      }),
+
+    // Reciprocal-rank fusion (Cormack et al. 2009) of two retrieval
+    // lists — the hybrid-search merge every lexical+vector stack runs:
+    // list A ranks by query-term frequency (the bm25_topk term set),
+    // list B by a query-independent authority prior (document length
+    // here — the static-prior slot). RRF's 1/(60+rank) is kept EXACT by
+    // integer division in ppm units (1000000 div (60+rank)) instead of
+    // summing fractions in floating point, so ties and order are
+    // bit-stable on both engines. Scale: both lists are top-50
+    // WindowGroupLimit-class selections, the fusion is a 50+50-row full
+    // outer join — the corpus is never joined to itself.
+    QueryDef(
+      "hybrid_rrf_fusion",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val tfSum = docs
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+          .filter(col("tok").isin("vector", "merge", "dup"))
+          .groupBy("doc_id").agg(count(lit(1)).as("tf_sum"))
+        val listA = tfSum
+          .orderBy(col("tf_sum").desc, col("doc_id")).limit(50)
+          .select(col("doc_id"),
+            row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("tf_sum").desc, col("doc_id")))
+              .cast("long").as("rank_a"))
+        val listB = docs
+          .orderBy(col("n_chars").desc, col("doc_id")).limit(50)
+          .select(col("doc_id"),
+            row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("n_chars").desc, col("doc_id")))
+              .cast("long").as("rank_b"))
+        listA.join(listB, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"), col("rank_a"), col("rank_b"),
+            (coalesce(expr("1000000L div (60 + rank_a)"), lit(0L)) +
+             coalesce(expr("1000000L div (60 + rank_b)"), lit(0L))).as("rrf_ppm"))
+          .orderBy(col("rrf_ppm").desc, col("doc_id")).limit(20)
+      },
+      Some("""WITH tf AS (
+             |  SELECT doc_id, count(*) AS tf_sum
+             |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |        FROM documents)
+             |  WHERE tok IN ('vector', 'merge', 'dup')
+             |  GROUP BY doc_id),
+             |la AS (
+             |  SELECT doc_id,
+             |    CAST(ROW_NUMBER() OVER (ORDER BY tf_sum DESC, doc_id) AS BIGINT) AS rank_a
+             |  FROM (SELECT * FROM tf ORDER BY tf_sum DESC, doc_id LIMIT 50)),
+             |lb AS (
+             |  SELECT doc_id,
+             |    CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank_b
+             |  FROM (SELECT doc_id, n_chars FROM documents
+             |        ORDER BY n_chars DESC, doc_id LIMIT 50))
+             |SELECT coalesce(la.doc_id, lb.doc_id) AS doc_id, rank_a, rank_b,
+             |  coalesce(1000000 // (60 + rank_a), 0)
+             |    + coalesce(1000000 // (60 + rank_b), 0) AS rrf_ppm
+             |FROM la FULL OUTER JOIN lb ON la.doc_id = lb.doc_id
+             |ORDER BY rrf_ppm DESC, doc_id LIMIT 20""".stripMargin)))
 }

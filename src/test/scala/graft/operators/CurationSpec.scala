@@ -276,4 +276,43 @@ class CurationSpec extends SparkSuite {
       assert(missing == span - active && missing >= 0L)
     }
   }
+
+  test("acf_daily_events matches a driver-side brute-force ACF and obeys " +
+      "|r| <= 1 (Cauchy-Schwarz)") {
+    val daily = graft.QueryDef.t(spark, sf, "events")
+      .groupBy(col("ts").cast("date").as("day")).count()
+      .orderBy("day").select("count").as[Long].collect().map(_.toDouble)
+    val n = daily.length
+    val mu = daily.sum / n
+    def brute(k: Int): Double = {
+      val num = (0 until n - k).map(i => (daily(i) - mu) * (daily(i + k) - mu)).sum
+      val den = daily.map(x => (x - mu) * (x - mu)).sum
+      num / den
+    }
+    val rows = SparkEntry.queries("acf_daily_events")(spark, sf)
+      .select("lag", "acf").as[(Long, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    rows.foreach { case (k, r) =>
+      assert(math.abs(r - brute(k.toInt)) < 1e-9, s"lag $k: $r vs ${brute(k.toInt)}")
+      assert(r >= -1.0 && r <= 1.0)
+    }
+  }
+
+  test("hybrid_rrf_fusion: ppm scores decompose into the two exact " +
+      "integer-division rank contributions") {
+    val rows = SparkEntry.queries("hybrid_rrf_fusion")(spark, sf)
+      .select("doc_id", "rank_a", "rank_b", "rrf_ppm")
+      .as[(Long, Option[Long], Option[Long], Long)].collect()
+    assert(rows.length == 20)
+    rows.foreach { case (_, ra, rb, ppm) =>
+      ra.foreach(r => assert(r >= 1L && r <= 50L))
+      rb.foreach(r => assert(r >= 1L && r <= 50L))
+      val expect = ra.map(r => 1000000L / (60L + r)).getOrElse(0L) +
+        rb.map(r => 1000000L / (60L + r)).getOrElse(0L)
+      assert(ppm == expect)
+      assert(ra.nonEmpty || rb.nonEmpty)
+    }
+    // the fused head must outrank a tail-of-one-list score
+    assert(rows.map(_._4).max >= 1000000L / 61L)
+  }
 }
