@@ -22,6 +22,35 @@ import org.apache.spark.sql.functions._
   */
 object CurationQueries {
 
+  /** The fixed funnel pattern set shared by path_regex_funnel and its
+    * streaming twin (streaming_path_funnel): name -> regex over the
+    * `type>type>...` session path string.
+    */
+  private[operators] val funnelPatterns: Seq[(String, String)] = Seq(
+    "signup_first" -> "^signup",
+    "view_to_purchase" -> "view>.*purchase",
+    "repeated_errors" -> "error>.*error",
+    "ends_in_purchase" -> "purchase$")
+
+  /** One-pass per-pattern match counts over a `path`-column DataFrame,
+    * unpivoted to (pattern, n_sessions, n_match, match_rate) rows.
+    */
+  private[operators] def funnelMatches(
+      paths: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sums = paths.agg(
+      count(lit(1)).as("n_sessions"),
+      funnelPatterns.map { case (nm, re) =>
+        sum(when(col("path").rlike(re), 1L).otherwise(0L)).as(s"m_$nm")
+      }: _*)
+    val stackExpr = funnelPatterns.map { case (nm, _) => s"'$nm', m_$nm" }
+      .mkString("stack(" + funnelPatterns.size + ", ", ", ", ") AS (pattern, n_match)")
+    sums.select(col("n_sessions"), expr(stackExpr))
+      .select(col("pattern"), col("n_sessions"), col("n_match"),
+        (col("n_match").cast("double") / col("n_sessions").cast("double"))
+          .as("match_rate"))
+      .orderBy("pattern")
+  }
+
   /** Per-user conversion flag: did the user's FIRST event (by ts,
     * event_id) land on `purchase`? "Any purchase ever" saturates to 1.0
     * as events-per-user grows with scale factor (every user eventually
@@ -558,23 +587,7 @@ object CurationQueries {
           .agg(array_join(transform(
             array_sort(collect_list(struct(col("ts"), col("event_id"),
               col("event_type")))), x => x.getField("event_type")), ">").as("path"))
-        val pats = Seq(
-          "signup_first" -> "^signup",
-          "view_to_purchase" -> "view>.*purchase",
-          "repeated_errors" -> "error>.*error",
-          "ends_in_purchase" -> "purchase$")
-        val sums = paths.agg(
-          count(lit(1)).as("n_sessions"),
-          pats.map { case (nm, re) =>
-            sum(when(col("path").rlike(re), 1L).otherwise(0L)).as(s"m_$nm")
-          }: _*)
-        val stackExpr = pats.map { case (nm, _) => s"'$nm', m_$nm" }
-          .mkString("stack(" + pats.size + ", ", ", ", ") AS (pattern, n_match)")
-        sums.select(col("n_sessions"), expr(stackExpr))
-          .select(col("pattern"), col("n_sessions"), col("n_match"),
-            (col("n_match").cast("double") / col("n_sessions").cast("double"))
-              .as("match_rate"))
-          .orderBy("pattern")
+        funnelMatches(paths)
       },
       Some("""WITH se AS (
              |  SELECT user_id, event_id, ts, event_type,

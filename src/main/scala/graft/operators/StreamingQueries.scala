@@ -562,6 +562,53 @@ object StreamingQueries {
       .coalesce(1).write.mode("overwrite").parquet(resultOut)
   }
 
+  /** Streaming twin of path_regex_funnel: session paths built ONLINE with
+    * session_window + a streaming collect_list (per-session state is the
+    * event-type list, merged across triggers as late panes extend the
+    * session), emitted on watermark close; the pattern matching itself is
+    * a stateless final pass over the emitted paths (shared with the batch
+    * query via CurationQueries.funnelMatches, so batch and stream can
+    * never drift on pattern semantics). Same sentinel trick as
+    * runSessionWindows flushes every real session.
+    */
+  private def runSessionPaths(s: SparkSession, sfDir: String, scratch: String, resultOut: String): Unit = {
+    val stage = s"$scratch/evlake"
+    val glob = stageEventSlices(s, sfDir, stage)
+    val maxTs = graft.QueryDef.t(s, sfDir, "events")
+      .agg(max(col("ts").cast("timestamp"))).head().getTimestamp(0)
+    val sentinel = s.range(1).select(
+      lit(new java.sql.Timestamp(maxTs.getTime + 8L * 3600 * 1000)).as("ts"),
+      lit("heartbeat").as("event_type"), lit(0.0).as("value"),
+      lit(-1L).as("user_id"), lit(-1L).as("event_id"))
+    val b4 = s"$stage/b4"
+    sentinel.coalesce(1).write.mode("overwrite").parquet(b4)
+    new java.io.File(b4).listFiles().filter(_.getName.startsWith("part-")).foreach {
+      f => f.setLastModified(1700000000000L + 4 * 60000L)
+    }
+    val out = s"$scratch/emissions"
+    val agg = eventStream(s, glob)
+      .select("ts", "user_id", "event_id", "event_type")
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("ts"), col("event_id"),
+          col("event_type")))), x => x.getField("event_type")), ">").as("path"))
+    val q = agg.writeStream
+      .outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.select(col("user_id"), col("path"))
+          .write.mode("append").parquet(out)
+        ()
+      }
+      .option("checkpointLocation", s"$scratch/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    CurationQueries.funnelMatches(
+        s.read.parquet(out).filter(col("user_id") =!= -1L))
+      .coalesce(1).write.mode("overwrite").parquet(resultOut)
+  }
+
   /** Running per-key aggregate through the Spark 4 arbitrary-state v2 API
     * ([[graft.streaming.StatefulAgg.RunningAgg]]): transformWithState
     * requires the RocksDB state store, so the conf is set for the run and
@@ -850,6 +897,52 @@ object StreamingQueries {
              |  count(*) AS n_events,
              |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
              |FROM sess GROUP BY user_id, sid""".stripMargin),
+      bench = false, sideEffecting = true),
+
+    // The streamed session-path funnel must emit the batch funnel's
+    // pattern counts exactly, under session_window's >=30min gap rule
+    // (session_window closes a session when the NEXT event is at or past
+    // gap — the `>=` split below; the batch path_regex_funnel's lag rule
+    // is strict `>`, indistinguishable at microsecond timestamps but
+    // pinned faithfully here). A session whose path is emitted before a
+    // late pane extends it, or split across triggers, hash-fails.
+    QueryDef(
+      "streaming_path_funnel",
+      (s, d) => cachedStream(s, "streaming_path_funnel", d)(runSessionPaths(s, d, _, _)),
+      Some("""WITH e AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+             |  FROM events),
+             |m AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |    CASE WHEN prev_ts IS NULL
+             |         OR epoch_ms(ts) - epoch_ms(prev_ts) >= 1800000
+             |      THEN 1 ELSE 0 END AS new_sess
+             |  FROM e),
+             |sess AS (
+             |  SELECT user_id, event_type, ts, event_id,
+             |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM m),
+             |paths AS (
+             |  SELECT user_id, sid,
+             |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+             |  FROM sess GROUP BY user_id, sid),
+             |agg AS (
+             |  SELECT count(*) AS n_sessions,
+             |    CAST(sum(CASE WHEN regexp_matches(path, '^signup') THEN 1 ELSE 0 END) AS BIGINT) AS m_signup_first,
+             |    CAST(sum(CASE WHEN regexp_matches(path, 'view>.*purchase') THEN 1 ELSE 0 END) AS BIGINT) AS m_view_to_purchase,
+             |    CAST(sum(CASE WHEN regexp_matches(path, 'error>.*error') THEN 1 ELSE 0 END) AS BIGINT) AS m_repeated_errors,
+             |    CAST(sum(CASE WHEN regexp_matches(path, 'purchase$') THEN 1 ELSE 0 END) AS BIGINT) AS m_ends_in_purchase
+             |  FROM paths)
+             |SELECT p.pattern, agg.n_sessions, p.n_match,
+             |  CAST(p.n_match AS DOUBLE) / CAST(agg.n_sessions AS DOUBLE) AS match_rate
+             |FROM agg, (
+             |  SELECT 'signup_first' AS pattern, m_signup_first AS n_match FROM agg
+             |  UNION ALL SELECT 'view_to_purchase', m_view_to_purchase FROM agg
+             |  UNION ALL SELECT 'repeated_errors', m_repeated_errors FROM agg
+             |  UNION ALL SELECT 'ends_in_purchase', m_ends_in_purchase FROM agg) p
+             |ORDER BY p.pattern""".stripMargin),
       bench = false, sideEffecting = true),
 
     // Exactly-once recovery from at-least-once redelivery: the deduped
