@@ -186,7 +186,11 @@ object ScaleSmoke {
     // linearly) and the winnowing fingerprint selection (per-doc ROWS
     // frame window over the shingle stream — strictly scan-proportional,
     // the selection density is a constant ~2/(w+1))
-    "dup_span_extraction", "winnowing_fingerprints")
+    "dup_span_extraction", "winnowing_fingerprints",
+    // the held-out LM join: unigram/bigram count tables grow with the
+    // DISTINCT n-gram set and the held-out probe joins one row per
+    // distinct bigram — growth must track vocabulary, not occurrences
+    "lm_bigram_perplexity")
 
   /** Run each smoke query twice on the scaled dir, return min seconds. */
   def run(spark: SparkSession, scaledDir: String): Map[String, Double] =
