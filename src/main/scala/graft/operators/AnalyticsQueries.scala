@@ -2367,19 +2367,28 @@ object AnalyticsQueries {
     // Lag-k autocorrelation of the daily event volume (k = 1..3) — the
     // time-series health card behind seasonality/anomaly detection: a
     // weekly-periodic ingest shows r(7) >> r(1); a drifting pipeline
-    // decays slowly. The ACF is algebraically expanded so every moment
-    // (Σx, Σx², Σx·x₊ₖ and the truncated edge sums) is an EXACT BIGINT —
-    // the usual Σ(x−μ)(x₊ₖ−μ) form would sum doubles in partition order,
-    // which is nondeterministic; here the only doubles are four fixed-
-    // order ops on exact integers per output row. The lead window is
-    // ordered by day — bounded by the DATE DOMAIN, not the row count, so
-    // the unpartitioned window never outgrows a task at any scale.
+    // decays slowly. The series is DENSIFIED onto the full calendar
+    // between first and last day (silent days become x = 0) before the
+    // lag pairing — over active days only, lead(x, 1) would pair
+    // Friday with Monday across a gap and "lag 1" would mix 1- and
+    // 3-day distances. The ACF is algebraically expanded so every
+    // moment (Σx, Σx², Σx·x₊ₖ and the truncated edge sums) is an EXACT
+    // BIGINT — the usual Σ(x−μ)(x₊ₖ−μ) form would sum doubles in
+    // partition order, which is nondeterministic; here the only doubles
+    // are four fixed-order ops on exact integers per output row. The
+    // lead window is ordered by day — bounded by the DATE DOMAIN, not
+    // the row count, so the unpartitioned window never outgrows a task
+    // at any scale.
     QueryDef(
       "acf_daily_events",
       (s, d) => {
-        val daily = t(s, d, "events")
+        val counts = t(s, d, "events")
           .groupBy(col("ts").cast("date").as("day"))
           .agg(count(lit(1)).as("x"))
+        val cal = counts.agg(min("day").as("d0"), max("day").as("d1"))
+          .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+        val daily = cal.join(counts, Seq("day"), "left_outer")
+          .select(col("day"), coalesce(col("x"), lit(0L)).as("x"))
         val w = Window.orderBy("day")
         val led = daily.select(col("x"),
           lead("x", 1).over(w).as("l1"),
@@ -2404,9 +2413,16 @@ object AnalyticsQueries {
              (col("ss").cast("double") - col("s").cast("double") * mu)).as("acf"))
           .orderBy("lag")
       },
-      Some("""WITH daily AS (
+      Some("""WITH counts AS (
              |  SELECT CAST(ts AS DATE) AS day, count(*) AS x
              |  FROM events GROUP BY 1),
+             |cal AS (
+             |  SELECT CAST(unnest(generate_series(
+             |    (SELECT min(day) FROM counts),
+             |    (SELECT max(day) FROM counts), INTERVAL 1 DAY)) AS DATE) AS day),
+             |daily AS (
+             |  SELECT cal.day, coalesce(counts.x, 0) AS x
+             |  FROM cal LEFT JOIN counts ON counts.day = cal.day),
              |l AS (
              |  SELECT x,
              |    lead(x, 1) OVER (ORDER BY day) AS l1,

@@ -518,12 +518,16 @@ object StreamingQueries {
     * then is filtered out of the result. Session state is bounded by the
     * watermark — the 100 TB contract for unbounded session streams.
     */
-  private def runSessionWindows(s: SparkSession, sfDir: String, scratch: String, resultOut: String): Unit = {
-    val stage = s"$scratch/evlake"
-    val glob = stageEventSlices(s, sfDir, stage)
-    // sentinel slice b4: one event 8h past the lake's max ts for a user id
-    // that cannot occur in the data; watermark (max - 2h) ends up 6h past
-    // the last real event — beyond every real session end (max + 30min)
+  /** Sentinel slice b4: one event 8h past the lake's max ts for a user id
+    * that cannot occur in the data; watermark (max - 2h) ends up 6h past
+    * the last real event — beyond every real session end (max + 30min) —
+    * so every real session/window flushes under AvailableNow. The slice's
+    * file modtime is set AFTER the four real slices so the file source
+    * delivers it last. Shared by every session-windowed streaming run —
+    * the 8h/2h offsets and the modtime scheme must never diverge between
+    * them.
+    */
+  private def stageSentinelSlice(s: SparkSession, sfDir: String, stage: String): Unit = {
     val maxTs = graft.QueryDef.t(s, sfDir, "events")
       .agg(max(col("ts").cast("timestamp"))).head().getTimestamp(0)
     val sentinel = s.range(1).select(
@@ -535,6 +539,12 @@ object StreamingQueries {
     new java.io.File(b4).listFiles().filter(_.getName.startsWith("part-")).foreach {
       f => f.setLastModified(1700000000000L + 4 * 60000L)
     }
+  }
+
+  private def runSessionWindows(s: SparkSession, sfDir: String, scratch: String, resultOut: String): Unit = {
+    val stage = s"$scratch/evlake"
+    val glob = stageEventSlices(s, sfDir, stage)
+    stageSentinelSlice(s, sfDir, stage)
     val out = s"$scratch/emissions"
     val agg = eventStream(s, glob)
       .select("ts", "user_id", "value")
@@ -574,17 +584,7 @@ object StreamingQueries {
   private def runSessionPaths(s: SparkSession, sfDir: String, scratch: String, resultOut: String): Unit = {
     val stage = s"$scratch/evlake"
     val glob = stageEventSlices(s, sfDir, stage)
-    val maxTs = graft.QueryDef.t(s, sfDir, "events")
-      .agg(max(col("ts").cast("timestamp"))).head().getTimestamp(0)
-    val sentinel = s.range(1).select(
-      lit(new java.sql.Timestamp(maxTs.getTime + 8L * 3600 * 1000)).as("ts"),
-      lit("heartbeat").as("event_type"), lit(0.0).as("value"),
-      lit(-1L).as("user_id"), lit(-1L).as("event_id"))
-    val b4 = s"$stage/b4"
-    sentinel.coalesce(1).write.mode("overwrite").parquet(b4)
-    new java.io.File(b4).listFiles().filter(_.getName.startsWith("part-")).foreach {
-      f => f.setLastModified(1700000000000L + 4 * 60000L)
-    }
+    stageSentinelSlice(s, sfDir, stage)
     val out = s"$scratch/emissions"
     val agg = eventStream(s, glob)
       .select("ts", "user_id", "event_id", "event_type")

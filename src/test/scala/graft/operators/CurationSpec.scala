@@ -277,24 +277,59 @@ class CurationSpec extends SparkSuite {
     }
   }
 
-  test("acf_daily_events matches a driver-side brute-force ACF and obeys " +
-      "|r| <= 1 (Cauchy-Schwarz)") {
-    val daily = graft.QueryDef.t(spark, sf, "events")
+  /** Calendar-dense daily counts (silent days as 0) from a lake dir. */
+  private def denseDaily(dir: String): Array[Double] = {
+    val rows = graft.QueryDef.t(spark, dir, "events")
       .groupBy(col("ts").cast("date").as("day")).count()
-      .orderBy("day").select("count").as[Long].collect().map(_.toDouble)
+      .select(col("day").cast("string"), col("count"))
+      .as[(String, Long)].collect()
+      .map { case (d, c) => (java.time.LocalDate.parse(d).toEpochDay, c) }.toMap
+    val (lo, hi) = (rows.keys.min, rows.keys.max)
+    (lo to hi).map(e => rows.getOrElse(e, 0L).toDouble).toArray
+  }
+
+  private def bruteAcf(daily: Array[Double], k: Int): Double = {
     val n = daily.length
     val mu = daily.sum / n
-    def brute(k: Int): Double = {
-      val num = (0 until n - k).map(i => (daily(i) - mu) * (daily(i + k) - mu)).sum
-      val den = daily.map(x => (x - mu) * (x - mu)).sum
-      num / den
-    }
+    val num = (0 until n - k).map(i => (daily(i) - mu) * (daily(i + k) - mu)).sum
+    val den = daily.map(x => (x - mu) * (x - mu)).sum
+    num / den
+  }
+
+  test("acf_daily_events matches a driver-side brute-force ACF and obeys " +
+      "|r| <= 1 (Cauchy-Schwarz)") {
+    val daily = denseDaily(sf)
+    assert(daily.length >= 4)
     val rows = SparkEntry.queries("acf_daily_events")(spark, sf)
       .select("lag", "acf").as[(Long, Double)].collect().sortBy(_._1)
     assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L))
     rows.foreach { case (k, r) =>
-      assert(math.abs(r - brute(k.toInt)) < 1e-9, s"lag $k: $r vs ${brute(k.toInt)}")
+      val b = bruteAcf(daily, k.toInt)
+      assert(math.abs(r - b) < 1e-9, s"lag $k: $r vs $b")
       assert(r >= -1.0 && r <= 1.0)
+    }
+  }
+
+  test("acf_daily_events densifies silent calendar days to zero before " +
+      "pairing lags (lag-1 never spans a gap)") {
+    // events on days 0,1,3,4 (day 2 silent) with distinct counts — the
+    // dense series is [1,2,0,3,4]-scaled; an active-days-only lag would
+    // pair day1 with day3 and report a different r(1).
+    val dir = java.nio.file.Files.createTempDirectory("graft-acf").toString
+    val base = java.time.LocalDate.of(2024, 3, 1)
+    val rows = Seq(0 -> 1, 1 -> 2, 3 -> 3, 4 -> 4).flatMap { case (d, cnt) =>
+      (0 until cnt).map { i =>
+        (java.sql.Timestamp.valueOf(base.plusDays(d).atTime(6 + i, 0)),
+          (d * 10 + i).toLong)
+      }
+    }
+    rows.toDF("ts", "event_id").write.parquet(s"$dir/events.parquet")
+    val dense = Array(1.0, 2.0, 0.0, 3.0, 4.0)
+    val got = SparkEntry.queries("acf_daily_events")(spark, dir)
+      .select("lag", "n_days", "acf").as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.head._2 == 5L) // 5 calendar days, not 4 active days
+    got.foreach { case (k, _, r) =>
+      assert(math.abs(r - bruteAcf(dense, k.toInt)) < 1e-9)
     }
   }
 
