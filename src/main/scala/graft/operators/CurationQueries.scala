@@ -645,6 +645,48 @@ object CurationQueries {
              |  CAST(sum(CASE WHEN cls < 5 THEN cls ELSE 0 END) AS BIGINT) AS n_docs_at_risk
              |FROM cls""".stripMargin)),
 
+    // Weighted reservoir sample (Efraimidis & Spirakis 2006, A-Res):
+    // top-3 docs per source under quality-proportional weights
+    // (w = n_chars), with the "randomness" drawn from the deterministic
+    // md5 permille hash so the sample is REPRODUCIBLE — rerunning the
+    // pipeline, or recomputing one partition, selects the same docs.
+    // A-Res key = u^(1/w) maximized ⟺ ln(u)/w maximized; the key is
+    // quantized to nano-units BEFORE ranking (the knn_label_vote
+    // quantized-ranking pattern) so a last-bit ln() divergence cannot
+    // flip membership at the rank-3 boundary, and ties break by doc_id.
+    // The per-source rank compiles to WindowGroupLimit — 3 rows of
+    // state per source, no global sort at any scale.
+    QueryDef(
+      "weighted_reservoir_sample",
+      (s, d) => {
+        val w = Window.partitionBy("source")
+          .orderBy(col("key_nano").desc, col("doc_id"))
+        t(s, d, "documents")
+          .select(col("source"), col("doc_id"), col("n_chars"),
+            round(log((PipelineQueries.hashPermille(col("doc_id"), "res") + 1L)
+                .cast("double") / lit(1e6)) /
+              col("n_chars").cast("double") * lit(1e9))
+              .cast("long").as("key_nano"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select("source", "doc_id", "n_chars", "key_nano", "rk")
+          .orderBy("source", "rk")
+      },
+      Some {
+        val h = PipelineQueries.hashSqlExpr("doc_id", "res")
+        s"""WITH keyed AS (
+           |  SELECT source, doc_id, n_chars,
+           |    CAST(round(ln(CAST(($h) + 1 AS DOUBLE) / 1e6)
+           |      / CAST(n_chars AS DOUBLE) * 1e9) AS BIGINT) AS key_nano
+           |  FROM documents)
+           |SELECT source, doc_id, n_chars, key_nano, rk FROM (
+           |  SELECT source, doc_id, n_chars, key_nano,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+           |         ORDER BY key_nano DESC, doc_id) AS BIGINT) AS rk
+           |  FROM keyed)
+           |WHERE rk <= 3 ORDER BY source, rk""".stripMargin
+      }),
+
     // Freshness/completeness SLA audit of the event log, per event
     // type: first/last seen, distinct active days, and the number of
     // silent days inside the observed span — the data-contract

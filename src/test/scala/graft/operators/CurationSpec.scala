@@ -248,6 +248,32 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("weighted_reservoir_sample matches a driver-side brute-force A-Res " +
+      "selection on sf0.001") {
+    import java.security.MessageDigest
+    def permille(id: Long, salt: String): Long = {
+      val md5 = MessageDigest.getInstance("MD5")
+        .digest(s"$salt:$id".getBytes("UTF-8"))
+      val hex = md5.map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 1000000L
+    }
+    val docs = graft.QueryDef.t(spark, sf, "documents")
+      .select("source", "doc_id", "n_chars").as[(String, Long, Long)].collect()
+    val expect = docs.groupBy(_._1).toSeq.flatMap { case (src, ds) =>
+      ds.toSeq.map { case (_, id, w) =>
+        val keyNano = BigDecimal(
+          math.log((permille(id, "res") + 1).toDouble / 1e6) / w.toDouble * 1e9)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        (src, id, keyNano)
+      }.sortBy { case (_, id, k) => (-k, id) }.take(3).zipWithIndex
+        .map { case ((s2, id, k), i) => (s2, id, k, i + 1L) }
+    }.toSet
+    val got = SparkEntry.queries("weighted_reservoir_sample")(spark, sf)
+      .select("source", "doc_id", "key_nano", "rk")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == expect)
+  }
+
   test("k_anonymity_audit matches a direct equivalence-class recount") {
     val docs = graft.QueryDef.t(spark, sf, "documents")
     val classes = docs.groupBy(col("lang"), col("source"),
