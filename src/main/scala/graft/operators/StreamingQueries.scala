@@ -476,7 +476,37 @@ object StreamingQueries {
     * zoned literal would silently shift rows between the histograms if a
     * runner ever unpinned the session timezone).
     */
-  private def runDriftTvd(s: SparkSession, sfDir: String, scratch: String, resultOut: String): Unit = {
+  private def runDriftTvd(s: SparkSession, sfDir: String, scratch: String, resultOut: String): Unit =
+    runDriftHistogram(s, sfDir, scratch, resultOut) { withTotals =>
+      withTotals.select(col("bin"), col("ref_cnt"), col("cur_cnt"),
+        abs(col("ref_cnt") * col("tot_cur") - col("cur_cnt") * col("tot_ref"))
+          .as("tvd_num"),
+        (col("tot_ref") * col("tot_cur") * lit(2L)).as("tvd_den"))
+    }
+
+  /** Streaming PSI over the same maintained histogram state as the TVD
+    * maintainer — one incremental ref/current bin histogram serves every
+    * binned drift metric; only the stateless finalizer differs (the
+    * Laplace-smoothed nano-quantized PSI term, mirroring the batch
+    * drift_psi_bins formula byte-for-byte).
+    */
+  private def runDriftPsi(s: SparkSession, sfDir: String, scratch: String, resultOut: String): Unit =
+    runDriftHistogram(s, sfDir, scratch, resultOut) { withTotals =>
+      val pr = (col("ref_cnt") + 1L).cast("double") /
+        (col("tot_ref") + 10L).cast("double")
+      val pc = (col("cur_cnt") + 1L).cast("double") /
+        (col("tot_cur") + 10L).cast("double")
+      withTotals.select(col("bin"), col("ref_cnt"), col("cur_cnt"),
+        round((pc - pr) * log(pc / pr) * lit(1e9)).cast("long")
+          .as("psi_term_nano"))
+    }
+
+  /** Shared incremental drift-histogram maintainer: complete-mode per-bin
+    * ref/current counts accumulated across micro-batches, with a
+    * stateless per-snapshot finalizer over the totals-joined histogram.
+    */
+  private def runDriftHistogram(s: SparkSession, sfDir: String, scratch: String,
+      resultOut: String)(finalize: DataFrame => DataFrame): Unit = {
     val glob = stageEventSlices(s, sfDir, s"$scratch/evlake")
     val binned = eventStream(s, glob)
       .select(
@@ -490,12 +520,9 @@ object StreamingQueries {
       .outputMode("complete")
       .foreachBatch { (b: DataFrame, _: Long) =>
         val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
-        b.withColumn("tot_ref", sum(col("ref_cnt")).over(wAll))
-          .withColumn("tot_cur", sum(col("cur_cnt")).over(wAll))
-          .select(col("bin"), col("ref_cnt"), col("cur_cnt"),
-            abs(col("ref_cnt") * col("tot_cur") - col("cur_cnt") * col("tot_ref"))
-              .as("tvd_num"),
-            (col("tot_ref") * col("tot_cur") * lit(2L)).as("tvd_den"))
+        finalize(
+          b.withColumn("tot_ref", sum(col("ref_cnt")).over(wAll))
+            .withColumn("tot_cur", sum(col("cur_cnt")).over(wAll)))
           .coalesce(1).write.mode("overwrite").parquet(resultOut)
         ()
       }
@@ -1038,6 +1065,36 @@ object StreamingQueries {
     // per-bin histogram state must accumulate correctly across real
     // micro-batches, and the converged snapshot's exact TVD integers
     // hash-check against the same oracle as the batch operator.
+    // Same maintained histogram state, PSI finalizer: the converged
+    // streaming snapshot's Laplace-smoothed nano-quantized PSI terms
+    // must equal the batch drift_psi_bins oracle exactly — a histogram
+    // state divergence across micro-batches shifts a count by one and
+    // hash-fails the nano-quantized term.
+    QueryDef(
+      "streaming_drift_psi",
+      (s, d) => cachedStream(s, "streaming_drift_psi", d)(runDriftPsi(s, d, _, _)),
+      Some("""WITH ev AS (
+             |  SELECT CAST(least(floor(value / 50.0), 9) AS BIGINT) AS bin,
+             |    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS is_ref
+             |  FROM events),
+             |g AS (
+             |  SELECT bin, CAST(sum(is_ref) AS BIGINT) AS ref_cnt,
+             |    CAST(sum(1 - is_ref) AS BIGINT) AS cur_cnt
+             |  FROM ev GROUP BY 1),
+             |tt AS (
+             |  SELECT bin, ref_cnt, cur_cnt,
+             |    CAST(sum(ref_cnt) OVER () AS BIGINT) AS tot_ref,
+             |    CAST(sum(cur_cnt) OVER () AS BIGINT) AS tot_cur
+             |  FROM g)
+             |SELECT bin, ref_cnt, cur_cnt,
+             |  CAST(round((CAST(cur_cnt + 1 AS DOUBLE) / CAST(tot_cur + 10 AS DOUBLE)
+             |   - CAST(ref_cnt + 1 AS DOUBLE) / CAST(tot_ref + 10 AS DOUBLE))
+             |  * ln((CAST(cur_cnt + 1 AS DOUBLE) / CAST(tot_cur + 10 AS DOUBLE))
+             |       / (CAST(ref_cnt + 1 AS DOUBLE) / CAST(tot_ref + 10 AS DOUBLE)))
+             |  * 1e9) AS BIGINT) AS psi_term_nano
+             |FROM tt""".stripMargin),
+      bench = false, sideEffecting = true),
+
     QueryDef(
       "streaming_drift_tvd",
       (s, d) => cachedStream(s, "streaming_drift_tvd", d)(runDriftTvd(s, d, _, _)),
