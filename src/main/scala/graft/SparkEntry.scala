@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AnalyticsQueries, CdcQueries, CorpusQueries, CurationQueries, DedupQueries, EnvelopeQueries, MultimodalQueries, PipelineQueries, RelationalQueries, ScalarQueries, SimilarityQueries, StreamingQueries, TextQueries, TpchExtraQueries}
+import graft.operators.{AnalyticsQueries, CdcQueries, CorpusQueries, CurationQueries, DedupQueries, EnvelopeQueries, MultimodalQueries, PipelineQueries, RelationalQueries, ScalarQueries, SimilarityQueries, StatQueries, StreamingQueries, TextQueries, TpchExtraQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,7 +20,7 @@ object SparkEntry {
       RelationalQueries.defs ++ TpchExtraQueries.defs ++ AnalyticsQueries.defs ++
       TextQueries.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
       MultimodalQueries.defs ++ CorpusQueries.defs ++ ScalarQueries.defs ++
-      PipelineQueries.defs ++ CurationQueries.defs
+      PipelineQueries.defs ++ CurationQueries.defs ++ StatQueries.defs
 
   require(all.map(_.name).distinct.size == all.size,
     s"duplicate query names would silently drop catalog entries: " +

@@ -1,0 +1,253 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.QueryDef.t
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Statistical-inference and distribution-shape queries over the exact
+  * integer/decimal contract: Gini concentration (how skewed is spend —
+  * the sampling-design twin of key_skew_profile), chi-square independence
+  * of the lang×source corpus facets (the hypothesis-test companion to
+  * lang_source_mutual_info's information-theoretic readout), the
+  * Mann-Kendall monotonic-trend test over daily event volume (the
+  * nonparametric change detector next to cusum_rate_drift's mean-shift
+  * one), and a day-of-week seasonality profile (the calendar structure a
+  * drift monitor must discount before alarming).
+  *
+  * All four follow the house determinism contract: every aggregate is
+  * exact integer (cents / counts / rank sums), and each double-bearing
+  * output is produced by ONE identical arithmetic expression on both
+  * engines, quantized to nano/micro units (see lang_source_mutual_info's
+  * Scaladoc for why ln/sqrt outputs are quantized).
+  *
+  * Reference scope: the reference POC stops at SCD2 rollups
+  * (duckdb/analytics/transform_scd2.py:19-61); these are the
+  * monitoring/analysis extensions the build brief asks for beyond it.
+  */
+object StatQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Gini coefficient of per-customer order revenue — the concentration
+    // number behind "1% of customers drive X% of revenue", and for a
+    // training-data pipeline the skew diagnostic that says whether a
+    // per-key quota (mix_weighted_sources) or a skew-salted join
+    // (skew_salted_join) is warranted. Exact arithmetic throughout: the
+    // rank-sum formula G = (2·Σrᵢxᵢ − (n+1)·Σxᵢ)/(n·Σxᵢ) is evaluated
+    // over the VALUE HISTOGRAM, not per-row ranks — ranks occupied by a
+    // tied value v (count m, c_lt smaller rows) contribute
+    // v·(m·c_lt + m(m+1)/2) exactly, so the only ordered window runs
+    // over distinct cent values (≪ rows; at 100 TB upgrade to a
+    // range-partitioned two-pass cumulative count, same contract — and
+    // route rs/tot through DECIMAL(38,0): the BIGINT rank-sum holds to
+    // ~10⁵ customers × 10⁹ cents).
+    QueryDef(
+      "gini_revenue_concentration",
+      (s, d) => {
+        val cents = t(s, d, "orders")
+          .groupBy("o_custkey")
+          .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev_d"))
+          .select((col("rev_d") * 100).cast("long").as("cents"))
+        val hist = cents.groupBy("cents").agg(count(lit(1)).as("m"))
+        val w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+        hist
+          .withColumn("c_lt", coalesce(sum("m").over(w), lit(0L)))
+          .agg(
+            sum(col("m")).as("n"),
+            sum(col("cents") * col("m")).as("tot"),
+            sum(col("cents") * (col("m") * col("c_lt") + expr("m * (m + 1) div 2")))
+              .as("rs"))
+          .select(
+            col("n").as("n_customers"),
+            col("tot").as("total_cents"),
+            round((lit(2L) * col("rs") - (col("n") + lit(1L)) * col("tot")).cast("double") /
+              (col("n") * col("tot")).cast("double") * lit(1e9))
+              .cast("long").as("gini_nano"))
+      },
+      Some("""WITH cents AS (
+             |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+             |  FROM orders GROUP BY o_custkey),
+             |hist AS (SELECT cents, CAST(count(*) AS BIGINT) AS m FROM cents GROUP BY cents),
+             |cum AS (
+             |  SELECT cents, m,
+             |    CAST(coalesce(sum(m) OVER (ORDER BY cents
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS c_lt
+             |  FROM hist),
+             |agg AS (
+             |  SELECT CAST(sum(m) AS BIGINT) AS n,
+             |    CAST(sum(cents * m) AS BIGINT) AS tot,
+             |    CAST(sum(cents * (m * c_lt + (m * (m + 1)) // 2)) AS BIGINT) AS rs
+             |  FROM cum)
+             |SELECT n AS n_customers, tot AS total_cents,
+             |  CAST(round(CAST(2 * rs - (n + 1) * tot AS DOUBLE)
+             |    / CAST(n * tot AS DOUBLE) * 1e9) AS BIGINT) AS gini_nano
+             |FROM agg""".stripMargin)),
+
+    // Chi-square test of independence between the corpus `lang` and
+    // `source` facets, plus Cramér's V effect size — the classical-test
+    // companion to lang_source_mutual_info (MI says how many bits the
+    // facets share; chi²/V says whether the association clears noise and
+    // how strong it is on [0,1]). Per-cell statistic (O·N − R·C)²/(N·R·C)
+    // — algebraically (O−E)²/E with E=R·C/N — keeps every product an
+    // exact BIGINT (cells·N < 2⁵³ up to ~10⁶-doc facets; beyond that the
+    // squared diff must route through DOUBLE anyway and stays exact to
+    // 2²⁶ diffs); each term is nano-quantized BEFORE the final sum so
+    // the aggregate is integer arithmetic. One groupBy(lang, source) +
+    // two window marginals + a broadcast 1-row dims join.
+    QueryDef(
+      "chi2_lang_source",
+      (s, d) => {
+        val cells = t(s, d, "documents")
+          .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+        val dims = cells.agg(
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(col("n")).as("n_tot"))
+        val terms = cells
+          .withColumn("n_lang", sum("n").over(Window.partitionBy("lang")))
+          .withColumn("n_src", sum("n").over(Window.partitionBy("source")))
+          .crossJoin(broadcast(dims))
+          .select(
+            round(pow((col("n") * col("n_tot") - col("n_lang") * col("n_src")).cast("double"), 2) /
+              (col("n_tot") * col("n_lang") * col("n_src")).cast("double") * lit(1e9))
+              .cast("long").as("term_nano"),
+            col("n_langs"), col("n_sources"), col("n_tot"))
+        terms.groupBy("n_langs", "n_sources", "n_tot")
+          .agg(count(lit(1)).as("n_cells"), sum("term_nano").as("chi2_nano"))
+          .select(
+            col("n_cells"),
+            ((col("n_langs") - 1) * (col("n_sources") - 1)).as("df"),
+            col("chi2_nano"),
+            round(sqrt(col("chi2_nano").cast("double") / lit(1e9) /
+              (col("n_tot") * least(col("n_langs") - 1, col("n_sources") - 1)).cast("double"))
+              * lit(1e6)).cast("long").as("cramers_v_micro"))
+      },
+      Some("""WITH cells AS (
+             |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+             |  FROM documents GROUP BY 1, 2),
+             |dims AS (
+             |  SELECT CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             |    CAST(sum(n) AS BIGINT) AS n_tot
+             |  FROM cells),
+             |m AS (
+             |  SELECT n,
+             |    CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS n_lang,
+             |    CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS n_src
+             |  FROM cells),
+             |terms AS (
+             |  SELECT CAST(round(pow(CAST(n * n_tot - n_lang * n_src AS DOUBLE), 2)
+             |      / CAST(n_tot * n_lang * n_src AS DOUBLE) * 1e9) AS BIGINT) AS term_nano,
+             |    n_langs, n_sources, n_tot
+             |  FROM m CROSS JOIN dims)
+             |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+             |  (n_langs - 1) * (n_sources - 1) AS df,
+             |  CAST(sum(term_nano) AS BIGINT) AS chi2_nano,
+             |  CAST(round(sqrt(CAST(sum(term_nano) AS DOUBLE) / 1e9
+             |    / CAST(n_tot * least(n_langs - 1, n_sources - 1) AS DOUBLE)) * 1e6) AS BIGINT)
+             |    AS cramers_v_micro
+             |FROM terms GROUP BY n_langs, n_sources, n_tot""".stripMargin)),
+
+    // Mann-Kendall monotonic-trend test over daily event volume — the
+    // nonparametric "is traffic drifting" detector (no distribution
+    // assumed, robust to outliers) next to cusum_rate_drift's mean-shift
+    // statistic: S = Σ_{i<j} sign(n_j − n_i) over days, the tie-corrected
+    // variance 18·Var(S) = n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5), and the
+    // continuity-corrected z. Scale shape: the O(days²) pair join runs on
+    // the POST-AGGREGATION daily table — bounded by the calendar, not the
+    // data (a century is 36k days → 1.3e9 pairs, still a broadcast
+    // self-join of a tiny aggregate); everything upstream is one
+    // map-side-combinable count per day. S and the variance are exact
+    // BIGINTs; z is one quantized sqrt/division.
+    QueryDef(
+      "mann_kendall_trend",
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
+        val sPairs = daily.select(col("day").as("d1"), col("n").as("n1"))
+          .join(broadcast(daily.select(col("day").as("d2"), col("n").as("n2"))),
+            col("d1") < col("d2"))
+          .agg(sum(when(col("n2") > col("n1"), 1L)
+            .when(col("n2") < col("n1"), -1L).otherwise(0L)).as("s_stat"))
+        val base = daily.agg(count(lit(1)).as("n_days"))
+          .select(col("n_days"),
+            (col("n_days") * (col("n_days") - 1) * (lit(2L) * col("n_days") + 5)).as("v0"))
+        val ties = daily.groupBy("n").agg(count(lit(1)).as("tg"))
+          .agg(coalesce(sum(col("tg") * (col("tg") - 1) * (lit(2L) * col("tg") + 5)), lit(0L))
+            .as("vt"))
+        base.crossJoin(ties).crossJoin(sPairs)
+          .select(
+            col("n_days"), col("s_stat"), (col("v0") - col("vt")).as("var18"),
+            when(col("v0") - col("vt") === 0, 0L)
+              .otherwise(round(
+                (col("s_stat") - when(col("s_stat") > 0, 1L)
+                  .when(col("s_stat") < 0, -1L).otherwise(0L)).cast("double") /
+                  sqrt((col("v0") - col("vt")).cast("double") / lit(18.0)) * lit(1e9))
+                .cast("long")).as("z_nano"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1),
+             |s AS (
+             |  SELECT CAST(sum(CASE WHEN b.n > a.n THEN 1
+             |    WHEN b.n < a.n THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+             |  FROM daily a JOIN daily b ON a.day < b.day),
+             |base AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_days,
+             |    CAST(count(*) * (count(*) - 1) * (2 * count(*) + 5) AS BIGINT) AS v0
+             |  FROM daily),
+             |ties AS (
+             |  SELECT CAST(coalesce(sum(tg * (tg - 1) * (2 * tg + 5)), 0) AS BIGINT) AS vt
+             |  FROM (SELECT CAST(count(*) AS BIGINT) AS tg FROM daily GROUP BY n))
+             |SELECT n_days, s_stat, (v0 - vt) AS var18,
+             |  CAST(CASE WHEN v0 - vt = 0 THEN 0 ELSE
+             |    round(CAST(s_stat - (CASE WHEN s_stat > 0 THEN 1
+             |        WHEN s_stat < 0 THEN -1 ELSE 0 END) AS DOUBLE)
+             |      / sqrt(CAST(v0 - vt AS DOUBLE) / 18.0) * 1e9) END AS BIGINT) AS z_nano
+             |FROM base CROSS JOIN ties CROSS JOIN s""".stripMargin)),
+
+    // Day-of-week seasonality profile of event volume: per ISO weekday,
+    // the day count, event count, and the seasonal index (that weekday's
+    // mean daily volume over the whole-corpus mean daily volume, nano-
+    // quantized) — the calendar structure a drift/trend monitor
+    // (mann_kendall_trend, cusum_rate_drift) must discount before
+    // alarming on a weekend dip. Two map-side-combinable aggregates and
+    // a broadcast 1-row total; the weekday key is ISO (Mon=1) computed
+    // as Spark weekday()+1 ≡ DuckDB isodow().
+    QueryDef(
+      "seasonal_weekday_profile",
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
+        val tot = daily.agg(sum("n").as("tot_n"), count(lit(1)).as("tot_days"))
+        daily
+          .withColumn("dow", (weekday(col("day")) + 1).cast("long"))
+          .groupBy("dow")
+          .agg(count(lit(1)).as("n_days"), sum("n").as("n_events"))
+          .crossJoin(broadcast(tot))
+          .select(col("dow"), col("n_days"), col("n_events"),
+            round(col("n_events").cast("double") / col("n_days").cast("double") /
+              (col("tot_n").cast("double") / col("tot_days").cast("double")) * lit(1e9))
+              .cast("long").as("index_nano"))
+          .orderBy("dow")
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1),
+             |tot AS (
+             |  SELECT CAST(sum(n) AS BIGINT) AS tot_n,
+             |    CAST(count(*) AS BIGINT) AS tot_days
+             |  FROM daily)
+             |SELECT CAST(isodow(day) AS BIGINT) AS dow,
+             |  CAST(count(*) AS BIGINT) AS n_days,
+             |  CAST(sum(n) AS BIGINT) AS n_events,
+             |  CAST(round(CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             |    / (CAST(tot_n AS DOUBLE) / CAST(tot_days AS DOUBLE)) * 1e9) AS BIGINT)
+             |    AS index_nano
+             |FROM daily CROSS JOIN tot
+             |GROUP BY dow, tot_n, tot_days
+             |ORDER BY dow""".stripMargin)))
+}
