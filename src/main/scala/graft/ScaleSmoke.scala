@@ -190,7 +190,15 @@ object ScaleSmoke {
     // the held-out LM join: unigram/bigram count tables grow with the
     // DISTINCT n-gram set and the held-out probe joins one row per
     // distinct bigram — growth must track vocabulary, not occurrences
-    "lm_bigram_perplexity")
+    "lm_bigram_perplexity",
+    // round 8 batch 3: the DSIR scorer — its only corpus-sized shuffle
+    // is groupBy(doc_id, bucket), capped at 512 rows per doc; the bucket
+    // LM tables are fixed 512-row aggregates and λ broadcasts, so
+    // growth must track the token scan, never the vocabulary — and the
+    // Gini histogram — the ordered window runs over DISTINCT cent
+    // values, so the single-partition stage must grow with the value
+    // domain (sublinear), not the row count
+    "dsir_importance_weights", "gini_revenue_concentration")
 
   /** Run each smoke query twice on the scaled dir, return min seconds. */
   def run(spark: SparkSession, scaledDir: String): Map[String, Double] =

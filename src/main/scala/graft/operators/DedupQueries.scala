@@ -883,7 +883,63 @@ object DedupQueries {
               |SELECT doc_id, neg_id, CAST(rk AS BIGINT) AS rk FROM (
               |  SELECT doc_id, neg_id,
               |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY slot) AS rk
-              |  FROM j) WHERE rk <= 5""".stripMargin)))
+              |  FROM j) WHERE rk <= 5""".stripMargin)),
+
+    // LSH band-tuning audit: the S-curve check that says whether the
+    // configured banding (16 hashes, b=8 bands × r=2 rows) matches the
+    // dedup threshold. Ground truth is the brute-force Jaccard join down
+    // to sim 0.05 (quadratic — an OFFLINE calibration run on a sample,
+    // bench=false like the other brute baselines; production tunes on a
+    // fixed sample, never the corpus); per similarity decile it reports
+    // the OBSERVED candidate-capture rate against the THEORY curve
+    // P(s)=1−(1−s^r)^b at the bin midpoint. A bin whose observed rate
+    // sits far under theory means correlated-band hash collisions; a
+    // threshold whose theory capture is low means re-banding before the
+    // next corpus run. Ratios/curve values nano-quantized; binning is
+    // the identical floor(j·10) double op on both engines.
+    QueryDef(
+      "lsh_band_tuning_audit",
+      (s, d) => {
+        val truth = Dedup.jaccardPairsBrute(t(s, d, "documents"), "doc_id", "text",
+          threshold = 0.05)
+        val cands = Dedup.minhashCandidates(t(s, d, "documents"), "doc_id", "text",
+          numHashes = 16, bands = 8).withColumn("is_cand", lit(1L))
+        truth.join(cands, Seq("doc_id_a", "doc_id_b"), "left_outer")
+          .select(least(lit(9L), floor(col("jaccard_sim") * 10)).cast("long").as("sim_bin"),
+            coalesce(col("is_cand"), lit(0L)).as("cap"))
+          .groupBy("sim_bin")
+          .agg(count(lit(1)).as("n_pairs"), sum("cap").as("n_captured"))
+          .select(col("sim_bin"), col("n_pairs"), col("n_captured"),
+            round(col("n_captured").cast("double") / col("n_pairs").cast("double") * lit(1e9))
+              .cast("long").as("observed_nano"),
+            round((lit(1.0) - pow(lit(1.0) -
+              pow((col("sim_bin").cast("double") + lit(0.5)) / lit(10.0), lit(2.0)), lit(8.0)))
+              * lit(1e9)).cast("long").as("expected_nano"))
+          .orderBy("sim_bin")
+      },
+      Some(s"""$candidatesCte,
+              |sets AS (SELECT doc_id, list_distinct($shinglesSql) AS sset FROM documents),
+              |truth AS (
+              |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+              |    CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+              |      / CAST(len(list_distinct(list_concat(a.sset, b.sset))) AS DOUBLE) AS j
+              |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+              |  WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+              |      / CAST(len(list_distinct(list_concat(a.sset, b.sset))) AS DOUBLE) >= 0.05),
+              |binned AS (
+              |  SELECT least(9, CAST(floor(t.j * 10) AS BIGINT)) AS sim_bin,
+              |    CASE WHEN c.doc_id_a IS NOT NULL THEN 1 ELSE 0 END AS cap
+              |  FROM truth t LEFT JOIN cands c
+              |    ON t.doc_id_a = c.doc_id_a AND t.doc_id_b = c.doc_id_b)
+              |SELECT sim_bin, CAST(count(*) AS BIGINT) AS n_pairs,
+              |  CAST(sum(cap) AS BIGINT) AS n_captured,
+              |  CAST(round(CAST(sum(cap) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1e9) AS BIGINT)
+              |    AS observed_nano,
+              |  CAST(round((1.0 - pow(1.0 -
+              |    pow((CAST(sim_bin AS DOUBLE) + 0.5) / 10.0, 2.0), 8.0)) * 1e9) AS BIGINT)
+              |    AS expected_nano
+              |FROM binned GROUP BY sim_bin ORDER BY sim_bin""".stripMargin),
+      bench = false))
 
   /** The SimHash fingerprint CTE chain (tokh → voted → packed), shared by
     * the fingerprint query and the hamming-radius search; `shape` is the

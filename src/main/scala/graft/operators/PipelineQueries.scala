@@ -848,5 +848,76 @@ object PipelineQueries {
              |  CAST(sum(bucket_len - kept) AS BIGINT) AS sum_waste,
              |  CAST(sum(bucket_len - kept) AS DOUBLE) /
              |    CAST(sum(bucket_len - kept) + sum(kept) AS DOUBLE) AS pad_frac
-             |FROM b GROUP BY 1""".stripMargin)))
+             |FROM b GROUP BY 1""".stripMargin)),
+
+    // DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling"): score every
+    // document by how much it looks like a TARGET distribution (here the
+    // English slice) relative to the raw corpus, using hashed-unigram
+    // bag-of-words language models — the scalable data-selection recipe
+    // that needs no trained model. Per md5-hashed bucket b of 512:
+    // λ_b = ln((t_b+1)/(T+512)) − ln((r_b+1)/(R+512)) (add-1 smoothed),
+    // nano-quantized once per bucket; a document's log importance weight
+    // is then the exact integer Σ_b c_db·λ_b^nano. Resampling keeps the
+    // top-weight docs — the ordering this output pins. Scale shape: the
+    // only corpus-sized shuffle is groupBy(doc_id, bucket) (linear, map-
+    // side combinable); the bucket LMs are two ≤512-row aggregates and
+    // λ broadcasts to the per-doc join — no all-corpus joins anywhere.
+    // BIGINT headroom: c·λ^nano ≤ 2e10·len(doc); a 10⁸-token document
+    // would overflow — route the weight sum through DECIMAL(38,0) there.
+    QueryDef(
+      "dsir_importance_weights",
+      (s, d) => {
+        val bucket = conv(substring(md5(concat(lit("dsir:"), col("tok"))), 1, 15), 16, 10)
+          .cast("long") % 512
+        val docToks = t(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(TextOps.tokens(col("text"))).as("tok"))
+          .select(col("doc_id"), col("lang"), bucket.as("b"))
+          .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("c"))
+        val raw = docToks.groupBy("b").agg(sum("c").as("r_b"))
+        val tgt = docToks.filter(col("lang") === "en")
+          .groupBy("b").agg(sum("c").as("t_b"))
+        val totals = raw.agg(sum("r_b").as("r_tot"))
+          .crossJoin(tgt.agg(coalesce(sum("t_b"), lit(0L)).as("t_tot")))
+        val lambda = raw.join(tgt, Seq("b"), "left_outer")
+          .crossJoin(broadcast(totals))
+          .select(col("b"),
+            round((log((coalesce(col("t_b"), lit(0L)) + lit(1L)).cast("double") /
+              (col("t_tot") + lit(512L)).cast("double")) -
+              log((col("r_b") + lit(1L)).cast("double") /
+                (col("r_tot") + lit(512L)).cast("double"))) * lit(1e9))
+              .cast("long").as("lam_nano"))
+        docToks.join(broadcast(lambda), Seq("b"))
+          .groupBy("doc_id", "lang")
+          .agg(sum(col("c")).as("n_toks"),
+            sum(col("c") * col("lam_nano")).as("weight_nano"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, lang,
+             |    CAST(('0x' || substr(md5('dsir:' || tok), 1, 15)) AS BIGINT) % 512 AS b
+             |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+             |        FROM documents)),
+             |dt AS (
+             |  SELECT doc_id, lang, b, CAST(count(*) AS BIGINT) AS c
+             |  FROM toks GROUP BY 1, 2, 3),
+             |raw AS (SELECT b, CAST(sum(c) AS BIGINT) AS r_b FROM dt GROUP BY b),
+             |tgt AS (SELECT b, CAST(sum(c) AS BIGINT) AS t_b
+             |        FROM dt WHERE lang = 'en' GROUP BY b),
+             |tot AS (
+             |  SELECT CAST((SELECT sum(r_b) FROM raw) AS BIGINT) AS r_tot,
+             |    CAST(coalesce((SELECT sum(t_b) FROM tgt), 0) AS BIGINT) AS t_tot),
+             |lam AS (
+             |  SELECT raw.b,
+             |    CAST(round((ln(CAST(coalesce(t_b, 0) + 1 AS DOUBLE)
+             |        / CAST(t_tot + 512 AS DOUBLE))
+             |      - ln(CAST(r_b + 1 AS DOUBLE) / CAST(r_tot + 512 AS DOUBLE)))
+             |      * 1e9) AS BIGINT) AS lam_nano
+             |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tot)
+             |SELECT dt.doc_id, dt.lang,
+             |  CAST(sum(c) AS BIGINT) AS n_toks,
+             |  CAST(sum(c * lam_nano) AS BIGINT) AS weight_nano
+             |FROM dt JOIN lam ON dt.b = lam.b
+             |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin)))
 }

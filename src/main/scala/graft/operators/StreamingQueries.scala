@@ -371,6 +371,95 @@ object StreamingQueries {
     q.awaitTermination()
   }
 
+  /** Stage the events table like [[stageEventSlices]], but re-route two
+    * deterministic row classes later than their time quartile — the
+    * straggler shape a real transport produces (a lagging partition, a
+    * resuming producer): 10% of rows (md5-hash of event_id < 100000)
+    * arrive ONE slice late; a further ~5% (hash in [100000, 200000),
+    * restricted to the EARLY HALF of their slice) arrive TWO slices
+    * late. Tail batches b4/b5 carry the slice-3 spillover. These are
+    * held-back ORIGINALS, not re-deliveries, so any row the watermark
+    * drops is truly lost from the aggregate — which is the semantics
+    * [[runLateDataAudit]] pins.
+    */
+  private def stageEventSlicesWithStragglers(s: SparkSession, sfDir: String,
+                                             stage: String): String = {
+    val ev = graft.QueryDef.t(s, sfDir, "events")
+      .select(col("ts").cast("timestamp").as("ts"),
+        col("event_type"), col("value"), col("user_id"), col("event_id"))
+    val bounds = ev.agg(min(unix_millis(col("ts"))).as("t0"),
+      max(unix_millis(col("ts"))).as("t1"))
+    val sliced = ev.crossJoin(broadcast(bounds))
+      .withColumn("ms", unix_millis(col("ts")))
+      .withColumn("slice", least(lit(3),
+        floor((col("ms") - col("t0")) * 4 / (col("t1") - col("t0") + 1)).cast("int")))
+      .withColumn("h", PipelineQueries.hashPermille(col("event_id"), "late"))
+      .withColumn("early",
+        floor((col("ms") - col("t0")) * 8 / (col("t1") - col("t0") + 1)).cast("long") % 2 === 0)
+      .withColumn("arrival", col("slice") +
+        when(col("h") < 100000L, 1)
+          .when(col("h") < 200000L && col("early"), 2)
+          .otherwise(0))
+    (0 to 5).foreach { i =>
+      val dir = s"$stage/b$i"
+      sliced.filter(col("arrival") === i)
+        .drop("slice", "arrival", "t0", "t1", "ms", "h", "early").coalesce(1)
+        .write.mode("overwrite").parquet(dir)
+      new java.io.File(dir).listFiles().filter(_.getName.startsWith("part-")).foreach {
+        f => f.setLastModified(1700000000000L + i * 60000L)
+      }
+    }
+    stage + "/b*/part-*.parquet"
+  }
+
+  /** Watermark late-data semantics, pinned end to end: hourly tumbling
+    * counts in UPDATE mode with a 90-minute watermark over the two-tier
+    * straggler staging. Spark filters late input against the
+    * late-events watermark, which LAGS the eviction watermark by one
+    * micro-batch (the SPARK-40025 split: during batch k the filter uses
+    * max-event-time through batch k−2, minus the delay) — verified
+    * empirically with numRowsDroppedByWatermark. The staging is built
+    * so both outcomes occur with day-wide margins, making the oracle
+    * closed-form rather than a trajectory replay:
+    *   - ONE-slice stragglers are always KEPT and merged late into
+    *     their window's live state: at arrival batch i+1 the late
+    *     watermark is end-of-slice(i−1) − 90 min, and every slice-i
+    *     row's window end is past end-of-slice(i−1) (slices span days).
+    *     A lost merge (state closed too early) undercounts → hash-fail.
+    *   - TWO-slice stale rows (early half of slice i, arriving batch
+    *     i+2) are always DROPPED: the late watermark is then
+    *     end-of-slice(i) − 90 min, half a slice (~days) past any early-
+    *     half window end. A kept stale row overcounts → hash-fail.
+    * The converged table (last update per window key) must therefore
+    * equal the batch rollup MINUS exactly the stale class, which is
+    * what the oracle computes from the hash + slice-half arithmetic.
+    */
+  private def runLateDataAudit(s: SparkSession, sfDir: String, scratch: String, resultOut: String): Unit = {
+    val glob = stageEventSlicesWithStragglers(s, sfDir, s"$scratch/evlake")
+    val out = s"$scratch/emissions"
+    val agg = eventStream(s, glob)
+      .withWatermark("ts", "90 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val q = agg.writeStream
+      .outputMode("update")
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        b.select(col("window.start").cast("timestamp_ntz").as("hour_start"),
+            col("event_type"), col("n_events"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(out)
+        ()
+      }
+      .option("checkpointLocation", s"$scratch/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out)
+      .groupBy("hour_start", "event_type")
+      .agg(max_by(col("n_events"), col("batch_id")).as("n_events"))
+      .coalesce(1).write.mode("overwrite").parquet(resultOut)
+  }
+
   /** Stream-STATIC dimension enrichment — the remaining core streaming
     * join shape next to stream-stream (click attribution): every
     * micro-batch joins the event stream against the static `customer`
@@ -1240,5 +1329,31 @@ object StreamingQueries {
            |    LEAD(ts_ms) OVER (PARTITION BY id ORDER BY log_seq_num),
            |    ${Scd2Streaming.SentinelMs}) AS valid_to_ms
            |FROM ev WHERE id IS NOT NULL""".stripMargin),
+      bench = false, sideEffecting = true),
+
+    // Watermark LATE-DATA semantics — the one streaming behavior the
+    // rest of the suite deliberately avoids (complete-mode snapshots
+    // and generous watermarks never discard a row): hourly update-mode
+    // counts over the two-tier straggler staging with a 90-minute
+    // watermark. One-slice stragglers MUST be merged late into their
+    // windows across micro-batches; two-slice stale rows MUST be
+    // dropped by the late-events watermark (see runLateDataAudit's
+    // Scaladoc for the margin argument that makes both outcomes exact).
+    // The oracle is the batch rollup minus precisely the stale class.
+    QueryDef(
+      "streaming_late_data_audit",
+      (s, d) => cachedStream(s, "streaming_late_data_audit", d)(runLateDataAudit(s, d, _, _)),
+      Some(s"""WITH bounds AS (
+              |  SELECT min(epoch_us(ts) // 1000) AS t0, max(epoch_us(ts) // 1000) AS t1
+              |  FROM events),
+              |kept AS (
+              |  SELECT date_trunc('hour', ts) AS hour_start, event_type
+              |  FROM events CROSS JOIN bounds
+              |  WHERE NOT ((${PipelineQueries.hashSqlExpr("event_id", "late")}) >= 100000
+              |    AND (${PipelineQueries.hashSqlExpr("event_id", "late")}) < 200000
+              |    AND CAST(floor(CAST((epoch_us(ts) // 1000 - t0) * 8 AS DOUBLE)
+              |          / CAST(t1 - t0 + 1 AS DOUBLE)) AS BIGINT) % 2 = 0))
+              |SELECT hour_start, event_type, count(*) AS n_events
+              |FROM kept GROUP BY 1, 2""".stripMargin),
       bench = false, sideEffecting = true))
 }

@@ -733,4 +733,48 @@ class PlanSpec extends SparkSuite {
     assert(cart.isEmpty && bnlj.isEmpty,
       "edge build and degree attach must stay equi joins on keys")
   }
+
+  test("DSIR per-doc scoring joins the bucket LM by broadcast — the corpus " +
+      "side never shuffles for the λ attach") {
+    val p = plan("dsir_importance_weights")
+    val bhj = collectAll(p) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty,
+      "the ≤512-row λ table must broadcast onto the doc-bucket counts")
+    val smj = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.isEmpty,
+      s"no sort-merge join belongs in the DSIR plan (bucket tables are tiny): ${smj.size}")
+  }
+
+  test("Gini's ordered window runs over the aggregated value histogram, " +
+      "not raw customer rows") {
+    val p = plan("gini_revenue_concentration")
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size == 1, s"exactly one cumulative window: ${windows.size}")
+    // the window's child subtree must contain the histogram aggregate —
+    // i.e. a HashAggregate below the window — so the single-partition
+    // stage sees one row per distinct cent value, not one per customer
+    val aggBelow = windows.head.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+    }
+    assert(aggBelow.nonEmpty, "value histogram must aggregate before the window")
+  }
+
+  test("Mann-Kendall's day-pair join broadcasts the tiny daily aggregate") {
+    val p = plan("mann_kendall_trend")
+    val bnlj = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(bnlj.nonEmpty,
+      "the theta pair join must be a broadcast nested loop over the daily table")
+    val cart = collectAll(p) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(cart.isEmpty, "no cartesian product — the broadcast hint must hold")
+  }
 }
