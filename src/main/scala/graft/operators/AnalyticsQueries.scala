@@ -697,6 +697,58 @@ object AnalyticsQueries {
              |WHERE e.a IS NULL
              |ORDER BY common_neighbors DESC, part_a, part_b LIMIT 50""".stripMargin)),
 
+    // One synchronous label-propagation round over the co-purchase graph
+    // (Raghavan et al. 2007) — the community-detection primitive that
+    // iterates to convergence the same way kcore_peel_round and
+    // pagerank_one_step pin their per-round contracts. Labels are seeded
+    // with one min-propagation step (least of self and neighbors — the
+    // identity seed makes round one a degenerate all-ties vote), then
+    // each node adopts its neighbors' most frequent label, ties to the
+    // smallest — the deterministic tie rule that makes LPA reproducible
+    // at all (bare LPA is run-order dependent; a distributed engine MUST
+    // pin this or no two runs agree). Scale shape: adjacency is
+    // edge-linear, the label vote is one map-side-combinable count, and
+    // the argmax is a min(struct(-c, lbl)) aggregate — no window, no
+    // per-node sort; `changed` is the convergence probe an iterating
+    // driver would sum.
+    QueryDef(
+      "label_propagation_round",
+      (s, d) => {
+        val edges = copurchaseEdges(s, d)
+        val adj = edges.select(col("a").as("node"), col("b").as("nbr"))
+          .union(edges.select(col("b").as("node"), col("a").as("nbr")))
+        val l0 = adj.groupBy("node").agg(min(col("nbr")).as("mn"))
+          .select(col("node"), least(col("node"), col("mn")).as("lbl"))
+        val nbrLbl = adj.join(
+          l0.select(col("node").as("nbr"), col("lbl")), "nbr")
+        val pick = nbrLbl.groupBy("node", "lbl").agg(count(lit(1)).as("c"))
+          .groupBy("node").agg(min(struct(-col("c"), col("lbl"))).as("m"))
+          .select(col("node"), col("m.lbl").as("new_label"))
+        pick.join(l0, "node")
+          .select(col("node"), col("lbl").as("init_label"), col("new_label"),
+            when(col("new_label") =!= col("lbl"), 1L).otherwise(0L).as("changed"))
+          .orderBy("node")
+      },
+      Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |edges AS (
+             |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+             |  FROM items a JOIN items b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+             |adj AS (SELECT a AS node, b AS nbr FROM edges
+             |        UNION ALL SELECT b AS node, a AS nbr FROM edges),
+             |l0 AS (SELECT node, least(node, min(nbr)) AS lbl FROM adj GROUP BY node),
+             |nl AS (SELECT adj.node, l0.lbl FROM adj JOIN l0 ON adj.nbr = l0.node),
+             |cnt AS (SELECT node, lbl, CAST(count(*) AS BIGINT) AS c
+             |        FROM nl GROUP BY 1, 2),
+             |pick AS (SELECT node, lbl AS new_label,
+             |    ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+             |  FROM cnt)
+             |SELECT p.node, l0.lbl AS init_label, p.new_label,
+             |  CAST(CASE WHEN p.new_label <> l0.lbl THEN 1 ELSE 0 END AS BIGINT)
+             |    AS changed
+             |FROM pick p JOIN l0 USING (node) WHERE rn = 1
+             |ORDER BY node""".stripMargin)),
+
     // Triangle census over the co-purchase graph — the canonical
     // distributed-graph pattern beyond one power-iteration step
     // (pagerank_one_step), made scale-honest TWICE over. (1) COLORFUL

@@ -716,5 +716,74 @@ object CurationQueries {
              |       AS BIGINT) AS span_days,
              |  CAST(date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) + 1
              |       AS BIGINT) - count(DISTINCT CAST(ts AS DATE)) AS missing_days
-             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)))
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Isotonic calibration of the model score (pool-adjacent-violators
+    // in its closed minimax form): the monotone-regression step that
+    // turns calibration_reliability_bins' DIAGNOSIS into the actual
+    // recalibration map a serving system applies. Over the 50-bin score
+    // histogram, the PAV fit at bin k equals
+    // max_{i≤k} min_{j≥k} mean(y over bins i..j) (Barlow et al. 1972)
+    // — evaluated exactly from prefix sums, so no sequential
+    // pool-merge loop is needed and the whole fit is three bounded
+    // joins. Every mean is a ratio of exact BIGINTs computed by the
+    // identical double division on both engines. Scale shape: the
+    // per-user pass reduces map-side to 50 bin rows; everything after
+    // runs on O(bins³)≈66k in-memory rows REGARDLESS of user count —
+    // the bin width, not the data, sets the cost (sequential PAV on a
+    // driver would be the alternative; this stays declarative).
+    QueryDef(
+      "isotonic_calibration_pav",
+      (s, d) => {
+        val bins = scoredUsers(s, d)
+          .groupBy(expr("score_pm div 20000").as("b"))
+          .agg(count(lit(1)).as("w"), sum("conv").as("y"))
+        val wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+        val pref = bins
+          .withColumn("cw", sum("w").over(wb))
+          .withColumn("cy", sum("y").over(wb))
+          .select(col("b"), col("cw"), col("cy"))
+        val pref0 = pref.unionAll(
+          s.range(1).select(lit(-1L).as("b"), lit(0L).as("cw"), lit(0L).as("cy")))
+        val pairs = pref0.as("i")
+          .join(broadcast(pref.as("j")), col("i.b") < col("j.b"))
+          .select(col("i.b").as("i0"), col("j.b").as("jj"),
+            ((col("j.cy") - col("i.cy")).cast("double") /
+              (col("j.cw") - col("i.cw")).cast("double")).as("m"))
+        val innerM = pairs
+          .join(broadcast(bins.select(col("b").as("k"))),
+            col("i0") < col("k") && col("jj") >= col("k"))
+          .groupBy("i0", "k").agg(min("m").as("im"))
+        val fit = innerM.groupBy("k").agg(max("im").as("iso_rate"))
+        bins.join(broadcast(fit), col("b") === col("k"))
+          .select(col("b").as("bin"), col("w").as("n_users"), col("y").as("n_conv"),
+            (col("y").cast("double") / col("w").cast("double")).as("raw_rate"),
+            col("iso_rate"))
+          .orderBy("bin")
+      },
+      Some(s"""WITH su AS ($scoredUsersSql),
+              |bins AS (
+              |  SELECT score_pm // 20000 AS b, CAST(count(*) AS BIGINT) AS w,
+              |    CAST(sum(conv) AS BIGINT) AS y
+              |  FROM su GROUP BY 1),
+              |pref AS (
+              |  SELECT b,
+              |    CAST(sum(w) OVER (ORDER BY b
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw,
+              |    CAST(sum(y) OVER (ORDER BY b
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cy
+              |  FROM bins),
+              |pref0 AS (SELECT * FROM pref UNION ALL SELECT -1, 0, 0),
+              |pairs AS (
+              |  SELECT i.b AS i0, j.b AS jj,
+              |    CAST(j.cy - i.cy AS DOUBLE) / CAST(j.cw - i.cw AS DOUBLE) AS m
+              |  FROM pref0 i JOIN pref j ON i.b < j.b),
+              |inner_m AS (
+              |  SELECT i0, k.b AS k, min(m) AS im
+              |  FROM pairs JOIN bins k ON pairs.i0 < k.b AND pairs.jj >= k.b
+              |  GROUP BY 1, 2),
+              |fit AS (SELECT k, max(im) AS iso_rate FROM inner_m GROUP BY k)
+              |SELECT bins.b AS bin, w AS n_users, y AS n_conv,
+              |  CAST(y AS DOUBLE) / CAST(w AS DOUBLE) AS raw_rate, iso_rate
+              |FROM bins JOIN fit ON bins.b = fit.k ORDER BY bin""".stripMargin)))
 }

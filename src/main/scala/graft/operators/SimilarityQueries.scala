@@ -579,5 +579,41 @@ object SimilarityQueries {
              |  FROM wd)
              |SELECT CAST(u.dim AS BIGINT) AS dim, count(*) AS n_vecs,
              |  CAST(sum(u.term) AS BIGINT) AS gram_v
-             |FROM x GROUP BY 1 ORDER BY dim""".stripMargin)))
+             |FROM x GROUP BY 1 ORDER BY dim""".stripMargin)),
+
+    // HNSW layer-assignment plan (Malkov & Yashunin 2016): each vector
+    // draws its top layer from the geometric distribution
+    // floor(−ln(u)·mL), mL = 1/ln(M) with M=16 — here u is a
+    // DETERMINISTIC md5-hash uniform ((h+0.5)/1e6, never 0), so the
+    // index build is reproducible and incremental rebuilds assign the
+    // same layers (the property a distributed builder needs before it
+    // can shard the upper layers). Output: per-layer population against
+    // the theoretical geometric share M^−l − M^−(l+1) — a layer whose
+    // population drifts from theory signals hash bias that would
+    // concentrate the entry-point layer. Per-row projection + one
+    // ≤8-row aggregate; the layer plan never shuffles the vectors.
+    QueryDef(
+      "ann_hnsw_level_plan",
+      (s, d) => {
+        t(s, d, "embeddings")
+          .select(PipelineQueries.hashPermille(col("vec_id"), "hnsw").as("h"))
+          .select(floor(-log((col("h").cast("double") + lit(0.5)) / lit(1e6)) /
+            log(lit(16.0))).cast("long").as("level"))
+          .groupBy("level")
+          .agg(count(lit(1)).as("n_vectors"))
+          .select(col("level"), col("n_vectors"),
+            round((pow(lit(16.0), -col("level").cast("double")) -
+              pow(lit(16.0), -col("level").cast("double") - lit(1.0))) * lit(1e9))
+              .cast("long").as("expected_share_nano"))
+          .orderBy("level")
+      },
+      Some(s"""WITH lvl AS (
+              |  SELECT CAST(floor(-ln((CAST((${PipelineQueries.hashSqlExpr("vec_id", "hnsw")})
+              |      AS DOUBLE) + 0.5) / 1e6) / ln(16.0)) AS BIGINT) AS level
+              |  FROM embeddings)
+              |SELECT level, count(*) AS n_vectors,
+              |  CAST(round((pow(16.0, -CAST(level AS DOUBLE))
+              |    - pow(16.0, -CAST(level AS DOUBLE) - 1.0)) * 1e9) AS BIGINT)
+              |    AS expected_share_nano
+              |FROM lvl GROUP BY level ORDER BY level""".stripMargin)))
 }

@@ -249,5 +249,196 @@ object StatQueries {
              |    AS index_nano
              |FROM daily CROSS JOIN tot
              |GROUP BY dow, tot_n, tot_days
-             |ORDER BY dow""".stripMargin)))
+             |ORDER BY dow""".stripMargin)),
+
+    // Kaplan-Meier survival curve for view→purchase conversion — the
+    // censoring-aware "how long until a user converts" estimator
+    // (funnel_time_to_convert reports percentiles over CONVERTED users
+    // only; KM also counts the users who never purchased, censored at
+    // the end of observation, so the curve is unbiased). Subjects enter
+    // at their first view day; an event is the first purchase on/after
+    // it; duration is in whole days. Product-limit arithmetic follows
+    // the house log-quantization contract: each factor ln((n−d)/n) is
+    // nano-quantized, the running product is an exact integer cumsum,
+    // and the one exp() consumes an identical double on both engines.
+    // The table stops before any d=n step (S would hit exact 0 and the
+    // log diverges — with censored subjects present this only occurs
+    // at a degenerate tail). Scale shape: two per-user argmin
+    // aggregates, then everything runs on the duration histogram —
+    // bounded by the calendar, not the user count; the only ordered
+    // windows scan that tiny table.
+    QueryDef(
+      "survival_km_conversion",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val fv = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(to_date(col("ts"))).as("v_day"))
+        val fp = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), to_date(col("ts")).as("p_day"))
+          .join(fv, "user_id").filter(col("p_day") >= col("v_day"))
+          .groupBy("user_id").agg(min(col("p_day")).as("p_day"))
+        val maxDay = ev.agg(max(to_date(col("ts"))).as("max_day"))
+        val subj = fv.join(fp, Seq("user_id"), "left_outer")
+          .crossJoin(broadcast(maxDay))
+          .select(
+            when(col("p_day").isNotNull, datediff(col("p_day"), col("v_day")))
+              .otherwise(datediff(col("max_day"), col("v_day")))
+              .cast("long").as("dur"),
+            when(col("p_day").isNotNull, 1L).otherwise(0L).as("ev"))
+        val tot = subj.agg(count(lit(1)).as("n_subjects"))
+        val wPrev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+        val wCum = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+        subj.groupBy("dur")
+          .agg(sum("ev").as("d"), count(lit(1)).as("ended"))
+          .crossJoin(broadcast(tot))
+          .withColumn("n_at_risk",
+            col("n_subjects") - coalesce(sum(col("ended")).over(wPrev), lit(0L)))
+          .filter(col("d") > 0)
+          .withColumn("dead_flag",
+            max(when(col("d") === col("n_at_risk"), 1L).otherwise(0L)).over(wCum))
+          .filter(col("dead_flag") === 0)
+          .withColumn("term_nano",
+            round(log((col("n_at_risk") - col("d")).cast("double") /
+              col("n_at_risk").cast("double")) * lit(1e9)).cast("long"))
+          .withColumn("logs_nano", sum("term_nano").over(wCum))
+          .select(col("dur").as("t_days"), col("n_at_risk"),
+            col("d").as("n_conversions"), col("logs_nano"),
+            round(exp(col("logs_nano").cast("double") / lit(1e9)) * lit(1e6))
+              .cast("long").as("surv_micro"))
+          .orderBy("t_days")
+      },
+      Some("""WITH fv AS (
+             |  SELECT user_id, min(CAST(ts AS DATE)) AS v_day
+             |  FROM events WHERE event_type = 'view' GROUP BY 1),
+             |fp AS (
+             |  SELECT e.user_id, min(CAST(e.ts AS DATE)) AS p_day
+             |  FROM events e JOIN fv ON e.user_id = fv.user_id
+             |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS DATE) >= fv.v_day
+             |  GROUP BY 1),
+             |mx AS (SELECT max(CAST(ts AS DATE)) AS max_day FROM events),
+             |subj AS (
+             |  SELECT
+             |    CAST(CASE WHEN p_day IS NOT NULL
+             |      THEN date_diff('day', v_day, p_day)
+             |      ELSE date_diff('day', v_day, max_day) END AS BIGINT) AS dur,
+             |    CAST(CASE WHEN p_day IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS ev
+             |  FROM fv LEFT JOIN fp USING (user_id) CROSS JOIN mx),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_subjects FROM subj),
+             |km AS (
+             |  SELECT dur, CAST(sum(ev) AS BIGINT) AS d,
+             |    CAST(count(*) AS BIGINT) AS ended
+             |  FROM subj GROUP BY dur),
+             |risk AS (
+             |  SELECT dur, d,
+             |    n_subjects - CAST(coalesce(sum(ended) OVER (ORDER BY dur
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             |      AS n_at_risk
+             |  FROM km CROSS JOIN tot),
+             |steps AS (SELECT * FROM risk WHERE d > 0),
+             |alive AS (
+             |  SELECT dur, d, n_at_risk,
+             |    max(CASE WHEN d = n_at_risk THEN 1 ELSE 0 END) OVER (ORDER BY dur
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead_flag
+             |  FROM steps),
+             |terms AS (
+             |  SELECT dur, d, n_at_risk,
+             |    CAST(round(ln(CAST(n_at_risk - d AS DOUBLE)
+             |      / CAST(n_at_risk AS DOUBLE)) * 1e9) AS BIGINT) AS term_nano
+             |  FROM alive WHERE dead_flag = 0)
+             |SELECT dur AS t_days, n_at_risk, d AS n_conversions,
+             |  CAST(sum(term_nano) OVER (ORDER BY dur
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS logs_nano,
+             |  CAST(round(exp(CAST(sum(term_nano) OVER (ORDER BY dur
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1e9)
+             |    * 1e6) AS BIGINT) AS surv_micro
+             |FROM terms ORDER BY t_days""".stripMargin)),
+
+    // Randomization (permutation-style) test for the purchase-vs-view
+    // mean event value: 64 deterministic hash relabelings of the rows
+    // into two random halves rebuild the null distribution of the
+    // mean difference, and the p-value is the exact fraction
+    // (1 + #extreme)/(B+1) — the distribution-free significance test
+    // that needs no variance formula (unlike abtest_two_proportion_z's
+    // parametric z). The hash replaces the RNG so the test is
+    // reproducible and restart-stable — the same property the split/
+    // sample family builds on. Every replicate statistic is a ratio of
+    // exact cent/count BIGINTs; the |stat| ≥ |obs| comparisons are
+    // identical double ops on both engines. Scale shape: the 64-way
+    // replicate explode is map-side combined to 64 partial rows per
+    // task before the one tiny shuffle — B×scan compute, O(B) movement;
+    // B grows the answer's precision, never the shuffle.
+    QueryDef(
+      "permutation_test_mean_diff",
+      (s, d) => {
+        val base = t(s, d, "events")
+          .filter(col("event_type").isin("view", "purchase"))
+          .select(col("event_id"),
+            (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"),
+            (col("event_type") === "purchase").as("is_p"))
+        val obs = base.agg(
+          sum(when(col("is_p"), col("cents"))).as("sa"),
+          count(when(col("is_p"), 1)).as("na"),
+          sum(when(!col("is_p"), col("cents"))).as("sb"),
+          count(when(!col("is_p"), 1)).as("nb"))
+          .select(col("na"), col("nb"),
+            (col("sa").cast("double") / col("na").cast("double") -
+              col("sb").cast("double") / col("nb").cast("double")).as("obs_diff"))
+        val reps = base
+          .select(col("event_id"), col("cents"),
+            explode(expr("sequence(0, 63)")).as("r"))
+          .withColumn("flip",
+            PipelineQueries.hashPermille(concat(col("event_id").cast("string"), lit("#"),
+              col("r").cast("string")), "perm") < 500000L)
+          .groupBy("r").agg(
+            sum(when(col("flip"), col("cents"))).as("sa"),
+            count(when(col("flip"), 1)).as("na"),
+            sum(when(!col("flip"), col("cents"))).as("sb"),
+            count(when(!col("flip"), 1)).as("nb"))
+          .select((col("sa").cast("double") / col("na").cast("double") -
+            col("sb").cast("double") / col("nb").cast("double")).as("stat"))
+        reps.crossJoin(broadcast(obs))
+          .agg(max(col("na")).as("n_purchase"), max(col("nb")).as("n_view"),
+            max(col("obs_diff")).as("obs_diff"),
+            count(lit(1)).as("b_replicates"),
+            sum(when(abs(col("stat")) >= abs(col("obs_diff")), 1L).otherwise(0L))
+              .as("n_extreme"))
+          .withColumn("p_value",
+            (col("n_extreme") + lit(1L)).cast("double") /
+              (col("b_replicates") + lit(1L)).cast("double"))
+      },
+      Some(s"""WITH base AS (
+              |  SELECT event_id,
+              |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+              |    event_type = 'purchase' AS is_p
+              |  FROM events WHERE event_type IN ('view', 'purchase')),
+              |obs AS (
+              |  SELECT CAST(count(CASE WHEN is_p THEN 1 END) AS BIGINT) AS na,
+              |    CAST(count(CASE WHEN NOT is_p THEN 1 END) AS BIGINT) AS nb,
+              |    CAST(sum(CASE WHEN is_p THEN cents END) AS DOUBLE)
+              |        / CAST(count(CASE WHEN is_p THEN 1 END) AS DOUBLE)
+              |      - CAST(sum(CASE WHEN NOT is_p THEN cents END) AS DOUBLE)
+              |        / CAST(count(CASE WHEN NOT is_p THEN 1 END) AS DOUBLE) AS obs_diff
+              |  FROM base),
+              |reps AS (
+              |  SELECT r,
+              |    CAST(sum(CASE WHEN flip THEN cents END) AS DOUBLE)
+              |        / CAST(count(CASE WHEN flip THEN 1 END) AS DOUBLE)
+              |      - CAST(sum(CASE WHEN NOT flip THEN cents END) AS DOUBLE)
+              |        / CAST(count(CASE WHEN NOT flip THEN 1 END) AS DOUBLE) AS stat
+              |  FROM (
+              |    SELECT b.cents, g.r,
+              |      (${PipelineQueries.hashSqlExpr(
+                       "CAST(event_id AS VARCHAR) || '#' || CAST(g.r AS VARCHAR)", "perm")})
+              |        < 500000 AS flip
+              |    FROM base b CROSS JOIN (SELECT unnest(range(0, 64)) AS r) g)
+              |  GROUP BY r)
+              |SELECT na AS n_purchase, nb AS n_view, obs_diff,
+              |  CAST(count(*) AS BIGINT) AS b_replicates,
+              |  CAST(sum(CASE WHEN abs(stat) >= abs(obs_diff) THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_extreme,
+              |  CAST(sum(CASE WHEN abs(stat) >= abs(obs_diff) THEN 1 ELSE 0 END) + 1
+              |      AS DOUBLE)
+              |    / CAST(count(*) + 1 AS DOUBLE) AS p_value
+              |FROM reps CROSS JOIN obs
+              |GROUP BY na, nb, obs_diff""".stripMargin)))
 }
