@@ -1003,5 +1003,58 @@ object CorpusQueries {
              |  coalesce(1000000 // (60 + rank_a), 0)
              |    + coalesce(1000000 // (60 + rank_b), 0) AS rrf_ppm
              |FROM la FULL OUTER JOIN lb ON la.doc_id = lb.doc_id
-             |ORDER BY rrf_ppm DESC, doc_id LIMIT 20""".stripMargin)))
+             |ORDER BY rrf_ppm DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // Token burstiness (Church & Gale 1995): variance-to-mean ratio of
+    // each top-100 token's per-document count, zeros included — the
+    // lexical statistic that separates CONTENT words (bursty: absent
+    // from most docs, repeated where they appear, VMR ≫ 1) from
+    // FUNCTION words (Poisson-like, VMR ≈ 1), which is what an
+    // IDF-style weighting or stopword inference should key on rather
+    // than raw frequency. Fully exact: with s1=Σc, s2=Σc² over the
+    // docs containing the token and N the corpus size, VMR =
+    // (N·s2 − s1²)/((N−1)·s1) — both sides are BIGINTs in the output
+    // and the nano-quantized ratio is one identical division. Scale
+    // shape: one groupBy(tok, doc) then a map-side-combinable per-token
+    // moment aggregate; the top-100 cut is TakeOrdered, never a global
+    // sort; s1² caps the exact path at ~3·10⁹ total occurrences per
+    // token — beyond that route s1² through DECIMAL(38,0).
+    QueryDef(
+      "token_burstiness_topk",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val nTot = docs.agg(count(lit(1)).as("n_docs"))
+        val perDoc = docs
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+          .groupBy("tok", "doc_id").agg(count(lit(1)).as("c"))
+        perDoc.groupBy("tok")
+          .agg(count(lit(1)).as("df"), sum("c").as("s1"),
+            sum(col("c") * col("c")).as("s2"))
+          .crossJoin(broadcast(nTot))
+          .select(col("tok"), col("df"), col("s1").as("n_occurrences"),
+            (col("n_docs") * col("s2") - col("s1") * col("s1")).as("vmr_num"),
+            ((col("n_docs") - 1) * col("s1")).as("vmr_den"),
+            round((col("n_docs") * col("s2") - col("s1") * col("s1")).cast("double") /
+              ((col("n_docs") - 1) * col("s1")).cast("double") * lit(1e9))
+              .cast("long").as("vmr_nano"))
+          .orderBy(col("n_occurrences").desc, col("tok"))
+          .limit(100)
+      },
+      Some("""WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+             |pd AS (
+             |  SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS c
+             |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |        FROM documents)
+             |  GROUP BY 1, 2),
+             |m AS (
+             |  SELECT tok, CAST(count(*) AS BIGINT) AS df,
+             |    CAST(sum(c) AS BIGINT) AS s1, CAST(sum(c * c) AS BIGINT) AS s2
+             |  FROM pd GROUP BY tok)
+             |SELECT tok, df, s1 AS n_occurrences,
+             |  (n_docs * s2 - s1 * s1) AS vmr_num,
+             |  ((n_docs - 1) * s1) AS vmr_den,
+             |  CAST(round(CAST(n_docs * s2 - s1 * s1 AS DOUBLE)
+             |    / CAST((n_docs - 1) * s1 AS DOUBLE) * 1e9) AS BIGINT) AS vmr_nano
+             |FROM m CROSS JOIN n
+             |ORDER BY n_occurrences DESC, tok LIMIT 100""".stripMargin)))
 }
