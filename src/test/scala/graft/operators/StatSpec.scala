@@ -1,0 +1,133 @@
+package graft.operators
+
+import graft.SparkSuite
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Algebraic-identity checks for the statistical-inference operators: each
+  * query computes its statistic through a distribution-friendly
+  * factorization (histogram rank sums, minimax PAV, pair joins over
+  * aggregates), and these tests pin each factorization against the
+  * textbook sequential/brute-force definition on real sf0.001 data — the
+  * cross-engine oracle proves Spark==DuckDB, these prove both equal the
+  * MATH.
+  */
+class StatSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("isotonic minimax fit equals sequential pool-adjacent-violators") {
+    val rows = graft.SparkEntry.queries("isotonic_calibration_pav")(spark, sf)
+      .orderBy("bin")
+      .select("bin", "n_users", "n_conv", "iso_rate")
+      .collect()
+    assert(rows.nonEmpty)
+    // classic PAV: sweep left to right, pooling while the previous
+    // block's mean exceeds the current one's (exact integer
+    // cross-multiplication — no FP in the pooling decision)
+    val bins = rows.map(r => (r.getLong(1), r.getLong(2)))
+    val blocks = scala.collection.mutable.ListBuffer[(Long, Long, Int)]()
+    for ((w, y) <- bins) {
+      var bw = w; var by = y; var bn = 1
+      while (blocks.nonEmpty &&
+          blocks.last._2 * bw > by * blocks.last._1) { // prev mean > cur mean
+        val (pw, py, pn) = blocks.remove(blocks.length - 1)
+        bw += pw; by += py; bn += pn
+      }
+      blocks += ((bw, by, bn))
+    }
+    val pav = blocks.flatMap { case (w, y, n) =>
+      Seq.fill(n)(y.toDouble / w.toDouble)
+    }.toSeq
+    val iso = rows.map(_.getDouble(3)).toSeq
+    assert(iso.size == pav.size)
+    iso.zip(pav).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(math.abs(a - b) < 1e-12, s"bin index $i: minimax $a != PAV $b")
+    }
+    // and the fit is monotone non-decreasing
+    iso.sliding(2).foreach { case Seq(a, b) => assert(a <= b + 1e-12) case _ => }
+  }
+
+  test("Kaplan-Meier output is internally consistent with the product-limit") {
+    val rows = graft.SparkEntry.queries("survival_km_conversion")(spark, sf)
+      .orderBy("t_days")
+      .select("t_days", "n_at_risk", "n_conversions", "surv_micro")
+      .collect()
+    assert(rows.nonEmpty)
+    var prod = 1.0
+    var lastRisk = Long.MaxValue
+    var lastSurv = Long.MaxValue
+    rows.foreach { r =>
+      val (n, d, sm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n < lastRisk || lastRisk == Long.MaxValue || n <= lastRisk,
+        "risk set must shrink")
+      assert(d > 0 && d < n, "steps stop before any d=n degenerate tail")
+      prod *= (n - d).toDouble / n.toDouble
+      val direct = math.round(prod * 1e6)
+      assert(math.abs(sm - direct) <= 1L,
+        s"t=${r.getLong(0)}: surv_micro $sm vs direct product $direct")
+      assert(sm <= lastSurv, "survival curve must be non-increasing")
+      lastRisk = n; lastSurv = sm
+    }
+  }
+
+  test("Mann-Kendall S and tie-corrected variance match the brute definition") {
+    val out = graft.SparkEntry.queries("mann_kendall_trend")(spark, sf).collect().head
+    val daily = graft.QueryDef.t(spark, sf, "events")
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
+      .orderBy("day").select("n").collect().map(_.getLong(0))
+    var s = 0L
+    for (i <- daily.indices; j <- (i + 1) until daily.length)
+      s += java.lang.Long.signum(daily(j) - daily(i))
+    val n = daily.length.toLong
+    val v0 = n * (n - 1) * (2 * n + 5)
+    val vt = daily.groupBy(identity).values.map(_.length.toLong)
+      .map(t => t * (t - 1) * (2 * t + 5)).sum
+    assert(out.getAs[Long]("n_days") == n)
+    assert(out.getAs[Long]("s_stat") == s, s"S: ${out.getAs[Long]("s_stat")} vs brute $s")
+    assert(out.getAs[Long]("var18") == v0 - vt)
+  }
+
+  test("Gini histogram rank-sum equals the sorted per-row formula") {
+    val out = graft.SparkEntry.queries("gini_revenue_concentration")(spark, sf)
+      .collect().head
+    val cents = graft.QueryDef.t(spark, sf, "orders")
+      .groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+      .select((col("rev") * 100).cast("long").as("c"))
+      .collect().map(_.getLong(0)).sorted
+    val n = cents.length.toLong
+    val tot = cents.sum
+    val rs = cents.zipWithIndex.map { case (x, i) => (i + 1).toLong * x }.sum
+    val giniNano = math.round((2 * rs - (n + 1) * tot).toDouble / (n * tot).toDouble * 1e9)
+    assert(out.getAs[Long]("n_customers") == n)
+    assert(out.getAs[Long]("total_cents") == tot)
+    assert(out.getAs[Long]("gini_nano") == giniNano,
+      s"gini: ${out.getAs[Long]("gini_nano")} vs brute $giniNano")
+  }
+
+  test("permutation test is deterministic with a valid p-value") {
+    val a = graft.SparkEntry.queries("permutation_test_mean_diff")(spark, sf).collect().head
+    val b = graft.SparkEntry.queries("permutation_test_mean_diff")(spark, sf).collect().head
+    assert(a == b, "hash-driven replicates must be run-stable")
+    val p = a.getAs[Double]("p_value")
+    assert(p > 0.0 && p <= 1.0)
+    assert(a.getAs[Long]("b_replicates") == 64L)
+  }
+
+  test("LPA adopts only labels that exist among a node's neighbors") {
+    val res = graft.SparkEntry.queries("label_propagation_round")(spark, sf)
+    val edges = AnalyticsQueries.copurchaseEdges(spark, sf)
+    val adj = edges.select(col("a").as("node"), col("b").as("nbr"))
+      .unionAll(edges.select(col("b").as("node"), col("a").as("nbr")))
+    val init = res.select(col("node").as("nbr"), col("init_label"))
+    val legal = adj.join(init, "nbr")
+      .select(col("node"), col("init_label").as("cand"))
+    val illegal = res.join(legal,
+        res("node") === legal("node") && res("new_label") === legal("cand"),
+        "left_anti")
+    assert(illegal.count() == 0,
+      "every adopted label must be some neighbor's initial label")
+  }
+}
