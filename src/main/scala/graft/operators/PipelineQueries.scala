@@ -863,6 +863,14 @@ object PipelineQueries {
     // only corpus-sized shuffle is groupBy(doc_id, bucket) (linear, map-
     // side combinable); the bucket LMs are two ≤512-row aggregates and
     // λ broadcasts to the per-doc join — no all-corpus joins anywhere.
+    // The target LM is a CONDITIONAL sum inside the same bucket
+    // aggregate (not a filtered second pass): a filter on lang would be
+    // pushed below the aggregate into its own scan, and the corpus
+    // would be tokenized+hashed once per consumer — with the
+    // conditional-sum shape the (doc, lang, bucket) aggregate is ONE
+    // subtree that ReuseExchange shares between the bucket-LM branch
+    // and the per-doc probe, so the corpus is scanned and md5-hashed
+    // exactly once (pinned in PlanSpec).
     // BIGINT headroom: c·λ^nano ≤ 2e10·len(doc); a 10⁸-token document
     // would overflow — route the weight sum through DECIMAL(38,0) there.
     QueryDef(
@@ -874,16 +882,19 @@ object PipelineQueries {
           .select(col("doc_id"), col("lang"),
             explode(TextOps.tokens(col("text"))).as("tok"))
           .select(col("doc_id"), col("lang"), bucket.as("b"))
+          // b is never null (md5 of a non-null token), but the final join
+          // infers IsNotNull(b) into ONLY its probe branch — declaring it
+          // here keeps every consumer's subtree identical so ReuseExchange
+          // computes the corpus aggregate once (see the Scaladoc note)
+          .filter(col("b").isNotNull)
           .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("c"))
-        val raw = docToks.groupBy("b").agg(sum("c").as("r_b"))
-        val tgt = docToks.filter(col("lang") === "en")
-          .groupBy("b").agg(sum("c").as("t_b"))
-        val totals = raw.agg(sum("r_b").as("r_tot"))
-          .crossJoin(tgt.agg(coalesce(sum("t_b"), lit(0L)).as("t_tot")))
-        val lambda = raw.join(tgt, Seq("b"), "left_outer")
-          .crossJoin(broadcast(totals))
+        val lamBase = docToks.groupBy("b").agg(
+          sum("c").as("r_b"),
+          sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("t_b"))
+        val totals = lamBase.agg(sum("r_b").as("r_tot"), sum("t_b").as("t_tot"))
+        val lambda = lamBase.crossJoin(broadcast(totals))
           .select(col("b"),
-            round((log((coalesce(col("t_b"), lit(0L)) + lit(1L)).cast("double") /
+            round((log((col("t_b") + lit(1L)).cast("double") /
               (col("t_tot") + lit(512L)).cast("double")) -
               log((col("r_b") + lit(1L)).cast("double") /
                 (col("r_tot") + lit(512L)).cast("double"))) * lit(1e9))

@@ -747,6 +747,21 @@ class PlanSpec extends SparkSuite {
       s"no sort-merge join belongs in the DSIR plan (bucket tables are tiny): ${smj.size}")
   }
 
+  test("DSIR tokenizes the corpus once — LM branches reuse the probe's " +
+      "doc-bucket exchange at runtime") {
+    // The conditional-sum target LM + the declared IsNotNull(b) keep the
+    // (doc, lang, bucket) aggregate's subtree identical under every
+    // consumer, so AQE's stage cache wires the bucket-LM and totals
+    // branches through ReusedExchange instead of re-scanning and
+    // re-hashing the corpus per consumer (3 scans → 1 at any corpus
+    // size). AQE materializes stages as leaf nodes, so assert on the
+    // printed final plan after execution.
+    val df = SparkEntry.queries("dsir_importance_weights")(spark, sf)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+      "bucket-LM branch must reuse the corpus doc-bucket aggregate exchange")
+  }
+
   test("Gini's ordered window runs over the aggregated value histogram, " +
       "not raw customer rows") {
     val p = plan("gini_revenue_concentration")
