@@ -3,6 +3,7 @@ package graft.operators
 import graft.QueryDef
 import graft.QueryDef.t
 import graft.dedup.Dedup
+import graft.text.TextOps
 
 import org.apache.spark.sql.functions._
 
@@ -939,7 +940,73 @@ object DedupQueries {
               |    pow((CAST(sim_bin AS DOUBLE) + 0.5) / 10.0, 2.0), 8.0)) * 1e9) AS BIGINT)
               |    AS expected_nano
               |FROM binned GROUP BY sim_bin ORDER BY sim_bin""".stripMargin),
-      bench = false))
+      bench = false),
+
+    // ROUGE-1 over the verified near-dup pairs — the text-overlap eval
+    // metric (unigram multiset precision/recall/F1, Lin 2004) computed
+    // where a curation pipeline actually needs it: quantifying HOW MUCH
+    // of a near-duplicate is shared text before choosing which copy to
+    // keep (shingle Jaccard says "similar"; ROUGE says how asymmetric
+    // the containment is). Multiset overlap = Σ_tok min(c_a, c_b), so
+    // ROUGE-1 F1 collapses to the exact ratio 2·overlap/(len_a+len_b).
+    // Scale shape: pair generation is the LSH pipeline (never
+    // all-pairs); the overlap join moves each pair's token multisets
+    // through one (doc, tok)-keyed equi join — cost tracks actual
+    // duplication, and every metric is a single division of exact
+    // BIGINTs.
+    QueryDef(
+      "rouge1_neardup_pairs",
+      (s, d) => {
+        val pairs = Dedup.nearDuplicates(t(s, d, "documents"), "doc_id", "text",
+          threshold = 0.2, numHashes = 16, bands = 8)
+          .select("doc_id_a", "doc_id_b")
+        val tc = t(s, d, "documents")
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        val lens = tc.groupBy("doc_id").agg(sum("c").as("len"))
+        val ov = pairs
+          .join(tc.select(col("doc_id").as("doc_id_a"), col("tok"), col("c").as("ca")),
+            Seq("doc_id_a"))
+          .join(tc.select(col("doc_id").as("doc_id_b"), col("tok"), col("c").as("cb")),
+            Seq("doc_id_b", "tok"))
+          .groupBy("doc_id_a", "doc_id_b")
+          .agg(sum(least(col("ca"), col("cb"))).as("overlap"))
+        ov
+          .join(lens.select(col("doc_id").as("doc_id_a"), col("len").as("len_a")), "doc_id_a")
+          .join(lens.select(col("doc_id").as("doc_id_b"), col("len").as("len_b")), "doc_id_b")
+          .select(col("doc_id_a"), col("doc_id_b"), col("overlap"),
+            col("len_a"), col("len_b"),
+            (col("overlap").cast("double") / col("len_b").cast("double")).as("rouge1_p"),
+            (col("overlap").cast("double") / col("len_a").cast("double")).as("rouge1_r"),
+            (lit(2.0) * col("overlap").cast("double") /
+              (col("len_a") + col("len_b")).cast("double")).as("rouge1_f"))
+          .orderBy("doc_id_a", "doc_id_b")
+      },
+      Some(s"""$candidatesCte,
+              |sets AS (SELECT doc_id, list_distinct($shinglesSql) AS sset FROM documents),
+              |verified AS (SELECT doc_id_a, doc_id_b
+              |  FROM cands JOIN sets a ON doc_id_a = a.doc_id
+              |             JOIN sets b ON doc_id_b = b.doc_id
+              |  WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+              |      / CAST(len(list_distinct(list_concat(a.sset, b.sset))) AS DOUBLE) >= 0.2),
+              |tc AS (
+              |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+              |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+              |  GROUP BY 1, 2),
+              |lens AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS len FROM tc GROUP BY 1),
+              |ov AS (
+              |  SELECT v.doc_id_a, v.doc_id_b, CAST(sum(least(a.c, b.c)) AS BIGINT) AS overlap
+              |  FROM verified v
+              |  JOIN tc a ON a.doc_id = v.doc_id_a
+              |  JOIN tc b ON b.doc_id = v.doc_id_b AND b.tok = a.tok
+              |  GROUP BY 1, 2)
+              |SELECT ov.doc_id_a, ov.doc_id_b, overlap, la.len AS len_a, lb.len AS len_b,
+              |  CAST(overlap AS DOUBLE) / CAST(lb.len AS DOUBLE) AS rouge1_p,
+              |  CAST(overlap AS DOUBLE) / CAST(la.len AS DOUBLE) AS rouge1_r,
+              |  2.0 * CAST(overlap AS DOUBLE) / CAST(la.len + lb.len AS DOUBLE) AS rouge1_f
+              |FROM ov JOIN lens la ON la.doc_id = ov.doc_id_a
+              |        JOIN lens lb ON lb.doc_id = ov.doc_id_b
+              |ORDER BY doc_id_a, doc_id_b""".stripMargin)))
 
   /** The SimHash fingerprint CTE chain (tokh → voted → packed), shared by
     * the fingerprint query and the hamming-radius search; `shape` is the

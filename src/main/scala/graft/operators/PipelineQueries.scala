@@ -930,5 +930,63 @@ object PipelineQueries {
              |  CAST(sum(c) AS BIGINT) AS n_toks,
              |  CAST(sum(c * lam_nano) AS BIGINT) AS weight_nano
              |FROM dt JOIN lam ON dt.b = lam.b
-             |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin)))
+             |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin)),
+
+    // T5/UL2-style span-corruption plan: per document, partition the
+    // token stream into 20-token strides and mask the leading 3-token
+    // span of each stride selected by a deterministic md5 coin at
+    // ~15% — non-overlap by construction (one span per stride), and
+    // the same doc always corrupts the same way (restart-stable
+    // training data, the property the split/sample family pins). This
+    // is the PLAN the objective-building step consumes: per doc the
+    // stride count, selected spans, masked tokens, and realized mask
+    // ratio (an exact ratio of BIGINTs — the corpus-level mean of
+    // mask_ratio converging to 3/20·15% is the downstream sanity
+    // check). Scale shape: the stride explode is bounded by n_tok/20
+    // rows per doc and aggregates straight back to one row per doc —
+    // map-side combinable, no joins, no windows.
+    QueryDef(
+      "span_corruption_plan",
+      (s, d) => {
+        val base = t(s, d, "documents")
+          .select(col("doc_id"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+          .withColumn("n_strides", expr("n_tok div 20"))
+        val spans = base.filter(col("n_strides") > 0)
+          .select(col("doc_id"), explode(expr("sequence(0, n_strides - 1)")).as("k"))
+          .withColumn("m",
+            when(hashPermille(concat(col("doc_id").cast("string"), lit("#"),
+              col("k").cast("string")), "span") < 150000L, 1L).otherwise(0L))
+          .groupBy("doc_id").agg(sum("m").as("n_spans"))
+        base.join(spans, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("n_tok"), col("n_strides"),
+            coalesce(col("n_spans"), lit(0L)).as("n_masked_spans"),
+            (coalesce(col("n_spans"), lit(0L)) * 3L).as("n_masked_tokens"),
+            when(col("n_tok") > 0,
+              (coalesce(col("n_spans"), lit(0L)) * lit(3L)).cast("double") /
+                col("n_tok").cast("double")).otherwise(lit(0.0)).as("mask_ratio"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH base AS (
+              |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+              |    CAST(len(string_split(text, ' ')) // 20 AS BIGINT) AS n_strides
+              |  FROM documents),
+              |spans AS (
+              |  SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_spans
+              |  FROM (
+              |    SELECT doc_id,
+              |      CASE WHEN (${hashSqlExpr(
+                       "CAST(doc_id AS VARCHAR) || '#' || CAST(k AS VARCHAR)", "span")})
+              |           < 150000 THEN 1 ELSE 0 END AS m
+              |    FROM (SELECT doc_id, unnest(range(n_strides)) AS k
+              |          FROM base WHERE n_strides > 0))
+              |  GROUP BY doc_id)
+              |SELECT base.doc_id, n_tok, n_strides,
+              |  CAST(coalesce(n_spans, 0) AS BIGINT) AS n_masked_spans,
+              |  CAST(coalesce(n_spans, 0) * 3 AS BIGINT) AS n_masked_tokens,
+              |  CASE WHEN n_tok > 0
+              |    THEN CAST(coalesce(n_spans, 0) * 3 AS DOUBLE) / CAST(n_tok AS DOUBLE)
+              |    ELSE 0.0 END AS mask_ratio
+              |FROM base LEFT JOIN spans ON base.doc_id = spans.doc_id
+              |ORDER BY base.doc_id""".stripMargin)))
 }
