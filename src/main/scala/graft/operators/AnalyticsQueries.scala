@@ -2505,5 +2505,60 @@ object AnalyticsQueries {
              |     * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
              |  / (CAST(ss AS DOUBLE)
              |     - CAST(s AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) AS acf
-             |FROM u ORDER BY lag""".stripMargin)))
+             |FROM u ORDER BY lag""".stripMargin)),
+
+    // Approximate functional-dependency profiler (the g₃ error of
+    // Kivinen & Mannila 1995): for each declared X→Y pair, the minimum
+    // number of rows to delete before the FD holds — Σ_x (|group x| −
+    // max-y-count in x) — and the resulting confidence. This is the
+    // schema-discovery/data-quality primitive behind "can this column
+    // be normalized out" and "did an upstream join fan out": an exact
+    // key dependency reads 1.0, a drifting dimension reads below it.
+    // Each pair is two stacked map-side-combinable aggregates
+    // (groupBy(x,y) → groupBy(x) with sum+max → one row); nothing
+    // shuffles more than the distinct (x,y) pairs, and all four legs
+    // union into one result. Exact integers up to the one division.
+    QueryDef(
+      "fd_profile_audit",
+      (s, d) => {
+        def leg(df: org.apache.spark.sql.DataFrame, table: String,
+                lhs: String, rhs: String) =
+          df.groupBy(col(lhs).as("x"), col(rhs).as("y"))
+            .agg(count(lit(1)).as("c"))
+            .groupBy("x").agg(sum("c").as("n"), max("c").as("mx"))
+            .agg(sum(col("n")).as("n_rows"),
+              count(lit(1)).as("n_lhs_groups"),
+              sum(col("n") - col("mx")).as("n_violations"))
+            .select(lit(s"$table: $lhs -> $rhs").as("fd"),
+              col("n_rows"), col("n_lhs_groups"), col("n_violations"),
+              ((col("n_rows") - col("n_violations")).cast("double") /
+                col("n_rows").cast("double")).as("confidence"))
+        leg(t(s, d, "orders"), "orders", "o_orderkey", "o_orderstatus")
+          .unionAll(leg(t(s, d, "orders"), "orders", "o_custkey", "o_orderpriority"))
+          .unionAll(leg(t(s, d, "customer"), "customer", "c_nationkey", "c_mktsegment"))
+          .unionAll(leg(t(s, d, "part"), "part", "p_brand", "p_type"))
+          .orderBy("fd")
+      },
+      Some {
+        def legSql(table: String, lhs: String, rhs: String) =
+          s"""SELECT '$table: $lhs -> $rhs' AS fd,
+             |  CAST(sum(n) AS BIGINT) AS n_rows,
+             |  CAST(count(*) AS BIGINT) AS n_lhs_groups,
+             |  CAST(sum(n - mx) AS BIGINT) AS n_violations,
+             |  CAST(sum(n) - sum(n - mx) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+             |    AS confidence
+             |FROM (
+             |  SELECT x, CAST(sum(c) AS BIGINT) AS n, CAST(max(c) AS BIGINT) AS mx
+             |  FROM (SELECT $lhs AS x, $rhs AS y, count(*) AS c
+             |        FROM $table GROUP BY 1, 2)
+             |  GROUP BY x)""".stripMargin
+        s"""${legSql("orders", "o_orderkey", "o_orderstatus")}
+           |UNION ALL
+           |${legSql("orders", "o_custkey", "o_orderpriority")}
+           |UNION ALL
+           |${legSql("customer", "c_nationkey", "c_mktsegment")}
+           |UNION ALL
+           |${legSql("part", "p_brand", "p_type")}
+           |ORDER BY fd""".stripMargin
+      }))
 }

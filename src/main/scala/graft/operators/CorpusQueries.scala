@@ -1056,5 +1056,83 @@ object CorpusQueries {
              |  CAST(round(CAST(n_docs * s2 - s1 * s1 AS DOUBLE)
              |    / CAST((n_docs - 1) * s1 AS DOUBLE) * 1e9) AS BIGINT) AS vmr_nano
              |FROM m CROSS JOIN n
-             |ORDER BY n_occurrences DESC, tok LIMIT 100""".stripMargin)))
+             |ORDER BY n_occurrences DESC, tok LIMIT 100""".stripMargin)),
+
+    // One exact-arithmetic NMF multiplicative update (Lee & Seung 2000)
+    // over the doc-term count matrix — the topic-modeling step
+    // expressed as joins and aggregates: with integer-seeded factors
+    // W (doc×4, md5-hash in [1,5]) and H (4×vocab, same), the update
+    // H ∘ (WᵀV) ⊘ (WᵀWH) has EXACT BIGINT numerator and denominator —
+    // WᵀV = Σ_doc w·c is one (topic, tok) aggregate over the corpus
+    // join, WᵀW is a 16-cell broadcast, and WᵀWH re-expands it against
+    // H — so the updated factor is one identical division per cell,
+    // nano-quantized. This is the distributed matrix-multiply shape
+    // (never materialize a dense matrix; factor cells are rows): the
+    // only corpus-scale stage is the (doc, tok)→(topic, tok) product
+    // aggregate, map-side combinable; everything else is
+    // O(k·vocab + k²). BIGINT headroom: h·num ≤ 5·(5·len·docs) — route
+    // through DECIMAL(38,0) past ~10¹⁷ total token occurrences.
+    QueryDef(
+      "nmf_multiplicative_step",
+      (s, d) => {
+        val topics = expr("sequence(0, 3)")
+        val v = t(s, d, "documents")
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        val wHash = PipelineQueries.hashPermille(
+          concat(col("doc_id").cast("string"), lit("#"), col("k").cast("string")), "nmfw")
+        val w = t(s, d, "documents").select(col("doc_id"))
+          .select(col("doc_id"), explode(topics).as("k"))
+          .select(col("doc_id"), col("k"), (wHash % 5 + 1).as("w"))
+        val hHash = PipelineQueries.hashPermille(
+          concat(col("tok"), lit("#"), col("k").cast("string")), "nmfh")
+        val h = v.select(col("tok")).distinct()
+          .select(col("tok"), explode(topics).as("k"))
+          .select(col("tok"), col("k"), (hHash % 5 + 1).as("h"))
+        val wtv = v.join(w, "doc_id")
+          .groupBy("k", "tok").agg(sum(col("w") * col("c")).as("num"))
+        val wtw = w.select(col("doc_id"), col("k").as("i"), col("w").as("wi"))
+          .join(w.select(col("doc_id"), col("k").as("j"), col("w").as("wj")), "doc_id")
+          .groupBy("i", "j").agg(sum(col("wi") * col("wj")).as("g"))
+        val wtwh = broadcast(wtw)
+          .join(h.select(col("tok"), col("k").as("j"), col("h").as("hj")), "j")
+          .groupBy(col("i").as("k"), col("tok")).agg(sum(col("g") * col("hj")).as("den"))
+        h.join(wtv, Seq("k", "tok")).join(wtwh, Seq("k", "tok"))
+          .select(col("k"), col("tok"), col("h").as("h_old"), col("num"), col("den"),
+            round(col("h") * col("num").cast("double") / col("den").cast("double")
+              * lit(1e9)).cast("long").as("h_new_nano"))
+          .orderBy("k", "tok")
+      },
+      Some {
+        val wH = PipelineQueries.hashSqlExpr(
+          "CAST(doc_id AS VARCHAR) || '#' || CAST(k AS VARCHAR)", "nmfw")
+        val hH = PipelineQueries.hashSqlExpr(
+          "tok || '#' || CAST(k AS VARCHAR)", "nmfh")
+        s"""WITH v AS (
+           |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+           |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           |        FROM documents)
+           |  GROUP BY 1, 2),
+           |w AS (
+           |  SELECT doc_id, k, CAST(($wH) % 5 + 1 AS BIGINT) AS w
+           |  FROM documents CROSS JOIN (SELECT unnest(range(0, 4)) AS k)),
+           |h AS (
+           |  SELECT tok, k, CAST(($hH) % 5 + 1 AS BIGINT) AS h
+           |  FROM (SELECT DISTINCT tok FROM v) CROSS JOIN (SELECT unnest(range(0, 4)) AS k)),
+           |wtv AS (
+           |  SELECT k, tok, CAST(sum(w * c) AS BIGINT) AS num
+           |  FROM v JOIN w USING (doc_id) GROUP BY 1, 2),
+           |wtw AS (
+           |  SELECT a.k AS i, b.k AS j, CAST(sum(a.w * b.w) AS BIGINT) AS g
+           |  FROM w a JOIN w b USING (doc_id) GROUP BY 1, 2),
+           |wtwh AS (
+           |  SELECT wtw.i AS k, h.tok, CAST(sum(g * h.h) AS BIGINT) AS den
+           |  FROM wtw JOIN h ON wtw.j = h.k GROUP BY 1, 2)
+           |SELECT h.k, h.tok, h.h AS h_old, num, den,
+           |  CAST(round(h.h * CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1e9)
+           |       AS BIGINT) AS h_new_nano
+           |FROM h JOIN wtv ON h.k = wtv.k AND h.tok = wtv.tok
+           |       JOIN wtwh ON h.k = wtwh.k AND h.tok = wtwh.tok
+           |ORDER BY h.k, h.tok""".stripMargin
+      }))
 }

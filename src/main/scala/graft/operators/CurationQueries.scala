@@ -785,5 +785,73 @@ object CurationQueries {
               |fit AS (SELECT k, max(im) AS iso_rate FROM inner_m GROUP BY k)
               |SELECT bins.b AS bin, w AS n_users, y AS n_conv,
               |  CAST(y AS DOUBLE) / CAST(w AS DOUBLE) AS raw_rate, iso_rate
-              |FROM bins JOIN fit ON bins.b = fit.k ORDER BY bin""".stripMargin)))
+              |FROM bins JOIN fit ON bins.b = fit.k ORDER BY bin""".stripMargin)),
+
+    // Simpson's-paradox audit of the score→conversion association: the
+    // high-vs-low-score conversion-rate difference computed overall AND
+    // within each market-segment stratum, with a per-stratum flag for
+    // sign reversal against the pooled estimate — the analysis-
+    // integrity check that catches a confounded readout before anyone
+    // ships "the score works" (a positive pooled lift can be negative
+    // in every stratum when segment mix correlates with score). One
+    // ROLLUP aggregate produces strata + pooled in a single pass; all
+    // counts exact BIGINT, the two rate divisions and the sign product
+    // are identical double ops; the 1-row pooled diff broadcasts back.
+    QueryDef(
+      "simpson_paradox_audit",
+      (s, d) => {
+        val su = scoredUsers(s, d)
+          .withColumn("hi", (col("score_pm") >= 500000L).cast("long"))
+        val seg = t(s, d, "customer")
+          .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("stratum"))
+        val base = su.join(seg, "user_id")
+          .select(col("stratum"), col("hi"), col("conv"))
+        // per-stratum + pooled as two grouped aggregates unioned (the
+        // ROLLUP equivalent — rollup() on a joined column trips Spark's
+        // ambiguous-self-join detector via its grouping metadata)
+        def cells(df: org.apache.spark.sql.DataFrame, key: org.apache.spark.sql.Column) =
+          df.groupBy(key.as("stratum")).agg(
+            sum(when(col("hi") === 1L, 1L).otherwise(0L)).as("n_high"),
+            sum(when(col("hi") === 1L, col("conv")).otherwise(0L)).as("conv_high"),
+            sum(when(col("hi") === 0L, 1L).otherwise(0L)).as("n_low"),
+            sum(when(col("hi") === 0L, col("conv")).otherwise(0L)).as("conv_low"))
+        val g = cells(base, col("stratum")).unionAll(cells(base, lit("ALL")))
+          .withColumn("rate_diff",
+            when(col("n_high") > 0 && col("n_low") > 0,
+              col("conv_high").cast("double") / col("n_high").cast("double") -
+                col("conv_low").cast("double") / col("n_low").cast("double")))
+        // the pooled diff rides a 6-row window rather than a self-join
+        // (the ALL row is already in g; a filter+crossJoin of the same
+        // lineage trips the ambiguous-self-join analyzer)
+        g.withColumn("all_diff",
+            max(when(col("stratum") === "ALL", col("rate_diff")))
+              .over(Window.partitionBy(lit(1))))
+          .select(col("stratum"), col("n_high"), col("conv_high"),
+            col("n_low"), col("conv_low"), col("rate_diff"),
+            (col("rate_diff") * col("all_diff") < 0).as("sign_reversed"))
+          .orderBy("stratum")
+      },
+      Some(s"""WITH su AS ($scoredUsersSql),
+              |base AS (
+              |  SELECT conv, CASE WHEN score_pm >= 500000 THEN 1 ELSE 0 END AS hi,
+              |    c_mktsegment AS stratum
+              |  FROM su JOIN customer ON su.user_id = c_custkey),
+              |g AS (
+              |  SELECT coalesce(stratum, 'ALL') AS stratum,
+              |    CAST(sum(CASE WHEN hi = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+              |    CAST(sum(CASE WHEN hi = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_high,
+              |    CAST(sum(CASE WHEN hi = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+              |    CAST(sum(CASE WHEN hi = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_low
+              |  FROM base GROUP BY ROLLUP(stratum)),
+              |dd AS (
+              |  SELECT *,
+              |    CASE WHEN n_high > 0 AND n_low > 0
+              |      THEN CAST(conv_high AS DOUBLE) / CAST(n_high AS DOUBLE)
+              |        - CAST(conv_low AS DOUBLE) / CAST(n_low AS DOUBLE)
+              |      END AS rate_diff
+              |  FROM g),
+              |o AS (SELECT rate_diff AS all_diff FROM dd WHERE stratum = 'ALL')
+              |SELECT stratum, n_high, conv_high, n_low, conv_low, rate_diff,
+              |  (rate_diff * all_diff) < 0 AS sign_reversed
+              |FROM dd CROSS JOIN o ORDER BY stratum""".stripMargin)))
 }

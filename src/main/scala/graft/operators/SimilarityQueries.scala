@@ -615,5 +615,107 @@ object SimilarityQueries {
               |  CAST(round((pow(16.0, -CAST(level AS DOUBLE))
               |    - pow(16.0, -CAST(level AS DOUBLE) - 1.0)) * 1e9) AS BIGINT)
               |    AS expected_share_nano
-              |FROM lvl GROUP BY level ORDER BY level""".stripMargin)))
+              |FROM lvl GROUP BY level ORDER BY level""".stripMargin)),
+
+    // Graded retrieval eval: NDCG@10 and reciprocal rank per query over
+    // the labeled corpus (relevance = label match) — the position-aware
+    // metrics next to ann_recall_eval's set-overlap recall (recall says
+    // WHETHER the relevant items were found; NDCG/MRR say how HIGH they
+    // ranked, which is what re-ranker and embedding comparisons quote).
+    // Discount weights round(1e9/log2(i+1)) are integers per position,
+    // so DCG and the rank-capped ideal DCG are exact BIGINT sums; the
+    // one division per query is identical on both engines. The ideal
+    // DCG caps at min(10, corpus-relevant count) — computed from a
+    // label-count aggregate joined back to the query set, never a
+    // second corpus pass. Ranking reuses the tie-proof 1e12-quantized
+    // cosine key. Scale: the top-10 is a WindowGroupLimit per query
+    // over the broadcast-query × corpus product (the exact-eval
+    // baseline, same class as sim_topk_bruteforce); everything after
+    // runs on ≤10 rows per query.
+    QueryDef(
+      "ndcg_ann_eval",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+        val emb = t(s, d, "embeddings")
+        val nrm = Similarity.l2Norm(col("embedding"))
+        val q = broadcast(emb.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qvec"),
+            nrm.as("qnorm"), col("label").as("q_label")))
+        val c = emb.filter(col("vec_id") >= 50)
+          .select(col("vec_id").as("c_id"), col("embedding").as("cvec"),
+            nrm.as("cnorm"), col("label").as("c_label"))
+        val simQ = round(Similarity.dot(col("qvec"), col("cvec")) /
+          (col("qnorm") * col("cnorm")) * lit(1e12)).cast("long")
+        val byQ = w.partitionBy("q_id").orderBy(col("sim_q").desc, col("c_id"))
+        val top = c.crossJoin(q).withColumn("sim_q", simQ)
+          .withColumn("rn", row_number().over(byQ)).filter(col("rn") <= 10)
+          .withColumn("rel", when(col("c_label") === col("q_label"), 1L).otherwise(0L))
+          .withColumn("w_nano",
+            round(lit(1e9) / log2(col("rn").cast("double") + lit(1.0))).cast("long"))
+        val perQ = top.groupBy("q_id").agg(
+          sum(col("rel") * col("w_nano")).as("dcg_nano"),
+          sum(col("rel")).as("n_rel_top10"),
+          min(when(col("rel") === 1L, col("rn"))).as("first_rel"))
+        val relCorpus = c.groupBy(col("c_label").as("q_label"))
+          .agg(count(lit(1)).as("n_rel_corpus"))
+        val pos = s.range(1, 11).select(col("id").as("pos"),
+          round(lit(1e9) / log2(col("id").cast("double") + lit(1.0))).cast("long").as("pw"))
+        val idcg = q.select("q_id", "q_label")
+          .join(relCorpus, Seq("q_label"), "left_outer")
+          .select(col("q_id"), coalesce(col("n_rel_corpus"), lit(0L)).as("n_rel_corpus"))
+          .crossJoin(broadcast(pos))
+          .groupBy("q_id", "n_rel_corpus")
+          .agg(coalesce(sum(when(col("pos") <= least(lit(10L), col("n_rel_corpus")),
+            col("pw"))), lit(0L)).as("idcg_nano"))
+        perQ.join(idcg, Seq("q_id"))
+          .select(col("q_id"), col("n_rel_corpus"), col("n_rel_top10"),
+            col("dcg_nano"), col("idcg_nano"),
+            when(col("idcg_nano") > 0,
+              col("dcg_nano").cast("double") / col("idcg_nano").cast("double"))
+              .otherwise(lit(0.0)).as("ndcg_at_10"),
+            coalesce(round(lit(1e9) / col("first_rel").cast("double")).cast("long"), lit(0L))
+              .as("rr_nano"))
+          .orderBy("q_id")
+      },
+      Some(s"""WITH q AS (
+              |  SELECT vec_id AS q_id, embedding AS qvec,
+              |    sqrt(${dotSql("embedding", "embedding")}) AS qnorm, label AS q_label
+              |  FROM embeddings WHERE vec_id < 50),
+              |c AS (
+              |  SELECT vec_id AS c_id, embedding AS cvec,
+              |    sqrt(${dotSql("embedding", "embedding")}) AS cnorm, label AS c_label
+              |  FROM embeddings WHERE vec_id >= 50),
+              |top AS (
+              |  SELECT q_id, rel, rn,
+              |    CAST(round(1e9 / log2(CAST(rn AS DOUBLE) + 1.0)) AS BIGINT) AS w_nano
+              |  FROM (
+              |    SELECT q_id, CASE WHEN c_label = q_label THEN 1 ELSE 0 END AS rel,
+              |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+              |        CAST(round(${dotSql("qvec", "cvec")} / (qnorm * cnorm) * 1e12)
+              |             AS BIGINT) DESC, c_id) AS rn
+              |    FROM c CROSS JOIN q) WHERE rn <= 10),
+              |perq AS (
+              |  SELECT q_id, CAST(sum(rel * w_nano) AS BIGINT) AS dcg_nano,
+              |    CAST(sum(rel) AS BIGINT) AS n_rel_top10,
+              |    min(CASE WHEN rel = 1 THEN rn END) AS first_rel
+              |  FROM top GROUP BY 1),
+              |relc AS (SELECT c_label AS q_label, CAST(count(*) AS BIGINT) AS n_rel_corpus
+              |         FROM c GROUP BY 1),
+              |pos AS (SELECT k AS pos,
+              |    CAST(round(1e9 / log2(CAST(k AS DOUBLE) + 1.0)) AS BIGINT) AS pw
+              |  FROM (SELECT unnest(range(1, 11)) AS k)),
+              |idcg AS (
+              |  SELECT q.q_id, coalesce(n_rel_corpus, 0) AS n_rel_corpus,
+              |    CAST(coalesce(sum(CASE WHEN pos <= least(10, coalesce(n_rel_corpus, 0))
+              |      THEN pw END), 0) AS BIGINT) AS idcg_nano
+              |  FROM q LEFT JOIN relc USING (q_label) CROSS JOIN pos
+              |  GROUP BY 1, 2)
+              |SELECT perq.q_id, n_rel_corpus, n_rel_top10, dcg_nano, idcg_nano,
+              |  CASE WHEN idcg_nano > 0
+              |    THEN CAST(dcg_nano AS DOUBLE) / CAST(idcg_nano AS DOUBLE)
+              |    ELSE 0.0 END AS ndcg_at_10,
+              |  CAST(coalesce(round(1e9 / CAST(first_rel AS DOUBLE)), 0) AS BIGINT)
+              |    AS rr_nano
+              |FROM perq JOIN idcg ON perq.q_id = idcg.q_id
+              |ORDER BY perq.q_id""".stripMargin)))
 }

@@ -440,5 +440,74 @@ object StatQueries {
               |      AS DOUBLE)
               |    / CAST(count(*) + 1 AS DOUBLE) AS p_value
               |FROM reps CROSS JOIN obs
-              |GROUP BY na, nb, obs_diff""".stripMargin)))
+              |GROUP BY na, nb, obs_diff""".stripMargin)),
+
+    // Entropy rate of the user-behavior Markov chain: per state s, the
+    // empirical occupancy π(s) and conditional next-event entropy
+    // H(s) = −Σ_t p(t|s)·ln p(t|s); the chain's entropy rate is
+    // Σ_s π(s)·H(s) (each state row carries its additive term). This
+    // is the sequence-predictability number behind session-model
+    // evaluation — a near-zero rate means paths are deterministic and
+    // a path LM is cheap to fit; the maximum ln(|states|) means
+    // uniform churn. Transition counts come from one LEAD window per
+    // user; each entropy term is nano-quantized BEFORE the per-state
+    // integer sum (the surprisal pattern), so only the final π·H
+    // product divides. Transition-matrix size is |event types|² —
+    // scale-invariant; the per-user window is the only corpus shuffle.
+    QueryDef(
+      "markov_entropy_rate",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val trans = t(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("s_from"))
+          .withColumn("s_to", lead("s_from", 1).over(w))
+          .filter(col("s_to").isNotNull)
+          .groupBy("s_from", "s_to").agg(count(lit(1)).as("nst"))
+        val perState = trans
+          .withColumn("ns", sum("nst").over(Window.partitionBy("s_from")))
+          .withColumn("term_nano",
+            round(-(col("nst").cast("double") / col("ns").cast("double")) *
+              log(col("nst").cast("double") / col("ns").cast("double")) * lit(1e9))
+              .cast("long"))
+          .groupBy("s_from").agg(max("ns").as("n_s"),
+            count(lit(1)).as("n_successors"),
+            sum("term_nano").as("h_cond_nano"))
+        perState
+          .withColumn("n_total", sum("n_s").over(Window.partitionBy(lit(1))))
+          .select(col("s_from"), col("n_s"), col("n_successors"), col("h_cond_nano"),
+            round(col("n_s").cast("double") / col("n_total").cast("double") * lit(1e9))
+              .cast("long").as("pi_nano"),
+            round(col("n_s").cast("double") / col("n_total").cast("double") *
+              col("h_cond_nano").cast("double")).cast("long").as("rate_term_nano"))
+          .orderBy("s_from")
+      },
+      Some("""WITH seq AS (
+             |  SELECT event_type AS s_from,
+             |    LEAD(event_type, 1) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS s_to
+             |  FROM events),
+             |trans AS (
+             |  SELECT s_from, s_to, CAST(count(*) AS BIGINT) AS nst
+             |  FROM seq WHERE s_to IS NOT NULL GROUP BY 1, 2),
+             |terms AS (
+             |  SELECT s_from, nst, ns,
+             |    CAST(round(-(CAST(nst AS DOUBLE) / CAST(ns AS DOUBLE))
+             |      * ln(CAST(nst AS DOUBLE) / CAST(ns AS DOUBLE)) * 1e9) AS BIGINT)
+             |      AS term_nano
+             |  FROM (SELECT s_from, s_to, nst,
+             |          CAST(sum(nst) OVER (PARTITION BY s_from) AS BIGINT) AS ns
+             |        FROM trans)),
+             |st AS (
+             |  SELECT s_from, CAST(max(ns) AS BIGINT) AS n_s,
+             |    CAST(count(*) AS BIGINT) AS n_successors,
+             |    CAST(sum(term_nano) AS BIGINT) AS h_cond_nano
+             |  FROM terms GROUP BY 1)
+             |SELECT s_from, n_s, n_successors, h_cond_nano,
+             |  CAST(round(CAST(n_s AS DOUBLE) / CAST(n_total AS DOUBLE) * 1e9) AS BIGINT)
+             |    AS pi_nano,
+             |  CAST(round(CAST(n_s AS DOUBLE) / CAST(n_total AS DOUBLE)
+             |    * CAST(h_cond_nano AS DOUBLE)) AS BIGINT) AS rate_term_nano
+             |FROM (SELECT *, CAST(sum(n_s) OVER () AS BIGINT) AS n_total FROM st)
+             |ORDER BY s_from""".stripMargin)))
 }
