@@ -2560,5 +2560,63 @@ object AnalyticsQueries {
            |UNION ALL
            |${legSql("part", "p_brand", "p_type")}
            |ORDER BY fd""".stripMargin
-      }))
+      }),
+
+    // Cross-source quantile normalization of document length — the
+    // batch-effect correction that maps each source's length
+    // distribution onto the pooled corpus distribution (microarray
+    // quantile normalization, Bolstad et al. 2003): a doc at the p-th
+    // percentile WITHIN its source is assigned the value at the p-th
+    // percentile of the GLOBAL multiset, so per-source length screens
+    // become comparable before mixing. Entirely integer-exact: the
+    // within-source position maps to a global index by
+    // g = (a·(N−1)) div b (never a float percentile), and the global
+    // value lookup is a range probe into the VALUE HISTOGRAM — the
+    // ordered window runs over distinct char-lengths (bounded domain),
+    // never the corpus, and broadcasts; per-source rank windows are
+    // the only corpus shuffles.
+    QueryDef(
+      "quantile_normalize_sources",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val ranked = docs
+          .withColumn("a",
+            row_number().over(Window.partitionBy("source")
+              .orderBy("n_chars", "doc_id")) - 1)
+          .withColumn("b",
+            count(lit(1)).over(Window.partitionBy("source")) - 1)
+        val hist = docs.groupBy("n_chars").agg(count(lit(1)).as("m"))
+          .withColumn("cum_prev",
+            coalesce(sum("m").over(Window.orderBy("n_chars")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("n_chars").as("norm_chars"), col("m"), col("cum_prev"))
+        val ng = docs.agg(count(lit(1)).as("ng"))
+        ranked.crossJoin(broadcast(ng))
+          .withColumn("g",
+            when(col("b") > 0, expr("a * (ng - 1) div b")).otherwise(lit(0L)))
+          .join(broadcast(hist),
+            col("g") >= col("cum_prev") && col("g") < col("cum_prev") + col("m"))
+          .select(col("doc_id"), col("source"), col("n_chars"), col("norm_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH ranked AS (
+             |  SELECT doc_id, source, n_chars,
+             |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) - 1 AS a,
+             |    count(*) OVER (PARTITION BY source) - 1 AS b
+             |  FROM documents),
+             |hist AS (
+             |  SELECT n_chars AS norm_chars, CAST(count(*) AS BIGINT) AS m,
+             |    CAST(coalesce(sum(count(*)) OVER (ORDER BY n_chars
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             |      AS cum_prev
+             |  FROM documents GROUP BY n_chars),
+             |ngt AS (SELECT CAST(count(*) AS BIGINT) AS ng FROM documents),
+             |gi AS (
+             |  SELECT doc_id, source, n_chars,
+             |    CAST(CASE WHEN b > 0 THEN (a * (ng - 1)) // b ELSE 0 END AS BIGINT) AS g
+             |  FROM ranked CROSS JOIN ngt)
+             |SELECT doc_id, source, n_chars, norm_chars
+             |FROM gi JOIN hist ON gi.g >= cum_prev AND gi.g < cum_prev + m
+             |ORDER BY doc_id""".stripMargin)))
 }

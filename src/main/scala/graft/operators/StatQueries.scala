@@ -509,5 +509,121 @@ object StatQueries {
              |  CAST(round(CAST(n_s AS DOUBLE) / CAST(n_total AS DOUBLE)
              |    * CAST(h_cond_nano AS DOUBLE)) AS BIGINT) AS rate_term_nano
              |FROM (SELECT *, CAST(sum(n_s) OVER () AS BIGINT) AS n_total FROM st)
-             |ORDER BY s_from""".stripMargin)))
+             |ORDER BY s_from""".stripMargin)),
+
+    // CUPED variance-reduction audit (Deng et al. 2013): per user, the
+    // pre-period spend x (before the fixed 2024-01-16 cut) and the
+    // post-period metric y; θ = cov(x,y)/var(x) is the covariate
+    // coefficient an experimentation platform would subtract
+    // (y − θ·(x − x̄)), and ρ² is exactly the fraction of metric
+    // variance the adjustment removes — the number that decides whether
+    // CUPED is worth wiring into an A/B readout. Follows the
+    // corr_onepass_moments contract: per-user sums in tight DECIMALs,
+    // corpus moments as exact decimal sums cast once to identical
+    // doubles, then scalar IEEE arithmetic in the same order on both
+    // engines. Two map-side-combinable aggregates, nothing else.
+    QueryDef(
+      "cuped_adjustment_audit",
+      (s, d) => {
+        val cents = col("value").cast(DecimalType(18, 2))
+        val zero = lit(0).cast(DecimalType(18, 2))
+        val pre = expr("ts < TIMESTAMP_NTZ '2024-01-16 00:00:00'")
+        val perUser = t(s, d, "events")
+          .groupBy("user_id")
+          .agg(
+            sum(when(pre, cents).otherwise(zero)).cast(DecimalType(14, 2)).as("x_d"),
+            sum(when(!pre, cents).otherwise(zero)).cast(DecimalType(14, 2)).as("y_d"))
+        perUser.agg(
+            count(lit(1)).as("n"),
+            sum(col("x_d")).cast("double").as("sum_x"),
+            sum(col("y_d")).cast("double").as("sum_y"),
+            sum((col("x_d") * col("x_d")).cast(DecimalType(28, 4))).cast("double").as("sum_xx"),
+            sum((col("y_d") * col("y_d")).cast(DecimalType(28, 4))).cast("double").as("sum_yy"),
+            sum((col("x_d") * col("y_d")).cast(DecimalType(28, 4))).cast("double").as("sum_xy"))
+          .withColumn("nd", col("n").cast("double"))
+          .withColumn("cov_n", col("nd") * col("sum_xy") - col("sum_x") * col("sum_y"))
+          .withColumn("varx_n", col("nd") * col("sum_xx") - col("sum_x") * col("sum_x"))
+          .withColumn("vary_n", col("nd") * col("sum_yy") - col("sum_y") * col("sum_y"))
+          .select(col("n"), col("sum_x"), col("sum_y"),
+            (col("cov_n") / col("varx_n")).as("theta"),
+            (col("cov_n") * col("cov_n") / (col("varx_n") * col("vary_n")))
+              .as("var_reduction_frac"))
+      },
+      Some("""WITH pu AS (
+             |  SELECT user_id,
+             |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+             |      THEN CAST(value AS DECIMAL(18,2))
+             |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(14,2)) AS x_d,
+             |    CAST(sum(CASE WHEN NOT (ts < TIMESTAMP '2024-01-16')
+             |      THEN CAST(value AS DECIMAL(18,2))
+             |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(14,2)) AS y_d
+             |  FROM events GROUP BY 1),
+             |m AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(x_d) AS DOUBLE) AS sum_x,
+             |    CAST(sum(y_d) AS DOUBLE) AS sum_y,
+             |    CAST(sum(CAST(x_d * x_d AS DECIMAL(28,4))) AS DOUBLE) AS sum_xx,
+             |    CAST(sum(CAST(y_d * y_d AS DECIMAL(28,4))) AS DOUBLE) AS sum_yy,
+             |    CAST(sum(CAST(x_d * y_d AS DECIMAL(28,4))) AS DOUBLE) AS sum_xy
+             |  FROM pu),
+             |k AS (
+             |  SELECT *,
+             |    CAST(n AS DOUBLE) * sum_xy - sum_x * sum_y AS cov_n,
+             |    CAST(n AS DOUBLE) * sum_xx - sum_x * sum_x AS varx_n,
+             |    CAST(n AS DOUBLE) * sum_yy - sum_y * sum_y AS vary_n
+             |  FROM m)
+             |SELECT n, sum_x, sum_y,
+             |  cov_n / varx_n AS theta,
+             |  cov_n * cov_n / (varx_n * vary_n) AS var_reduction_frac
+             |FROM k""".stripMargin)),
+
+    // Wald's sequential probability ratio test over the daily purchase
+    // share — the early-stopping monitor that reads the data ONCE PER
+    // DAY and stops as soon as the evidence crosses a boundary, instead
+    // of waiting for a fixed horizon (the always-valid counterpart to
+    // abtest_two_proportion_z's fixed-n test). H0: p=0.10 vs H1:
+    // p=0.15, α=β=0.05: the two per-observation log-likelihood-ratio
+    // increments are CONSTANTS, nano-quantized once, so every daily
+    // increment and the running LLR are exact integers and the boundary
+    // comparisons (±ln 19) are integer compares. One daily aggregate +
+    // one calendar-bounded cumulative window.
+    QueryDef(
+      "sprt_sequential_test",
+      (s, d) => {
+        val la = round(log(lit(0.15) / lit(0.10)) * lit(1e9)).cast("long")
+        val lb = round(log(lit(0.85) / lit(0.90)) * lit(1e9)).cast("long")
+        val bound = round(log(lit(19.0)) * lit(1e9)).cast("long")
+        val wCum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+        t(s, d, "events")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n_t"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c_t"))
+          .withColumn("cum_llr_nano",
+            sum(col("c_t") * la + (col("n_t") - col("c_t")) * lb).over(wCum))
+          .select(col("day"), col("n_t"), col("c_t"), col("cum_llr_nano"),
+            when(col("cum_llr_nano") >= bound, "accept_h1")
+              .when(col("cum_llr_nano") <= -bound, "accept_h0")
+              .otherwise("continue").as("decision"))
+          .orderBy("day")
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_t,
+             |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |         AS BIGINT) AS c_t
+             |  FROM events GROUP BY 1),
+             |k AS (
+             |  SELECT CAST(round(ln(0.15 / 0.10) * 1e9) AS BIGINT) AS la,
+             |    CAST(round(ln(0.85 / 0.90) * 1e9) AS BIGINT) AS lb,
+             |    CAST(round(ln(19.0) * 1e9) AS BIGINT) AS bound),
+             |c AS (
+             |  SELECT day, n_t, c_t, bound,
+             |    CAST(sum(c_t * la + (n_t - c_t) * lb) OVER (ORDER BY day
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |      AS cum_llr_nano
+             |  FROM daily CROSS JOIN k)
+             |SELECT day, n_t, c_t, cum_llr_nano,
+             |  CASE WHEN cum_llr_nano >= bound THEN 'accept_h1'
+             |    WHEN cum_llr_nano <= -bound THEN 'accept_h0'
+             |    ELSE 'continue' END AS decision
+             |FROM c ORDER BY day""".stripMargin)))
 }
