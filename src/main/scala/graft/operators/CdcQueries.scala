@@ -344,5 +344,61 @@ object CdcQueries {
               |FROM (SELECT * FROM full_h EXCEPT SELECT * FROM part_h)
               |UNION ALL
               |SELECT *, 'retract' AS correction
-              |FROM (SELECT * FROM part_h EXCEPT SELECT * FROM full_h)""".stripMargin)))
+              |FROM (SELECT * FROM part_h EXCEPT SELECT * FROM full_h)""".stripMargin)),
+
+    // Bitemporal snapshot: "what did the system BELIEVE on ingestion
+    // point E₁ the state at valid time T₀ was" — the two-axis temporal
+    // query behind audit replays and retroactive-correction reviews
+    // (valid time = event ts; transaction time = event_id as the
+    // monotone ingestion sequence, the same modeling assumption the
+    // SCD2 family documents). Per user: the as-at belief (last event
+    // with ts ≤ T₀ among the first 8000 ingested), the full-knowledge
+    // state at T₀, and a `revised` flag marking users whose history was
+    // rewritten by late-ingested events — exactly the rows a downstream
+    // consumer must re-process. Both legs are arg-max aggregates
+    // (max(struct(ts, event_id, ...))): map-side combinable, no
+    // windows, one shuffle on user_id.
+    QueryDef(
+      "bitemporal_asof_asat",
+      (s, d) => {
+        val valid = col("ts") <= expr("TIMESTAMP_NTZ '2024-01-20 00:00:00'")
+        val ev = t(s, d, "events")
+          .filter(valid)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        val asat = ev.filter(col("event_id") <= 8000L)
+          .groupBy("user_id")
+          .agg(max(struct(col("ts"), col("event_id"), col("event_type"))).as("m"))
+          .select(col("user_id"), col("m.event_id").as("asat_event_id"),
+            col("m.event_type").as("asat_type"))
+        val full = ev.groupBy("user_id")
+          .agg(max(struct(col("ts"), col("event_id"), col("event_type"))).as("m"))
+          .select(col("user_id"), col("m.event_id").as("current_event_id"),
+            col("m.event_type").as("current_type"))
+        full.join(asat, Seq("user_id"), "left_outer")
+          .select(col("user_id"), col("asat_event_id"), col("asat_type"),
+            col("current_event_id"), col("current_type"),
+            (col("asat_event_id").isNull ||
+              col("asat_event_id") =!= col("current_event_id")).as("revised"))
+          .orderBy("user_id")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, ts, event_id, event_type
+             |  FROM events WHERE ts <= TIMESTAMP '2024-01-20'),
+             |asat AS (
+             |  SELECT user_id, event_id AS asat_event_id, event_type AS asat_type
+             |  FROM (SELECT user_id, event_id, event_type,
+             |          ROW_NUMBER() OVER (PARTITION BY user_id
+             |            ORDER BY ts DESC, event_id DESC) AS rn
+             |        FROM ev WHERE event_id <= 8000) WHERE rn = 1),
+             |cur AS (
+             |  SELECT user_id, event_id AS current_event_id, event_type AS current_type
+             |  FROM (SELECT user_id, event_id, event_type,
+             |          ROW_NUMBER() OVER (PARTITION BY user_id
+             |            ORDER BY ts DESC, event_id DESC) AS rn
+             |        FROM ev) WHERE rn = 1)
+             |SELECT cur.user_id, asat_event_id, asat_type,
+             |  current_event_id, current_type,
+             |  (asat_event_id IS NULL OR asat_event_id <> current_event_id) AS revised
+             |FROM cur LEFT JOIN asat ON cur.user_id = asat.user_id
+             |ORDER BY cur.user_id""".stripMargin)))
 }

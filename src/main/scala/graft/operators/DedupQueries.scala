@@ -1006,7 +1006,81 @@ object DedupQueries {
               |  2.0 * CAST(overlap AS DOUBLE) / CAST(la.len + lb.len AS DOUBLE) AS rouge1_f
               |FROM ov JOIN lens la ON la.doc_id = ov.doc_id_a
               |        JOIN lens lb ON lb.doc_id = ov.doc_id_b
-              |ORDER BY doc_id_a, doc_id_b""".stripMargin)))
+              |ORDER BY doc_id_a, doc_id_b""".stripMargin)),
+
+    // Adjusted Rand index between the near-dup components and the
+    // `source` partition — the external clustering-validity metric
+    // (Hubert & Arabie 1985) answering "do duplicate clusters follow
+    // source boundaries?": ARI ≈ 1 means duplication is within-source
+    // boilerplate (per-source dedup would suffice); ARI ≈ 0 means
+    // cross-source syndication and the global pipeline is earning its
+    // keep. Every ingredient is a pair count C(n,2) from the
+    // (component × source) contingency table — exact BIGINTs (products
+    // stay under 2⁵³ to ~10⁸ docs; beyond, route through DECIMAL) —
+    // and the final ARI is one fixed-order double expression,
+    // nano-quantized. Contingency is one aggregate over the component
+    // assignment; marginals are two more; nothing touches text.
+    QueryDef(
+      "dedup_cluster_ari",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.nearDuplicates(docs, "doc_id", "text", threshold = 0.2)
+        val comp = Dedup.connectedComponents(docs, "doc_id", pairs,
+          "doc_id_a", "doc_id_b")
+        val cells = comp.join(docs.select(col("doc_id"), col("source")), "doc_id")
+          .groupBy("component_id", "source").agg(count(lit(1)).as("nij"))
+        val sumCells = cells.agg(sum(expr("nij * (nij - 1) div 2")).as("sum_comb_cells"))
+        val sumA = cells.groupBy("component_id").agg(sum("nij").as("ai"))
+          .agg(count(lit(1)).as("n_clusters"),
+            sum(expr("ai * (ai - 1) div 2")).as("sum_comb_a"))
+        val sumB = cells.groupBy("source").agg(sum("nij").as("bj"))
+          .agg(count(lit(1)).as("n_sources"),
+            sum(expr("bj * (bj - 1) div 2")).as("sum_comb_b"))
+        val nTot = docs.agg(count(lit(1)).as("n_docs"))
+        sumCells.crossJoin(sumA).crossJoin(sumB).crossJoin(nTot)
+          .withColumn("comb_n", expr("n_docs * (n_docs - 1) div 2"))
+          .withColumn("expected",
+            col("sum_comb_a").cast("double") * col("sum_comb_b").cast("double") /
+              col("comb_n").cast("double"))
+          .withColumn("maxi",
+            (col("sum_comb_a") + col("sum_comb_b")).cast("double") / lit(2.0))
+          .select(col("n_docs"), col("n_clusters"), col("n_sources"),
+            col("sum_comb_cells"), col("sum_comb_a"), col("sum_comb_b"),
+            round((col("sum_comb_cells").cast("double") - col("expected")) /
+              (col("maxi") - col("expected")) * lit(1e9)).cast("long").as("ari_nano"))
+      },
+      Some(s"""$closureCte,
+              |comp AS (SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS component_id
+              |         FROM reach GROUP BY node),
+              |cells AS (
+              |  SELECT component_id, source, CAST(count(*) AS BIGINT) AS nij
+              |  FROM comp JOIN documents USING (doc_id)
+              |  GROUP BY 1, 2),
+              |sc AS (SELECT CAST(sum((nij * (nij - 1)) // 2) AS BIGINT) AS sum_comb_cells
+              |       FROM cells),
+              |sa AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+              |    CAST(sum((ai * (ai - 1)) // 2) AS BIGINT) AS sum_comb_a
+              |  FROM (SELECT component_id, CAST(sum(nij) AS BIGINT) AS ai
+              |        FROM cells GROUP BY 1)),
+              |sb AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n_sources,
+              |    CAST(sum((bj * (bj - 1)) // 2) AS BIGINT) AS sum_comb_b
+              |  FROM (SELECT source, CAST(sum(nij) AS BIGINT) AS bj
+              |        FROM cells GROUP BY 1)),
+              |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+              |k AS (
+              |  SELECT *, CAST((n_docs * (n_docs - 1)) // 2 AS BIGINT) AS comb_n,
+              |    CAST(sum_comb_a AS DOUBLE) * CAST(sum_comb_b AS DOUBLE)
+              |      / CAST((n_docs * (n_docs - 1)) // 2 AS DOUBLE) AS expected,
+              |    CAST(sum_comb_a + sum_comb_b AS DOUBLE) / 2.0 AS maxi
+              |  FROM sc CROSS JOIN sa CROSS JOIN sb CROSS JOIN nt)
+              |SELECT n_docs, n_clusters, n_sources,
+              |  sum_comb_cells, sum_comb_a, sum_comb_b,
+              |  CAST(round((CAST(sum_comb_cells AS DOUBLE) - expected)
+              |    / (maxi - expected) * 1e9) AS BIGINT) AS ari_nano
+              |FROM k""".stripMargin),
+      bench = false)) // rides the same closure as dedup_components
 
   /** The SimHash fingerprint CTE chain (tokh → voted → packed), shared by
     * the fingerprint query and the hamming-radius search; `shape` is the

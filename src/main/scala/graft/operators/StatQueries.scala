@@ -625,5 +625,71 @@ object StatQueries {
              |  CASE WHEN cum_llr_nano >= bound THEN 'accept_h1'
              |    WHEN cum_llr_nano <= -bound THEN 'accept_h0'
              |    ELSE 'continue' END AS decision
-             |FROM c ORDER BY day""".stripMargin)))
+             |FROM c ORDER BY day""".stripMargin)),
+
+    // Difference-in-differences estimate of per-event spend for the
+    // BUILDING segment against all others across the fixed 2024-01-16
+    // cut — the quasi-experimental estimator for "did something change
+    // for THIS cohort beyond the market-wide trend" when no
+    // randomization exists (the observational sibling of
+    // abtest_two_proportion_z / cuped_adjustment_audit). One pass
+    // builds all four (group × period) cells as exact decimal sums;
+    // the four means and the DiD are scalar IEEE arithmetic over
+    // bit-identical aggregates, computed in one fixed order.
+    QueryDef(
+      "diff_in_diff_estimate",
+      (s, d) => {
+        val seg = t(s, d, "customer")
+          .select(col("c_custkey").as("user_id"),
+            (col("c_mktsegment") === "BUILDING").as("treated"))
+        val cents = col("value").cast(DecimalType(18, 2))
+        val post = expr("ts >= TIMESTAMP_NTZ '2024-01-16 00:00:00'")
+        def cell(p: org.apache.spark.sql.Column, tr: org.apache.spark.sql.Column) =
+          (sum(when(p && tr, cents)).cast("double"),
+            sum(when(p && tr, 1L).otherwise(0L)))
+        val (sTPost, nTPost) = cell(post, col("treated"))
+        val (sTPre, nTPre) = cell(!post, col("treated"))
+        val (sCPost, nCPost) = cell(post, !col("treated"))
+        val (sCPre, nCPre) = cell(!post, !col("treated"))
+        t(s, d, "events").join(seg, "user_id")
+          .agg(sTPost.as("s_t_post"), nTPost.as("n_t_post"),
+            sTPre.as("s_t_pre"), nTPre.as("n_t_pre"),
+            sCPost.as("s_c_post"), nCPost.as("n_c_post"),
+            sCPre.as("s_c_pre"), nCPre.as("n_c_pre"))
+          .withColumn("m_t_post", col("s_t_post") / col("n_t_post").cast("double"))
+          .withColumn("m_t_pre", col("s_t_pre") / col("n_t_pre").cast("double"))
+          .withColumn("m_c_post", col("s_c_post") / col("n_c_post").cast("double"))
+          .withColumn("m_c_pre", col("s_c_pre") / col("n_c_pre").cast("double"))
+          .select(col("n_t_post"), col("n_t_pre"), col("n_c_post"), col("n_c_pre"),
+            col("m_t_post"), col("m_t_pre"), col("m_c_post"), col("m_c_pre"),
+            (col("m_t_post") - col("m_t_pre") - (col("m_c_post") - col("m_c_pre")))
+              .as("did_value"))
+      },
+      Some("""WITH j AS (
+             |  SELECT CAST(e.value AS DECIMAL(18,2)) AS v,
+             |    c.c_mktsegment = 'BUILDING' AS treated,
+             |    e.ts >= TIMESTAMP '2024-01-16' AS post
+             |  FROM events e JOIN customer c ON e.user_id = c.c_custkey),
+             |m AS (
+             |  SELECT
+             |    CAST(sum(CASE WHEN post AND treated THEN v END) AS DOUBLE) AS s_t_post,
+             |    CAST(sum(CASE WHEN post AND treated THEN 1 ELSE 0 END) AS BIGINT) AS n_t_post,
+             |    CAST(sum(CASE WHEN NOT post AND treated THEN v END) AS DOUBLE) AS s_t_pre,
+             |    CAST(sum(CASE WHEN NOT post AND treated THEN 1 ELSE 0 END) AS BIGINT) AS n_t_pre,
+             |    CAST(sum(CASE WHEN post AND NOT treated THEN v END) AS DOUBLE) AS s_c_post,
+             |    CAST(sum(CASE WHEN post AND NOT treated THEN 1 ELSE 0 END) AS BIGINT) AS n_c_post,
+             |    CAST(sum(CASE WHEN NOT post AND NOT treated THEN v END) AS DOUBLE) AS s_c_pre,
+             |    CAST(sum(CASE WHEN NOT post AND NOT treated THEN 1 ELSE 0 END) AS BIGINT) AS n_c_pre
+             |  FROM j),
+             |k AS (
+             |  SELECT *,
+             |    s_t_post / CAST(n_t_post AS DOUBLE) AS m_t_post,
+             |    s_t_pre / CAST(n_t_pre AS DOUBLE) AS m_t_pre,
+             |    s_c_post / CAST(n_c_post AS DOUBLE) AS m_c_post,
+             |    s_c_pre / CAST(n_c_pre AS DOUBLE) AS m_c_pre
+             |  FROM m)
+             |SELECT n_t_post, n_t_pre, n_c_post, n_c_pre,
+             |  m_t_post, m_t_pre, m_c_post, m_c_pre,
+             |  m_t_post - m_t_pre - (m_c_post - m_c_pre) AS did_value
+             |FROM k""".stripMargin)))
 }
