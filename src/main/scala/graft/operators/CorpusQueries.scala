@@ -1134,5 +1134,94 @@ object CorpusQueries {
            |FROM h JOIN wtv ON h.k = wtv.k AND h.tok = wtv.tok
            |       JOIN wtwh ON h.k = wtwh.k AND h.tok = wtwh.tok
            |ORDER BY h.k, h.tok""".stripMargin
-      }))
+      }),
+
+    // Heaps'-law fit V(N) = K·N^β — vocabulary growth against corpus
+    // size, the companion law to zipf_slope_fit (Zipf describes the
+    // frequency SHAPE, Heaps the vocabulary GROWTH a tokenizer/vocab
+    // budget must plan for; β near 1 here is itself the diagnostic that
+    // this synthetic corpus keeps minting new tokens, where natural
+    // text bends toward β ≈ 0.5). Five cumulative doc-prefix
+    // checkpoints (N/5 … N, exact integer cuts) each measure exact
+    // token and distinct-token counts in ONE five-way-exploded
+    // aggregate; the log-log OLS runs over the five points PIVOTED
+    // INTO A SINGLE ROW, so every double sum is a fixed-order scalar
+    // chain — no 5-row shuffle-order FP hazard — and β/K are one
+    // expression each. Scale: the 5× token explode is the only corpus
+    // stage, map-side combinable to 5 rows.
+    QueryDef(
+      "heaps_law_fit",
+      (s, d) => {
+        val nDocs = t(s, d, "documents").agg(count(lit(1)).as("nd"))
+        val pts = t(s, d, "documents")
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+          .crossJoin(broadcast(nDocs))
+          .select(col("doc_id"), col("tok"),
+            explode(expr("sequence(1, 5)")).as("k"), col("nd"))
+          .filter(col("doc_id") < expr("nd * k div 5"))
+          .groupBy("k")
+          .agg(count(lit(1)).as("n_tok"), countDistinct(col("tok")).as("v"))
+        val wide = pts.agg(
+          max(when(col("k") === 1, col("n_tok"))).as("n1"),
+          (2 to 5).map(k => max(when(col("k") === k, col("n_tok"))).as(s"n$k")) ++
+            (1 to 5).map(k => max(when(col("k") === k, col("v"))).as(s"v$k")): _*)
+        val xs = (1 to 5).map(k => log(col(s"n$k").cast("double")))
+        val ys = (1 to 5).map(k => log(col(s"v$k").cast("double")))
+        val sx = xs.reduceLeft(_ + _); val sy = ys.reduceLeft(_ + _)
+        val sxx = xs.map(x => x * x).reduceLeft(_ + _)
+        val sxy = xs.zip(ys).map { case (x, y) => x * y }.reduceLeft(_ + _)
+        val beta = (lit(5.0) * sxy - sx * sy) / (lit(5.0) * sxx - sx * sx)
+        wide.select(
+          col("n1"), col("v1"), col("n5"), col("v5"),
+          round(beta * lit(1e9)).cast("long").as("heaps_beta_nano"),
+          round(exp((sy - beta * sx) / lit(5.0)) * lit(1e6)).cast("long")
+            .as("heaps_k_micro"))
+      },
+      Some("""WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+             |pts AS (
+             |  SELECT k, CAST(count(*) AS BIGINT) AS n_tok,
+             |    CAST(count(DISTINCT tok) AS BIGINT) AS v
+             |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |        FROM documents) t
+             |  CROSS JOIN (SELECT unnest(range(1, 6)) AS k) g
+             |  CROSS JOIN nd
+             |  WHERE doc_id < (nd * k) // 5
+             |  GROUP BY k),
+             |wide AS (
+             |  SELECT
+             |    max(CASE WHEN k = 1 THEN n_tok END) AS n1,
+             |    max(CASE WHEN k = 1 THEN v END) AS v1,
+             |    max(CASE WHEN k = 2 THEN n_tok END) AS n2,
+             |    max(CASE WHEN k = 2 THEN v END) AS v2,
+             |    max(CASE WHEN k = 3 THEN n_tok END) AS n3,
+             |    max(CASE WHEN k = 3 THEN v END) AS v3,
+             |    max(CASE WHEN k = 4 THEN n_tok END) AS n4,
+             |    max(CASE WHEN k = 4 THEN v END) AS v4,
+             |    max(CASE WHEN k = 5 THEN n_tok END) AS n5,
+             |    max(CASE WHEN k = 5 THEN v END) AS v5
+             |  FROM pts),
+             |f AS (
+             |  SELECT *,
+             |    ln(CAST(n1 AS DOUBLE)) + ln(CAST(n2 AS DOUBLE)) + ln(CAST(n3 AS DOUBLE))
+             |      + ln(CAST(n4 AS DOUBLE)) + ln(CAST(n5 AS DOUBLE)) AS sx,
+             |    ln(CAST(v1 AS DOUBLE)) + ln(CAST(v2 AS DOUBLE)) + ln(CAST(v3 AS DOUBLE))
+             |      + ln(CAST(v4 AS DOUBLE)) + ln(CAST(v5 AS DOUBLE)) AS sy,
+             |    ln(CAST(n1 AS DOUBLE)) * ln(CAST(n1 AS DOUBLE))
+             |      + ln(CAST(n2 AS DOUBLE)) * ln(CAST(n2 AS DOUBLE))
+             |      + ln(CAST(n3 AS DOUBLE)) * ln(CAST(n3 AS DOUBLE))
+             |      + ln(CAST(n4 AS DOUBLE)) * ln(CAST(n4 AS DOUBLE))
+             |      + ln(CAST(n5 AS DOUBLE)) * ln(CAST(n5 AS DOUBLE)) AS sxx,
+             |    ln(CAST(n1 AS DOUBLE)) * ln(CAST(v1 AS DOUBLE))
+             |      + ln(CAST(n2 AS DOUBLE)) * ln(CAST(v2 AS DOUBLE))
+             |      + ln(CAST(n3 AS DOUBLE)) * ln(CAST(v3 AS DOUBLE))
+             |      + ln(CAST(n4 AS DOUBLE)) * ln(CAST(v4 AS DOUBLE))
+             |      + ln(CAST(n5 AS DOUBLE)) * ln(CAST(v5 AS DOUBLE)) AS sxy
+             |  FROM wide),
+             |b AS (
+             |  SELECT *, (5.0 * sxy - sx * sy) / (5.0 * sxx - sx * sx) AS beta
+             |  FROM f)
+             |SELECT n1, v1, n5, v5,
+             |  CAST(round(beta * 1e9) AS BIGINT) AS heaps_beta_nano,
+             |  CAST(round(exp((sy - beta * sx) / 5.0) * 1e6) AS BIGINT) AS heaps_k_micro
+             |FROM b""".stripMargin)))
 }

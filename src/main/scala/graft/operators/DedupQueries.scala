@@ -1080,7 +1080,128 @@ object DedupQueries {
               |  CAST(round((CAST(sum_comb_cells AS DOUBLE) - expected)
               |    / (maxi - expected) * 1e9) AS BIGINT) AS ari_nano
               |FROM k""".stripMargin),
-      bench = false)) // rides the same closure as dedup_components
+      bench = false), // rides the same closure as dedup_components
+
+    // Fellegi-Sunter probabilistic match scoring (1969) over the
+    // sorted-neighborhood candidates: each comparison field (size,
+    // brand, type equality; name edit-distance ≤ 2) contributes
+    // ln(m/u) on agreement and ln((1−m)/(1−u)) on disagreement, and
+    // the pair's total weight drives the match / possible / non-match
+    // decision — the classical ER scorer on top of
+    // er_sorted_neighborhood's purely-rule-based verify. The u
+    // (chance-agreement) probabilities are ESTIMATED FROM THE DATA as
+    // Σ f_v²/N² per field (exact BIGINT histograms; the random-pair
+    // agreement identity), m is the conventional 0.9 prior; every
+    // ln() weight is nano-quantized once per FIELD (1-row broadcast),
+    // so per-pair scoring is integer addition. Candidates stay the
+    // O(n·w) neighborhood join — FS changes the scoring, not the
+    // candidate complexity.
+    QueryDef(
+      "fellegi_sunter_weights",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("blk").orderBy("p_name", "p_partkey")
+        val blk = t(s, d, "part")
+          .select(col("p_partkey"), col("p_name"), col("p_size"),
+            col("p_brand"), col("p_type"),
+            substring_index(col("p_name"), " ", 1).as("blk"))
+          .withColumn("rn", row_number().over(w))
+        val a = blk.select(col("blk"), col("rn"), col("p_partkey").as("key_a"),
+            col("p_name").as("name_a"), col("p_size").as("size_a"),
+            col("p_brand").as("brand_a"), col("p_type").as("type_a"))
+          .withColumn("rnb", explode(array(col("rn") + 1, col("rn") + 2)))
+        val b = blk.select(col("blk"), col("rn").as("rnb"),
+          col("p_partkey").as("key_b"), col("p_name").as("name_b"),
+          col("p_size").as("size_b"), col("p_brand").as("brand_b"),
+          col("p_type").as("type_b"))
+        def uOf(c: String) = t(s, d, "part").groupBy(col(c)).agg(count(lit(1)).as("f"))
+          .agg(sum(col("f") * col("f")).as("s2"), sum(col("f")).as("n"))
+          .select((col("s2").cast("double") /
+            (col("n") * col("n")).cast("double")).as(s"u_$c"))
+        def wPair(u: org.apache.spark.sql.Column) = (
+          round(log(lit(0.9) / u) * lit(1e9)).cast("long"),
+          round(log(lit(0.1) / (lit(1.0) - u)) * lit(1e9)).cast("long"))
+        val us = broadcast(uOf("p_size").crossJoin(uOf("p_brand")).crossJoin(uOf("p_type")))
+        val (nameA, nameD) = (
+          round(log(lit(0.9) / lit(0.001)) * lit(1e9)).cast("long"),
+          round(log(lit(0.1) / lit(0.999)) * lit(1e9)).cast("long"))
+        val (sizeA, sizeD) = wPair(col("u_p_size"))
+        val (brandA, brandD) = wPair(col("u_p_brand"))
+        val (typeA, typeD) = wPair(col("u_p_type"))
+        val upper = round(log(lit(100.0)) * lit(1e9)).cast("long")
+        val lower = round(log(lit(0.1)) * lit(1e9)).cast("long")
+        a.join(b, Seq("blk", "rnb"))
+          .withColumn("lev", levenshtein(col("name_a"), col("name_b")).cast("long"))
+          .filter(col("lev").between(1, 4))
+          .crossJoin(us)
+          .withColumn("weight_nano",
+            when(col("lev") <= 2, nameA).otherwise(nameD) +
+              when(col("size_a") === col("size_b"), sizeA).otherwise(sizeD) +
+              when(col("brand_a") === col("brand_b"), brandA).otherwise(brandD) +
+              when(col("type_a") === col("type_b"), typeA).otherwise(typeD))
+          .select(col("key_a"), col("key_b"), col("lev"),
+            (col("size_a") === col("size_b")).as("size_agree"),
+            (col("brand_a") === col("brand_b")).as("brand_agree"),
+            (col("type_a") === col("type_b")).as("type_agree"),
+            col("weight_nano"),
+            when(col("weight_nano") >= upper, "match")
+              .when(col("weight_nano") <= lower, "non_match")
+              .otherwise("possible").as("decision"))
+          .orderBy("key_a", "key_b")
+      },
+      Some("""WITH blk AS (
+             |  SELECT p_partkey, p_name, p_size, p_brand, p_type,
+             |    string_split(p_name, ' ')[1] AS blk,
+             |    ROW_NUMBER() OVER (PARTITION BY string_split(p_name, ' ')[1]
+             |                       ORDER BY p_name, p_partkey) AS rn
+             |  FROM part),
+             |us AS (
+             |  SELECT
+             |    (SELECT CAST(sum(f * f) AS DOUBLE) / CAST(sum(f) * sum(f) AS DOUBLE)
+             |     FROM (SELECT CAST(count(*) AS BIGINT) AS f FROM part GROUP BY p_size))
+             |      AS u_size,
+             |    (SELECT CAST(sum(f * f) AS DOUBLE) / CAST(sum(f) * sum(f) AS DOUBLE)
+             |     FROM (SELECT CAST(count(*) AS BIGINT) AS f FROM part GROUP BY p_brand))
+             |      AS u_brand,
+             |    (SELECT CAST(sum(f * f) AS DOUBLE) / CAST(sum(f) * sum(f) AS DOUBLE)
+             |     FROM (SELECT CAST(count(*) AS BIGINT) AS f FROM part GROUP BY p_type))
+             |      AS u_type),
+             |ws AS (
+             |  SELECT
+             |    CAST(round(ln(0.9 / 0.001) * 1e9) AS BIGINT) AS name_a,
+             |    CAST(round(ln(0.1 / 0.999) * 1e9) AS BIGINT) AS name_d,
+             |    CAST(round(ln(0.9 / u_size) * 1e9) AS BIGINT) AS size_a,
+             |    CAST(round(ln(0.1 / (1.0 - u_size)) * 1e9) AS BIGINT) AS size_d,
+             |    CAST(round(ln(0.9 / u_brand) * 1e9) AS BIGINT) AS brand_a,
+             |    CAST(round(ln(0.1 / (1.0 - u_brand)) * 1e9) AS BIGINT) AS brand_d,
+             |    CAST(round(ln(0.9 / u_type) * 1e9) AS BIGINT) AS type_a,
+             |    CAST(round(ln(0.1 / (1.0 - u_type)) * 1e9) AS BIGINT) AS type_d,
+             |    CAST(round(ln(100.0) * 1e9) AS BIGINT) AS upper_b,
+             |    CAST(round(ln(0.1) * 1e9) AS BIGINT) AS lower_b
+             |  FROM us),
+             |cand AS (
+             |  SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+             |    CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev,
+             |    a.p_size = b.p_size AS size_agree,
+             |    a.p_brand = b.p_brand AS brand_agree,
+             |    a.p_type = b.p_type AS type_agree
+             |  FROM blk a JOIN blk b
+             |    ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + 2
+             |  WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 4),
+             |scored AS (
+             |  SELECT key_a, key_b, lev, size_agree, brand_agree, type_agree,
+             |    CAST((CASE WHEN lev <= 2 THEN name_a ELSE name_d END)
+             |      + (CASE WHEN size_agree THEN size_a ELSE size_d END)
+             |      + (CASE WHEN brand_agree THEN brand_a ELSE brand_d END)
+             |      + (CASE WHEN type_agree THEN type_a ELSE type_d END) AS BIGINT)
+             |      AS weight_nano,
+             |    upper_b, lower_b
+             |  FROM cand CROSS JOIN ws)
+             |SELECT key_a, key_b, lev, size_agree, brand_agree, type_agree, weight_nano,
+             |  CASE WHEN weight_nano >= upper_b THEN 'match'
+             |    WHEN weight_nano <= lower_b THEN 'non_match'
+             |    ELSE 'possible' END AS decision
+             |FROM scored ORDER BY key_a, key_b""".stripMargin)))
 
   /** The SimHash fingerprint CTE chain (tokh → voted → packed), shared by
     * the fingerprint query and the hamming-radius search; `shape` is the
