@@ -645,6 +645,34 @@ object CurationQueries {
              |  CAST(sum(CASE WHEN cls < 5 THEN cls ELSE 0 END) AS BIGINT) AS n_docs_at_risk
              |FROM cls""".stripMargin)),
 
+    // l-diversity audit (Machanavajjhala et al. 2007) — k-anonymity's
+    // necessary companion: a k-anonymous class whose SENSITIVE
+    // attribute (here `lang`) is uniform still leaks it (the
+    // homogeneity attack), so each quasi-identifier class
+    // (source × size bucket) must also carry ≥ l distinct sensitive
+    // values. Reports the corpus-wide minimum l, the classes below
+    // l=3, and the rows they expose. Same two stacked aggregates as
+    // k_anonymity_audit — the distinct-count runs inside the first
+    // groupBy, nothing rescans.
+    QueryDef(
+      "l_diversity_audit",
+      (s, d) => t(s, d, "documents")
+        .groupBy(col("source"), expr("n_chars div 100").as("size_bucket"))
+        .agg(count(lit(1)).as("cls"), countDistinct(col("lang")).as("ldiv"))
+        .agg(min(col("ldiv")).as("l_min"),
+          count(lit(1)).as("n_classes"),
+          sum(when(col("ldiv") < 3L, 1L).otherwise(0L)).as("n_classes_lt3"),
+          sum(when(col("ldiv") < 3L, col("cls")).otherwise(0L)).as("n_docs_at_risk")),
+      Some("""WITH cls AS (
+             |  SELECT source, n_chars // 100 AS size_bucket, count(*) AS cls,
+             |    count(DISTINCT lang) AS ldiv
+             |  FROM documents GROUP BY 1, 2)
+             |SELECT CAST(min(ldiv) AS BIGINT) AS l_min,
+             |  count(*) AS n_classes,
+             |  CAST(sum(CASE WHEN ldiv < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_classes_lt3,
+             |  CAST(sum(CASE WHEN ldiv < 3 THEN cls ELSE 0 END) AS BIGINT) AS n_docs_at_risk
+             |FROM cls""".stripMargin)),
+
     // Weighted reservoir sample (Efraimidis & Spirakis 2006, A-Res):
     // top-3 docs per source under quality-proportional weights
     // (w = n_chars), with the "randomness" drawn from the deterministic

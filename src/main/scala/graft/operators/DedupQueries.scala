@@ -820,6 +820,68 @@ object DedupQueries {
            |           JOIN sets y ON e.doc_id_b = y.doc_id""".stripMargin
       }),
 
+    // b-bit MinHash audit (Li & König 2010, b=1): keep only the LOWEST
+    // BIT of each of the 16 minima — a 16× signature-memory reduction
+    // (16 bits vs 16 longs per doc, the difference between an index
+    // that fits in RAM at 10¹¹ docs and one that doesn't) — and check
+    // the corrected estimator Ĵ = 2·(matches/16) − 1 against exact
+    // Jaccard on the LSH candidates, next to minhash_estimate_audit's
+    // full-width baseline. The deviation is cross-multiplied into one
+    // exact BIGINT (|(2m−16)·union − 16·inter|), so the audit is
+    // hash-exact; expected b=1 noise is visibly larger than full-width
+    // — that quantified trade-off is the operator's point. Same
+    // bounded-candidate shape as the parent audit.
+    QueryDef(
+      "bbit_minhash_audit",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val cands = Dedup.minhashCandidates(docs, "doc_id", "text")
+        val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 16)
+          .select(col("doc_id"),
+            array((0 until 16).map(h => col(s"m$h") % 2): _*).as("bits"))
+        val sets = docs.select(col("doc_id"),
+          Dedup.shingleSet(col("text"), 3).as("sset"))
+        cands
+          .join(sigs.select(col("doc_id").as("doc_id_a"), col("bits").as("ba")),
+            "doc_id_a")
+          .join(sigs.select(col("doc_id").as("doc_id_b"), col("bits").as("bb")),
+            "doc_id_b")
+          .join(sets.select(col("doc_id").as("doc_id_a"), col("sset").as("seta")),
+            "doc_id_a")
+          .join(sets.select(col("doc_id").as("doc_id_b"), col("sset").as("setb")),
+            "doc_id_b")
+          .select(col("doc_id_a"), col("doc_id_b"),
+            aggregate(zip_with(col("ba"), col("bb"),
+              (x, y) => when(x === y, 1L).otherwise(0L)),
+              lit(0L), (acc, v) => acc + v).as("bit_matches"),
+            size(array_intersect(col("seta"), col("setb"))).cast("long")
+              .as("inter"),
+            size(array_union(col("seta"), col("setb"))).cast("long").as("uni"))
+          .withColumn("err_scaled",
+            abs((lit(2L) * col("bit_matches") - lit(16L)) * col("uni") -
+              lit(16L) * col("inter")))
+      },
+      Some {
+        val bitSql = (0 until 16)
+          .map(i => s"(CASE WHEN a.m$i % 2 = b.m$i % 2 THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""$candidatesCte,
+           |sets AS (SELECT doc_id, list_distinct($shinglesSql) AS sset FROM documents),
+           |est AS (
+           |  SELECT c.doc_id_a, c.doc_id_b, $bitSql AS bit_matches
+           |  FROM cands c JOIN sig a ON c.doc_id_a = a.doc_id
+           |               JOIN sig b ON c.doc_id_b = b.doc_id)
+           |SELECT e.doc_id_a, e.doc_id_b,
+           |  CAST(bit_matches AS BIGINT) AS bit_matches,
+           |  CAST(len(list_intersect(x.sset, y.sset)) AS BIGINT) AS inter,
+           |  CAST(len(list_distinct(list_concat(x.sset, y.sset))) AS BIGINT) AS uni,
+           |  CAST(abs((2 * bit_matches - 16)
+           |      * len(list_distinct(list_concat(x.sset, y.sset)))
+           |    - 16 * len(list_intersect(x.sset, y.sset))) AS BIGINT) AS err_scaled
+           |FROM est e JOIN sets x ON e.doc_id_a = x.doc_id
+           |           JOIN sets y ON e.doc_id_b = y.doc_id""".stripMargin
+      }),
+
     // Deterministic negative sampling for contrastive training: 5 "hard
     // random" negatives per document, drawn as the next documents in a
     // SEEDED md5 hash order (the reproducible global shuffle — epoch

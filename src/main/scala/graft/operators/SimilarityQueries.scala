@@ -717,5 +717,136 @@ object SimilarityQueries {
               |  CAST(coalesce(round(1e9 / CAST(first_rel AS DOUBLE)), 0) AS BIGINT)
               |    AS rr_nano
               |FROM perq JOIN idcg ON perq.q_id = idcg.q_id
-              |ORDER BY perq.q_id""".stripMargin)))
+              |ORDER BY perq.q_id""".stripMargin)),
+
+    // Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    // 1998): from each query's top-10 cosine pool, select 5 results
+    // sequentially maximizing λ·sim(q,c) − (1−λ)·max_{s∈selected}
+    // sim(c,s), λ=0.7 — the diversity re-rank that keeps a near-dup-
+    // heavy corpus from returning five copies of the same document (the
+    // retrieval-side twin of SemDeDup). The greedy recurrence is
+    // UNROLLED into five declarative rounds — each an anti-join
+    // (remaining), a max over the pool's pairwise sims restricted to
+    // the selected set, and a min(struct) argmax with c_id tie-break —
+    // all on 1e12-quantized integer similarities, so selection is
+    // deterministic and the oracle replays it rank for rank. Bounded
+    // throughout: pool is 10/query (WindowGroupLimit), pairwise sims
+    // 100/query, the five rounds touch only those rows regardless of
+    // corpus size.
+    QueryDef(
+      "mmr_diversity_rerank",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+        val emb = t(s, d, "embeddings")
+        val nrm = Similarity.l2Norm(col("embedding"))
+        val q = broadcast(emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qvec"),
+            nrm.as("qnorm")))
+        val c = emb.filter(col("vec_id") >= 50)
+          .select(col("vec_id").as("c_id"), col("embedding").as("cvec"),
+            nrm.as("cnorm"))
+        val simQ = round(Similarity.dot(col("qvec"), col("cvec")) /
+          (col("qnorm") * col("cnorm")) * lit(1e12)).cast("long")
+        val byQ = w.partitionBy("q_id").orderBy(col("sq").desc, col("c_id"))
+        val pool = c.crossJoin(q).withColumn("sq", simQ)
+          .withColumn("rn", row_number().over(byQ)).filter(col("rn") <= 10)
+          .select(col("q_id"), col("c_id"), col("cvec"), col("cnorm"), col("sq"))
+        val pairSim = pool
+          .join(pool.select(col("q_id"), col("c_id").as("s_id"),
+            col("cvec").as("svec"), col("cnorm").as("snorm")), Seq("q_id"))
+          .filter(col("c_id") =!= col("s_id"))
+          .select(col("q_id"), col("c_id"), col("s_id"),
+            round(Similarity.dot(col("cvec"), col("svec")) /
+              (col("cnorm") * col("snorm")) * lit(1e12)).cast("long").as("scs"))
+        val base = pool.select("q_id", "c_id", "sq")
+        def argmax(df: org.apache.spark.sql.DataFrame,
+                   score: org.apache.spark.sql.Column) =
+          df.withColumn("score", score)
+            .groupBy("q_id")
+            .agg(min(struct((-col("score")).as("ns"), col("c_id").as("c_id"))).as("m"))
+            .select(col("q_id"), col("m.c_id").as("c_id"), (-col("m.ns")).as("score"))
+        var acc = argmax(base, lit(0.7) * col("sq").cast("double"))
+          .withColumn("rank", lit(1L))
+        for (k <- 2 to 5) {
+          val remaining = base.join(acc.select("q_id", "c_id"),
+            Seq("q_id", "c_id"), "left_anti")
+          val ms = pairSim
+            .join(acc.select(col("q_id"), col("c_id").as("s_id")), Seq("q_id", "s_id"))
+            .groupBy("q_id", "c_id").agg(max("scs").as("msv"))
+          val nxt = argmax(
+            remaining.join(ms, Seq("q_id", "c_id"), "left_outer")
+              .withColumn("msc", coalesce(col("msv"), lit(0L))),
+            lit(0.7) * col("sq").cast("double") - lit(0.3) * col("msc").cast("double"))
+            .withColumn("rank", lit(k.toLong))
+          acc = acc.unionByName(nxt)
+        }
+        acc.join(base, Seq("q_id", "c_id"))
+          .select(col("q_id"), col("rank"), col("c_id"), col("sq"),
+            round(col("score")).cast("long").as("mmr_score_scaled"))
+          .orderBy("q_id", "rank")
+      },
+      Some {
+        val simCS = s"CAST(round(${dotSql("x.cvec", "y.cvec")} / (x.cnorm * y.cnorm) * 1e12) AS BIGINT)"
+        def round_(k: Int): String = {
+          val selPrev = s"sel${k - 1}"
+          s"""ms$k AS (
+             |  SELECT p.q_id, p.c_id, max(p.scs) AS msv
+             |  FROM pairsim p JOIN $selPrev s ON p.q_id = s.q_id AND p.s_id = s.c_id
+             |  GROUP BY 1, 2),
+             |r$k AS (
+             |  SELECT q_id, c_id, score, $k AS rank FROM (
+             |    SELECT b.q_id, b.c_id,
+             |      0.7 * CAST(b.sq AS DOUBLE)
+             |        - 0.3 * CAST(coalesce(m.msv, 0) AS DOUBLE) AS score,
+             |      ROW_NUMBER() OVER (PARTITION BY b.q_id ORDER BY
+             |        0.7 * CAST(b.sq AS DOUBLE)
+             |          - 0.3 * CAST(coalesce(m.msv, 0) AS DOUBLE) DESC, b.c_id) AS rn
+             |    FROM base b
+             |    LEFT JOIN $selPrev sp ON b.q_id = sp.q_id AND b.c_id = sp.c_id
+             |    LEFT JOIN ms$k m ON b.q_id = m.q_id AND b.c_id = m.c_id
+             |    WHERE sp.c_id IS NULL) WHERE rn = 1),
+             |sel$k AS (SELECT q_id, c_id FROM $selPrev
+             |          UNION ALL SELECT q_id, c_id FROM r$k)""".stripMargin
+        }
+        s"""WITH q AS (
+           |  SELECT vec_id AS q_id, embedding AS qvec,
+           |    sqrt(${dotSql("embedding", "embedding")}) AS qnorm
+           |  FROM embeddings WHERE vec_id < 20),
+           |c AS (
+           |  SELECT vec_id AS c_id, embedding AS cvec,
+           |    sqrt(${dotSql("embedding", "embedding")}) AS cnorm
+           |  FROM embeddings WHERE vec_id >= 50),
+           |pool AS (
+           |  SELECT q_id, c_id, cvec, cnorm, sq FROM (
+           |    SELECT q_id, c_id, cvec, cnorm,
+           |      CAST(round(${dotSql("qvec", "cvec")} / (qnorm * cnorm) * 1e12)
+           |           AS BIGINT) AS sq,
+           |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+           |        CAST(round(${dotSql("qvec", "cvec")} / (qnorm * cnorm) * 1e12)
+           |             AS BIGINT) DESC, c_id) AS rn
+           |    FROM c CROSS JOIN q) WHERE rn <= 10),
+           |base AS (SELECT q_id, c_id, sq FROM pool),
+           |pairsim AS (
+           |  SELECT x.q_id, x.c_id, y.c_id AS s_id, $simCS AS scs
+           |  FROM pool x JOIN pool y ON x.q_id = y.q_id AND x.c_id <> y.c_id),
+           |r1 AS (
+           |  SELECT q_id, c_id, score, 1 AS rank FROM (
+           |    SELECT q_id, c_id, 0.7 * CAST(sq AS DOUBLE) AS score,
+           |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+           |        0.7 * CAST(sq AS DOUBLE) DESC, c_id) AS rn
+           |    FROM base) WHERE rn = 1),
+           |sel1 AS (SELECT q_id, c_id FROM r1),
+           |${round_(2)},
+           |${round_(3)},
+           |${round_(4)},
+           |${round_(5)},
+           |ranks AS (
+           |  SELECT * FROM r1 UNION ALL SELECT * FROM r2
+           |  UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4
+           |  UNION ALL SELECT * FROM r5)
+           |SELECT ranks.q_id, CAST(rank AS BIGINT) AS rank, ranks.c_id, sq,
+           |  CAST(round(score) AS BIGINT) AS mmr_score_scaled
+           |FROM ranks JOIN base ON ranks.q_id = base.q_id AND ranks.c_id = base.c_id
+           |ORDER BY ranks.q_id, rank""".stripMargin
+      }))
 }
