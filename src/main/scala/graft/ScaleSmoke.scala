@@ -198,7 +198,16 @@ object ScaleSmoke {
     // Gini histogram — the ordered window runs over DISTINCT cent
     // values, so the single-partition stage must grow with the value
     // domain (sublinear), not the row count
-    "dsir_importance_weights", "gini_revenue_concentration")
+    "dsir_importance_weights", "gini_revenue_concentration",
+    // round 8 batch 4: the ROUGE pair scorer (cost must track the LSH
+    // pair set × per-doc vocab, never all-pairs), the NMF product
+    // aggregate (the (topic, tok) matrix multiply is the only corpus
+    // stage — growth tracks the token scan; factor tables are k·vocab),
+    // and the cross-source quantile map (per-source rank windows plus a
+    // broadcast value-histogram probe — the single-partition stage is
+    // the DISTINCT value domain, which grows sublinearly)
+    "rouge1_neardup_pairs", "nmf_multiplicative_step",
+    "quantile_normalize_sources")
 
   /** Run each smoke query twice on the scaled dir, return min seconds. */
   def run(spark: SparkSession, scaledDir: String): Map[String, Double] =

@@ -2562,6 +2562,64 @@ object AnalyticsQueries {
            |ORDER BY fd""".stripMargin
       }),
 
+    // One Borůvka round toward the MAXIMUM spanning forest of the
+    // weighted co-purchase graph (weight = co-order count — the
+    // strongest-ties backbone used for taxonomy induction and
+    // hierarchical clustering seeds): every node nominates its
+    // heaviest incident edge under the total order (−w, a, b), mutual
+    // nominations dedup, and the surviving forest merges components —
+    // the per-round primitive that iterates to Borůvka's O(log n)
+    // rounds (same round-contract family as kcore_peel_round /
+    // pagerank_one_step / label_propagation_round). The deterministic
+    // tie-break makes the nomination set cycle-free beyond mutual
+    // pairs, so components_after = n − |selected| exactly. Shape: one
+    // argmin-struct aggregate over the incidence list (map-side
+    // combinable, no window), a distinct, and two 1-row counts.
+    QueryDef(
+      "boruvka_msf_round",
+      (s, d) => {
+        val items = copurchaseItems(s, d)
+        val ew = items.select(col("l_orderkey"), col("l_partkey").as("a"))
+          .join(items.select(col("l_orderkey"), col("l_partkey").as("b")),
+            "l_orderkey")
+          .filter(col("a") < col("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("w"))
+        val inc = ew.select(col("a").as("node"), col("a"), col("b"), col("w"))
+          .unionAll(ew.select(col("b").as("node"), col("a"), col("b"), col("w")))
+        val sel = inc.groupBy("node")
+          .agg(min(struct((-col("w")).as("nw"), col("a").as("a"),
+            col("b").as("b"))).as("m"))
+          .select(col("m.a").as("a"), col("m.b").as("b"), (-col("m.nw")).as("w"))
+          .distinct()
+        val nn = inc.agg(countDistinct(col("node")).as("n_nodes"))
+        sel
+          .withColumn("n_selected",
+            count(lit(1)).over(Window.partitionBy(lit(1))))
+          .crossJoin(broadcast(nn))
+          .select(col("a"), col("b"), col("w"), col("n_nodes"), col("n_selected"),
+            (col("n_nodes") - col("n_selected")).as("n_components_after"))
+          .orderBy("a", "b")
+      },
+      Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |ew AS (
+             |  SELECT a.l_partkey AS a, b.l_partkey AS b, CAST(count(*) AS BIGINT) AS w
+             |  FROM items a JOIN items b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2),
+             |inc AS (SELECT a AS node, a, b, w FROM ew
+             |        UNION ALL SELECT b AS node, a, b, w FROM ew),
+             |sel AS (
+             |  SELECT DISTINCT a, b, w FROM (
+             |    SELECT a, b, w,
+             |      ROW_NUMBER() OVER (PARTITION BY node ORDER BY w DESC, a, b) AS rn
+             |    FROM inc) WHERE rn = 1),
+             |nn AS (SELECT CAST(count(DISTINCT node) AS BIGINT) AS n_nodes FROM inc),
+             |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_selected FROM sel)
+             |SELECT a, b, w, n_nodes, n_selected,
+             |  n_nodes - n_selected AS n_components_after
+             |FROM sel CROSS JOIN nn CROSS JOIN ns
+             |ORDER BY a, b""".stripMargin)),
+
     // Cross-source quantile normalization of document length — the
     // batch-effect correction that maps each source's length
     // distribution onto the pooled corpus distribution (microarray

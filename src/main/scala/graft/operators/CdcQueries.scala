@@ -400,5 +400,72 @@ object CdcQueries {
              |  current_event_id, current_type,
              |  (asat_event_id IS NULL OR asat_event_id <> current_event_id) AS revised
              |FROM cur LEFT JOIN asat ON cur.user_id = asat.user_id
-             |ORDER BY cur.user_id""".stripMargin)))
+             |ORDER BY cur.user_id""".stripMargin)),
+
+    // Tombstone garbage-collection audit over the CDC envelope lake:
+    // a key whose LAST change is a delete is a tombstone, and once its
+    // delete timestamp falls behind the retention cutoff (here the
+    // lake's temporal midpoint) the key's ENTIRE version history is
+    // reclaimable — the accounting a compactor needs before it may
+    // physically drop rows without breaking replays (the Kafka-compact
+    // / Delta-VACUUM decision). Last-change-per-key is one arg-max
+    // aggregate on lsn (map-side combinable — never a window over the
+    // full changelog); the cutoff is a broadcast 1-row aggregate; the
+    // audit is four conditional sums.
+    QueryDef(
+      "tombstone_gc_audit",
+      (s, d) => {
+        val dir = EnvelopeQueries.buildLake(s, d)
+        val env = graft.cdc.EnvelopeReader.readEnvelopes(
+          s, dir + "/part-*", graft.cdc.CdcSchemas.productsRow)
+        val ev = env.filter(col("payload.op").isNotNull)
+          .select(
+            coalesce(col("payload.after.id"), col("payload.before.id"))
+              .cast("long").as("id"),
+            col("payload.source.lsn").cast("long").as("lsn"),
+            col("payload.ts_ms").cast("long").as("ts_ms"),
+            col("payload.op").as("op"))
+          .filter(col("id").isNotNull)
+        val last = ev.groupBy("id")
+          .agg(max(struct(col("lsn"), col("ts_ms"), col("op"))).as("m"),
+            count(lit(1)).as("n_versions"))
+          .select(col("id"), col("m.op").as("last_op"),
+            col("m.ts_ms").as("last_ts"), col("n_versions"))
+        val cut = ev.agg(expr("(min(ts_ms) + max(ts_ms)) div 2").as("cutoff"))
+        last.crossJoin(broadcast(cut))
+          .agg(count(lit(1)).as("n_keys"),
+            sum(when(col("last_op") === "d", 1L).otherwise(0L))
+              .as("n_tombstone_keys"),
+            sum(when(col("last_op") === "d" && col("last_ts") < col("cutoff"), 1L)
+              .otherwise(0L)).as("n_reclaimable_keys"),
+            sum(when(col("last_op") === "d" && col("last_ts") < col("cutoff"),
+              col("n_versions")).otherwise(0L)).as("n_reclaimable_rows"))
+      },
+      Some(s"""WITH ev AS (
+              |  SELECT
+              |    COALESCE(
+              |      CAST(json_extract(json, '$$.payload.after.id') AS BIGINT),
+              |      CAST(json_extract(json, '$$.payload.before.id') AS BIGINT)) AS id,
+              |    CAST(json_extract(json, '$$.payload.source.lsn') AS BIGINT) AS lsn,
+              |    CAST(json_extract(json, '$$.payload.ts_ms') AS BIGINT) AS ts_ms,
+              |    json_extract_string(json, '$$.payload.op') AS op
+              |  FROM read_ndjson_objects('${EnvelopeQueries.LakeDir}/part-*')
+              |  WHERE json_extract(json, '$$.payload.op') IS NOT NULL),
+              |evn AS (SELECT * FROM ev WHERE id IS NOT NULL),
+              |last AS (
+              |  SELECT id, op AS last_op, ts_ms AS last_ts, n_versions
+              |  FROM (SELECT id, op, ts_ms,
+              |          ROW_NUMBER() OVER (PARTITION BY id
+              |            ORDER BY lsn DESC, ts_ms DESC, op DESC) AS rn,
+              |          count(*) OVER (PARTITION BY id) AS n_versions
+              |        FROM evn) WHERE rn = 1),
+              |cut AS (SELECT (min(ts_ms) + max(ts_ms)) // 2 AS cutoff FROM evn)
+              |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+              |  CAST(sum(CASE WHEN last_op = 'd' THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_tombstone_keys,
+              |  CAST(sum(CASE WHEN last_op = 'd' AND last_ts < cutoff THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_reclaimable_keys,
+              |  CAST(sum(CASE WHEN last_op = 'd' AND last_ts < cutoff
+              |    THEN n_versions ELSE 0 END) AS BIGINT) AS n_reclaimable_rows
+              |FROM last CROSS JOIN cut""".stripMargin)))
 }

@@ -882,6 +882,55 @@ object DedupQueries {
            |           JOIN sets y ON e.doc_id_b = y.doc_id""".stripMargin
       }),
 
+    // Canonical-selection policy churn: for every multi-doc near-dup
+    // cluster, compare KEEP-FIRST (minimum doc_id — what
+    // dedup_canonical_docs ships, stable under re-crawls) against
+    // KEEP-BEST (longest text, doc_id tie-break — what a quality-first
+    // pipeline would pick) and flag the clusters where the two policies
+    // disagree. The disagreement count is the retraining-churn a policy
+    // switch would cause — the number to check BEFORE flipping the
+    // policy, since every differing cluster swaps a document in the
+    // training set. One argmin-struct aggregate per cluster over the
+    // component assignment; singletons are excluded (policies trivially
+    // agree).
+    QueryDef(
+      "dedup_policy_churn",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.nearDuplicates(docs, "doc_id", "text", threshold = 0.2)
+        val comp = Dedup.connectedComponents(docs, "doc_id", pairs,
+          "doc_id_a", "doc_id_b")
+        comp.join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+          .groupBy("component_id")
+          .agg(count(lit(1)).as("cluster_size"),
+            min(col("doc_id")).as("keep_first"),
+            min(struct((-col("n_chars")).as("nc"), col("doc_id").as("doc_id"))).as("b"))
+          .filter(col("cluster_size") > 1)
+          .select(col("component_id"), col("cluster_size"), col("keep_first"),
+            col("b.doc_id").as("keep_best"),
+            (col("b.doc_id") =!= col("keep_first")).as("policy_differs"))
+          .orderBy("component_id")
+      },
+      Some(s"""$closureCte,
+              |comp AS (SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS component_id
+              |         FROM reach GROUP BY node),
+              |cl AS (
+              |  SELECT component_id, cluster_size, keep_first, keep_best FROM (
+              |    SELECT component_id, doc_id AS keep_best,
+              |      CAST(count(*) OVER (PARTITION BY component_id) AS BIGINT)
+              |        AS cluster_size,
+              |      CAST(min(doc_id) OVER (PARTITION BY component_id) AS BIGINT)
+              |        AS keep_first,
+              |      ROW_NUMBER() OVER (PARTITION BY component_id
+              |        ORDER BY n_chars DESC, doc_id) AS rn
+              |    FROM comp JOIN documents USING (doc_id))
+              |  WHERE rn = 1)
+              |SELECT component_id, cluster_size, keep_first, keep_best,
+              |  keep_best <> keep_first AS policy_differs
+              |FROM cl WHERE cluster_size > 1
+              |ORDER BY component_id""".stripMargin),
+      bench = false), // rides the same closure as dedup_components
+
     // Deterministic negative sampling for contrastive training: 5 "hard
     // random" negatives per document, drawn as the next documents in a
     // SEEDED md5 hash order (the reproducible global shuffle — epoch

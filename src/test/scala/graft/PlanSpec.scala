@@ -780,6 +780,41 @@ class PlanSpec extends SparkSuite {
     assert(aggBelow.nonEmpty, "value histogram must aggregate before the window")
   }
 
+  test("quantile normalization probes a broadcast value histogram — no " +
+      "cartesian product, and the global window input is aggregated") {
+    val p = plan("quantile_normalize_sources")
+    val cart = collectAll(p) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(cart.isEmpty, "the range lookup must ride a broadcast, never a cartesian")
+    // the only unpartitioned ordered window (the cumulative count) must
+    // consume the value-histogram aggregate, not raw documents
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    val unpartitioned = windows.filter(_.partitionSpec.isEmpty)
+    assert(unpartitioned.nonEmpty, "expected the histogram cumulative window")
+    unpartitioned.foreach { w =>
+      val aggBelow = w.collect {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+      }
+      assert(aggBelow.nonEmpty,
+        "single-partition window must see the distinct-value histogram, not rows")
+    }
+  }
+
+  test("MMR's candidate pool is rank-capped per query (WindowGroupLimit)") {
+    val p = plan("mmr_diversity_rerank")
+    val limits = collectAll(p) {
+      case l: org.apache.spark.sql.execution.window.WindowGroupLimitExec => l
+    }
+    assert(limits.nonEmpty,
+      "the rn <= 10 pool cut must compile to WindowGroupLimit — per-query " +
+        "bounded state, no global sort")
+  }
+
   test("Mann-Kendall's day-pair join broadcasts the tiny daily aggregate") {
     val p = plan("mann_kendall_trend")
     val bnlj = collectAll(p) {
