@@ -2562,6 +2562,83 @@ object AnalyticsQueries {
            |ORDER BY fd""".stripMargin
       }),
 
+    // Windowed ordered funnel (the ClickHouse windowFunnel shape): per
+    // user, the deepest strictly-ordered signup → view → purchase chain
+    // COMPLETED WITHIN 7 DAYS of the signup — the conversion definition
+    // marketing actually uses (funnel_signup_purchase counts ever-
+    // ordered pairs; the window bound is what distinguishes a campaign
+    // conversion from a coincidence months later). Each step is an
+    // arg-min aggregate over a per-user equi join (first qualifying
+    // view per signup, then first qualifying purchase per chain) — at
+    // scale both joins shuffle on user_id and fanout is bounded by
+    // per-user event counts, never cross-user. Output: users per
+    // maximum funnel depth.
+    QueryDef(
+      "window_funnel_depth",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        val su = ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("ts").as("s_ts"), col("event_id").as("s_id"))
+        val vw = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts").as("v_ts"), col("event_id").as("v_id"))
+        val pu = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("p_ts"))
+        val s2 = su.join(vw, Seq("user_id"))
+          .filter(col("v_ts") > col("s_ts") &&
+            col("v_ts") <= col("s_ts") + expr("INTERVAL 7 DAYS"))
+          .groupBy("user_id", "s_ts", "s_id")
+          .agg(min(struct(col("v_ts"), col("v_id"))).as("v"))
+          .select(col("user_id"), col("s_ts"), col("s_id"), col("v.v_ts").as("v_ts"))
+        val s3 = s2.join(pu, Seq("user_id"))
+          .filter(col("p_ts") > col("v_ts") &&
+            col("p_ts") <= col("s_ts") + expr("INTERVAL 7 DAYS"))
+          .groupBy("user_id", "s_ts", "s_id").agg(min("p_ts").as("p_ts"))
+        val u1 = su.groupBy("user_id").agg(count(lit(1)).as("n1"))
+        val u2 = s2.groupBy("user_id").agg(count(lit(1)).as("n2"))
+        val u3 = s3.groupBy("user_id").agg(count(lit(1)).as("n3"))
+        u1.join(u2, Seq("user_id"), "left_outer")
+          .join(u3, Seq("user_id"), "left_outer")
+          .select(col("user_id"),
+            when(col("n3").isNotNull, 3L)
+              .when(col("n2").isNotNull, 2L).otherwise(1L).as("funnel_depth"))
+          .groupBy("funnel_depth").agg(count(lit(1)).as("n_users"))
+          .orderBy("funnel_depth")
+      },
+      Some("""WITH su AS (
+             |  SELECT user_id, ts AS s_ts, event_id AS s_id
+             |  FROM events WHERE event_type = 'signup'),
+             |vw AS (
+             |  SELECT user_id, ts AS v_ts, event_id AS v_id
+             |  FROM events WHERE event_type = 'view'),
+             |pu AS (SELECT user_id, ts AS p_ts FROM events
+             |       WHERE event_type = 'purchase'),
+             |s2 AS (
+             |  SELECT user_id, s_ts, s_id, v_ts FROM (
+             |    SELECT user_id, s_ts, s_id, v_ts,
+             |      ROW_NUMBER() OVER (PARTITION BY user_id, s_ts, s_id
+             |        ORDER BY v_ts, v_id) AS rn
+             |    FROM su JOIN vw USING (user_id)
+             |    WHERE v_ts > s_ts AND v_ts <= s_ts + INTERVAL 7 DAY)
+             |  WHERE rn = 1),
+             |s3 AS (
+             |  SELECT s2.user_id, s_ts, s_id, min(p_ts) AS p_ts
+             |  FROM s2 JOIN pu ON s2.user_id = pu.user_id
+             |  WHERE p_ts > v_ts AND p_ts <= s_ts + INTERVAL 7 DAY
+             |  GROUP BY 1, 2, 3),
+             |u1 AS (SELECT user_id FROM su GROUP BY 1),
+             |u2 AS (SELECT user_id FROM s2 GROUP BY 1),
+             |u3 AS (SELECT user_id FROM s3 GROUP BY 1),
+             |depth AS (
+             |  SELECT u1.user_id,
+             |    CAST(CASE WHEN u3.user_id IS NOT NULL THEN 3
+             |      WHEN u2.user_id IS NOT NULL THEN 2 ELSE 1 END AS BIGINT)
+             |      AS funnel_depth
+             |  FROM u1 LEFT JOIN u2 ON u1.user_id = u2.user_id
+             |          LEFT JOIN u3 ON u1.user_id = u3.user_id)
+             |SELECT funnel_depth, count(*) AS n_users
+             |FROM depth GROUP BY 1 ORDER BY funnel_depth""".stripMargin)),
+
     // One Borůvka round toward the MAXIMUM spanning forest of the
     // weighted co-purchase graph (weight = co-order count — the
     // strongest-ties backbone used for taxonomy induction and

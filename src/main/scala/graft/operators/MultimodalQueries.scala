@@ -29,6 +29,52 @@ object MultimodalQueries {
              |  md5(text) AS content_md5
              |FROM documents""".stripMargin)),
 
+    // Transcode-campaign planner: per modality (deterministically
+    // assigned from doc_id — the fake-media convention of this family),
+    // roll up current storage and the post-transcode target at the
+    // modality's compression profile (image 30%, audio 20%, video 10%
+    // of source — integer div so the plan is exact), with per-modality
+    // savings fractions. This is the budgeting query a 100 TB media
+    // lake runs BEFORE committing a re-encode fleet: the real decode
+    // is stubbed like the rest of the family, the Spark-side shape —
+    // one scan, one ≤3-row map-side-combined aggregate — is the real
+    // contract.
+    QueryDef(
+      "multimodal_bitrate_plan",
+      (s, d) => {
+        val q = when(col("modality") === "image", 3L)
+          .when(col("modality") === "audio", 2L).otherwise(1L)
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
+          .withColumn("modality",
+            element_at(array(lit("image"), lit("audio"), lit("video")),
+              (col("doc_id") % 3 + 1).cast("int")))
+          .withColumn("q", q)
+          .withColumn("target_bytes", expr("(n_bytes * q) div 10"))
+          .groupBy("modality")
+          .agg(count(lit(1)).as("n_assets"),
+            sum("n_bytes").as("current_bytes"),
+            sum("target_bytes").as("target_bytes"))
+          .select(col("modality"), col("n_assets"), col("current_bytes"),
+            col("target_bytes"),
+            ((col("current_bytes") - col("target_bytes")).cast("double") /
+              col("current_bytes").cast("double")).as("savings_frac"))
+          .orderBy("modality")
+      },
+      Some("""WITH b AS (
+             |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+             |      ELSE 'video' END AS modality,
+             |    CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 2 ELSE 1 END AS q
+             |  FROM documents)
+             |SELECT modality, CAST(count(*) AS BIGINT) AS n_assets,
+             |  CAST(sum(n_bytes) AS BIGINT) AS current_bytes,
+             |  CAST(sum((n_bytes * q) // 10) AS BIGINT) AS target_bytes,
+             |  CAST(sum(n_bytes) - sum((n_bytes * q) // 10) AS DOUBLE)
+             |    / CAST(sum(n_bytes) AS DOUBLE) AS savings_frac
+             |FROM b GROUP BY modality ORDER BY modality""".stripMargin)),
+
     // Deterministic frame sampling (explode shape of keyframe selection).
     QueryDef(
       "multimodal_frame_sample",
