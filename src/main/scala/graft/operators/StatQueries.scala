@@ -691,5 +691,142 @@ object StatQueries {
              |SELECT n_t_post, n_t_pre, n_c_post, n_c_pre,
              |  m_t_post, m_t_pre, m_c_post, m_c_pre,
              |  m_t_post - m_t_pre - (m_c_post - m_c_pre) AS did_value
-             |FROM k""".stripMargin)))
+             |FROM k""".stripMargin)),
+
+    // Two-feature least squares in closed form: per-order lineitem
+    // revenue regressed on line count and total quantity, the 3×3
+    // normal equations solved by
+    // CRAMER'S RULE over one-pass moments — the multi-feature extension
+    // of ols_group_regression that shows a small design matrix never
+    // needs an iterative solver OR a driver-side collect: nine exact
+    // decimal/integer moments, then the four determinants are fixed-
+    // order scalar IEEE chains identical on both engines. (Beyond a few
+    // features the same moments feed a broadcast Cholesky — the moment
+    // pass, which is the only corpus-scale stage, is unchanged.)
+    // R² comes from the same moments via SSE = Σy²−b₀Σy−b₁Σx₁y−b₂Σx₂y.
+    QueryDef(
+      "ols_two_feature_cramer",
+      (s, d) => {
+        val base = t(s, d, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("x1"),
+            sum(col("l_quantity").cast(DecimalType(12, 2))).as("x2_d"),
+            sum(col("l_extendedprice").cast(DecimalType(14, 2))).as("y_d"))
+          .select(col("x1"), (col("x2_d") * 100).cast("long").as("x2"),
+            (col("y_d") * 100).cast("long").as("y"))
+        val m = base.agg(
+          count(lit(1)).as("n"),
+          sum(col("x1")).cast("double").as("s1"),
+          sum(col("x2")).cast("double").as("s2"),
+          sum(col("y")).cast("double").as("sy"),
+          sum(col("x1") * col("x1")).cast("double").as("s11"),
+          sum(col("x2") * col("x2")).cast("double").as("s22"),
+          sum(col("x1") * col("x2")).cast("double").as("s12"),
+          sum(col("x1") * col("y")).cast("double").as("s1y"),
+          sum(col("x2") * col("y")).cast("double").as("s2y"),
+          sum((col("y") * col("y")).cast(DecimalType(38, 0))).cast("double").as("syy"))
+          .withColumn("nd", col("n").cast("double"))
+        def det(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+                c: org.apache.spark.sql.Column, dd: org.apache.spark.sql.Column,
+                e: org.apache.spark.sql.Column, f: org.apache.spark.sql.Column,
+                g: org.apache.spark.sql.Column, h: org.apache.spark.sql.Column,
+                i: org.apache.spark.sql.Column) =
+          a * (e * i - f * h) - b * (dd * i - f * g) + c * (dd * h - e * g)
+        val (nd, s1, s2, sy) = (col("nd"), col("s1"), col("s2"), col("sy"))
+        val (s11, s22, s12, s1y, s2y) = (col("s11"), col("s22"), col("s12"),
+          col("s1y"), col("s2y"))
+        val dm = det(nd, s1, s2, s1, s11, s12, s2, s12, s22)
+        val d0 = det(sy, s1, s2, s1y, s11, s12, s2y, s12, s22)
+        val d1 = det(nd, sy, s2, s1, s1y, s12, s2, s2y, s22)
+        val d2 = det(nd, s1, sy, s1, s11, s1y, s2, s12, s2y)
+        m.withColumn("b0", d0 / dm).withColumn("b1", d1 / dm)
+          .withColumn("b2", d2 / dm)
+          .select(col("n"), col("b0"), col("b1"), col("b2"),
+            (lit(1.0) - (col("syy") - col("b0") * col("sy") - col("b1") * col("s1y") -
+              col("b2") * col("s2y")) /
+              (col("syy") - col("sy") * col("sy") / col("nd"))).as("r2"))
+      },
+      Some("""WITH base AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS x1,
+             |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) * 100 AS BIGINT) AS x2,
+             |    CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) * 100 AS BIGINT) AS y
+             |  FROM lineitem GROUP BY l_orderkey),
+             |m AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(count(*) AS DOUBLE) AS nd,
+             |    CAST(sum(x1) AS DOUBLE) AS s1, CAST(sum(x2) AS DOUBLE) AS s2,
+             |    CAST(sum(y) AS DOUBLE) AS sy,
+             |    CAST(sum(x1 * x1) AS DOUBLE) AS s11,
+             |    CAST(sum(x2 * x2) AS DOUBLE) AS s22,
+             |    CAST(sum(x1 * x2) AS DOUBLE) AS s12,
+             |    CAST(sum(x1 * y) AS DOUBLE) AS s1y,
+             |    CAST(sum(x2 * y) AS DOUBLE) AS s2y,
+             |    CAST(sum(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy
+             |  FROM base),
+             |dets AS (
+             |  SELECT *,
+             |    nd * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+             |      + s2 * (s1 * s12 - s11 * s2) AS dm,
+             |    sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+             |      + s2 * (s1y * s12 - s11 * s2y) AS d0,
+             |    nd * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+             |      + s2 * (s1 * s2y - s1y * s2) AS d1,
+             |    nd * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+             |      + sy * (s1 * s12 - s11 * s2) AS d2
+             |  FROM m)
+             |SELECT n, d0 / dm AS b0, d1 / dm AS b1, d2 / dm AS b2,
+             |  1.0 - (syy - (d0 / dm) * sy - (d1 / dm) * s1y - (d2 / dm) * s2y)
+             |    / (syy - sy * sy / nd) AS r2
+             |FROM dets""".stripMargin)),
+
+    // Per-transition holding times of the behavior chain — the
+    // continuous-time companion to markov_entropy_rate: for each
+    // (state → next-state) edge, how long users actually dwell before
+    // making that transition (median-free exact means in seconds from
+    // μs-integer gap sums, plus min/max). Entropy rate says WHERE the
+    // chain goes; holding times say HOW FAST — together they
+    // parameterize a semi-Markov session simulator and set honest
+    // streaming-session gap thresholds (cf. streaming_session_windows'
+    // 30-minute gap — validated here against observed dwell
+    // distributions). One LEAD window per user, then a
+    // map-side-combinable aggregate over |states|² rows.
+    QueryDef(
+      "markov_holding_times",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        t(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("s_from"),
+            unix_micros(col("ts").cast("timestamp")).as("us"))
+          .withColumn("s_to", lead("s_from", 1).over(w))
+          .withColumn("next_us", lead("us", 1).over(w))
+          .filter(col("s_to").isNotNull)
+          .select(col("s_from"), col("s_to"),
+            (col("next_us") - col("us")).as("gap_us"))
+          .groupBy("s_from", "s_to")
+          .agg(count(lit(1)).as("n_transitions"),
+            sum("gap_us").as("sum_gap_us"),
+            min("gap_us").as("min_gap_us"),
+            max("gap_us").as("max_gap_us"))
+          .withColumn("mean_gap_sec",
+            col("sum_gap_us").cast("double") /
+              col("n_transitions").cast("double") / lit(1e6))
+          .orderBy("s_from", "s_to")
+      },
+      Some("""WITH seq AS (
+             |  SELECT event_type AS s_from,
+             |    LEAD(event_type, 1) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS s_to,
+             |    epoch_us(ts) AS us,
+             |    LEAD(epoch_us(ts), 1) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS next_us
+             |  FROM events)
+             |SELECT s_from, s_to, CAST(count(*) AS BIGINT) AS n_transitions,
+             |  CAST(sum(next_us - us) AS BIGINT) AS sum_gap_us,
+             |  CAST(min(next_us - us) AS BIGINT) AS min_gap_us,
+             |  CAST(max(next_us - us) AS BIGINT) AS max_gap_us,
+             |  CAST(sum(next_us - us) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6
+             |    AS mean_gap_sec
+             |FROM seq WHERE s_to IS NOT NULL
+             |GROUP BY 1, 2 ORDER BY s_from, s_to""".stripMargin)))
 }
