@@ -212,6 +212,70 @@ object EnvelopeQueries {
              |  ['$SchemaGensDir/gen1/*.parquet', '$SchemaGensDir/gen2/*.parquet'],
              |  union_by_name=true)""".stripMargin)),
 
+    // STREAMING schema-drift monitor — the continuous twin of
+    // schema_evolution_scan: the drifted generations arrive as NDJSON
+    // micro-batches (schema-less text, the shape a CDC topic actually
+    // has), each batch is schema-INFERRED in isolation inside
+    // foreachBatch (bounded by the batch, never a full-lake inference
+    // scan — the S2 discipline), and the maintained column ledger
+    // records each column's first-seen batch and non-null volume. The
+    // converged ledger must say exactly "category appeared at batch 1
+    // with half the rows" — an engine that unions schemas eagerly
+    // (full-lake inference) or drops late columns hash-fails. The
+    // per-batch collect is ≤ |columns| cells — the driver-visible size
+    // of a schema, not of data.
+    QueryDef(
+      "streaming_schema_drift_monitor",
+      (s, d) => StreamingQueries.cachedRun(s, "streaming_schema_drift_monitor", d) {
+        (scratch, resultOut) =>
+          val gens = buildSchemaGens(s)
+          val stage = s"$scratch/jsonlake"
+          Seq("gen1", "gen2").zipWithIndex.foreach { case (g, i) =>
+            s.read.parquet(s"$gens/$g")
+              .select(to_json(struct(col("*"))).as("value"))
+              .coalesce(1).write.mode("overwrite").text(s"$stage/b$i")
+            new java.io.File(s"$stage/b$i").listFiles()
+              .filter(_.getName.startsWith("part-"))
+              .foreach(_.setLastModified(1700000000000L + i * 60000L))
+          }
+          val out = s"$scratch/emissions"
+          val q = s.readStream.option("maxFilesPerTrigger", 1)
+            .text(s"$stage/b*/part-*")
+            .writeStream
+            .foreachBatch { (b: DataFrame, batchId: Long) =>
+              val session = b.sparkSession
+              import session.implicits._
+              val parsed = session.read.json(b.as[String])
+              val cols = parsed.schema.fieldNames.sorted.toSeq
+              val stats = parsed
+                .select(cols.map(c => count(col(c)).as(c)): _*).collect().head
+              cols.zipWithIndex
+                .map { case (c, i) => (batchId, c, stats.getLong(i)) }
+                .toDF("batch_id", "column_name", "n_nonnull")
+                .write.mode("append").parquet(out)
+              ()
+            }
+            .option("checkpointLocation", s"$scratch/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          s.read.parquet(out)
+            .groupBy("column_name")
+            .agg(min("batch_id").as("first_seen_batch"),
+              sum("n_nonnull").as("n_nonnull"))
+            .coalesce(1).write.mode("overwrite").parquet(resultOut)
+      },
+      Some(s"""WITH g AS (
+              |  SELECT * FROM read_parquet(
+              |    ['$SchemaGensDir/gen1/*.parquet', '$SchemaGensDir/gen2/*.parquet'],
+              |    union_by_name=true))
+              |SELECT 'category' AS column_name, CAST(1 AS BIGINT) AS first_seen_batch,
+              |  CAST(count(category) AS BIGINT) AS n_nonnull FROM g
+              |UNION ALL SELECT 'id', 0, count(id) FROM g
+              |UNION ALL SELECT 'name', 0, count(name) FROM g
+              |UNION ALL SELECT 'price', 0, count(price) FROM g""".stripMargin),
+      bench = false, sideEffecting = true),
+
     // Small-file compaction round-trip (SURVEY §7.4: the reference's S3
     // sink flushes every 3 records, so the lake is thousands of tiny
     // objects): compact the envelope lake to ~1 MiB gzip NDJSON files,
