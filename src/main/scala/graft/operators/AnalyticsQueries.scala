@@ -2164,6 +2164,66 @@ object AnalyticsQueries {
              |  TRUE AS union_within_10pct
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // HLL intersection via inclusion-exclusion, audited: the audience-
+    // overlap question ("how many users do BOTH x and y") answered from
+    // three mergeable sketches — est(A)+est(B)−est(A∪B) — the only way
+    // to intersect pre-aggregated per-segment sketches without
+    // re-scanning raw data (sketches can union but never intersect
+    // directly). The absolute error compounds across three estimates
+    // and scales with the UNION, not the intersection, so the pinned
+    // contract is |err| ≤ max(5%·|A∪B|, 20) — the audit teaches exactly
+    // when inclusion-exclusion is trustworthy (big overlaps) and when
+    // it isn't (tiny intersections of big sets). Oracle computes the
+    // exact set algebra and pins the tolerance booleans TRUE, the
+    // established sketch-contract pattern (hll_mergeable_daily_union).
+    QueryDef(
+      "hll_intersection_audit",
+      (s, d) => {
+        val tu = t(s, d, "events")
+          .select(col("event_type").as("et"), col("user_id")).distinct()
+        val sk = tu.groupBy("et").agg(
+          hll_sketch_agg(col("user_id"), 14).as("sk"),
+          count(lit(1)).as("n_exact"))
+        val pairs = sk
+          .select(col("et").as("et_a"), col("sk").as("sk_a"), col("n_exact").as("n_a"))
+          .crossJoin(broadcast(sk.select(col("et").as("et_b"), col("sk").as("sk_b"),
+            col("n_exact").as("n_b"))))
+          .filter(col("et_a") < col("et_b"))
+        val inter = tu.select(col("et").as("et_a"), col("user_id"))
+          .join(tu.select(col("et").as("et_b"), col("user_id")), "user_id")
+          .filter(col("et_a") < col("et_b"))
+          .groupBy("et_a", "et_b").agg(count(lit(1)).as("n_inter_exact"))
+        pairs.join(inter, Seq("et_a", "et_b"), "left_outer")
+          .withColumn("n_inter_exact", coalesce(col("n_inter_exact"), lit(0L)))
+          .withColumn("n_union_exact",
+            col("n_a") + col("n_b") - col("n_inter_exact"))
+          .withColumn("est_inter",
+            hll_sketch_estimate(col("sk_a")) + hll_sketch_estimate(col("sk_b")) -
+              hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))))
+          .select(col("et_a"), col("et_b"), col("n_a"), col("n_b"),
+            col("n_inter_exact"), col("n_union_exact"),
+            (abs(col("est_inter") - col("n_inter_exact").cast("double")) <=
+              greatest(col("n_union_exact").cast("double") * 0.05, lit(20.0)))
+              .as("inter_within_tol"))
+          .orderBy("et_a", "et_b")
+      },
+      Some("""WITH tu AS (
+             |  SELECT DISTINCT event_type AS et, user_id FROM events),
+             |n AS (SELECT et, CAST(count(*) AS BIGINT) AS n_exact FROM tu GROUP BY 1),
+             |inter AS (
+             |  SELECT a.et AS et_a, b.et AS et_b, CAST(count(*) AS BIGINT) AS n_inter
+             |  FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.et < b.et
+             |  GROUP BY 1, 2)
+             |SELECT na.et AS et_a, nb.et AS et_b,
+             |  na.n_exact AS n_a, nb.n_exact AS n_b,
+             |  CAST(coalesce(n_inter, 0) AS BIGINT) AS n_inter_exact,
+             |  na.n_exact + nb.n_exact - CAST(coalesce(n_inter, 0) AS BIGINT)
+             |    AS n_union_exact,
+             |  TRUE AS inter_within_tol
+             |FROM n na JOIN n nb ON na.et < nb.et
+             |LEFT JOIN inter ON inter.et_a = na.et AND inter.et_b = nb.et
+             |ORDER BY et_a, et_b""".stripMargin)),
+
     // Position-weighted multi-touch attribution: every view in the 7 days
     // before a purchase (same user) gets credit — 40% to the first touch,
     // 40% to the last, the middle 20% split evenly (1.0 / 0.5-0.5 for

