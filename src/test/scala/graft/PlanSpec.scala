@@ -805,14 +805,26 @@ class PlanSpec extends SparkSuite {
     }
   }
 
-  test("MMR's candidate pool is rank-capped per query (WindowGroupLimit)") {
+  test("MMR's rounds consume checkpointed bounded tables, not re-derived " +
+      "corpus lineage") {
+    // The pool/pairwise/selection tables are localCheckpoint-pinned (the
+    // 2^rounds re-derivation fix) — the returned plan must therefore
+    // read RDD scan leaves, and the corpus-side crossJoin must NOT
+    // appear in it (it ran once, eagerly, when the pool was pinned).
     val p = plan("mmr_diversity_rerank")
-    val limits = collectAll(p) {
-      case l: org.apache.spark.sql.execution.window.WindowGroupLimitExec => l
+    val rddLeaves = collectAll(p) {
+      case r: org.apache.spark.sql.execution.RDDScanExec => r
     }
-    assert(limits.nonEmpty,
-      "the rn <= 10 pool cut must compile to WindowGroupLimit — per-query " +
-        "bounded state, no global sort")
+    assert(rddLeaves.nonEmpty,
+      "rounds must plan against checkpointed leaves (lineage truncated)")
+    val bnlj = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    val cart = collectAll(p) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(bnlj.isEmpty && cart.isEmpty,
+      "no corpus crossJoin may survive into the per-round plan")
   }
 
   test("Mann-Kendall's day-pair join broadcasts the tiny daily aggregate") {
