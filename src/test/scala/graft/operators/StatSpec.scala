@@ -116,6 +116,50 @@ class StatSpec extends SparkSuite {
     assert(a.getAs[Long]("b_replicates") == 64L)
   }
 
+  test("chi-square factorization equals the brute (O-E)²/E definition") {
+    val out = graft.SparkEntry.queries("chi2_lang_source")(spark, sf).collect().head
+    val cells = graft.QueryDef.t(spark, sf, "documents")
+      .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val langs = cells.keys.map(_._1).toSeq.distinct
+    val srcs = cells.keys.map(_._2).toSeq.distinct
+    val nTot = cells.values.sum
+    val rowT = langs.map(l => l -> cells.filter(_._1._1 == l).values.sum).toMap
+    val colT = srcs.map(s0 => s0 -> cells.filter(_._1._2 == s0).values.sum).toMap
+    // replicate the per-cell nano quantization exactly, then integer-sum
+    val chi2Nano = cells.map { case ((l, s0), o) =>
+      val diff = (o * nTot - rowT(l) * colT(s0)).toDouble
+      math.round(diff * diff / (nTot * rowT(l) * colT(s0)).toDouble * 1e9)
+    }.sum
+    assert(out.getAs[Long]("chi2_nano") == chi2Nano,
+      s"chi2: ${out.getAs[Long]("chi2_nano")} vs brute $chi2Nano")
+    assert(out.getAs[Long]("df") == (langs.size - 1).toLong * (srcs.size - 1))
+  }
+
+  test("quantile normalization maps ranks to exact global order statistics") {
+    val rows = graft.SparkEntry.queries("quantile_normalize_sources")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val docs = graft.QueryDef.t(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val global = docs.map(_._3).sorted
+    val ng = global.length.toLong
+    val bySource = docs.groupBy(_._2)
+    val expected = bySource.iterator.flatMap { case (_, ds) =>
+      val sortedDs = ds.sortBy(d => (d._3, d._1))
+      val b = sortedDs.length - 1L
+      sortedDs.zipWithIndex.map { case (d, a) =>
+        val g = if (b > 0) a.toLong * (ng - 1) / b else 0L
+        d._1 -> global(g.toInt)
+      }
+    }.toMap
+    rows.foreach { case (docId, _, _, norm) =>
+      assert(norm == expected(docId),
+        s"doc $docId: norm $norm != brute order statistic ${expected(docId)}")
+    }
+    assert(rows.length == docs.length)
+  }
+
   test("LPA adopts only labels that exist among a node's neighbors") {
     val res = graft.SparkEntry.queries("label_propagation_round")(spark, sf)
     val edges = AnalyticsQueries.copurchaseEdges(spark, sf)
