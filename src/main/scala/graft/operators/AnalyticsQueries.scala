@@ -2622,6 +2622,50 @@ object AnalyticsQueries {
            |ORDER BY fd""".stripMargin
       }),
 
+    // Salt-factor planner — the PRESCRIPTIVE companion to
+    // key_skew_profile's descriptive histogram and skew_salted_join's
+    // mechanism: for every join key hotter than the 2×-mean bar (the
+    // bar is pipeline config — this synthetic lake is near-uniform, so
+    // an aggressive bar keeps the planner exercised; production corpora
+    // move it to 10-100×), the integer salt fan-out ⌈count/(2·mean)⌉
+    // that caps any salted sub-key at the target partition load. This is the config a
+    // pipeline materializes BEFORE the big join (per-key salt maps
+    // broadcast to both sides); emitting it as a query makes the skew
+    // response auditable and re-derivable per run instead of
+    // hand-tuned. All integer arithmetic (mean and fan-outs are exact
+    // div/ceil); one count aggregate + a broadcast 1-row summary,
+    // top-20 hot keys via TakeOrdered.
+    QueryDef(
+      "salt_factor_planner",
+      (s, d) => {
+        val counts = t(s, d, "lineitem").groupBy("l_orderkey")
+          .agg(count(lit(1)).as("c"))
+        val summ = counts.agg(count(lit(1)).as("n_keys"), sum("c").as("n_rows"))
+          .select(col("n_keys"), col("n_rows"),
+            expr("n_rows div n_keys").as("mean_rows"))
+        counts.crossJoin(broadcast(summ))
+          .filter(col("c") > col("mean_rows") * 2)
+          .select(col("l_orderkey"), col("c").as("n_rows_key"),
+            expr("(c + 2 * mean_rows - 1) div (2 * mean_rows)").as("salt_factor"),
+            col("n_keys"), col("mean_rows"))
+          .orderBy(col("n_rows_key").desc, col("l_orderkey"))
+          .limit(20)
+      },
+      Some("""WITH counts AS (
+             |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS c
+             |  FROM lineitem GROUP BY 1),
+             |summ AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             |    CAST(sum(c) AS BIGINT) AS n_rows,
+             |    CAST(sum(c) // count(*) AS BIGINT) AS mean_rows
+             |  FROM counts)
+             |SELECT l_orderkey, c AS n_rows_key,
+             |  CAST((c + 2 * mean_rows - 1) // (2 * mean_rows) AS BIGINT) AS salt_factor,
+             |  n_keys, mean_rows
+             |FROM counts CROSS JOIN summ
+             |WHERE c > mean_rows * 2
+             |ORDER BY n_rows_key DESC, l_orderkey LIMIT 20""".stripMargin)),
+
     // Windowed ordered funnel (the ClickHouse windowFunnel shape): per
     // user, the deepest strictly-ordered signup → view → purchase chain
     // COMPLETED WITHIN 7 DAYS of the signup — the conversion definition

@@ -882,6 +882,66 @@ object DedupQueries {
            |           JOIN sets y ON e.doc_id_b = y.doc_id""".stripMargin
       }),
 
+    // End-to-end pair-level precision/recall of the LSH near-dup
+    // pipeline against the brute-force ground truth at the same
+    // threshold — the one-row summary the band-tuning audit's per-bin
+    // curve rolls up to, and the number a pipeline owner actually
+    // quotes ("recall 1.0 at θ=0.2 with 2% of the pair work").
+    // Precision is 1 by construction (candidates are exact-verified —
+    // pinned here rather than assumed: a verification bug would show
+    // up as FP > 0); recall counts the true pairs whose banding never
+    // collided. Brute truth is quadratic — offline calibration class,
+    // bench=false like the other brute baselines.
+    QueryDef(
+      "dedup_pair_pr_audit",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val got = Dedup.nearDuplicates(docs, "doc_id", "text", threshold = 0.2)
+          .select(col("doc_id_a"), col("doc_id_b")).withColumn("got", lit(1L))
+        val truth = Dedup.jaccardPairsBrute(docs, "doc_id", "text", threshold = 0.2)
+          .select(col("doc_id_a"), col("doc_id_b")).withColumn("tru", lit(1L))
+        truth.join(got, Seq("doc_id_a", "doc_id_b"), "full_outer")
+          .agg(
+            sum(when(col("tru").isNotNull && col("got").isNotNull, 1L)
+              .otherwise(0L)).as("tp"),
+            sum(when(col("tru").isNull, 1L).otherwise(0L)).as("fp"),
+            sum(when(col("got").isNull, 1L).otherwise(0L)).as("fn"))
+          .select(col("tp"), col("fp"), col("fn"),
+            (col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+              .as("precision"),
+            (col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
+              .as("recall"))
+      },
+      Some(s"""$candidatesCte,
+              |sets AS (SELECT doc_id, list_distinct($shinglesSql) AS sset FROM documents),
+              |got AS (SELECT doc_id_a, doc_id_b
+              |  FROM cands JOIN sets a ON doc_id_a = a.doc_id
+              |             JOIN sets b ON doc_id_b = b.doc_id
+              |  WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+              |      / CAST(len(list_distinct(list_concat(a.sset, b.sset))) AS DOUBLE) >= 0.2),
+              |truth AS (
+              |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+              |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+              |  WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+              |      / CAST(len(list_distinct(list_concat(a.sset, b.sset))) AS DOUBLE) >= 0.2),
+              |j AS (
+              |  SELECT
+              |    CASE WHEN t.doc_id_a IS NOT NULL AND g.doc_id_a IS NOT NULL
+              |      THEN 1 ELSE 0 END AS is_tp,
+              |    CASE WHEN t.doc_id_a IS NULL THEN 1 ELSE 0 END AS is_fp,
+              |    CASE WHEN g.doc_id_a IS NULL THEN 1 ELSE 0 END AS is_fn
+              |  FROM truth t FULL OUTER JOIN got g
+              |    ON t.doc_id_a = g.doc_id_a AND t.doc_id_b = g.doc_id_b)
+              |SELECT CAST(sum(is_tp) AS BIGINT) AS tp,
+              |  CAST(sum(is_fp) AS BIGINT) AS fp,
+              |  CAST(sum(is_fn) AS BIGINT) AS fn,
+              |  CAST(sum(is_tp) AS DOUBLE) / CAST(sum(is_tp) + sum(is_fp) AS DOUBLE)
+              |    AS precision,
+              |  CAST(sum(is_tp) AS DOUBLE) / CAST(sum(is_tp) + sum(is_fn) AS DOUBLE)
+              |    AS recall
+              |FROM j""".stripMargin),
+      bench = false),
+
     // Canonical-selection policy churn: for every multi-doc near-dup
     // cluster, compare KEEP-FIRST (minimum doc_id — what
     // dedup_canonical_docs ships, stable under re-crawls) against
