@@ -719,6 +719,70 @@ object SimilarityQueries {
               |FROM perq JOIN idcg ON perq.q_id = idcg.q_id
               |ORDER BY perq.q_id""".stripMargin)),
 
+
+    // ColBERT-style late-interaction retrieval (Khattab & Zaharia 2020)
+    // over multi-vector documents — here each embedding's four 16-dim
+    // slices stand in for per-token vectors (the fake-media convention
+    // of this family): score(q, d) = Σ_{query slice} max_{doc slice}
+    // cos(qs, ds) — the MaxSim sum that beats single-vector dot
+    // products on fine-grained matches, and the reason late-interaction
+    // indexes store per-token vectors. Two stacked aggregates implement
+    // the max-then-sum exactly on 1e12-quantized integer sims (rank
+    // ties by c_id), and the top-5 cut is a WindowGroupLimit. Scale:
+    // slice pairs are 16 per (q, d) — a constant factor on the
+    // broadcast-query scoring pass, the same class as
+    // sim_topk_bruteforce; an IVF/PLAID-style candidate cut composes in
+    // front unchanged.
+    QueryDef(
+      "colbert_maxsim_topk",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+        val emb = t(s, d, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val subs = Similarity.subvectors(emb, "id", "vec", 4, 16)
+          .withColumn("nrm", Similarity.l2Norm(col("sub")))
+        val q = broadcast(subs.filter(col("id") < 10)
+          .select(col("id").as("q_id"), col("m").as("qm"),
+            col("sub").as("qs"), col("nrm").as("qn")))
+        val c = subs.filter(col("id") >= 50)
+          .select(col("id").as("c_id"), col("sub").as("cs"), col("nrm").as("cn"))
+        val best = c.crossJoin(q)
+          .select(col("q_id"), col("c_id"), col("qm"),
+            round(Similarity.dot(col("qs"), col("cs")) /
+              (col("qn") * col("cn")) * lit(1e12)).cast("long").as("sim"))
+          .groupBy("q_id", "c_id", "qm").agg(max("sim").as("best"))
+        val scored = best.groupBy("q_id", "c_id")
+          .agg(sum("best").as("maxsim_scaled"))
+        scored
+          .withColumn("rank", row_number().over(
+            w.partitionBy("q_id").orderBy(col("maxsim_scaled").desc, col("c_id"))))
+          .filter(col("rank") <= 5)
+          .select(col("q_id"), col("rank").cast("long").as("rank"),
+            col("c_id"), col("maxsim_scaled"))
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH ms AS (SELECT unnest(range(0, 4)) AS m),
+              |subs AS (
+              |  SELECT vec_id AS id, m, embedding[m*16+1 : m*16+16] AS sub
+              |  FROM embeddings CROSS JOIN ms),
+              |nn AS (SELECT id, m, sub, sqrt(${dotSql("sub", "sub")}) AS nrm FROM subs),
+              |q AS (SELECT id AS q_id, m AS qm, sub AS qs, nrm AS qn
+              |      FROM nn WHERE id < 10),
+              |c AS (SELECT id AS c_id, sub AS cs, nrm AS cn FROM nn WHERE id >= 50),
+              |best AS (
+              |  SELECT q_id, c_id, qm,
+              |    max(CAST(round(${dotSql("qs", "cs")} / (qn * cn) * 1e12) AS BIGINT))
+              |      AS best
+              |  FROM c CROSS JOIN q GROUP BY 1, 2, 3),
+              |scored AS (
+              |  SELECT q_id, c_id, CAST(sum(best) AS BIGINT) AS maxsim_scaled
+              |  FROM best GROUP BY 1, 2)
+              |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, maxsim_scaled FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+              |    ORDER BY maxsim_scaled DESC, c_id) AS rank
+              |  FROM scored) WHERE rank <= 5
+              |ORDER BY q_id, rank""".stripMargin)),
+
     // Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
     // 1998): from each query's top-10 cosine pool, select 5 results
     // sequentially maximizing λ·sim(q,c) − (1−λ)·max_{s∈selected}

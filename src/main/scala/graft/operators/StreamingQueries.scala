@@ -460,6 +460,66 @@ object StreamingQueries {
       .coalesce(1).write.mode("overwrite").parquet(resultOut)
   }
 
+  /** Streaming Count-Min maintenance: the corpus arrives as three
+    * doc-id-sliced micro-batches; each trigger folds ONLY ITS BATCH
+    * into partial (row, bucket) counters and the final counters are
+    * the cell-wise sum — the linearity that makes CMS the sketch of
+    * choice for streams (counters merge by addition, so the slicing
+    * can never change the converged sketch). The emitted table is the
+    * same top-20 probe as the batch cms_frequency_audit, against the
+    * same oracle: any batch-boundary effect in the maintained
+    * counters would shift an estimate and hash-fail.
+    */
+  private def runCmsMaintain(s: SparkSession, sfDir: String, scratch: String, resultOut: String): Unit = {
+    val docs = graft.QueryDef.t(s, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val nd = docs.agg(max("doc_id")).head().getLong(0) + 1
+    (0 until 3).foreach { i =>
+      val dir = s"$scratch/doclake/b$i"
+      docs.filter(col("doc_id") >= nd * i / 3 && col("doc_id") < nd * (i + 1) / 3)
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      new java.io.File(dir).listFiles().filter(_.getName.startsWith("part-")).foreach {
+        f => f.setLastModified(1700000000000L + i * 60000L)
+      }
+    }
+    val out = s"$scratch/emissions"
+    def bucketed(df: DataFrame) = df
+      .select(explode(graft.text.TextOps.tokens(col("text"))).as("tok"))
+      .select(col("tok"), explode(sequence(lit(0), lit(3))).as("j"))
+      .withColumn("bucket",
+        conv(substring(md5(concat(lit("cms"), col("j").cast("string"),
+          lit(":"), col("tok"))), 1, 15), 16, 10).cast("long") % 256L)
+    val q = s.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1).parquet(s"$scratch/doclake/b*/part-*")
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        bucketed(b).groupBy("j", "bucket").agg(count(lit(1)).as("c"))
+          .write.mode("append").parquet(out)
+        ()
+      }
+      .option("checkpointLocation", s"$scratch/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val counters = s.read.parquet(out).groupBy("j", "bucket")
+      .agg(sum("c").as("c"))
+    val tc = docs.select(explode(graft.text.TextOps.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+    tc.orderBy(col("n").desc, col("tok")).limit(20)
+      .withColumnRenamed("n", "n_exact")
+      .select(col("tok"), col("n_exact"),
+        explode(sequence(lit(0), lit(3))).as("j"))
+      .withColumn("bucket",
+        conv(substring(md5(concat(lit("cms"), col("j").cast("string"),
+          lit(":"), col("tok"))), 1, 15), 16, 10).cast("long") % 256L)
+      .join(broadcast(counters), Seq("j", "bucket"))
+      .groupBy("tok", "n_exact")
+      .agg(min("c").as("n_est"))
+      .withColumn("overcount", col("n_est") - col("n_exact"))
+      .orderBy(col("n_exact").desc, col("tok"))
+      .coalesce(1).write.mode("overwrite").parquet(resultOut)
+  }
+
   /** Stream-STATIC dimension enrichment — the remaining core streaming
     * join shape next to stream-stream (click attribution): every
     * micro-batch joins the event stream against the static `customer`
@@ -1329,6 +1389,39 @@ object StreamingQueries {
            |    LEAD(ts_ms) OVER (PARTITION BY id ORDER BY log_seq_num),
            |    ${Scd2Streaming.SentinelMs}) AS valid_to_ms
            |FROM ev WHERE id IS NOT NULL""".stripMargin),
+      bench = false, sideEffecting = true),
+
+    // Streaming CMS == batch CMS: the linear-sketch maintenance
+    // contract (counters merge by addition, so micro-batch slicing can
+    // never change the converged sketch) checked against the SAME
+    // oracle as the batch cms_frequency_audit.
+    QueryDef(
+      "streaming_cms_maintain",
+      (s, d) => cachedStream(s, "streaming_cms_maintain", d)(runCmsMaintain(s, d, _, _)),
+      Some("""WITH tc AS (
+             |  SELECT tok, count(*) AS n
+             |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+             |  GROUP BY tok),
+             |cells AS (
+             |  SELECT j,
+             |    CAST(('0x' || substr(md5('cms' || CAST(j AS VARCHAR) || ':' || tok), 1, 15)) AS BIGINT) % 256 AS bucket,
+             |    n
+             |  FROM (SELECT tok, n, unnest(range(0, 4)) AS j FROM tc)),
+             |counters AS (
+             |  SELECT j, bucket, CAST(sum(n) AS BIGINT) AS c
+             |  FROM cells GROUP BY j, bucket),
+             |topk AS (
+             |  SELECT tok, CAST(n AS BIGINT) AS n_exact
+             |  FROM tc ORDER BY n DESC, tok LIMIT 20),
+             |probe AS (
+             |  SELECT tok, n_exact, j,
+             |    CAST(('0x' || substr(md5('cms' || CAST(j AS VARCHAR) || ':' || tok), 1, 15)) AS BIGINT) % 256 AS bucket
+             |  FROM (SELECT tok, n_exact, unnest(range(0, 4)) AS j FROM topk))
+             |SELECT p.tok, p.n_exact, min(c.c) AS n_est,
+             |  min(c.c) - p.n_exact AS overcount
+             |FROM probe p JOIN counters c ON c.j = p.j AND c.bucket = p.bucket
+             |GROUP BY p.tok, p.n_exact
+             |ORDER BY n_exact DESC, tok""".stripMargin),
       bench = false, sideEffecting = true),
 
     // Watermark LATE-DATA semantics — the one streaming behavior the
