@@ -779,6 +779,132 @@ object StatQueries {
              |    / (syy - sy * sy / nd) AS r2
              |FROM dets""".stripMargin)),
 
+    // Poisson-bootstrap confidence interval for total revenue (the
+    // streaming-friendly bootstrap: per replicate, each DAY's revenue
+    // enters with a Poisson(1) weight instead of being resampled with
+    // replacement — Chamandy et al.'s "Estimating Uncertainty for
+    // Massive Data Streams", the variant that needs one pass and no
+    // global shuffle of rows). The 64 replicate weights come from the
+    // deterministic md5 permille hash against the exact Poisson(1) CDF
+    // thresholds, so the interval is reproducible; replicate totals
+    // are exact BIGINT cent sums; the P5/P95 picks are ranks 4 and 61
+    // of the 64-row replicate table (a constant-size sort). The block
+    // unit is the DAY — blocks preserve intra-day correlation, the
+    // honest bootstrap for serially-dependent streams.
+    QueryDef(
+      "bootstrap_revenue_ci",
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(sum((col("value").cast(DecimalType(18, 2)) * 100).cast("long"))
+            .as("cents"))
+        val h = PipelineQueries.hashPermille(
+          concat(col("day").cast("string"), lit("#"), col("r").cast("string")), "boot")
+        val wgt = when(h < 367879L, 0L).when(h < 735759L, 1L)
+          .when(h < 919699L, 2L).when(h < 981012L, 3L)
+          .when(h < 996340L, 4L).otherwise(5L)
+        val reps = daily
+          .select(col("day"), col("cents"), explode(expr("sequence(0, 63)")).as("r"))
+          .withColumn("w", wgt)
+          .groupBy("r").agg(sum(col("w") * col("cents")).as("total"))
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("total"), col("r"))))
+        val obs = daily.agg(count(lit(1)).as("n_days"),
+          sum("cents").as("observed_total"))
+        reps.crossJoin(broadcast(obs))
+          .agg(max(col("n_days")).as("n_days"),
+            max(col("observed_total")).as("observed_total"),
+            (sum(col("total")).cast("double") / lit(64.0)).as("boot_mean"),
+            max(when(col("rn") === 4, col("total"))).as("p05_total"),
+            max(when(col("rn") === 61, col("total"))).as("p95_total"))
+      },
+      Some(s"""WITH daily AS (
+              |  SELECT CAST(ts AS DATE) AS day,
+              |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+              |         AS BIGINT) AS cents
+              |  FROM events GROUP BY 1),
+              |reps AS (
+              |  SELECT r, CAST(sum(w * cents) AS BIGINT) AS total
+              |  FROM (
+              |    SELECT cents, r,
+              |      CASE WHEN h < 367879 THEN 0 WHEN h < 735759 THEN 1
+              |        WHEN h < 919699 THEN 2 WHEN h < 981012 THEN 3
+              |        WHEN h < 996340 THEN 4 ELSE 5 END AS w
+              |    FROM (
+              |      SELECT cents, g.r,
+              |        (${PipelineQueries.hashSqlExpr(
+                         "CAST(day AS VARCHAR) || '#' || CAST(g.r AS VARCHAR)", "boot")})
+              |          AS h
+              |      FROM daily CROSS JOIN (SELECT unnest(range(0, 64)) AS r) g))
+              |  GROUP BY r),
+              |rk AS (SELECT total, ROW_NUMBER() OVER (ORDER BY total, r) AS rn FROM reps),
+              |obs AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+              |          CAST(sum(cents) AS BIGINT) AS observed_total
+              |        FROM daily)
+              |SELECT n_days, observed_total,
+              |  CAST((SELECT sum(total) FROM reps) AS DOUBLE) / 64.0 AS boot_mean,
+              |  (SELECT total FROM rk WHERE rn = 4) AS p05_total,
+              |  (SELECT total FROM rk WHERE rn = 61) AS p95_total
+              |FROM obs""".stripMargin)),
+
+    // Burst-episode detection over daily event volume: days whose count
+    // clears μ + 2σ merge into consecutive EPISODES (gaps-and-islands
+    // on the flagged days) with start/end/peak/total — the
+    // incident-shaped output an on-call consumes, where
+    // cusum_rate_drift emits a point statistic and mann_kendall a
+    // global trend. μ and σ come from exact integer moments (one
+    // identical sqrt on both engines); everything after runs on the
+    // calendar-bounded daily table.
+    QueryDef(
+      "burst_episode_detection",
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
+        val m = daily.agg(count(lit(1)).as("k"), sum("n").as("s"),
+          sum(col("n") * col("n")).as("ss"))
+          .select(
+            (col("s").cast("double") / col("k").cast("double")).as("mu"),
+            sqrt((col("k") * col("ss") - col("s") * col("s")).cast("double") /
+              (col("k") * (col("k") - 1)).cast("double")).as("sigma"))
+        val flagged = daily.crossJoin(broadcast(m))
+          .filter(col("n").cast("double") > col("mu") + lit(2.0) * col("sigma"))
+        val wOrd = Window.orderBy("day")
+        flagged
+          .withColumn("new_ep",
+            when(datediff(col("day"), lag("day", 1).over(wOrd)) > 1, 1L)
+              .otherwise(when(lag("day", 1).over(wOrd).isNull, 1L).otherwise(0L)))
+          .withColumn("episode", sum("new_ep").over(
+            wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("episode")
+          .agg(min("day").as("start_day"), max("day").as("end_day"),
+            count(lit(1)).as("n_days"), max("n").as("peak_events"),
+            sum("n").as("total_events"))
+          .orderBy("episode")
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1),
+             |m AS (
+             |  SELECT CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mu,
+             |    sqrt(CAST(count(*) * sum(n * n) - sum(n) * sum(n) AS DOUBLE)
+             |      / CAST(count(*) * (count(*) - 1) AS DOUBLE)) AS sigma
+             |  FROM daily),
+             |flagged AS (
+             |  SELECT day, n FROM daily CROSS JOIN m
+             |  WHERE CAST(n AS DOUBLE) > mu + 2.0 * sigma),
+             |ep AS (
+             |  SELECT day, n,
+             |    CAST(sum(CASE WHEN prev IS NULL OR date_diff('day', prev, day) > 1
+             |      THEN 1 ELSE 0 END) OVER (ORDER BY day
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |      AS episode
+             |  FROM (SELECT day, n, lag(day) OVER (ORDER BY day) AS prev FROM flagged))
+             |SELECT episode, min(day) AS start_day, max(day) AS end_day,
+             |  CAST(count(*) AS BIGINT) AS n_days,
+             |  CAST(max(n) AS BIGINT) AS peak_events,
+             |  CAST(sum(n) AS BIGINT) AS total_events
+             |FROM ep GROUP BY episode ORDER BY episode""".stripMargin)),
+
     // Per-transition holding times of the behavior chain — the
     // continuous-time companion to markov_entropy_rate: for each
     // (state → next-state) edge, how long users actually dwell before
