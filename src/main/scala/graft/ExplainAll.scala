@@ -16,15 +16,19 @@ object ExplainAll {
     spark.sparkContext.setLogLevel("ERROR")
     val sb = new StringBuilder
     SparkEntry.all.filter(!_.sideEffecting).foreach { q =>
-      val plan = try {
-        q.spark(spark, sfDir).queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode)
-      } catch { case e: Throwable => s"ERROR: ${e.getMessage}" }
+      val qe = try Some(q.spark(spark, sfDir).queryExecution)
+               catch { case _: Throwable => None }
+      val plan = qe.map(_.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+        .getOrElse("ERROR building plan")
       sb.append(s"\n## ${q.name}\n\n```\n$plan```\n")
+      val windowFlags =
+        if (PlanAudit.boundedWindowWhitelist.contains(q.name)) Nil
+        else qe.toSeq.flatMap(e => PlanAudit.unboundedGlobalWindows(e.executedPlan))
       val flags = Seq(
         "CartesianProduct" -> plan.contains("CartesianProduct"),
         "BroadcastNestedLoopJoin" -> plan.contains("BroadcastNestedLoopJoin"))
-        .collect { case (f, true) => f }
+        .collect { case (f, true) => f } ++ windowFlags
       if (flags.nonEmpty) println(s"[flag] ${q.name}: ${flags.mkString(", ")}")
     }
     val skipped = SparkEntry.all.filter(_.sideEffecting).map(_.name)

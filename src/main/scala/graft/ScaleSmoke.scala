@@ -163,7 +163,7 @@ object ScaleSmoke {
     // design) and the exact AUC (the single-partition rank window must
     // stay bounded by DISTINCT scores, not rows — a quantized score
     // domain grows sublinearly while row counts scale 10×)
-    "dedup_containment", "eval_auc_ranksum",
+    "dedup_containment_bounded", "eval_auc_ranksum",
     // round 7 batch 4: one k-core peel round — the co-purchase edge
     // build plus two degree aggregates and two semi joins; growth must
     // track edges (copies are key-disjoint, so linear by construction)

@@ -153,7 +153,12 @@ object Dedup {
     */
   def jaccardPairsBrute(df: DataFrame, idCol: String, textCol: String,
                         threshold: Double, shingleN: Int = 3): DataFrame = {
+    // Empty shingle sets (docs with < shingleN tokens) are dropped, matching
+    // [[minhashSignatures]]' drop on the LSH path: without the guard two
+    // short docs yield 0/0 = NaN, which Spark's NaN ordering treats as
+    // >= threshold while DuckDB errors on the downstream CAST (r8 ADVICE).
     val sets = df.select(col(idCol).as("sid"), shingleSet(col(textCol), shingleN).as("sset"))
+      .filter(size(col("sset")) > 0)
     val a = sets.select(col("sid").as("doc_id_a"), col("sset").as("set_a"))
     val b = sets.select(col("sid").as("doc_id_b"), col("sset").as("set_b"))
     a.crossJoin(b)

@@ -196,7 +196,7 @@ object PipelineQueries {
                """cands AS (SELECT DISTINCT a.doc_id AS eval_id, b.doc_id AS corpus_id
                  |          FROM bands a JOIN bands b ON a.band = b.band
                  |          WHERE a.doc_id < 50 AND b.doc_id >= 50)""".stripMargin)},
-             |sets AS (SELECT doc_id, list_distinct(${DedupQueries.shinglesSql}) AS sset FROM documents),
+             |sets AS (SELECT doc_id, list_distinct(${DedupQueries.shinglesSql}) AS sset FROM documents WHERE len(list_distinct(${DedupQueries.shinglesSql})) > 0),
              |scored AS (
              |  SELECT corpus_id,
              |    CAST(len(list_intersect(e.sset, c.sset)) AS DOUBLE)

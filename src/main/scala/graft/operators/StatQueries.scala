@@ -354,14 +354,19 @@ object StatQueries {
              |FROM terms ORDER BY t_days""".stripMargin)),
 
     // Randomization (permutation-style) test for the purchase-vs-view
-    // mean event value: 64 deterministic hash relabelings of the rows
-    // into two random halves rebuild the null distribution of the
-    // mean difference, and the p-value is the exact fraction
-    // (1 + #extreme)/(B+1) — the distribution-free significance test
-    // that needs no variance formula (unlike abtest_two_proportion_z's
-    // parametric z). The hash replaces the RNG so the test is
-    // reproducible and restart-stable — the same property the split/
-    // sample family builds on. Every replicate statistic is a ratio of
+    // mean event value: 64 deterministic hash relabelings rebuild the
+    // null distribution of the mean difference, and the p-value is the
+    // exact fraction (1 + #extreme)/(B+1) — the distribution-free
+    // significance test that needs no variance formula (unlike
+    // abtest_two_proportion_z's parametric z). Each relabeling flips a
+    // row into group A with probability na/(na+nb) — the OBSERVED group
+    // proportions (r8 ADVICE: a 50/50 split under unbalanced groups
+    // shrinks the replicate null variance ~ 1/na+1/nb and makes the
+    // p-value anticonservative), so replicate group sizes match the
+    // observed design in expectation — Bernoulli randomization, the
+    // standard approximate-permutation scheme. The hash replaces the RNG
+    // so the test is reproducible and restart-stable — the same property
+    // the split/sample family builds on. Every replicate statistic is a ratio of
     // exact cent/count BIGINTs; the |stat| ≥ |obs| comparisons are
     // identical double ops on both engines. Scale shape: the 64-way
     // replicate explode is map-side combined to 64 partial rows per
@@ -386,9 +391,11 @@ object StatQueries {
         val reps = base
           .select(col("event_id"), col("cents"),
             explode(expr("sequence(0, 63)")).as("r"))
+          .crossJoin(broadcast(obs.select(col("na").as("na_o"), col("nb").as("nb_o"))))
           .withColumn("flip",
             PipelineQueries.hashPermille(concat(col("event_id").cast("string"), lit("#"),
-              col("r").cast("string")), "perm") < 500000L)
+              col("r").cast("string")), "perm") <
+              expr("na_o * 1000000 div (na_o + nb_o)"))
           .groupBy("r").agg(
             sum(when(col("flip"), col("cents"))).as("sa"),
             count(when(col("flip"), 1)).as("na"),
@@ -429,7 +436,7 @@ object StatQueries {
               |    SELECT b.cents, g.r,
               |      (${PipelineQueries.hashSqlExpr(
                        "CAST(event_id AS VARCHAR) || '#' || CAST(g.r AS VARCHAR)", "perm")})
-              |        < 500000 AS flip
+              |        < (SELECT na * 1000000 // (na + nb) FROM obs) AS flip
               |    FROM base b CROSS JOIN (SELECT unnest(range(0, 64)) AS r) g)
               |  GROUP BY r)
               |SELECT na AS n_purchase, nb AS n_view, obs_diff,
@@ -719,11 +726,17 @@ object StatQueries {
           sum(col("x1")).cast("double").as("s1"),
           sum(col("x2")).cast("double").as("s2"),
           sum(col("y")).cast("double").as("sy"),
+          // x1² per order ≤ ~1e4, so the raw BIGINT sum holds headroom
+          // past 1e14 orders; every x2- or y-bearing product (up to
+          // ~2.5e15 per row) goes through DECIMAL(38,0) like syy so the
+          // sums can't overflow 2^63 at any order count (r8 ADVICE) —
+          // DuckDB's HUGEINT promotion already gives the oracle the same
+          // exactness.
           sum(col("x1") * col("x1")).cast("double").as("s11"),
-          sum(col("x2") * col("x2")).cast("double").as("s22"),
-          sum(col("x1") * col("x2")).cast("double").as("s12"),
-          sum(col("x1") * col("y")).cast("double").as("s1y"),
-          sum(col("x2") * col("y")).cast("double").as("s2y"),
+          sum((col("x2") * col("x2")).cast(DecimalType(38, 0))).cast("double").as("s22"),
+          sum((col("x1") * col("x2")).cast(DecimalType(38, 0))).cast("double").as("s12"),
+          sum((col("x1") * col("y")).cast(DecimalType(38, 0))).cast("double").as("s1y"),
+          sum((col("x2") * col("y")).cast(DecimalType(38, 0))).cast("double").as("s2y"),
           sum((col("y") * col("y")).cast(DecimalType(38, 0))).cast("double").as("syy"))
           .withColumn("nd", col("n").cast("double"))
         def det(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,

@@ -150,6 +150,21 @@ object StreamingQueries {
     */
   private def runIncremental(s: SparkSession, sfDir: String, scratch: String, resultOut: String): Unit = {
     import s.implicits._
+    // transformWithState (the r9 incremental surface) needs column
+    // families, which only the RocksDB state store provides
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = s.conf.getOption(providerKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try runIncrementalInner(s, sfDir, scratch, resultOut)
+    finally prior match {
+      case Some(v) => s.conf.set(providerKey, v)
+      case None => s.conf.unset(providerKey)
+    }
+  }
+
+  private def runIncrementalInner(s: SparkSession, sfDir: String, scratch: String, resultOut: String): Unit = {
+    import s.implicits._
     val dir = EnvelopeQueries.buildLake(s, sfDir)
     val out = s"$scratch/emissions"
     val envelopes = Scd2Streaming.readEnvelopeStream(

@@ -6,7 +6,7 @@ import graft.cdc.{CdcSchemas, Scd2}
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types.StructType
 
 /** Streaming SCD2 (SURVEY.md §2.8, §7.2 step 6).
@@ -247,27 +247,23 @@ object Scd2Streaming {
     */
   val DefaultRetentionMs: Long = 7L * 24 * 3600 * 1000
 
-  /** flatMapGroupsWithState body: merge new events into the per-key log
-    * (dedupe on lsn), re-derive the key's version chain, emit rows whose
+  /** Pure per-key merge step, shared by both state APIs: merge new events
+    * into the prior per-key log (dedupe on lsn, within-batch AND against
+    * state — a redelivered (id, lsn) can land twice in one trigger),
+    * compact to the retention horizon, and emit the version rows whose
     * validity changed. A late event reopens/corrects previously-emitted
-    * intervals — downstream sinks upsert on (id, lsn).
+    * intervals — downstream sinks upsert on (id, lsn). Returns
+    * (new state or None if nothing fresh, emissions).
     */
-  def updateKey(id: Int, incoming: Iterator[KeyEvent],
-                state: GroupState[KeyState]): Iterator[VersionRow] =
-    updateKeyWithRetention(DefaultRetentionMs)(id, incoming, state)
-
-  def updateKeyWithRetention(retentionMs: Long)(id: Int, incoming: Iterator[KeyEvent],
-                state: GroupState[KeyState]): Iterator[VersionRow] = {
-    val prior = state.getOption.map(_.events).getOrElse(Nil)
+  def mergeKeyEvents(retentionMs: Long, id: Int, incoming: Iterator[KeyEvent],
+                     prior: List[(Long, Long, Map[String, String])])
+      : (Option[KeyState], Iterator[VersionRow]) = {
     val priorLsns = prior.map(_._1).toSet
-    // dedupe both against prior state AND within the micro-batch itself —
-    // a redelivered (id, lsn) can land twice in one trigger, not only
-    // across triggers (first occurrence wins, matching Scd2.dedupeEvents)
     val fresh = incoming
       .filter(e => !priorLsns.contains(e.lsn))
       .map(e => (e.lsn, e.tsMs, e.attrs)).toList
       .distinctBy(_._1)
-    if (fresh.isEmpty) return Iterator.empty
+    if (fresh.isEmpty) return (None, Iterator.empty)
 
     val mergedAll = (prior ++ fresh).sortBy(_._1)
     // compact: keep events within the retention horizon of the max ts,
@@ -276,24 +272,72 @@ object Scd2Streaming {
     val merged = mergedAll.zipWithIndex.collect {
       case (e, i) if e._2 >= horizon || i == mergedAll.length - 1 => e
     }
-    state.update(KeyState(merged))
 
     val minFresh = fresh.map(_._1).min
     // versions at or after the earliest fresh lsn changed; the one just
     // before it changed too (its expiration moved)
     val idx = merged.indexWhere(_._1 >= minFresh)
     val from = math.max(0, idx - 1)
-    merged.zipWithIndex.drop(from).iterator.map { case ((lsn, ts, attrs), i) =>
+    val out = merged.zipWithIndex.drop(from).iterator.map { case ((lsn, ts, attrs), i) =>
       val end = if (i + 1 < merged.length) merged(i + 1)._2 else SentinelMs
       VersionRow(id, lsn, ts, end, attrs, isCorrection = lsn < minFresh)
     }
+    (Some(KeyState(merged)), out)
   }
 
-  /** Mode 3 entry: typed event stream → corrected version-row stream. */
-  def incremental(events: Dataset[KeyEvent]): Dataset[VersionRow] = {
+  /** flatMapGroupsWithState body — the LEGACY state-v1 leg, kept because
+    * its TestGroupState harness drives the direct state-bound unit tests;
+    * the flagship [[incremental]] path rides [[Scd2Processor]]
+    * (transformWithState) since r9.
+    */
+  def updateKey(id: Int, incoming: Iterator[KeyEvent],
+                state: GroupState[KeyState]): Iterator[VersionRow] =
+    updateKeyWithRetention(DefaultRetentionMs)(id, incoming, state)
+
+  def updateKeyWithRetention(retentionMs: Long)(id: Int, incoming: Iterator[KeyEvent],
+                state: GroupState[KeyState]): Iterator[VersionRow] = {
+    val (next, out) = mergeKeyEvents(retentionMs, id, incoming,
+      state.getOption.map(_.events).getOrElse(Nil))
+    next.foreach(state.update)
+    out
+  }
+
+  /** The Spark-4 arbitrary-state v2 processor for [[incremental]]:
+    * per-key event log in a typed ValueState, merge logic shared with the
+    * legacy leg via [[mergeKeyEvents]]. No timer-based full eviction on
+    * purpose: the highest-lsn event is the OPEN-interval anchor — evicting
+    * an idle key would orphan its open version, so a returning key could
+    * no longer close the prior interval (the horizon compaction inside
+    * mergeKeyEvents already bounds per-key state to the retention window
+    * plus that single anchor; production idle-key TTL would trade that
+    * correction fidelity explicitly via the TTLConfig knob).
+    */
+  final class Scd2Processor(retentionMs: Long)
+      extends StatefulProcessor[Int, KeyEvent, VersionRow] {
+    @transient private var st: ValueState[KeyState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[KeyState](
+        "log", org.apache.spark.sql.Encoders.product[KeyState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Int, rows: Iterator[KeyEvent],
+                                 timerValues: TimerValues): Iterator[VersionRow] = {
+      val prior = if (st.exists()) st.get().events else Nil
+      val (next, out) = mergeKeyEvents(retentionMs, key, rows, prior)
+      next.foreach(st.update)
+      out
+    }
+  }
+
+  /** Mode 3 entry: typed event stream → corrected version-row stream,
+    * on the transformWithState (state v2) surface.
+    */
+  def incremental(events: Dataset[KeyEvent],
+                  retentionMs: Long = DefaultRetentionMs): Dataset[VersionRow] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout())(updateKey)
+      .transformWithState(new Scd2Processor(retentionMs),
+        TimeMode.None(), OutputMode.Append())
   }
 }

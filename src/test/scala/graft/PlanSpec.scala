@@ -606,21 +606,57 @@ class PlanSpec extends SparkSuite {
     }
   }
 
-  test("exact AUC ranks DISTINCT scores — the global window input is aggregated") {
-    // The rank-sum needs a total order over scores, but the plan must
-    // never sort ROWS globally: the single-partition window may only see
-    // the collapsed one-row-per-distinct-score aggregate. Pin that the
-    // (sole) WindowExec has a HashAggregate beneath it.
-    val wins = collectAll(plan("eval_auc_ranksum")) {
+  test("exact AUC's only unpartitioned window reads the bounded BIN " +
+      "histogram; the per-score running count is partitioned by bin") {
+    // r9 decomposed-rank shape: the r8 smoke proved the distinct-score
+    // series grows with the data (21× at 10×), so the single-partition
+    // window may only see the coarse `floor(score)` bin totals — bounded
+    // by the value DOMAIN — while the per-score prefix sums run
+    // PARTITIONED by bin.
+    for (q <- Seq("eval_auc_ranksum", "drift_ks_statistic")) {
+      val wins = collectAll(plan(q)) {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      val unpart = wins.filter(_.partitionSpec.isEmpty)
+      assert(unpart.size == 1,
+        s"$q: exactly one unpartitioned window (the bin-offset scan), " +
+          s"got ${unpart.size}")
+      val binAggBelow = unpart.head.collect {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+            if a.groupingExpressions.exists(_.toString.contains("bin")) => a
+      }
+      assert(binAggBelow.nonEmpty,
+        s"$q: the unpartitioned window must consume the per-BIN total " +
+          "aggregate (domain-bounded), not the distinct-score series")
+      assert(wins.exists(_.partitionSpec.nonEmpty),
+        s"$q: the per-score running sum must be a bin-partitioned window")
+    }
+  }
+
+  test("RFM quintiles never run an unpartitioned window over customer rows") {
+    // r9: the three global ntile(5)s were replaced by decomposed ranks —
+    // each metric's only unpartitioned window reads its bounded bin-total
+    // aggregate, the in-bin row_numbers are partitioned, and the offsets
+    // broadcast back onto the per-customer aggregate.
+    val p = plan("rfm_segmentation")
+    val wins = collectAll(p) {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }
-    assert(wins.size == 1, s"expected exactly one rank window, got ${wins.size}")
-    val aggsBelow = wins.head.collect {
-      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    val unpart = wins.filter(_.partitionSpec.isEmpty)
+    assert(unpart.size == 3,
+      s"one bounded bin-offset window per metric, got ${unpart.size}")
+    unpart.foreach { w =>
+      val aggBelow = w.collect {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+      }
+      assert(aggBelow.nonEmpty,
+        "bin-offset window must consume the bin-count aggregate, " +
+          "not per-customer rows")
     }
-    assert(aggsBelow.nonEmpty,
-      "expected the groupBy(score) collapse below the rank window — " +
-        "a row-level global sort would be the 100 TB killer")
+    assert(wins.count(_.partitionSpec.nonEmpty) >= 3,
+      "each metric's in-bin row_number must be a partitioned window")
   }
 
   test("containment join pairs only through shared prefix tokens, never all-pairs") {

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** CI leg of [[PlanAudit]] (r8 verdict task #4): the unpartitioned-window
+  * guard must (a) fire on a deliberately unbounded plan and (b) stay
+  * silent across the ENTIRE catalog — so any future query that funnels a
+  * data-proportional stream through a single-task window fails CI here
+  * instead of surfacing as a 20× driver-smoke ratio a round later.
+  */
+class WindowAuditSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("guard fires on a deliberately unpartitioned window over raw rows") {
+    val ev = QueryDef.t(spark, sf, "events")
+    val bad = ev.withColumn("rn",
+      row_number().over(Window.orderBy("ts", "event_id")))
+    val flags = PlanAudit.unboundedGlobalWindows(bad.queryExecution.executedPlan)
+    assert(flags.nonEmpty,
+      "a global row_number over the raw event stream must be flagged")
+  }
+
+  test("guard stays silent on the collapse-to-histogram shape") {
+    val ev = QueryDef.t(spark, sf, "events")
+    val hist = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+      .withColumn("cum", sum("n").over(Window.orderBy("event_type")))
+    assert(PlanAudit.unboundedGlobalWindows(hist.queryExecution.executedPlan).isEmpty,
+      "an ordered window over a bounded aggregate is the sanctioned shape")
+  }
+
+  test("no catalog query runs an unpartitioned window over an unbounded " +
+      "input (whitelist excepted)") {
+    val offenders = SparkEntry.all.filter(!_.sideEffecting)
+      .filterNot(q => PlanAudit.boundedWindowWhitelist.contains(q.name))
+      .flatMap { q =>
+        val flags =
+          try PlanAudit.unboundedGlobalWindows(
+            q.spark(spark, sf).queryExecution.executedPlan)
+          catch { case e: Throwable => Seq(s"plan build failed: ${e.getMessage}") }
+        if (flags.isEmpty) Nil else Seq(s"${q.name}: ${flags.mkString("; ")}")
+      }
+    assert(offenders.isEmpty,
+      s"unbounded single-task windows (fix with the decomposed-rank " +
+        s"pattern or whitelist with a rationale):\n${offenders.mkString("\n")}")
+  }
+}

@@ -22,6 +22,19 @@ class Scd2StreamingSpec extends SparkSuite {
     envelope(productRow(Some(1), "w", "v1", 1.0), productRow(Some(1), "w", "v2", 1.5), "u", t0 + 1000, 200),
     envelope(productRow(Some(2), "g", "v1", 2.0), "null", "d", t0 + 2000, 300))
 
+  /** transformWithState needs column families — RocksDB-only. */
+  private def withRocksDb[A](body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("file-stream foreachBatch touched-keys rebuild == batch rebuild") {
     val lakeDir = tempDir("streamlake")
     writeLake(lakeDir, batch1)
@@ -113,7 +126,8 @@ class Scd2StreamingSpec extends SparkSuite {
       s"release() must free every block the maintainer created; leaked RDD ids: $leaked")
   }
 
-  test("flatMapGroupsWithState incremental handles out-of-order + late events") {
+  test("incremental (transformWithState) handles out-of-order + late events") {
+    withRocksDb {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Scd2Streaming.KeyEvent]
     val out = Scd2Streaming.incremental(input.toDS())
@@ -141,6 +155,7 @@ class Scd2StreamingSpec extends SparkSuite {
            Seq(t0 + 2000, t0 + 3000, Scd2Streaming.SentinelMs),
       "late lsn-200 event must re-close lsn-100's interval and chain into lsn-300")
     assert(finalChain.map(_.attrs("name")) == Seq("a", "b", "c"))
+    }
   }
 
   test("duplicate (id, lsn) within a single micro-batch enters state once") {
@@ -148,6 +163,7 @@ class Scd2StreamingSpec extends SparkSuite {
     // both copies pass the prior-state lsn filter, so the within-batch
     // dedupe must suppress the second or state grows a duplicate entry
     // producing zero-width version rows
+    withRocksDb {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Scd2Streaming.KeyEvent]
     val out = Scd2Streaming.incremental(input.toDS())
@@ -170,6 +186,7 @@ class Scd2StreamingSpec extends SparkSuite {
     assert(finalChain.map(_.rowValidExpirationMs) ==
            Seq(t0 + 1000, t0 + 2000, Scd2Streaming.SentinelMs),
       "no zero-width intervals from the duplicated event")
+    }
   }
 
   test("mode 1 full-rebuild foreachBatch == batch rebuild") {
@@ -328,6 +345,52 @@ class Scd2StreamingSpec extends SparkSuite {
     assert(retained <= 30,
       s"state must be bounded by the retention horizon, held $retained of 200 events")
     assert(retained >= 10, "state must retain the horizon's worth of events")
+  }
+
+  test("transformWithState incremental (state v2): retention-bounded state " +
+      "under RocksDB, chain stays contiguous across compaction") {
+    // r9: the flagship incremental path moved to the Spark-4
+    // transformWithState surface (Scd2Processor + typed ValueState); this
+    // pins the same contract the legacy-leg tests pin — one state row per
+    // key, horizon-bounded log, contiguous validity chain — through the
+    // NEW path end-to-end.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[Scd2Streaming.KeyEvent]
+      val out = Scd2Streaming.incremental(input.toDS(), retentionMs = 1000L)
+      val q = out.writeStream.format("memory").queryName("tws_out")
+        .outputMode("append").start()
+
+      val hot = (0 until 100).map(i =>
+        Scd2Streaming.KeyEvent(1, 1000L + i, t0 + i * 40L, Map("name" -> s"h$i"), "u"))
+      input.addData(hot.take(20) ++ Seq(
+        Scd2Streaming.KeyEvent(2, 10L, t0, Map("name" -> "k2"), "c")))
+      q.processAllAvailable()
+      for (b <- 1 until 5) {
+        input.addData(hot.slice(b * 20, (b + 1) * 20))
+        q.processAllAvailable()
+      }
+      val progress = q.lastProgress
+      q.stop()
+
+      assert(progress.stateOperators.head.numRowsTotal == 2,
+        s"expected 2 state rows (one per key), got " +
+          s"${progress.stateOperators.head.numRowsTotal}")
+      val rows = spark.table("tws_out").as[Scd2Streaming.VersionRow].collect()
+      val hotChain = rows.filter(_.id == 1).groupBy(_.lsn)
+        .map(_._2.minBy(_.rowValidExpirationMs)).toSeq.sortBy(_.lsn)
+      assert(hotChain.map(_.lsn) == (0 until 100).map(1000L + _),
+        "every hot-key event must be versioned despite state compaction")
+      assert(hotChain.last.rowValidExpirationMs == Scd2Streaming.SentinelMs)
+      assert(hotChain.sliding(2).forall {
+        case Seq(a, b) => a.rowValidExpirationMs == b.rowValidStartMs
+        case _ => true
+      }, "validity chain must stay contiguous under the v2 state path")
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
   }
 
   test("at-least-once delivery is deduped on (id, lsn) within the watermark") {
