@@ -106,6 +106,101 @@ object ScaleSmoke {
       }
     }
 
+  /** bench=true queries deliberately NOT in the 10× smoke. Rationale:
+    * each is a single-scan + bounded-aggregate / bounded-window shape, or
+    * shares its only data-proportional subtree with a smoked
+    * representative (the TPC-H join chains ride q1/q5/q10/q21; the
+    * dedup/similarity families ride their smoked members). The partition
+    * is ENFORCED: CatalogPropertySpec fails if a bench query is in
+    * neither [[smokeQueries]] nor this set, so every new query must
+    * either take a smoke slot or document its exemption by joining this
+    * list — no heavy shape can dodge the 10× gate silently (r8 verdict
+    * task #8).
+    */
+  val smokeExempt: Set[String] = Set(
+    "cdc_envelope_scd2", "cdc_users_scd2", "cdc_json_inference_scan",
+    "schema_evolution_scan", "scd2_history", "scd2_current",
+    "cdc_op_mapping", "cdc_json_extract", "scd2_asof_snapshot",
+    "scd2_snapshot_diff", "cdc_net_changes", "merge_into_upsert",
+    "cdc_epoch_roundtrip", "scd2_late_corrections", "bitemporal_asof_asat",
+    "tombstone_gc_audit", "q3_shipping_priority", "q6_forecast_revenue",
+    "semi_join_exists", "anti_join_not_exists", "in_subquery_semi",
+    "left_join_null_residual", "sort_limit_topk", "set_ops", "set_ops_all",
+    "distinct_counts", "window_running_sum", "cte_chain",
+    "scalar_subquery_corr", "not_in_null_aware", "skew_salted_join",
+    "q4_order_priority", "q12_priority_by_status", "q14_promo_revenue",
+    "q18_large_orders", "q19_disjunctive_pred", "full_outer_reconcile",
+    "lateral_topn_per_nation", "recursive_cte_paths", "string_agg_sources",
+    "null_safe_join", "agg_predicate_funcs", "q7_nation_volume",
+    "q8_market_share", "q9_product_profit", "q11_important_parts",
+    "q13_order_distribution", "q15_top_supplier", "q16_supplier_cnt",
+    "q17_small_qty_revenue", "q22_dormant_customers", "q2_min_cost_supplier",
+    "q20_excess_shippers", "rollup_agg", "window_tumbling_agg",
+    "window_hopping_agg", "timeseries_gapfill_ffill",
+    "timeseries_gapfill_linear", "window_rank_family", "window_range_frame",
+    "grouping_sets_sql", "cube_agg", "stats_quantiles", "value_histogram",
+    "funnel_signup_purchase", "cohort_retention", "interval_overlap_sweep",
+    "range_join_binned", "approx_distinct_users", "window_value_family",
+    "pagerank_one_step", "approx_quantile_check", "label_propagation_round",
+    "bucketed_join_colocated", "zorder_layout", "key_skew_profile",
+    "orders_gaps_islands", "referential_integrity_audit",
+    "time_weighted_avg", "ohlc_bars", "impute_group_mean",
+    "robust_mad_screen", "value_outlier_screen", "corr_onepass_moments",
+    "equidepth_histogram", "window_running_distinct", "drift_tvd_bins",
+    "ols_group_regression", "selfjoin_size_estimate",
+    "quality_percentile_norm", "rfm_segmentation", "cusum_rate_drift",
+    "graph_modularity_audit", "funnel_time_to_convert", "basket_rule_lift",
+    "pareto_frontier_parts", "benford_leading_digit",
+    "interval_union_coverage", "mode_event_per_user",
+    "share_of_region_revenue", "hll_mergeable_daily_union",
+    "hll_intersection_audit", "window_interval_range_sum",
+    "drift_ks_statistic", "drift_psi_bins", "graph_degree_assortativity",
+    "acf_daily_events", "fd_profile_audit", "salt_factor_planner",
+    "window_funnel_depth", "boruvka_msf_round", "text_token_stats",
+    "text_repetition_ratio", "text_lang_id", "lang_id_confusion",
+    "text_quality_score", "corpus_quality_gate", "quality_median_filter",
+    "text_lang_pivot", "text_bpe_tokens", "text_fingerprint",
+    "pii_redaction_scan", "tokenizer_fertility", "source_dup_rate",
+    "dedup_edit_distance", "dedup_edit_bounded", "simjoin_cosine_postings",
+    "er_sorted_neighborhood", "minhash_estimate_audit", "bbit_minhash_audit",
+    "contrastive_negative_sample", "fellegi_sunter_weights",
+    "sim_topk_bruteforce", "sim_pq_topk", "embedding_centroid_drift",
+    "sim_norm_stats", "embedding_int8_quantize", "knn_label_vote",
+    "sim_cluster_neardup_pairs", "ann_recall_eval", "sim_matryoshka_recall",
+    "pca_power_step_int8", "ann_hnsw_level_plan", "ndcg_ann_eval",
+    "colbert_maxsim_topk", "mmr_diversity_rerank", "multimodal_binary_stats",
+    "multimodal_bitrate_plan", "multimodal_frame_sample",
+    "multimodal_decode_features", "multimodal_resize_plan",
+    "multimodal_av_sync_plan", "asof_join_next_event",
+    "asof_join_nearest_event", "text_wordcount", "text_bigram_freq",
+    "token_pmi_pairs", "doc_unigram_surprisal", "zipf_slope_fit",
+    "bpe_merge_step", "sim_ivf_assign", "sim_kmeans_step",
+    "sim_ivf_persisted_topk", "token_freq_profile", "kn_continuation_counts",
+    "bm25_topk", "search_conjunctive_terms", "search_phrase_positional",
+    "hybrid_rrf_fusion", "token_burstiness_topk", "heaps_law_fit",
+    "scalar_string_funcs", "scalar_datetime_funcs", "unpivot_lang_counts",
+    "json_map_extract", "array_funcs", "posexplode_tokens",
+    "scalar_null_funcs", "scalar_regex_funcs", "map_event_counts",
+    "variant_shred_extract", "split_train_val_test", "sample_balance_langs",
+    "decontam_ngram_overlap", "decontam_minhash_fuzzy", "chunk_docs_overlap",
+    "sample_topk_per_lang", "profile_numeric_columns",
+    "profile_numeric_sketch", "dataset_card_stats", "mix_weighted_sources",
+    "vocab_coverage_top100", "oov_rate_per_lang", "source_mix_entropy",
+    "curriculum_buckets", "shard_manifest_greedy", "worker_snake_balance",
+    "mix_temperature_quota", "seqlen_padding_audit", "span_corruption_plan",
+    "cms_frequency_audit", "abtest_two_proportion_z",
+    "calibration_reliability_bins", "decile_lift_table",
+    "lang_source_mutual_info", "distinct_ngram_diversity",
+    "path_regex_funnel", "k_anonymity_audit", "l_diversity_audit",
+    "weighted_reservoir_sample", "data_freshness_audit", "clock_skew_audit",
+    "isotonic_calibration_pav", "simpson_paradox_audit", "chi2_lang_source",
+    "mann_kendall_trend", "seasonal_weekday_profile",
+    "survival_km_conversion", "permutation_test_mean_diff",
+    "markov_entropy_rate", "cuped_adjustment_audit", "sprt_sequential_test",
+    "diff_in_diff_estimate", "ols_two_feature_cramer",
+    "bootstrap_revenue_ci", "burst_episode_detection",
+    "markov_holding_times")
+
   /** The data-heavy headline queries worth re-timing at 10×: the dedup /
     * similarity / text pipelines (shuffle- and explode-bound) plus the
     * TPC-H join chains and the event-log windows.

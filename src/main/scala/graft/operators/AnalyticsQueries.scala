@@ -21,7 +21,7 @@ object AnalyticsQueries {
     * files (this killed BENCH_r06). Serialized per-process; cross-process
     * runs are sequential (Verify and Bench never overlap).
     */
-  private def ensureBucketedTable(s: org.apache.spark.sql.SparkSession,
+  private[operators] def ensureBucketedTable(s: org.apache.spark.sql.SparkSession,
       name: String, key: String, df: => org.apache.spark.sql.DataFrame): Unit =
     synchronized {
       if (!s.catalog.tableExists(name)) {

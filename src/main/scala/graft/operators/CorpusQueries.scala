@@ -590,6 +590,84 @@ object CorpusQueries {
            |  FROM scored) WHERE rank <= 5""".stripMargin
       }),
 
+    // Persisted IVF index probe (r8 verdict task #7 — the production
+    // retrieval path, not just a per-query plan): the IVF assignment
+    // (id, vec, vnorm, centroid_id) is materialized ONCE as a table
+    // BUCKETED and sorted by centroid_id (the bucketed_join_colocated
+    // machinery), and the probe consumes the bucket files directly — the
+    // tiny query set broadcasts onto the index scan, so there are ZERO
+    // shuffle exchanges under the probe join (pinned in PlanSpec). At
+    // 100 TB this is the difference between re-assigning and re-shuffling
+    // the corpus per query batch and a pure broadcast-probe of a
+    // co-located index; the index build is the one-off a lake writer
+    // declares, every retrieval inherits the layout. Results (and the
+    // oracle) are identical to sim_ivf_topk — same ANN semantics, the
+    // physical path is the point.
+    QueryDef(
+      "sim_ivf_persisted_topk",
+      (s, d) => {
+        val tag = d.replaceAll("[^A-Za-z0-9]+", "_")
+        val idx = s"graft_ivf_idx_$tag"
+        AnalyticsQueries.ensureBucketedTable(s, idx, "centroid_id", {
+          val emb = t(s, d, "embeddings")
+            .select(col("vec_id").as("id"), col("embedding").as("vec"))
+          val cents = broadcast(emb.filter(col("id") < 8)
+            .select(col("id").as("centroid_id"), col("vec").as("cvec"),
+                    Similarity.l2Norm(col("vec")).as("cnorm")))
+          emb.withColumn("vnorm", Similarity.l2Norm(col("vec")))
+            .crossJoin(cents)
+            .withColumn("csim", Similarity.dot(col("vec"), col("cvec")) /
+              (col("vnorm") * col("cnorm")))
+            .groupBy(col("id"))
+            .agg(max_by(struct(col("vec"), col("vnorm"), col("centroid_id")),
+              struct(col("csim"), (-col("centroid_id")).as("nc"))).as("best"))
+            .select(col("id"), col("best.vec").as("vec"),
+                    col("best.vnorm").as("vnorm"),
+                    col("best.centroid_id").as("centroid_id"))
+        })
+        val corpus = s.table(idx)
+        val queries = broadcast(corpus.filter(col("id") < 10)
+          .select(col("id").as("query_id"), col("vec").as("qvec"),
+                  col("vnorm").as("qnorm"), col("centroid_id")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("cosine_sim").desc, col("id"))
+        corpus.join(queries, "centroid_id")
+          .filter(col("query_id") =!= col("id"))
+          .withColumn("cosine_sim", Similarity.dot(col("qvec"), col("vec")) /
+            (col("qnorm") * col("vnorm")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("id").as("neighbor_id"),
+                  col("cosine_sim"), col("rank"))
+      },
+      Some {
+        val dotSql = "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+          "list_transform(range(1, len(%s) + 1), i -> CAST(%s[i] AS DOUBLE) * CAST(%s[i] AS DOUBLE))), (acc, x) -> acc + x)"
+        def dot(a: String, b: String) = dotSql.format(a, a, b)
+        s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cvec,
+           |                      sqrt(${dot("embedding", "embedding")}) AS cnorm
+           |               FROM embeddings WHERE vec_id < 8),
+           |assigned AS (
+           |  SELECT id, vec, vnorm, centroid_id FROM (
+           |    SELECT e.vec_id AS id, e.embedding AS vec,
+           |           sqrt(${dot("e.embedding", "e.embedding")}) AS vnorm,
+           |           centroid_id,
+           |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+           |             ${dot("e.embedding", "cvec")} /
+           |               (sqrt(${dot("e.embedding", "e.embedding")}) * cnorm) DESC,
+           |             centroid_id) AS rn
+           |    FROM embeddings e CROSS JOIN cents) WHERE rn = 1),
+           |scored AS (
+           |  SELECT q.id AS query_id, c.id AS neighbor_id,
+           |         ${dot("q.vec", "c.vec")} / (q.vnorm * c.vnorm) AS cosine_sim
+           |  FROM assigned q JOIN assigned c ON q.centroid_id = c.centroid_id
+           |  WHERE q.id < 10 AND c.id != q.id)
+           |SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+           |            ORDER BY cosine_sim DESC, neighbor_id) AS rank
+           |  FROM scored) WHERE rank <= 5""".stripMargin
+      }),
+
     // Corpus-duplicated-n-gram fraction — the RefinedWeb/Dolma corpus-level
     // repetition filter (text_repetition_ratio is the WITHIN-document
     // Gopher variant): per document, the fraction of its distinct trigram

@@ -633,6 +633,25 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("persisted IVF probe: zero exchanges under the probe join — the " +
+      "index is consumed from bucket files, queries broadcast") {
+    // r8 verdict task #7: the materialized (bucketed-by-centroid) IVF
+    // index must serve probes without any shuffle below the join node;
+    // only the per-query top-k window after the join may exchange.
+    val p = plan("sim_ivf_persisted_topk")
+    val bhj = collectAll(p) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, "probe must be a broadcast hash join onto the index scan")
+    val shufflesUnder = bhj.flatMap(_.collect { case e: ShuffleExchangeExec => e })
+    assert(shufflesUnder.isEmpty,
+      s"no exchange belongs under the probe join (bucketed index + " +
+        s"broadcast queries); found ${shufflesUnder.size}")
+    val scans = collectAll(p) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.exists(_.relation.bucketSpec.isDefined),
+      "the probe must read the bucketed index table, not raw embeddings")
+  }
+
   test("RFM quintiles never run an unpartitioned window over customer rows") {
     // r9: the three global ntile(5)s were replaced by decomposed ranks —
     // each metric's only unpartitioned window reads its bounded bin-total

@@ -13,6 +13,29 @@ import scala.util.Random
 class CatalogPropertySpec extends SparkSuite {
   import spark.implicits._
 
+  test("every bench query is either 10×-smoked or documented smoke-exempt " +
+      "(and both registries hold only live catalog names)") {
+    // r8 verdict task #8: with 300+ rows, an unsmoked heavy query is a
+    // silent scale risk. The partition forces every new bench=true query
+    // to take a smoke slot or join the documented exemption set.
+    val bench = SparkEntry.all.filter(_.bench).map(_.name).toSet
+    val smoked = graft.ScaleSmoke.smokeQueries.toSet
+    val exempt = graft.ScaleSmoke.smokeExempt
+    val uncovered = bench -- smoked -- exempt
+    assert(uncovered.isEmpty,
+      s"bench queries neither smoked nor documented exempt: " +
+        s"${uncovered.toSeq.sorted.mkString(", ")}")
+    val staleSmoke = smoked -- bench
+    assert(staleSmoke.isEmpty,
+      s"smoke entries naming no live bench query: ${staleSmoke.mkString(", ")}")
+    val staleExempt = exempt -- bench
+    assert(staleExempt.isEmpty,
+      s"exempt entries naming no live bench query: ${staleExempt.mkString(", ")}")
+    val both = smoked.intersect(exempt)
+    assert(both.isEmpty,
+      s"queries cannot be both smoked and exempt: ${both.mkString(", ")}")
+  }
+
   /** Write a one-table lake under a temp dir and return the dir. */
   private def lake(table: String)(write: String => Unit): String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-prop").toString
