@@ -1,0 +1,28 @@
+package graft
+
+/** Dev-only: time named catalog queries on the sf0.1 lake and its 10×
+  * scaled copy, print the ratios — the local replica of the driver's
+  * superlinearity gate for a subset (full run: Bench).
+  *   runMain graft.SmokeOne <sfDir> <name1,name2,...>
+  */
+object SmokeOne {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val names = args(1).split(",").toSeq
+    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt)
+    spark.sparkContext.setLogLevel("ERROR")
+    val scaled = ScaleSmoke.ensureScaled(spark, sfDir)
+    names.foreach { n =>
+      val fn = SparkEntry.queries(n)
+      def time(d: String): Double = {
+        val ts = (1 to 2).map { _ =>
+          val t0 = System.nanoTime(); fn(spark, d).count(); (System.nanoTime() - t0) / 1e9
+        }
+        ts.min
+      }
+      val t1 = time(sfDir); val t10 = time(scaled)
+      println(f"[smoke] $n%-32s head=$t1%7.2fs x10=$t10%7.2fs ratio=${t10 / t1}%6.2f")
+    }
+    spark.stop()
+  }
+}
