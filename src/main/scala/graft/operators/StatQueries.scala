@@ -967,5 +967,137 @@ object StatQueries {
              |  CAST(sum(next_us - us) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6
              |    AS mean_gap_sec
              |FROM seq WHERE s_to IS NOT NULL
-             |GROUP BY 1, 2 ORDER BY s_from, s_to""".stripMargin)))
+             |GROUP BY 1, 2 ORDER BY s_from, s_to""".stripMargin)),
+
+    // Welch's unequal-variance t statistic for the purchase-vs-view mean
+    // event value — the parametric sibling of permutation_test_mean_diff
+    // (same contrast, closed-form variance instead of resampling) that
+    // does NOT assume equal group variances (the plain pooled t is wrong
+    // under the heteroscedasticity this data actually has). Moments are
+    // exact BIGINT/DECIMAL cent sums; t and the Welch–Satterthwaite df
+    // are each ONE fixed chain of IEEE ops from those integers, identical
+    // on both engines. One scan, a 2-row aggregate — scale-invariant.
+    QueryDef(
+      "welch_t_test",
+      (s, d) => {
+        val base = t(s, d, "events")
+          .filter(col("event_type").isin("view", "purchase"))
+          .select(
+            (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"),
+            (col("event_type") === "purchase").as("is_p"))
+        val m = base.agg(
+          count(when(col("is_p"), 1)).as("na"),
+          sum(when(col("is_p"), col("cents"))).as("sa"),
+          sum(when(col("is_p"), (col("cents") * col("cents"))
+            .cast(DecimalType(38, 0)))).cast("double").as("qa"),
+          count(when(!col("is_p"), 1)).as("nb"),
+          sum(when(!col("is_p"), col("cents"))).as("sb"),
+          sum(when(!col("is_p"), (col("cents") * col("cents"))
+            .cast(DecimalType(38, 0)))).cast("double").as("qb"))
+        m.select(col("na"), col("nb"),
+            (col("sa").cast("double") / col("na").cast("double")).as("mean_a"),
+            (col("sb").cast("double") / col("nb").cast("double")).as("mean_b"),
+            ((col("qa") - col("sa").cast("double") * col("sa").cast("double")
+              / col("na").cast("double")) / (col("na") - 1).cast("double")
+            ).as("var_a"),
+            ((col("qb") - col("sb").cast("double") * col("sb").cast("double")
+              / col("nb").cast("double")) / (col("nb") - 1).cast("double")
+            ).as("var_b"))
+          .withColumn("se2",
+            col("var_a") / col("na").cast("double") +
+              col("var_b") / col("nb").cast("double"))
+          .select(col("na").as("n_purchase"), col("nb").as("n_view"),
+            col("mean_a"), col("mean_b"),
+            ((col("mean_a") - col("mean_b")) / sqrt(col("se2"))).as("t_welch"),
+            ((col("se2") * col("se2")) /
+              ((col("var_a") / col("na").cast("double")) *
+                 (col("var_a") / col("na").cast("double")) /
+                 (col("na") - 1).cast("double") +
+               (col("var_b") / col("nb").cast("double")) *
+                 (col("var_b") / col("nb").cast("double")) /
+                 (col("nb") - 1).cast("double"))).as("df_welch"))
+      },
+      Some("""WITH base AS (
+             |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             |    event_type = 'purchase' AS is_p
+             |  FROM events WHERE event_type IN ('view', 'purchase')),
+             |m AS (
+             |  SELECT CAST(count(CASE WHEN is_p THEN 1 END) AS BIGINT) AS na,
+             |    CAST(sum(CASE WHEN is_p THEN cents END) AS BIGINT) AS sa,
+             |    CAST(sum(CASE WHEN is_p THEN CAST(cents * cents AS DECIMAL(38,0)) END)
+             |      AS DOUBLE) AS qa,
+             |    CAST(count(CASE WHEN NOT is_p THEN 1 END) AS BIGINT) AS nb,
+             |    CAST(sum(CASE WHEN NOT is_p THEN cents END) AS BIGINT) AS sb,
+             |    CAST(sum(CASE WHEN NOT is_p THEN CAST(cents * cents AS DECIMAL(38,0)) END)
+             |      AS DOUBLE) AS qb
+             |  FROM base),
+             |v AS (
+             |  SELECT na, nb,
+             |    CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS mean_a,
+             |    CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mean_b,
+             |    (qa - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / CAST(na AS DOUBLE))
+             |      / CAST(na - 1 AS DOUBLE) AS var_a,
+             |    (qb - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+             |      / CAST(nb - 1 AS DOUBLE) AS var_b
+             |  FROM m),
+             |w AS (
+             |  SELECT *, var_a / CAST(na AS DOUBLE) + var_b / CAST(nb AS DOUBLE) AS se2
+             |  FROM v)
+             |SELECT na AS n_purchase, nb AS n_view, mean_a, mean_b,
+             |  (mean_a - mean_b) / sqrt(se2) AS t_welch,
+             |  (se2 * se2) /
+             |    ((var_a / CAST(na AS DOUBLE)) * (var_a / CAST(na AS DOUBLE))
+             |       / CAST(na - 1 AS DOUBLE)
+             |     + (var_b / CAST(nb AS DOUBLE)) * (var_b / CAST(nb AS DOUBLE))
+             |       / CAST(nb - 1 AS DOUBLE)) AS df_welch
+             |FROM w""".stripMargin)),
+
+    // Theil–Sen robust trend estimator over the daily event-count series:
+    // the median of all pairwise day-slopes — immune to the outlier days
+    // that bias an OLS fit (the robust sibling of mann_kendall_trend's
+    // sign test: MK answers "is there a trend", Theil–Sen answers "how
+    // steep"). The pair universe is C(days, 2) — bounded by the CALENDAR
+    // (≤ ~500k pairs for 3 years), never by row count, so the pairwise
+    // expansion and the median sort run over a domain-bounded aggregate
+    // (PlanAudit-clean: every window input descends from the daily
+    // aggregate). Median selection: lower median at position
+    // (n+1) div 2 in (slope, rise, run) order — slope ties broken by the
+    // exact integer pair, so both engines pick the identical row; the
+    // slope double is ONE IEEE division of exact BIGINTs.
+    QueryDef(
+      "theil_sen_slope",
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(expr("CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)")
+            .as("dnum"))
+          .agg(count(lit(1)).as("cnt"))
+        val pairs = daily.select(col("dnum").as("d1"), col("cnt").as("c1"))
+          .crossJoin(broadcast(daily.select(col("dnum").as("d2"), col("cnt").as("c2"))))
+          .filter(col("d1") < col("d2"))
+          .select((col("c2") - col("c1")).as("rise"), (col("d2") - col("d1")).as("run"))
+          .withColumn("slope", col("rise").cast("double") / col("run").cast("double"))
+        val w = Window.orderBy(col("slope"), col("rise"), col("run"))
+        pairs
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .join(broadcast(pairs.groupBy().agg(count(lit(1)).as("n_pairs"))))
+          .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+          .select(col("n_pairs"), col("rise").as("med_rise"),
+            col("run").as("med_run"), col("slope").as("theil_sen_slope"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+             |      AS dnum,
+             |    CAST(count(*) AS BIGINT) AS cnt
+             |  FROM events GROUP BY 1),
+             |pairs AS (
+             |  SELECT b.cnt - a.cnt AS rise, b.dnum - a.dnum AS run,
+             |    CAST(b.cnt - a.cnt AS DOUBLE) / CAST(b.dnum - a.dnum AS DOUBLE) AS slope
+             |  FROM daily a JOIN daily b ON a.dnum < b.dnum),
+             |r AS (
+             |  SELECT *, ROW_NUMBER() OVER (ORDER BY slope, rise, run) AS rn,
+             |    CAST(count(*) OVER () AS BIGINT) AS n_pairs
+             |  FROM pairs)
+             |SELECT n_pairs, rise AS med_rise, run AS med_run,
+             |  slope AS theil_sen_slope
+             |FROM r WHERE rn = (n_pairs + 1) // 2""".stripMargin)))
 }

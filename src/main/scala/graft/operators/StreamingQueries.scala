@@ -846,6 +846,47 @@ object StreamingQueries {
       .coalesce(1).write.mode("overwrite").parquet(resultOut)
   }
 
+  /** Exact distinct-user maintenance on MapState — see
+    * [[graft.streaming.StatefulAgg.DistinctUsers]]. Update-mode
+    * emissions per batch; converged value per key is the last emission.
+    */
+  private def runDistinctMaintain(s: SparkSession, sfDir: String, scratch: String, resultOut: String): Unit = {
+    import s.implicits._
+    val glob = stageEventSlices(s, sfDir, s"$scratch/evlake")
+    val out = s"$scratch/emissions"
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = s.conf.getOption(providerKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ds = eventStream(s, glob)
+        .select(col("event_type"), col("user_id"))
+        .as[(String, Long)]
+      val updates = ds.groupByKey(_._1)
+        .transformWithState(new graft.streaming.StatefulAgg.DistinctUsers,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+      val q = updates.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.streaming.StatefulAgg.TypeDistinct], batchId: Long) =>
+          b.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(out)
+          ()
+        }
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally prior match {
+      case Some(v) => s.conf.set(providerKey, v)
+      case None => s.conf.unset(providerKey)
+    }
+    s.read.parquet(out)
+      .groupBy("event_type")
+      .agg(max_by(col("n_distinct"), col("batch_id")).as("n_distinct"))
+      .orderBy("event_type")
+      .coalesce(1).write.mode("overwrite").parquet(resultOut)
+  }
+
   /** Retract-stream (changelog) maintenance of a grouped aggregate — see
     * [[graft.streaming.StatefulAgg.ChangelogAgg]]. The per-entity state
     * emits ±delta rows against the entity's current group; the converged
@@ -1341,6 +1382,19 @@ object StreamingQueries {
       Some("""SELECT user_id, count(*) AS n_events,
              |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
              |FROM events GROUP BY user_id""".stripMargin),
+      bench = false, sideEffecting = true),
+
+    // The MapState distinct maintainer must converge to the batch
+    // COUNT(DISTINCT) per event type — a membership probe that misses
+    // RocksDB state across triggers double-counts a returning user, a
+    // lost count ValueState undercounts; either hash-fails against the
+    // exact batch recompute.
+    QueryDef(
+      "streaming_distinct_maintain",
+      (s, d) => cachedStream(s, "streaming_distinct_maintain", d)(runDistinctMaintain(s, d, _, _)),
+      Some("""SELECT event_type,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
       bench = false, sideEffecting = true),
 
     // The retract-stream grouped aggregate must converge to the batch

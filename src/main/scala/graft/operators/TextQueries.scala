@@ -381,5 +381,55 @@ object TextQueries {
              |  CAST(sum(n_bpe) AS BIGINT) AS sum_bpe,
              |  CAST(sum(n_words) AS BIGINT) AS sum_words,
              |  CAST(sum(n_bpe) AS DOUBLE) / CAST(sum(n_words) AS DOUBLE) AS fertility
-             |FROM per GROUP BY lang""".stripMargin)))
+             |FROM per GROUP BY lang""".stripMargin)),
+
+    // Code-likeness heuristic — the pretraining-mix router that separates
+    // code-shaped documents from prose BEFORE an expensive classifier
+    // runs: per doc, counts of code-indicative symbol characters
+    // ({}();=<>[]#_) and digits via translate-and-diff (pure codegen'd
+    // string ops, no regex), combined into an integer permille score
+    // (symbols weighted 3×) with an exact integer-division quantization —
+    // the same millibit discipline as text_quality_score, so the
+    // per-lang aggregate is FP-free on both engines. One scan, bounded
+    // lang aggregate.
+    QueryDef(
+      "text_code_score",
+      (s, d) => {
+        val syms = "{}();=<>[]#_"
+        val doc = t(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            length(col("text")).cast("long").as("n"),
+            (length(col("text")) -
+              length(translate(col("text"), syms, ""))).cast("long").as("n_sym"),
+            (length(col("text")) -
+              length(translate(col("text"), "0123456789", ""))).cast("long")
+              .as("n_dig"))
+          .filter(col("n") > 0)
+          .withColumn("code_permille",
+            expr("(n_sym * 3000 + n_dig * 1000) div n"))
+          .withColumn("is_codelike", col("code_permille") >= 60)
+        doc.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("is_codelike"), 1L).otherwise(0L)).as("n_codelike"),
+            sum(col("code_permille")).as("sum_permille"))
+          .withColumn("mean_code_score",
+            col("sum_permille").cast("double") / col("n_docs").cast("double")
+              / lit(1000.0))
+          .orderBy("lang")
+      },
+      Some("""WITH doc AS (
+             |  SELECT lang,
+             |    (length(text) - length(translate(text, '{}();=<>[]#_', ''))) * 3000
+             |      + (length(text) - length(translate(text, '0123456789', ''))) * 1000
+             |      AS num,
+             |    length(text) AS n
+             |  FROM documents WHERE length(text) > 0),
+             |sc AS (SELECT lang, num // n AS code_permille FROM doc)
+             |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(CASE WHEN code_permille >= 60 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_codelike,
+             |  CAST(sum(code_permille) AS BIGINT) AS sum_permille,
+             |  CAST(sum(code_permille) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000.0
+             |    AS mean_code_score
+             |FROM sc GROUP BY lang ORDER BY lang""".stripMargin)))
 }

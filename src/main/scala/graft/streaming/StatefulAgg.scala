@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.Encoders
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** The Spark 4 arbitrary-state v2 surface (`transformWithState` +
   * typed `ValueState`, RocksDB-backed): a running per-key aggregate
@@ -36,6 +36,42 @@ object StatefulAgg {
       rows.foreach { case (_, cents) => n += 1; sum += cents }
       st.update((n, sum))
       Iterator.single(UserAgg(key, n, sum))
+    }
+  }
+
+  /** (event_type, running exact distinct-user count). */
+  case class TypeDistinct(event_type: String, n_distinct: Long)
+
+  /** Exact per-key distinct maintenance on the state-v2 MAP state — the
+    * third state shape next to RunningAgg's ValueState and BandOwner's
+    * owner registry: the per-event-type seen-user SET lives in a
+    * MapState[Long, Boolean] (RocksDB holds one store entry per
+    * (key, user), so membership probes never deserialize the whole set —
+    * the reason MapState exists over a ValueState[Set]), with the count
+    * in a side ValueState so emission is O(1), not an O(|set|) key scan.
+    * Converges to the batch COUNT(DISTINCT) regardless of trigger
+    * slicing; state is O(distinct users) per type — production swaps the
+    * map for an HLL sketch beyond memory (the approx_distinct_users
+    * contract) and TTLConfig bounds the horizon.
+    */
+  final class DistinctUsers extends StatefulProcessor[String, (String, Long), TypeDistinct] {
+    @transient private var seen: MapState[Long, Boolean] = _
+    @transient private var n: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      seen = getHandle.getMapState[Long, Boolean](
+        "seen", Encoders.scalaLong, Encoders.scalaBoolean, TTLConfig.NONE)
+      n = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+                                 timerValues: TimerValues): Iterator[TypeDistinct] = {
+      var cur = if (n.exists()) n.get() else 0L
+      rows.foreach { case (_, u) =>
+        if (!seen.containsKey(u)) { seen.updateValue(u, true); cur += 1 }
+      }
+      n.update(cur)
+      Iterator.single(TypeDistinct(key, cur))
     }
   }
 
