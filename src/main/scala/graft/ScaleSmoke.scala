@@ -199,7 +199,7 @@ object ScaleSmoke {
     "markov_entropy_rate", "cuped_adjustment_audit", "sprt_sequential_test",
     "diff_in_diff_estimate", "ols_two_feature_cramer",
     "bootstrap_revenue_ci", "burst_episode_detection",
-    "welch_t_test", "theil_sen_slope", "text_code_score",
+    "welch_t_test", "theil_sen_slope", "text_code_score", "t_closeness_audit",
     "ann_nprobe_recall_sweep",
     // nn_descent_round shares sim_cluster_neardup_pairs' deliberate
     // exemption: the scaler clones embedding vectors verbatim, so all 10

@@ -673,6 +673,70 @@ object CurationQueries {
              |  CAST(sum(CASE WHEN ldiv < 3 THEN cls ELSE 0 END) AS BIGINT) AS n_docs_at_risk
              |FROM cls""".stripMargin)),
 
+    // t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) — the
+    // third rung of the privacy ladder after k_anonymity_audit and
+    // l_diversity_audit: a diverse class can still leak when its
+    // SENSITIVE-attribute distribution (lang) differs sharply from the
+    // corpus-wide distribution (the skewness attack l-diversity misses).
+    // For an unordered attribute the Earth Mover's Distance reduces to
+    // total variation, computed here as EXACT cross-multiplied integers:
+    // per class, t_num = Σ_lang |cnt_cls·N_tot − cnt_tot·N_cls| and
+    // t_den = 2·N_cls·N_tot, so t = t_num/t_den in one final division.
+    // The zero-count langs a class is MISSING contribute through the
+    // grid join (absent langs still shift mass). Two bounded aggregates
+    // plus a (classes × langs) grid — |langs| is domain-bounded, nothing
+    // rescans at any corpus size.
+    QueryDef(
+      "t_closeness_audit",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val cls = docs.groupBy(col("source"), expr("n_chars div 100").as("size_bucket"))
+          .agg(count(lit(1)).as("n_cls"))
+        val cl = docs.groupBy(col("source"), expr("n_chars div 100").as("size_bucket"),
+            col("lang"))
+          .agg(count(lit(1)).as("cnt_cls"))
+        val gl = broadcast(docs.groupBy("lang").agg(count(lit(1)).as("cnt_tot")))
+        val nTot = broadcast(docs.groupBy().agg(count(lit(1)).as("n_tot")))
+        val grid = cls.crossJoin(gl).join(nTot)
+          .join(cl, Seq("source", "size_bucket", "lang"), "left_outer")
+          .withColumn("cnt_cls", coalesce(col("cnt_cls"), lit(0L)))
+        grid
+          .groupBy("source", "size_bucket")
+          .agg(max(col("n_cls")).as("n_rows"),
+            sum(abs(col("cnt_cls") * col("n_tot") - col("cnt_tot") * col("n_cls")))
+              .as("t_num"),
+            (max(col("n_cls")) * max(col("n_tot")) * lit(2L)).as("t_den"))
+          .withColumn("t_closeness",
+            col("t_num").cast("double") / col("t_den").cast("double"))
+          .withColumn("breach", col("t_closeness") > 0.25)
+          .orderBy("source", "size_bucket")
+      },
+      Some("""WITH cls AS (
+             |  SELECT source, n_chars // 100 AS size_bucket,
+             |    CAST(count(*) AS BIGINT) AS n_cls
+             |  FROM documents GROUP BY 1, 2),
+             |cl AS (
+             |  SELECT source, n_chars // 100 AS size_bucket, lang,
+             |    CAST(count(*) AS BIGINT) AS cnt_cls
+             |  FROM documents GROUP BY 1, 2, 3),
+             |gl AS (SELECT lang, CAST(count(*) AS BIGINT) AS cnt_tot
+             |       FROM documents GROUP BY 1),
+             |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM documents),
+             |grid AS (
+             |  SELECT c.source, c.size_bucket, c.n_cls, g.lang, g.cnt_tot, n_tot,
+             |    COALESCE(x.cnt_cls, 0) AS cnt_cls
+             |  FROM cls c CROSS JOIN gl g CROSS JOIN nt
+             |  LEFT JOIN cl x ON x.source = c.source
+             |    AND x.size_bucket = c.size_bucket AND x.lang = g.lang)
+             |SELECT source, size_bucket, max(n_cls) AS n_rows,
+             |  CAST(sum(abs(cnt_cls * n_tot - cnt_tot * n_cls)) AS BIGINT) AS t_num,
+             |  max(n_cls) * max(n_tot) * 2 AS t_den,
+             |  CAST(sum(abs(cnt_cls * n_tot - cnt_tot * n_cls)) AS DOUBLE)
+             |    / CAST(max(n_cls) * max(n_tot) * 2 AS DOUBLE) AS t_closeness,
+             |  CAST(sum(abs(cnt_cls * n_tot - cnt_tot * n_cls)) AS DOUBLE)
+             |    / CAST(max(n_cls) * max(n_tot) * 2 AS DOUBLE) > 0.25 AS breach
+             |FROM grid GROUP BY 1, 2 ORDER BY source, size_bucket""".stripMargin)),
+
     // Weighted reservoir sample (Efraimidis & Spirakis 2006, A-Res):
     // top-3 docs per source under quality-proportional weights
     // (w = n_chars), with the "randomness" drawn from the deterministic

@@ -887,6 +887,46 @@ object StreamingQueries {
       .coalesce(1).write.mode("overwrite").parquet(resultOut)
   }
 
+  /** Bounded last-N list maintenance on ListState — see
+    * [[graft.streaming.StatefulAgg.LastNEvents]].
+    */
+  private def runLastN(s: SparkSession, sfDir: String, scratch: String, resultOut: String): Unit = {
+    import s.implicits._
+    val glob = stageEventSlices(s, sfDir, s"$scratch/evlake")
+    val out = s"$scratch/emissions"
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = s.conf.getOption(providerKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ds = eventStream(s, glob)
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .as[(Long, Long, String)]
+      val updates = ds.groupByKey(_._1)
+        .transformWithState(new graft.streaming.StatefulAgg.LastNEvents,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+      val q = updates.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.streaming.StatefulAgg.LastN], batchId: Long) =>
+          b.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(out)
+          ()
+        }
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally prior match {
+      case Some(v) => s.conf.set(providerKey, v)
+      case None => s.conf.unset(providerKey)
+    }
+    s.read.parquet(out)
+      .groupBy("user_id")
+      .agg(max_by(col("last3"), col("batch_id")).as("last3"))
+      .orderBy("user_id")
+      .coalesce(1).write.mode("overwrite").parquet(resultOut)
+  }
+
   /** Retract-stream (changelog) maintenance of a grouped aggregate — see
     * [[graft.streaming.StatefulAgg.ChangelogAgg]]. The per-entity state
     * emits ±delta rows against the entity's current group; the converged
@@ -1382,6 +1422,24 @@ object StreamingQueries {
       Some("""SELECT user_id, count(*) AS n_events,
              |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
              |FROM events GROUP BY user_id""".stripMargin),
+      bench = false, sideEffecting = true),
+
+    // The ListState last-N maintainer must converge to the batch top-3
+    // per user — a list that grows past N, loses an entry across
+    // triggers, or double-appends a replayed event produces a different
+    // joined string and hash-fails.
+    QueryDef(
+      "streaming_lastn_events",
+      (s, d) => cachedStream(s, "streaming_lastn_events", d)(runLastN(s, d, _, _)),
+      Some("""WITH r AS (
+             |  SELECT user_id, event_id, event_type,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC)
+             |      AS rn
+             |  FROM events)
+             |SELECT user_id,
+             |  string_agg(CAST(event_id AS VARCHAR) || ':' || event_type, '|'
+             |             ORDER BY event_id DESC) AS last3
+             |FROM r WHERE rn <= 3 GROUP BY user_id ORDER BY user_id""".stripMargin),
       bench = false, sideEffecting = true),
 
     // The MapState distinct maintainer must converge to the batch

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.Encoders
-import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ListState, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** The Spark 4 arbitrary-state v2 surface (`transformWithState` +
   * typed `ValueState`, RocksDB-backed): a running per-key aggregate
@@ -72,6 +72,36 @@ object StatefulAgg {
       }
       n.update(cur)
       Iterator.single(TypeDistinct(key, cur))
+    }
+  }
+
+  /** (user_id, "eid:type|eid:type|eid:type" — top-3 events by id desc). */
+  case class LastN(user_id: Long, last3: String)
+
+  /** Bounded per-key recency list on the state-v2 LIST state — the third
+    * state shape, completing the ValueState/MapState/ListState surface:
+    * each user's 3 highest-event_id (event_id, event_type) pairs, merged
+    * top-k style per batch so the retained list is ALWAYS ≤ 3 entries
+    * regardless of how many events a batch carries or how triggers slice
+    * the stream (the last-N-actions feature window every online feature
+    * store serves). Dedupe on event_id makes replays idempotent; the
+    * converged emission per key equals the batch top-3, which is what
+    * the oracle recomputes.
+    */
+  final class LastNEvents extends StatefulProcessor[Long, (Long, Long, String), LastN] {
+    @transient private var st: ListState[(Long, String)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getListState[(Long, String)](
+        "topn", Encoders.product[(Long, String)], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long, String)],
+                                 timerValues: TimerValues): Iterator[LastN] = {
+      val prior = if (st.exists()) st.get().toList else Nil
+      val merged = (prior ++ rows.map(r => (r._2, r._3)))
+        .distinctBy(_._1).sortBy(-_._1).take(3)
+      st.put(merged.toArray)
+      Iterator.single(LastN(key, merged.map(t => s"${t._1}:${t._2}").mkString("|")))
     }
   }
 
