@@ -200,6 +200,7 @@ object ScaleSmoke {
     "diff_in_diff_estimate", "ols_two_feature_cramer",
     "bootstrap_revenue_ci", "burst_episode_detection",
     "welch_t_test", "theil_sen_slope", "text_code_score", "t_closeness_audit",
+    "kmv_distinct_sketch", "ivm_delta_join", "bh_fdr_control",
     "ann_nprobe_recall_sweep",
     // nn_descent_round shares sim_cluster_neardup_pairs' deliberate
     // exemption: the scaler clones embedding vectors verbatim, so all 10

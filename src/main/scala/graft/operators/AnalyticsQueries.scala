@@ -2229,6 +2229,68 @@ object AnalyticsQueries {
              |  TRUE AS union_within_10pct
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // KMV (K-Minimum-Values, Bar-Yossef et al. 2002) distinct sketch,
+    // audited against the exact count: per event type, keep the k=64
+    // smallest 60-bit md5 hashes of the user ids; the unbiased estimate
+    // (k−1)·M/h_k (M = hash-space size, h_k = k-th minimum) is computed
+    // with INTEGER division so both engines produce the identical
+    // estimate — unlike HLL, the whole sketch state is portable
+    // arithmetic, which is why KMV is the auditable baseline next to
+    // hll_mergeable_daily_union's library sketches (and KMV sketches
+    // merge by taking the k smallest of a union — same mergeability
+    // contract). Types with < k distinct users report exactly. The rank
+    // window is per-type (bounded by k after the WindowGroupLimit);
+    // nothing global.
+    QueryDef(
+      "kmv_distinct_sketch",
+      (s, d) => {
+        val k = 64
+        val tu = t(s, d, "events")
+          .select(col("event_type"), col("user_id")).distinct()
+          .withColumn("h",
+            // 13 hex chars = 52-bit space: (k−1)·M = 63·2^52 ≈ 2.8e17
+            // stays inside BIGINT on BOTH engines (15 chars would push
+            // the numerator past 2^63 — the HUGEINT-promotion trap)
+            conv(substring(md5(concat(lit("kmv:"), col("user_id").cast("string"))),
+              1, 13), 16, 10).cast("long"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy("h")
+        val ranked = tu.withColumn("rn", row_number().over(w))
+        val exact = tu.groupBy("event_type").agg(count(lit(1)).as("n_exact"))
+        val kth = ranked.filter(col("rn") === k)
+          .select(col("event_type"), col("h").as("h_k"))
+        exact.join(kth, Seq("event_type"), "left_outer")
+          .withColumn("kmv_est",
+            when(col("h_k").isNotNull,
+              expr(s"CAST(${k - 1} AS BIGINT) * 4503599627370496 div h_k"))
+              .otherwise(col("n_exact")))
+          .withColumn("rel_err_permille",
+            expr("abs(kmv_est - n_exact) * 1000 div n_exact"))
+          .select("event_type", "n_exact", "kmv_est", "rel_err_permille")
+          .orderBy("event_type")
+      },
+      Some("""WITH tu AS (
+             |  SELECT DISTINCT event_type, user_id FROM events),
+             |h AS (
+             |  SELECT event_type,
+             |    CAST(('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 13))
+             |         AS BIGINT) AS h
+             |  FROM tu),
+             |r AS (
+             |  SELECT event_type, h,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+             |  FROM h),
+             |ex AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact
+             |       FROM tu GROUP BY 1),
+             |kth AS (SELECT event_type, h AS h_k FROM r WHERE rn = 64)
+             |SELECT e.event_type, n_exact,
+             |  CAST(COALESCE(63 * 4503599627370496 // h_k, n_exact) AS BIGINT)
+             |    AS kmv_est,
+             |  CAST(abs(COALESCE(63 * 4503599627370496 // h_k, n_exact) - n_exact)
+             |    * 1000 // n_exact AS BIGINT) AS rel_err_permille
+             |FROM ex e LEFT JOIN kth USING (event_type)
+             |ORDER BY event_type""".stripMargin)),
+
     // HLL intersection via inclusion-exclusion, audited: the audience-
     // overlap question ("how many users do BOTH x and y") answered from
     // three mergeable sketches — est(A)+est(B)−est(A∪B) — the only way

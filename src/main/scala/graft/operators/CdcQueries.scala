@@ -301,6 +301,63 @@ object CdcQueries {
              |  CAST(sum(value) AS DOUBLE) AS sum_balance
              |FROM cur GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Incremental maintenance of a JOIN view — the delta-join algebra
+    // ivm_delta_agg's single-table retraction doesn't cover:
+    // Δ(A⋈B) = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB, maintained here for the
+    // revenue-per-priority view over orders⋈lineitem. The checkpoint
+    // splits each table INDEPENDENTLY (orders by orderkey range, line
+    // items by a row hash — so late line items arrive for existing
+    // orders and new orders bring their own lines, exercising all three
+    // delta terms). Per-batch cost is O(|Δ| · fanout): the two mixed
+    // terms probe the STANDING side by join key (bucketed/indexed at
+    // 100 TB — the bucketed_join_colocated layout), never rescanning
+    // A₀⋈B₀; the base view is the O(1)-per-group standing aggregate.
+    // The oracle recomputes the full join from scratch — equality
+    // proves the delta algebra, not just the arithmetic.
+    QueryDef(
+      "ivm_delta_join",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val ord = t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+        val li = t(s, d, "lineitem").select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(18, 4)).as("rev"),
+          col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+        val t0 = broadcast(ord.agg(expr("max(o_orderkey) * 2 div 3").as("t0")))
+        val ordT = ord.join(t0)
+        val ordBase = ordT.filter(col("o_orderkey") <= col("t0")).drop("t0")
+        val ordDelta = ordT.filter(col("o_orderkey") > col("t0")).drop("t0")
+        val liH = li.withColumn("h", PipelineQueries.hashPermille(
+          concat(col("l_orderkey"), lit("#"), col("l_partkey"), lit("#"),
+            col("l_suppkey"), lit("#"), col("l_quantity")), "ivmj"))
+        val liBase = liH.filter(col("h") >= 300000L)
+        val liDelta = liH.filter(col("h") < 300000L)
+        def agg(o: org.apache.spark.sql.DataFrame, l: org.apache.spark.sql.DataFrame) =
+          o.join(l, col("o_orderkey") === col("l_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(count(lit(1)).as("n"), sum(col("rev")).as("rv"))
+        val base = agg(ordBase, liBase)
+        val d1 = agg(ordDelta, liBase)
+        val d2 = agg(ordBase, liDelta)
+        val d3 = agg(ordDelta, liDelta)
+        val deltas = d1.unionByName(d2).unionByName(d3)
+          .groupBy("o_orderpriority")
+          .agg(sum(col("n")).as("dn"), sum(col("rv")).as("drv"))
+        base.join(deltas, Seq("o_orderpriority"), "full_outer")
+          .select(col("o_orderpriority"),
+            (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+              .as("n_items"),
+            (coalesce(col("rv"), lit(0).cast(DecimalType(28, 4))) +
+              coalesce(col("drv"), lit(0).cast(DecimalType(28, 4))))
+              .cast("double").as("revenue"))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+             |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+             |       AS DOUBLE) AS revenue
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // Late-arriving-change correction audit — the question a CDC consumer
     // asks before applying a replayed/late batch: exactly WHICH history
     // rows does it rewrite? Simulated by withholding a deterministic ~1%

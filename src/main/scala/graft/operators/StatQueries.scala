@@ -1052,6 +1052,121 @@ object StatQueries {
              |       / CAST(nb - 1 AS DOUBLE)) AS df_welch
              |FROM w""".stripMargin)),
 
+    // Benjamini–Hochberg FDR control over a FAMILY of permutation tests —
+    // the multiple-testing layer every per-segment monitoring suite needs
+    // (five "is this event type's mean value different from the rest?"
+    // tests at once inflate false alarms; BH caps the expected false
+    // discovery rate at α). Each per-type test is the
+    // permutation_test_mean_diff machinery (64 deterministic hash
+    // relabelings at the observed type-vs-rest proportions), so every
+    // p-value is the exact rational (1+k)/65; the BH step-up
+    // "p_(i) ≤ α·i/m" is then evaluated in cross-multiplied INTEGERS
+    // (4·(1+k)·m ≤ 65·i at α = 0.25) — no float thresholds anywhere.
+    // Scale: the replicate explode is a constant 5·64× of the scan,
+    // map-side combined to (type, replicate) partials; the BH ranking is
+    // an m-row bounded window.
+    QueryDef(
+      "bh_fdr_control",
+      (s, d) => {
+        val base = t(s, d, "events").select(col("event_type"),
+          (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"),
+          col("event_id"))
+        val tot = base.groupBy("event_type")
+          .agg(count(lit(1)).as("na"), sum(col("cents")).as("sa"))
+        val grand = tot.agg(sum(col("na")).as("nn"), sum(col("sa")).as("ss"))
+        val types = broadcast(tot.join(grand))
+        def meanDiff(saC: org.apache.spark.sql.Column, naC: org.apache.spark.sql.Column) =
+          abs(saC.cast("double") / naC.cast("double") -
+            (col("ss") - saC).cast("double") / (col("nn") - naC).cast("double"))
+        val obs = types.select(col("event_type"), col("na"),
+          meanDiff(col("sa"), col("na")).as("obs_diff"))
+        val reps = base
+          .select(col("event_id"), col("cents"),
+            explode(expr("sequence(0, 63)")).as("r"))
+          .join(types.select(col("event_type").as("tt"), col("na").as("na_t"),
+            col("nn")))
+          .withColumn("flip",
+            PipelineQueries.hashPermille(concat(col("event_id").cast("string"),
+              lit("#"), col("r").cast("string"), lit("#"), col("tt")), "bh") <
+              expr("na_t * 1000000 div nn"))
+          .groupBy("tt", "r").agg(
+            sum(when(col("flip"), col("cents"))).as("sa_r"),
+            count(when(col("flip"), 1)).as("na_r"))
+        val stats = reps.join(broadcast(grand))
+          .select(col("tt").as("event_type"),
+            meanDiff(col("sa_r"), col("na_r")).as("stat"))
+        val ks = stats.join(obs, Seq("event_type"))
+          .groupBy("event_type")
+          .agg(max(col("na")).as("n_type"), max(col("obs_diff")).as("obs_diff"),
+            (sum(when(col("stat") >= col("obs_diff"), 1L).otherwise(0L)) + 1L)
+              .as("p_num"))
+        val wRank = Window.orderBy(col("p_num"), col("event_type"))
+        val wAll = Window.partitionBy(lit(1))
+        ks
+          .withColumn("bh_rank", row_number().over(wRank).cast("long"))
+          .withColumn("pass", expr("4 * p_num * 5 <= 65 * bh_rank"))
+          .withColumn("imax",
+            max(when(col("pass"), col("bh_rank")).otherwise(lit(0L))).over(wAll))
+          .select(col("event_type"), col("n_type"), col("p_num"),
+            (col("p_num").cast("double") / lit(65.0)).as("p_value"),
+            col("bh_rank"),
+            (col("bh_rank") <= col("imax")).as("rejected"))
+          .orderBy("bh_rank")
+      },
+      Some(s"""WITH base AS (
+             |  SELECT event_type,
+             |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             |    event_id
+             |  FROM events),
+             |tot AS (
+             |  SELECT event_type, CAST(count(*) AS BIGINT) AS na,
+             |    CAST(sum(cents) AS BIGINT) AS sa
+             |  FROM base GROUP BY 1),
+             |grand AS (SELECT CAST(sum(na) AS BIGINT) AS nn,
+             |                 CAST(sum(sa) AS BIGINT) AS ss FROM tot),
+             |obs AS (
+             |  SELECT event_type, na,
+             |    abs(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+             |      - CAST(ss - sa AS DOUBLE) / CAST(nn - na AS DOUBLE)) AS obs_diff
+             |  FROM tot CROSS JOIN grand),
+             |reps AS (
+             |  SELECT t.event_type AS tt, g.r,
+             |    CAST(sum(CASE WHEN
+             |      (${PipelineQueries.hashSqlExpr(
+                      "CAST(b.event_id AS VARCHAR) || '#' || CAST(g.r AS VARCHAR) || '#' || t.event_type",
+                      "bh")}) < t.na * 1000000 // nn
+             |      THEN b.cents END) AS BIGINT) AS sa_r,
+             |    CAST(count(CASE WHEN
+             |      (${PipelineQueries.hashSqlExpr(
+                      "CAST(b.event_id AS VARCHAR) || '#' || CAST(g.r AS VARCHAR) || '#' || t.event_type",
+                      "bh")}) < t.na * 1000000 // nn
+             |      THEN 1 END) AS BIGINT) AS na_r
+             |  FROM base b
+             |  CROSS JOIN (SELECT unnest(range(0, 64)) AS r) g
+             |  CROSS JOIN tot t CROSS JOIN grand
+             |  GROUP BY 1, 2),
+             |ks AS (
+             |  SELECT o.event_type, o.na AS n_type, o.obs_diff,
+             |    CAST(sum(CASE WHEN
+             |        abs(CAST(s.sa_r AS DOUBLE) / CAST(s.na_r AS DOUBLE)
+             |          - CAST(ss - s.sa_r AS DOUBLE) / CAST(nn - s.na_r AS DOUBLE))
+             |        >= o.obs_diff THEN 1 ELSE 0 END) + 1 AS BIGINT) AS p_num
+             |  FROM reps s JOIN obs o ON s.tt = o.event_type CROSS JOIN grand
+             |  GROUP BY 1, 2, 3),
+             |rk AS (
+             |  SELECT event_type, n_type, p_num,
+             |    ROW_NUMBER() OVER (ORDER BY p_num, event_type) AS bh_rank
+             |  FROM ks),
+             |mx AS (
+             |  SELECT *, max(CASE WHEN 4 * p_num * 5 <= 65 * bh_rank
+             |                     THEN bh_rank ELSE 0 END) OVER () AS imax
+             |  FROM rk)
+             |SELECT event_type, n_type, p_num,
+             |  CAST(p_num AS DOUBLE) / 65.0 AS p_value,
+             |  CAST(bh_rank AS BIGINT) AS bh_rank,
+             |  bh_rank <= imax AS rejected
+             |FROM mx ORDER BY bh_rank""".stripMargin)),
+
     // Theil–Sen robust trend estimator over the daily event-count series:
     // the median of all pairwise day-slopes — immune to the outlier days
     // that bias an OLS fit (the robust sibling of mann_kendall_trend's
