@@ -697,6 +697,77 @@ object AnalyticsQueries {
              |WHERE e.a IS NULL
              |ORDER BY common_neighbors DESC, part_a, part_b LIMIT 50""".stripMargin)),
 
+    // Adamic–Adar link prediction (Adamic & Adar 2003) — the
+    // frequency-weighted upgrade of link_prediction_common_nbrs: a
+    // shared RARE neighbor is stronger evidence than a shared hub, so
+    // each common neighbor m contributes 1/ln(deg(m)) instead of 1. The
+    // same degree-capped wedge expansion bounds candidate volume at
+    // C(16,2) per middle node; degrees come from ONE edge-linear
+    // aggregate joined onto the capped adjacency before the wedge join,
+    // and each wedge's weight term is nano-quantized (round(1e9/ln d) as
+    // BIGINT) BEFORE the per-pair sum — the doc_unigram_surprisal
+    // discipline that keeps a float-weighted aggregate FP-order-free and
+    // hash-exact. Top-50 by the exact integer score.
+    QueryDef(
+      "link_prediction_adamic_adar",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("node").orderBy("nbr")
+        val edges = copurchaseEdges(s, d)
+        val und = edges.select(col("a").as("node"), col("b").as("nbr"))
+          .unionByName(edges.select(col("b").as("node"), col("a").as("nbr")))
+        val deg = und.groupBy("node").agg(count(lit(1)).as("deg"))
+        val capped = und
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 16)
+          .select("node", "nbr")
+        // middle-node AA term: deg >= 2 or the node can't close a wedge;
+        // ln(deg) > 0 there, so the quantized weight is well-defined
+        val weighted = capped.join(deg.filter(col("deg") >= 2), Seq("node"))
+          .withColumn("aa_nano",
+            round(lit(1e9) / log(col("deg").cast("double"))).cast("long"))
+        val cand = weighted.select(col("node"), col("nbr").as("pa"), col("aa_nano"))
+          .join(weighted.select(col("node"), col("nbr").as("pb")), Seq("node"))
+          .filter(col("pa") < col("pb"))
+          .groupBy("pa", "pb")
+          .agg(count(lit(1)).as("common_neighbors"),
+            sum(col("aa_nano")).as("aa_score_nano"))
+        cand.join(edges,
+            cand("pa") === edges("a") && cand("pb") === edges("b"), "left_anti")
+          .select(col("pa").as("part_a"), col("pb").as("part_b"),
+            col("common_neighbors"), col("aa_score_nano"))
+          .orderBy(col("aa_score_nano").desc, col("part_a"), col("part_b"))
+          .limit(50)
+      },
+      Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |edges AS (
+             |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+             |  FROM items a JOIN items b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+             |und AS (SELECT a AS node, b AS nbr FROM edges
+             |        UNION ALL SELECT b AS node, a AS nbr FROM edges),
+             |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+             |        FROM und GROUP BY node),
+             |capped AS (
+             |  SELECT node, nbr FROM (
+             |    SELECT node, nbr, ROW_NUMBER() OVER (PARTITION BY node ORDER BY nbr) AS rn
+             |    FROM und)
+             |  WHERE rn <= 16),
+             |weighted AS (
+             |  SELECT c.node, c.nbr,
+             |    CAST(round(1e9 / ln(CAST(deg AS DOUBLE))) AS BIGINT) AS aa_nano
+             |  FROM capped c JOIN deg USING (node) WHERE deg >= 2),
+             |cand AS (
+             |  SELECT n1.nbr AS pa, n2.nbr AS pb,
+             |    CAST(count(*) AS BIGINT) AS common_neighbors,
+             |    CAST(sum(n1.aa_nano) AS BIGINT) AS aa_score_nano
+             |  FROM weighted n1 JOIN weighted n2
+             |    ON n1.node = n2.node AND n1.nbr < n2.nbr
+             |  GROUP BY 1, 2)
+             |SELECT pa AS part_a, pb AS part_b, common_neighbors, aa_score_nano
+             |FROM cand c LEFT JOIN edges e ON c.pa = e.a AND c.pb = e.b
+             |WHERE e.a IS NULL
+             |ORDER BY aa_score_nano DESC, part_a, part_b LIMIT 50""".stripMargin)),
+
     // One synchronous label-propagation round over the co-purchase graph
     // (Raghavan et al. 2007) — the community-detection primitive that
     // iterates to convergence the same way kcore_peel_round and

