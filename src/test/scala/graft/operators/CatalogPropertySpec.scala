@@ -210,4 +210,183 @@ class CatalogPropertySpec extends SparkSuite {
     }
     assert(got == want, s"coverage diverges: got $got want $want")
   }
+
+  test("rfm_segmentation's decomposed quintiles == Spark's own ntile(5) " +
+      "windows on a random orders lake") {
+    // r9: the three global ntile windows were replaced by bounded-bin
+    // rank decompositions; this pins the NTILE arithmetic (first n%5
+    // tiles get one extra row) against the engine's reference
+    // implementation on data with heavy date/count/revenue ties.
+    val rnd = new Random(20260814L)
+    val base = java.sql.Date.valueOf("1996-01-01")
+    val rows = (1 to 600).map { i =>
+      (1L + rnd.nextInt(97), // o_custkey — collisions force count ties
+        new java.sql.Date(base.getTime + rnd.nextInt(40) * 86400000L),
+        (1000 + rnd.nextInt(50)).toDouble, i.toLong)
+    }
+    val dir = lake("orders") { p =>
+      rows.toDF("o_custkey", "o_orderdate", "o_totalprice", "o_orderkey")
+        .write.parquet(p)
+    }
+    val got = SparkEntry.queries("rfm_segmentation")(spark, dir)
+      .select("o_custkey", "r", "f", "m")
+      .as[(Long, Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val agg = spark.read.parquet(s"$dir/orders.parquet")
+      .groupBy("o_custkey").agg(
+        max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("monetary_d"))
+    val want = agg
+      .withColumn("r", ntile(5).over(
+        Window.orderBy(col("last_order").desc, col("o_custkey"))).cast("long"))
+      .withColumn("f", ntile(5).over(
+        Window.orderBy(col("n_orders").desc, col("o_custkey"))).cast("long"))
+      .withColumn("m", ntile(5).over(
+        Window.orderBy(col("monetary_d").desc, col("o_custkey"))).cast("long"))
+      .select("o_custkey", "r", "f", "m")
+      .as[(Long, Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(got == want, {
+      val bad = want.keySet.filter(k => got(k) != want(k)).take(5)
+      s"decomposed quintiles diverge from ntile on ${bad.map(k => (k, got(k), want(k)))}"
+    })
+  }
+
+  test("equidepth_histogram's decomposed buckets == direct NTILE(10) on " +
+      "random prices") {
+    val rnd = new Random(5L)
+    val rows = (1 to 700).map { i =>
+      ((900 + rnd.nextInt(80)).toDouble + rnd.nextInt(100) / 100.0, i.toLong)
+    }
+    val dir = lake("lineitem") { p =>
+      rows.toDF("l_extendedprice", "l_orderkey").write.parquet(p)
+    }
+    val got = SparkEntry.queries("equidepth_histogram")(spark, dir)
+      .select("bucket", "n_rows", "lo", "hi")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+
+    import org.apache.spark.sql.expressions.Window
+    val want = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_extendedprice"))
+      .withColumn("bucket",
+        ntile(10).over(Window.orderBy("l_extendedprice")).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"), min("l_extendedprice").as("lo"),
+        max("l_extendedprice").as("hi"))
+      .select("bucket", "n_rows", "lo", "hi")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(got.sameElements(want),
+      s"decomposed equi-depth diverges: got ${got.toSeq} want ${want.toSeq}")
+  }
+
+  test("dedup_containment_bounded == brute-force capped containment on a " +
+      "random corpus with planted subsets") {
+    val rnd = new Random(77L)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lam", "mu", "nu", "xi", "omi", "pi")
+    def doc(n: Int): String =
+      Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val bases = (0L until 40L).map(i => (i, doc(8 + rnd.nextInt(10))))
+    val planted = bases.take(12).map { case (i, t) => (100L + i, s"$t ${doc(2)}") }
+    // an oversize super: the base fully contained but |B| > 4|A| — the
+    // bounded variant must EXCLUDE it while brute-with-cap agrees
+    val oversize = bases.take(3).map { case (i, t) => (300L + i, s"$t ${doc(60)}") }
+    val docs = (bases ++ planted ++ oversize).toDF("doc_id", "text")
+    val dir = lake("documents") { p => docs.write.parquet(p) }
+
+    val got = SparkEntry.queries("dedup_containment_bounded")(spark, dir)
+      .select("doc_id_sub", "doc_id_super").as[(Long, Long)].collect().toSet
+
+    val sets = docs.select(col("doc_id"),
+      graft.dedup.Dedup.shingleSet(col("text"), 3).as("s"))
+      .filter(size(col("s")) > 0)
+    val brute = sets.toDF("ida", "sa").crossJoin(sets.toDF("idb", "sb"))
+      .filter(col("ida") =!= col("idb"))
+      .select(col("ida"), col("idb"),
+        size(array_intersect(col("sa"), col("sb"))).as("ov"),
+        size(col("sa")).as("sza"), size(col("sb")).as("szb"))
+      .filter(col("ov") * 5 >= col("sza") * 4 && col("szb") <= col("sza") * 4)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+
+    assert(brute.nonEmpty, "fixture must contain capped containment pairs")
+    val uncapped = sets.toDF("ida", "sa").crossJoin(sets.toDF("idb", "sb"))
+      .filter(col("ida") =!= col("idb"))
+      .select(col("ida"), col("idb"),
+        size(array_intersect(col("sa"), col("sb"))).as("ov"),
+        size(col("sa")).as("sza"), size(col("sb")).as("szb"))
+      .filter(col("ov") * 5 >= col("sza") * 4 && col("szb") > col("sza") * 4)
+      .as[(Long, Long, Int, Int, Int)].collect()
+    assert(uncapped.nonEmpty, "fixture must contain an oversize super the cap excludes")
+    assert(got == brute,
+      s"bounded containment diverges from brute-with-cap: " +
+        s"missed=${brute -- got} extra=${got -- brute}")
+  }
+
+  test("contrastive_negative_sample's bucketed hash-order leads == the " +
+      "naive single global lead window on a random corpus") {
+    val rnd = new Random(13L)
+    val vocab = Vector("red", "blue", "green", "dark", "light", "deep")
+    def doc(n: Int): String =
+      Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val docs = (0L until 120L).map(i => (i, doc(12))).toDF("doc_id", "text")
+    val dir = lake("documents") { p => docs.write.parquet(p) }
+
+    val got = SparkEntry.queries("contrastive_negative_sample")(spark, dir)
+      .select("doc_id", "neg_id", "rk").as[(Long, Long, Long)].collect().toSet
+
+    // naive reference: ONE global lead window over the md5 hash order,
+    // then the same closure-exclusion and top-5 cap
+    import org.apache.spark.sql.expressions.Window
+    val pairs = graft.dedup.Dedup.nearDuplicates(docs, "doc_id", "text", threshold = 0.2)
+    val comp = graft.dedup.Dedup.connectedComponents(docs, "doc_id", pairs,
+      "doc_id_a", "doc_id_b")
+    val w = Window.orderBy("h")
+    val wRank = Window.partitionBy("doc_id").orderBy("slot")
+    val want = docs
+      .select(col("doc_id"),
+        md5(concat(lit("neg:"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("negs",
+        array((1 to 7).map(k => lead(col("doc_id"), k).over(w)): _*))
+      .select(col("doc_id"), posexplode(col("negs")).as(Seq("slot", "neg_id")))
+      .filter(col("neg_id").isNotNull)
+      .join(comp.select(col("doc_id"), col("component_id").as("comp_a")), "doc_id")
+      .join(comp.select(col("doc_id").as("neg_id"),
+        col("component_id").as("comp_b")), "neg_id")
+      .filter(col("comp_a") =!= col("comp_b"))
+      .withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") <= 5)
+      .select(col("doc_id"), col("neg_id"), col("rk").cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(want.nonEmpty)
+    assert(got == want,
+      s"bucketed negative sampling diverges from the global-window " +
+        s"reference: missed=${want -- got} extra=${got -- want}")
+  }
+
+  test("theil_sen_slope == in-memory median of pairwise slopes") {
+    val rnd = new Random(3L)
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = (1 to 300).map { i =>
+      (new java.sql.Timestamp(t0.getTime + rnd.nextInt(25) * 86400000L +
+        rnd.nextInt(86400000)), i.toLong)
+    }
+    val dir = lake("events") { p => rows.toDF("ts", "event_id").write.parquet(p) }
+    val row = SparkEntry.queries("theil_sen_slope")(spark, dir).head()
+
+    val daily = rows.groupBy(r =>
+        r._1.toLocalDateTime.toLocalDate.toEpochDay)
+      .view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+    val pairs = for {
+      (d1, c1) <- daily; (d2, c2) <- daily if d1 < d2
+    } yield (c2 - c1, d2 - d1, (c2 - c1).toDouble / (d2 - d1).toDouble)
+    val sorted = pairs.sortBy(p => (p._3, p._1, p._2))
+    val med = sorted((sorted.size + 1) / 2 - 1)
+    assert(row.getAs[Long]("n_pairs") == pairs.size.toLong)
+    assert(row.getAs[Long]("med_rise") == med._1 &&
+      row.getAs[Long]("med_run") == med._2,
+      s"median pair diverges: got (${row.getAs[Long]("med_rise")}, " +
+        s"${row.getAs[Long]("med_run")}) want (${med._1}, ${med._2})")
+  }
 }
