@@ -202,7 +202,7 @@ object ScaleSmoke {
     "welch_t_test", "theil_sen_slope", "text_code_score", "t_closeness_audit",
     "kmv_distinct_sketch", "ivm_delta_join", "bh_fdr_control",
     "multimodal_phash_dedup", "link_prediction_adamic_adar",
-    "search_prf_expansion", "tokenizer_vocab_prune",
+    "search_prf_expansion", "tokenizer_vocab_prune", "anti_entropy_bucket_diff",
     "ann_nprobe_recall_sweep",
     // nn_descent_round shares sim_cluster_neardup_pairs' deliberate
     // exemption: the scaler clones embedding vectors verbatim, so all 10

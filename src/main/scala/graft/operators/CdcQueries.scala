@@ -358,6 +358,86 @@ object CdcQueries {
              |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // Anti-entropy (Merkle-style) replica reconciliation — the operator a
+    // CDC fan-out runs to answer "has replica B drifted from A, and
+    // WHERE?" without shipping either table: each side summarizes into
+    // 256 hash buckets (bucket = top byte of the row-content hash; the
+    // per-bucket digest is the SUM of 52-bit row hashes plus a count —
+    // order-free, so it needs no sort and merges map-side), the digest
+    // tables are compared (256-row join — the "Merkle level"), and only
+    // rows in DIFFERING buckets are re-examined to name the drift. The
+    // replica here is the lake minus a deterministic ~1% (the
+    // scd2_late_corrections withholding), standing in for a sink that
+    // missed deliveries. At 100 TB the digest pass is one scan per side
+    // and the drill-down rescans only differing buckets' partitions —
+    // never a full-table anti join.
+    QueryDef(
+      "anti_entropy_bucket_diff",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        def hashed(df: org.apache.spark.sql.DataFrame) = df
+          .select(col("event_id"),
+            // value rides as exact CENTS in the hash input — double→string
+            // formatting is the one cross-engine hazard in a row digest
+            conv(substring(md5(concat_ws("|", col("event_id"), col("user_id"),
+              col("event_type"),
+              (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+                .cast("long"))), 1, 13), 16, 10)
+              .cast("long").as("rh"))
+          .withColumn("bkt", col("rh") % 256)
+        val a = hashed(ev)
+        val b = hashed(ev.filter(col("event_id") % 97 =!= 0))
+        def digest(df: org.apache.spark.sql.DataFrame, n: String, c: String) = df
+          .groupBy("bkt").agg(sum(col("rh")).as(n), count(lit(1)).as(c))
+        val diff = digest(a, "sum_a", "n_a")
+          .join(digest(b, "sum_b", "n_b"), Seq("bkt"), "full_outer")
+          .filter(coalesce(col("sum_a"), lit(0L)) =!= coalesce(col("sum_b"), lit(0L)) ||
+            coalesce(col("n_a"), lit(0L)) =!= coalesce(col("n_b"), lit(0L)))
+          .select(col("bkt"), coalesce(col("n_a"), lit(0L)).as("n_a"),
+            coalesce(col("n_b"), lit(0L)).as("n_b"))
+        // drill-down: rows of A in drifted buckets that B lacks
+        val missing = a.join(broadcast(diff.select("bkt")), Seq("bkt"), "left_semi")
+          .join(b.select(col("event_id")), Seq("event_id"), "left_anti")
+          .groupBy("bkt").agg(count(lit(1)).as("n_missing"),
+            min(col("event_id")).as("first_missing_id"))
+        diff.join(missing, Seq("bkt"), "left_outer")
+          .select(col("bkt"), col("n_a"), col("n_b"),
+            coalesce(col("n_missing"), lit(0L)).as("n_missing"),
+            col("first_missing_id"))
+          .orderBy("bkt")
+      },
+      Some("""WITH a AS (
+             |  SELECT event_id,
+             |    CAST(('0x' || substr(md5(
+             |      CAST(event_id AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)
+             |      || '|' || event_type || '|'
+             |      || CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR)), 1, 13))
+             |      AS BIGINT) AS rh
+             |  FROM events),
+             |ab AS (SELECT event_id, rh, rh % 256 AS bkt FROM a),
+             |bb AS (SELECT event_id, rh, rh % 256 AS bkt FROM ab
+             |       WHERE event_id % 97 <> 0),
+             |da AS (SELECT bkt, CAST(sum(rh) AS BIGINT) AS sum_a,
+             |              CAST(count(*) AS BIGINT) AS n_a FROM ab GROUP BY 1),
+             |db AS (SELECT bkt, CAST(sum(rh) AS BIGINT) AS sum_b,
+             |              CAST(count(*) AS BIGINT) AS n_b FROM bb GROUP BY 1),
+             |diff AS (
+             |  SELECT COALESCE(da.bkt, db.bkt) AS bkt,
+             |    COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+             |  FROM da FULL OUTER JOIN db ON da.bkt = db.bkt
+             |  WHERE COALESCE(sum_a, 0) <> COALESCE(sum_b, 0)
+             |     OR COALESCE(n_a, 0) <> COALESCE(n_b, 0)),
+             |miss AS (
+             |  SELECT x.bkt, CAST(count(*) AS BIGINT) AS n_missing,
+             |    CAST(min(x.event_id) AS BIGINT) AS first_missing_id
+             |  FROM ab x JOIN diff dd ON x.bkt = dd.bkt
+             |  WHERE x.event_id NOT IN (SELECT event_id FROM bb)
+             |  GROUP BY 1)
+             |SELECT d.bkt, d.n_a, d.n_b,
+             |  COALESCE(m.n_missing, 0) AS n_missing, m.first_missing_id
+             |FROM diff d LEFT JOIN miss m ON d.bkt = m.bkt
+             |ORDER BY d.bkt""".stripMargin)),
+
     // Late-arriving-change correction audit — the question a CDC consumer
     // asks before applying a replayed/late batch: exactly WHICH history
     // rows does it rewrite? Simulated by withholding a deterministic ~1%
