@@ -41,8 +41,10 @@ class AnalyticsSketchSpec extends SparkSuite {
       .collect()
     assert(rows.nonEmpty)
     val bad = rows.filter { r =>
-      val err = math.abs(r.getAs[Double]("est_inter") -
-        r.getAs[Long]("n_inter_exact").toDouble)
+      // hll_sketch_estimate returns BIGINT, so the inclusion-exclusion
+      // chain stays integral
+      val err = math.abs(r.getAs[Long]("est_inter") -
+        r.getAs[Long]("n_inter_exact")).toDouble
       err > math.max(0.05 * r.getAs[Long]("n_union_exact"), 20.0)
     }
     assert(bad.isEmpty,
