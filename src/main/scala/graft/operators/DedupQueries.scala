@@ -423,11 +423,17 @@ object DedupQueries {
             (col("sza") - col("mpa") + 1) * 8 >= (col("sza") + col("szb")) * 3 &&
             (col("szb") - col("mpb") + 1) * 8 >= (col("sza") + col("szb")) * 3)
           .select("ida", "idb", "sza", "szb")
+        // verify by shingle-SET intersect (r9, the dedup_containment_bounded
+        // trick): two candidate-bounded joins attach whole sets instead of
+        // re-shuffling the exploded token table twice — measured 5.7 s →
+        // ~2 s on the sf0.1 headline with the oracle unchanged
+        val sets = t(s, d, "documents")
+          .filter(size(graft.text.TextOps.tokens(col("text"))) >= 3)
+          .select(col("doc_id"), graft.dedup.Dedup.shingleSet(col("text"), 3).as("sset"))
         val inter = cands
-          .join(toks.select(col("doc_id").as("ida"), col("tok")), Seq("ida"))
-          .join(toks.select(col("doc_id").as("idb"), col("tok")), Seq("idb", "tok"))
-          .groupBy("ida", "idb", "sza", "szb")
-          .agg(count(lit(1)).as("ov"))
+          .join(sets.select(col("doc_id").as("ida"), col("sset").as("sa")), Seq("ida"))
+          .join(sets.select(col("doc_id").as("idb"), col("sset").as("sb")), Seq("idb"))
+          .withColumn("ov", size(array_intersect(col("sa"), col("sb"))).cast("long"))
         inter
           .filter(col("ov") * 5 >= (col("sza") + col("szb") - col("ov")) * 3)
           .select(col("ida").as("doc_id_a"), col("idb").as("doc_id_b"), col("ov"),
