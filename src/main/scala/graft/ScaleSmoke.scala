@@ -203,6 +203,7 @@ object ScaleSmoke {
     "kmv_distinct_sketch", "ivm_delta_join", "bh_fdr_control",
     "multimodal_phash_dedup", "link_prediction_adamic_adar",
     "search_prf_expansion", "tokenizer_vocab_prune", "anti_entropy_bucket_diff",
+    "conformal_threshold_split", "dp_noisy_histogram",
     "ann_nprobe_recall_sweep",
     // nn_descent_round shares sim_cluster_neardup_pairs' deliberate
     // exemption: the scaler clones embedding vectors verbatim, so all 10

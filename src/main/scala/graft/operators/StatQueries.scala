@@ -1052,6 +1052,124 @@ object StatQueries {
              |       / CAST(nb - 1 AS DOUBLE)) AS df_welch
              |FROM w""".stripMargin)),
 
+    // Split-conformal prediction threshold (Vovk et al.; the
+    // distribution-free uncertainty wrapper modern ML serving puts
+    // around point predictions): on a deterministic calibration half,
+    // per event type, take the ⌈(n_cal+1)·0.9⌉-th smallest
+    // nonconformity score (|value − type mean| in exact cents) — the
+    // radius giving ≥ 90% finite-sample coverage — then REPORT the
+    // realized coverage on the held-out half. Rank selection is a
+    // per-type window (keyed, never global); the only doubles are the
+    // final coverage ratios. The exchangeability-based guarantee is the
+    // whole point: no distributional assumption, exact rank arithmetic.
+    QueryDef(
+      "conformal_threshold_split",
+      (s, d) => {
+        val base = t(s, d, "events").select(col("event_type"), col("event_id"),
+          (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+          .withColumn("is_cal",
+            PipelineQueries.hashPermille(col("event_id").cast("string"), "conf")
+              < 500000L)
+        val mu = base.filter(col("is_cal")).groupBy("event_type")
+          .agg(sum(col("cents")).as("sc"), count(lit(1)).as("n_cal"))
+        val scored = base.join(broadcast(mu), Seq("event_type"))
+          // nonconformity in exact cross-multiplied units: |cents·n − Σc|
+          .withColumn("nonconf", abs(col("cents") * col("n_cal") - col("sc")))
+        val w = Window.partitionBy("event_type").orderBy(col("nonconf"), col("event_id"))
+        val thr = scored.filter(col("is_cal"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") === expr("CAST(ceil((n_cal + 1) * 0.9) AS BIGINT)"))
+          .select(col("event_type"), col("nonconf").as("q_hat"),
+            col("n_cal").as("n_cal_t"))
+        scored.filter(!col("is_cal"))
+          .join(broadcast(thr), Seq("event_type"))
+          .groupBy("event_type")
+          .agg(max(col("n_cal_t")).as("n_cal"), count(lit(1)).as("n_test"),
+            max(col("q_hat")).as("q_hat"),
+            sum(when(col("nonconf") <= col("q_hat"), 1L).otherwise(0L))
+              .as("n_covered"))
+          .withColumn("coverage",
+            col("n_covered").cast("double") / col("n_test").cast("double"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH base AS (
+             |  SELECT event_type, event_id,
+             |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             |    (${PipelineQueries.hashSqlExpr("event_id", "conf")}) < 500000
+             |      AS is_cal
+             |  FROM events),
+             |mu AS (
+             |  SELECT event_type, CAST(sum(cents) AS BIGINT) AS sc,
+             |    CAST(count(*) AS BIGINT) AS n_cal
+             |  FROM base WHERE is_cal GROUP BY 1),
+             |scored AS (
+             |  SELECT b.*, m.sc, m.n_cal,
+             |    abs(b.cents * m.n_cal - m.sc) AS nonconf
+             |  FROM base b JOIN mu m USING (event_type)),
+             |thr AS (
+             |  SELECT event_type, nonconf AS q_hat, n_cal FROM (
+             |    SELECT event_type, nonconf, n_cal,
+             |      ROW_NUMBER() OVER (PARTITION BY event_type
+             |        ORDER BY nonconf, event_id) AS rn
+             |    FROM scored WHERE is_cal)
+             |  WHERE rn = CAST(ceil((n_cal + 1) * 0.9) AS BIGINT))
+             |SELECT s.event_type, max(t.n_cal) AS n_cal,
+             |  CAST(count(*) AS BIGINT) AS n_test,
+             |  max(t.q_hat) AS q_hat,
+             |  CAST(sum(CASE WHEN s.nonconf <= t.q_hat THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_covered,
+             |  CAST(sum(CASE WHEN s.nonconf <= t.q_hat THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE) AS coverage
+             |FROM scored s JOIN thr t USING (event_type)
+             |WHERE NOT s.is_cal
+             |GROUP BY s.event_type ORDER BY s.event_type""".stripMargin)),
+
+    // Differentially-private histogram release — the privacy mechanism
+    // itself, made REPRODUCIBLE: per event-type count plus
+    // Laplace(sensitivity 1 / ε = 0.5) noise drawn by inverse-CDF from
+    // the deterministic md5-uniform (u = (permille + 0.5)/1e6, noise =
+    // −b·sign(u−½)·ln(1−2|u−½|)) — the same hash-replaces-RNG discipline
+    // as the permutation/bootstrap family, so the released values are
+    // bit-identical on both engines AND a rerun releases the SAME noise
+    // (re-randomizing on every query would let an analyst average the
+    // noise away — deterministic per-release noise is the deployed
+    // pattern: derive it from a release nonce). Noise is nano-quantized
+    // BEFORE adding to the exact count; true counts ride along here for
+    // the audit (a real release drops them).
+    QueryDef(
+      "dp_noisy_histogram",
+      (s, d) => {
+        val b = 2.0 // 1/epsilon, epsilon = 0.5
+        val g = t(s, d, "events").groupBy("event_type")
+          .agg(count(lit(1)).as("n_true"))
+          .withColumn("u",
+            (PipelineQueries.hashPermille(col("event_type"), "dprel1")
+              .cast("double") + lit(0.5)) / lit(1000000.0))
+          .withColumn("noise_nano",
+            round(lit(-b) * signum(col("u") - lit(0.5)) *
+              log(lit(1.0) - lit(2.0) * abs(col("u") - lit(0.5))) * lit(1e9))
+              .cast("long"))
+        g.select(col("event_type"), col("n_true"), col("noise_nano"),
+            (col("n_true").cast("double") +
+              col("noise_nano").cast("double") / lit(1e9)).as("n_released"),
+            abs(col("noise_nano")).as("abs_err_nano"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH g AS (
+             |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_true,
+             |    (CAST((${PipelineQueries.hashSqlExpr("event_type", "dprel1")})
+             |      AS DOUBLE) + 0.5) / 1000000.0 AS u
+             |  FROM events GROUP BY 1),
+             |n AS (
+             |  SELECT event_type, n_true,
+             |    CAST(round(-2.0 * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)) * 1e9)
+             |         AS BIGINT) AS noise_nano
+             |  FROM g)
+             |SELECT event_type, n_true, noise_nano,
+             |  CAST(n_true AS DOUBLE) + CAST(noise_nano AS DOUBLE) / 1e9 AS n_released,
+             |  abs(noise_nano) AS abs_err_nano
+             |FROM n ORDER BY event_type""".stripMargin)),
+
     // Benjamini–Hochberg FDR control over a FAMILY of permutation tests —
     // the multiple-testing layer every per-segment monitoring suite needs
     // (five "is this event type's mean value different from the rest?"
