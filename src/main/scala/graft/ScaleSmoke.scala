@@ -204,6 +204,9 @@ object ScaleSmoke {
     "multimodal_phash_dedup", "link_prediction_adamic_adar",
     "search_prf_expansion", "tokenizer_vocab_prune", "anti_entropy_bucket_diff",
     "conformal_threshold_split", "dp_noisy_histogram",
+    // graph_anf_reach_sketch: the exact-truth audit leg IS the quadratic
+    // baseline the sketch exists to avoid — production runs sketch-only
+    "graph_anf_reach_sketch",
     "ann_nprobe_recall_sweep",
     // nn_descent_round shares sim_cluster_neardup_pairs' deliberate
     // exemption: the scaler clones embedding vectors verbatim, so all 10

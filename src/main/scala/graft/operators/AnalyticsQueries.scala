@@ -697,6 +697,96 @@ object AnalyticsQueries {
              |WHERE e.a IS NULL
              |ORDER BY common_neighbors DESC, part_a, part_b LIMIT 50""".stripMargin)),
 
+    // ANF / HyperBall-style 2-hop reach estimation (Palmer et al. KDD'02;
+    // Boldi & Vigna) — neighborhood-function analytics WITHOUT
+    // materializing reach sets: each node's 1-hop KMV sketch (k=16
+    // smallest 52-bit neighbor hashes) is MERGED across its neighbors to
+    // estimate |2-hop reach|, so the distributed cost is Σdeg·k sketch
+    // rows — edge-linear — where the exact computation explodes as
+    // Σdeg². The exact 2-hop distinct count rides along as the audit
+    // truth (the quadratic baseline this sketch exists to avoid — the
+    // reason this row is smoke-exempt; production runs the sketch leg
+    // only, for ANY radius by iterating the merge). KMV arithmetic is
+    // the kmv_distinct_sketch contract: integer division, exact below k.
+    QueryDef(
+      "graph_anf_reach_sketch",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+        val edges = copurchaseEdges(s, d)
+        val und = edges.select(col("a").as("v"), col("b").as("u"))
+          .unionByName(edges.select(col("b").as("v"), col("a").as("u")))
+        val nodes = und.select(col("v")).distinct()
+        val n1 = und.unionByName(nodes.select(col("v"), col("v").as("u")))
+        val hashed = n1.withColumn("h",
+          conv(substring(md5(concat(lit("anf:"), col("u").cast("string"))),
+            1, 13), 16, 10).cast("long"))
+        val wV = w.partitionBy("v").orderBy("h")
+        val s1 = hashed
+          .withColumn("rn", row_number().over(wV)).filter(col("rn") <= 16)
+          .select(col("v"), col("h"))
+        // merge: v's 2-hop sketch = k smallest over its own and every
+        // neighbor's 1-hop sketch (v ∈ N1(v), so self rows are included)
+        val merged = n1.select(col("v"), col("u").as("m"))
+          .join(s1.select(col("v").as("m"), col("h")), Seq("m"))
+          .select("v", "h").distinct()
+          .withColumn("rn", row_number().over(wV))
+          .filter(col("rn") <= 16)
+        val sk = merged.groupBy("v")
+          .agg(count(lit(1)).as("k_held"), max(col("h")).as("h_k"))
+          .withColumn("kmv_est",
+            when(col("k_held") < 16, col("k_held"))
+              .otherwise(expr("15 * 4503599627370496 div h_k")))
+        // exact truth: the quadratic baseline (audit only at oracle SF)
+        val truth = n1.select(col("v"), col("u").as("m"))
+          .join(n1.select(col("v").as("m"), col("u")), Seq("m"))
+          .select("v", "u").distinct()
+          .groupBy("v").agg(count(lit(1)).as("reach2_exact"))
+        sk.join(truth, Seq("v"))
+          .select(col("v").as("node"), col("reach2_exact"), col("kmv_est"),
+            expr("abs(kmv_est - reach2_exact) * 1000 div reach2_exact")
+              .as("rel_err_permille"))
+          .orderBy("node")
+      },
+      Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |edges AS (
+             |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+             |  FROM items a JOIN items b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+             |und AS (SELECT a AS v, b AS u FROM edges
+             |        UNION ALL SELECT b AS v, a AS u FROM edges),
+             |nodes AS (SELECT DISTINCT v FROM und),
+             |n1 AS (SELECT v, u FROM und UNION ALL SELECT v, v AS u FROM nodes),
+             |hashed AS (
+             |  SELECT v, u,
+             |    CAST(('0x' || substr(md5('anf:' || CAST(u AS VARCHAR)), 1, 13))
+             |         AS BIGINT) AS h
+             |  FROM n1),
+             |s1 AS (SELECT v, h FROM (
+             |  SELECT v, h, ROW_NUMBER() OVER (PARTITION BY v ORDER BY h) AS rn
+             |  FROM hashed) WHERE rn <= 16),
+             |mg AS (
+             |  SELECT DISTINCT x.v, s.h
+             |  FROM n1 x JOIN s1 s ON s.v = x.u),
+             |m2 AS (SELECT v, h, ROW_NUMBER() OVER (PARTITION BY v ORDER BY h) AS rn
+             |       FROM mg),
+             |sk AS (
+             |  SELECT v, CAST(count(*) AS BIGINT) AS k_held,
+             |    CAST(max(h) AS BIGINT) AS h_k
+             |  FROM m2 WHERE rn <= 16 GROUP BY v),
+             |truth AS (
+             |  SELECT v, CAST(count(*) AS BIGINT) AS reach2_exact FROM (
+             |    SELECT DISTINCT x.v, y.u
+             |    FROM n1 x JOIN n1 y ON y.v = x.u)
+             |  GROUP BY v)
+             |SELECT s.v AS node, reach2_exact,
+             |  CAST(CASE WHEN k_held < 16 THEN k_held
+             |       ELSE 15 * 4503599627370496 // h_k END AS BIGINT) AS kmv_est,
+             |  CAST(abs(CASE WHEN k_held < 16 THEN k_held
+             |       ELSE 15 * 4503599627370496 // h_k END - reach2_exact) * 1000
+             |       // reach2_exact AS BIGINT) AS rel_err_permille
+             |FROM sk s JOIN truth t ON s.v = t.v
+             |ORDER BY node""".stripMargin)),
+
     // Adamic–Adar link prediction (Adamic & Adar 2003) — the
     // frequency-weighted upgrade of link_prediction_common_nbrs: a
     // shared RARE neighbor is stronger evidence than a shared hub, so
