@@ -1489,7 +1489,161 @@ object DedupQueries {
              |  CASE WHEN weight_nano >= upper_b THEN 'match'
              |    WHEN weight_nano <= lower_b THEN 'non_match'
              |    ELSE 'possible' END AS decision
-             |FROM scored ORDER BY key_a, key_b""".stripMargin)))
+             |FROM scored ORDER BY key_a, key_b""".stripMargin)),
+
+    // One EM round of Fellegi–Sunter parameter estimation (Winkler 1988 —
+    // the unsupervised way the m/u probabilities the weights query PINS
+    // as priors are actually learned): E-step computes each candidate
+    // pair's posterior match probability from the CURRENT params — it
+    // depends only on the pair's 4-bit agreement PATTERN, so the E-step
+    // collapses to ≤16 pattern rows regardless of pair volume — and the
+    // M-step re-estimates per-field m (P(agree|match)), u
+    // (P(agree|non-match)), and the match prevalence λ as ratios of
+    // exact BIGINT sums (posteriors nano-quantized per PATTERN before
+    // the count-weighted sums — FP-order-free). An iterating driver
+    // loops this round to convergence; the per-round unit is what's
+    // pinned, the kcore/LPA/IPF contract.
+    QueryDef(
+      "fellegi_sunter_em_step",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("blk").orderBy("p_name", "p_partkey")
+        val blk = t(s, d, "part")
+          .select(col("p_partkey"), col("p_name"), col("p_size"),
+            col("p_brand"), col("p_type"),
+            substring_index(col("p_name"), " ", 1).as("blk"))
+          .withColumn("rn", row_number().over(w))
+        val a = blk.select(col("blk"), col("rn"), col("p_name").as("name_a"),
+            col("p_size").as("size_a"), col("p_brand").as("brand_a"),
+            col("p_type").as("type_a"))
+          .withColumn("rnb", explode(array(col("rn") + 1, col("rn") + 2)))
+        val b = blk.select(col("blk"), col("rn").as("rnb"),
+          col("p_name").as("name_b"), col("p_size").as("size_b"),
+          col("p_brand").as("brand_b"), col("p_type").as("type_b"))
+        def uOf(c: String) = t(s, d, "part").groupBy(col(c)).agg(count(lit(1)).as("f"))
+          .agg(sum(col("f") * col("f")).as("s2"), sum(col("f")).as("n"))
+          .select((col("s2").cast("double") /
+            (col("n") * col("n")).cast("double")).as(s"u_$c"))
+        val us = broadcast(uOf("p_size").crossJoin(uOf("p_brand")).crossJoin(uOf("p_type")))
+        val pat = a.join(b, Seq("blk", "rnb"))
+          .withColumn("lev", levenshtein(col("name_a"), col("name_b")).cast("long"))
+          .filter(col("lev").between(1, 4))
+          .select((col("lev") <= 2).as("g1"),
+            (col("size_a") === col("size_b")).as("g2"),
+            (col("brand_a") === col("brand_b")).as("g3"),
+            (col("type_a") === col("type_b")).as("g4"))
+          .groupBy("g1", "g2", "g3", "g4").agg(count(lit(1)).as("cnt"))
+          .crossJoin(us)
+        // current params: m = 0.9 each field (u_name prior 0.001), λ = 0.1
+        def pif(g: String, m: Double, uC: org.apache.spark.sql.Column) = (
+          when(col(g), lit(m)).otherwise(lit(1.0 - m)),
+          when(col(g), uC).otherwise(lit(1.0) - uC))
+        val (pm1, pu1) = pif("g1", 0.9, lit(0.001))
+        val (pm2, pu2) = pif("g2", 0.9, col("u_p_size"))
+        val (pm3, pu3) = pif("g3", 0.9, col("u_p_brand"))
+        val (pm4, pu4) = pif("g4", 0.9, col("u_p_type"))
+        val scored = pat
+          .withColumn("pm", pm1 * pm2 * pm3 * pm4)
+          .withColumn("pu", pu1 * pu2 * pu3 * pu4)
+          .withColumn("g_nano",
+            round(lit(0.1) * col("pm") /
+              (lit(0.1) * col("pm") + lit(0.9) * col("pu")) * lit(1e9))
+              .cast("long"))
+        val sums = scored.agg(
+          sum(col("cnt")).as("n_pairs"),
+          sum(col("cnt") * col("g_nano")).as("sg"),
+          sum(col("cnt") * (lit(1000000000L) - col("g_nano"))).as("sng"),
+          sum(when(col("g1"), col("cnt") * col("g_nano")).otherwise(0L)).as("m1"),
+          sum(when(col("g2"), col("cnt") * col("g_nano")).otherwise(0L)).as("m2"),
+          sum(when(col("g3"), col("cnt") * col("g_nano")).otherwise(0L)).as("m3"),
+          sum(when(col("g4"), col("cnt") * col("g_nano")).otherwise(0L)).as("m4"),
+          sum(when(col("g1"), col("cnt") * (lit(1000000000L) - col("g_nano")))
+            .otherwise(0L)).as("x1"),
+          sum(when(col("g2"), col("cnt") * (lit(1000000000L) - col("g_nano")))
+            .otherwise(0L)).as("x2"),
+          sum(when(col("g3"), col("cnt") * (lit(1000000000L) - col("g_nano")))
+            .otherwise(0L)).as("x3"),
+          sum(when(col("g4"), col("cnt") * (lit(1000000000L) - col("g_nano")))
+            .otherwise(0L)).as("x4"))
+        sums.select(col("n_pairs"),
+            (col("sg").cast("double") /
+              (col("n_pairs").cast("double") * lit(1e9))).as("lambda_new"),
+            expr("stack(4, 'name', m1, x1, 'size', m2, x2, " +
+              "'brand', m3, x3, 'type', m4, x4) AS (field, mnum, unum)"),
+            col("sg"), col("sng"))
+          .select(col("field"), col("n_pairs"), col("lambda_new"),
+            (col("mnum").cast("double") / col("sg").cast("double")).as("m_new"),
+            (col("unum").cast("double") / col("sng").cast("double")).as("u_new"))
+          .orderBy("field")
+      },
+      Some("""WITH blk AS (
+             |  SELECT p_partkey, p_name, p_size, p_brand, p_type,
+             |    string_split(p_name, ' ')[1] AS blk,
+             |    ROW_NUMBER() OVER (PARTITION BY string_split(p_name, ' ')[1]
+             |                       ORDER BY p_name, p_partkey) AS rn
+             |  FROM part),
+             |us AS (
+             |  SELECT
+             |    (SELECT CAST(sum(f * f) AS DOUBLE) / CAST(sum(f) * sum(f) AS DOUBLE)
+             |     FROM (SELECT CAST(count(*) AS BIGINT) AS f FROM part GROUP BY p_size))
+             |      AS u_size,
+             |    (SELECT CAST(sum(f * f) AS DOUBLE) / CAST(sum(f) * sum(f) AS DOUBLE)
+             |     FROM (SELECT CAST(count(*) AS BIGINT) AS f FROM part GROUP BY p_brand))
+             |      AS u_brand,
+             |    (SELECT CAST(sum(f * f) AS DOUBLE) / CAST(sum(f) * sum(f) AS DOUBLE)
+             |     FROM (SELECT CAST(count(*) AS BIGINT) AS f FROM part GROUP BY p_type))
+             |      AS u_type),
+             |pat AS (
+             |  SELECT levenshtein(a.p_name, b.p_name) <= 2 AS g1,
+             |    a.p_size = b.p_size AS g2, a.p_brand = b.p_brand AS g3,
+             |    a.p_type = b.p_type AS g4, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM blk a JOIN blk b
+             |    ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + 2
+             |  WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 4
+             |  GROUP BY 1, 2, 3, 4),
+             |scored AS (
+             |  SELECT *,
+             |    (CASE WHEN g1 THEN 0.9 ELSE 0.1 END)
+             |      * (CASE WHEN g2 THEN 0.9 ELSE 0.1 END)
+             |      * (CASE WHEN g3 THEN 0.9 ELSE 0.1 END)
+             |      * (CASE WHEN g4 THEN 0.9 ELSE 0.1 END) AS pm,
+             |    (CASE WHEN g1 THEN 0.001 ELSE 1.0 - 0.001 END)
+             |      * (CASE WHEN g2 THEN u_size ELSE 1.0 - u_size END)
+             |      * (CASE WHEN g3 THEN u_brand ELSE 1.0 - u_brand END)
+             |      * (CASE WHEN g4 THEN u_type ELSE 1.0 - u_type END) AS pu
+             |  FROM pat CROSS JOIN us),
+             |gq AS (
+             |  SELECT *, CAST(round(0.1 * pm / (0.1 * pm + 0.9 * pu) * 1e9) AS BIGINT)
+             |    AS g_nano
+             |  FROM scored),
+             |sums AS (
+             |  SELECT CAST(sum(cnt) AS BIGINT) AS n_pairs,
+             |    CAST(sum(cnt * g_nano) AS BIGINT) AS sg,
+             |    CAST(sum(cnt * (1000000000 - g_nano)) AS BIGINT) AS sng,
+             |    CAST(sum(CASE WHEN g1 THEN cnt * g_nano ELSE 0 END) AS BIGINT) AS m1,
+             |    CAST(sum(CASE WHEN g2 THEN cnt * g_nano ELSE 0 END) AS BIGINT) AS m2,
+             |    CAST(sum(CASE WHEN g3 THEN cnt * g_nano ELSE 0 END) AS BIGINT) AS m3,
+             |    CAST(sum(CASE WHEN g4 THEN cnt * g_nano ELSE 0 END) AS BIGINT) AS m4,
+             |    CAST(sum(CASE WHEN g1 THEN cnt * (1000000000 - g_nano) ELSE 0 END)
+             |      AS BIGINT) AS x1,
+             |    CAST(sum(CASE WHEN g2 THEN cnt * (1000000000 - g_nano) ELSE 0 END)
+             |      AS BIGINT) AS x2,
+             |    CAST(sum(CASE WHEN g3 THEN cnt * (1000000000 - g_nano) ELSE 0 END)
+             |      AS BIGINT) AS x3,
+             |    CAST(sum(CASE WHEN g4 THEN cnt * (1000000000 - g_nano) ELSE 0 END)
+             |      AS BIGINT) AS x4
+             |  FROM gq)
+             |SELECT f.field, n_pairs,
+             |  CAST(sg AS DOUBLE) / (CAST(n_pairs AS DOUBLE) * 1e9) AS lambda_new,
+             |  CAST(CASE f.field WHEN 'name' THEN m1 WHEN 'size' THEN m2
+             |       WHEN 'brand' THEN m3 ELSE m4 END AS DOUBLE)
+             |    / CAST(sg AS DOUBLE) AS m_new,
+             |  CAST(CASE f.field WHEN 'name' THEN x1 WHEN 'size' THEN x2
+             |       WHEN 'brand' THEN x3 ELSE x4 END AS DOUBLE)
+             |    / CAST(sng AS DOUBLE) AS u_new
+             |FROM sums CROSS JOIN (SELECT unnest(['name','size','brand','type'])
+             |                      AS field) f
+             |ORDER BY f.field""".stripMargin)))
 
   /** The SimHash fingerprint CTE chain (tokh → voted → packed), shared by
     * the fingerprint query and the hamming-radius search; `shape` is the

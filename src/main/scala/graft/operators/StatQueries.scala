@@ -1052,6 +1052,77 @@ object StatQueries {
              |       / CAST(nb - 1 AS DOUBLE)) AS df_welch
              |FROM w""".stripMargin)),
 
+    // One IPF (raking) round — Deming–Stephan iterative proportional
+    // fitting, the survey-weighting step every mix-rebalancing pipeline
+    // reinvents: scale the (lang × source) doc-count table to hit
+    // UNIFORM lang marginals (row step), then uniform source marginals
+    // (column step), and report how far the row marginals drifted after
+    // the column step (the convergence signal an iterating driver would
+    // loop on; one round is the per-batch unit, same contract as the
+    // kcore/LPA/Boruvka single-round rows). Weights are nano-quantized
+    // integers after each scaling — the FP-order-free discipline — and
+    // every marginal sum is an exact BIGINT; the bounded (langs ×
+    // sources) grid never leaves map-side scale.
+    QueryDef(
+      "ipf_raking_step",
+      (s, d) => {
+        val cells = t(s, d, "documents").groupBy("lang", "source")
+          .agg(count(lit(1)).as("n"))
+        val nLang = broadcast(cells.groupBy().agg(
+          countDistinct(col("lang")).as("n_lang"),
+          countDistinct(col("source")).as("n_source"),
+          sum(col("n")).as("total")))
+        // target marginals: total/n_lang per lang, total/n_source per src
+        val rowTot = cells.groupBy("lang").agg(sum(col("n")).as("row_n"))
+        val step1 = cells.join(broadcast(rowTot), Seq("lang")).join(nLang)
+          // w1 = n · (total/n_lang) / row_n, nano-quantized
+          .withColumn("w1_nano",
+            round(col("n").cast("double") * col("total").cast("double") /
+              (col("n_lang").cast("double") * col("row_n").cast("double")) * lit(1e9))
+              .cast("long"))
+        val colTot = step1.groupBy("source").agg(sum(col("w1_nano")).as("col_nano"))
+        val step2 = step1.join(broadcast(colTot), Seq("source"))
+          .withColumn("w2_nano",
+            round(col("w1_nano").cast("double") * col("total").cast("double") * lit(1e9) /
+              (col("n_source").cast("double") * col("col_nano").cast("double")))
+              .cast("long"))
+        val drift = step2.groupBy("lang").agg(sum(col("w2_nano")).as("row2_nano"))
+        step2.join(broadcast(drift), Seq("lang"))
+          .select(col("lang"), col("source"), col("n"), col("w1_nano"),
+            col("w2_nano"),
+            (abs(col("row2_nano") * col("n_lang") -
+              col("total") * lit(1000000000L))).as("row_drift_nano"))
+          .orderBy("lang", "source")
+      },
+      Some("""WITH cells AS (
+             |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+             |  FROM documents GROUP BY 1, 2),
+             |g AS (SELECT CAST(count(DISTINCT lang) AS BIGINT) AS n_lang,
+             |             CAST(count(DISTINCT source) AS BIGINT) AS n_source,
+             |             CAST(sum(n) AS BIGINT) AS total FROM cells),
+             |rt AS (SELECT lang, CAST(sum(n) AS BIGINT) AS row_n
+             |       FROM cells GROUP BY 1),
+             |s1 AS (
+             |  SELECT c.lang, c.source, c.n, n_lang, n_source, total,
+             |    CAST(round(CAST(c.n AS DOUBLE) * CAST(total AS DOUBLE) /
+             |      (CAST(n_lang AS DOUBLE) * CAST(row_n AS DOUBLE)) * 1e9)
+             |      AS BIGINT) AS w1_nano
+             |  FROM cells c JOIN rt USING (lang) CROSS JOIN g),
+             |ct AS (SELECT source, CAST(sum(w1_nano) AS BIGINT) AS col_nano
+             |       FROM s1 GROUP BY 1),
+             |s2 AS (
+             |  SELECT s1.*, 
+             |    CAST(round(CAST(w1_nano AS DOUBLE) * CAST(total AS DOUBLE) * 1e9 /
+             |      (CAST(n_source AS DOUBLE) * CAST(col_nano AS DOUBLE)))
+             |      AS BIGINT) AS w2_nano
+             |  FROM s1 JOIN ct USING (source)),
+             |dr AS (SELECT lang, CAST(sum(w2_nano) AS BIGINT) AS row2_nano
+             |       FROM s2 GROUP BY 1)
+             |SELECT s2.lang, s2.source, n, w1_nano, w2_nano,
+             |  abs(row2_nano * n_lang - total * 1000000000) AS row_drift_nano
+             |FROM s2 JOIN dr ON s2.lang = dr.lang
+             |ORDER BY s2.lang, s2.source""".stripMargin)),
+
     // Split-conformal prediction threshold (Vovk et al.; the
     // distribution-free uncertainty wrapper modern ML serving puts
     // around point predictions): on a deterministic calibration half,
