@@ -1052,6 +1052,81 @@ object StatQueries {
              |       / CAST(nb - 1 AS DOUBLE)) AS df_welch
              |FROM w""".stripMargin)),
 
+    // Seasonality-adjusted anomaly days — the composed production alert
+    // (deseasonalize, THEN screen): daily event counts minus the
+    // day-of-week mean leave residuals that a raw-count screen would
+    // misread (weekends look like dips), and the robust MAD gate flags
+    // days whose |residual − median| exceeds 3×MAD. All integer
+    // cross-multiplied: residual_s = cnt·n_dow − dow_total (scaled by
+    // the per-weekday day count), medians/MAD are exact rank-selected
+    // lower medians over the ≤ calendar-bounded day table, and the flag
+    // compares scaled integers — no division anywhere. The composition
+    // is the point: seasonal_weekday_profile says WHAT the rhythm is,
+    // robust_mad_screen says what an outlier is, this row wires them
+    // into "which days should have paged".
+    QueryDef(
+      "seasonal_residual_outlier_days",
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(expr("CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)")
+            .as("dnum"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("dow", expr("(dnum + 4) % 7"))
+        val dowTot = daily.groupBy("dow")
+          .agg(sum(col("cnt")).as("dow_sum"), count(lit(1)).as("n_dow"))
+        val resid = daily.join(broadcast(dowTot), Seq("dow"))
+          // residual in exact n_dow-scaled units
+          .withColumn("res_s", col("cnt") * col("n_dow") - col("dow_sum"))
+          // comparable across weekdays: rescale by the LCM surrogate —
+          // multiply by (product of all n_dow)/n_dow? days per weekday
+          // differ by at most 1 over any window; normalize instead to
+          // per-mille of the weekday mean: res_pm = res_s·1000 div dow_sum
+          .withColumn("res_pm", expr("res_s * 1000 div dow_sum"))
+        val w = Window.orderBy(col("res_pm"), col("dnum"))
+        val nTot = resid.groupBy().agg(count(lit(1)).as("n_days"))
+        val med = resid.withColumn("rn", row_number().over(w).cast("long"))
+          .join(broadcast(nTot))
+          .filter(col("rn") === expr("(n_days + 1) div 2"))
+          .select(col("res_pm").as("med_pm"))
+        val dev = resid.join(broadcast(med))
+          .withColumn("adev", abs(col("res_pm") - col("med_pm")))
+        val wD = Window.orderBy(col("adev"), col("dnum"))
+        val mad = dev.withColumn("rn", row_number().over(wD).cast("long"))
+          .join(broadcast(nTot))
+          .filter(col("rn") === expr("(n_days + 1) div 2"))
+          .select(col("adev").as("mad_pm"))
+        dev.join(broadcast(mad))
+          .filter(col("adev") > col("mad_pm") * 3)
+          .select(col("dnum"), col("dow"), col("cnt"), col("res_pm"),
+            col("med_pm"), col("mad_pm"))
+          .orderBy("dnum")
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+             |      AS dnum,
+             |    CAST(count(*) AS BIGINT) AS cnt
+             |  FROM events GROUP BY 1),
+             |dd AS (SELECT dnum, cnt, (dnum + 4) % 7 AS dow FROM daily),
+             |dt AS (SELECT dow, CAST(sum(cnt) AS BIGINT) AS dow_sum,
+             |              CAST(count(*) AS BIGINT) AS n_dow FROM dd GROUP BY 1),
+             |resid AS (
+             |  SELECT dd.dnum, dd.dow, dd.cnt,
+             |    (dd.cnt * n_dow - dow_sum) * 1000 // dow_sum AS res_pm
+             |  FROM dd JOIN dt USING (dow)),
+             |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM resid),
+             |med AS (SELECT res_pm AS med_pm FROM (
+             |  SELECT res_pm, ROW_NUMBER() OVER (ORDER BY res_pm, dnum) AS rn
+             |  FROM resid) r CROSS JOIN nt WHERE rn = (n_days + 1) // 2),
+             |dev AS (SELECT resid.*, med_pm, abs(res_pm - med_pm) AS adev
+             |        FROM resid CROSS JOIN med),
+             |mad AS (SELECT adev AS mad_pm FROM (
+             |  SELECT adev, ROW_NUMBER() OVER (ORDER BY adev, dnum) AS rn
+             |  FROM dev) x CROSS JOIN nt WHERE rn = (n_days + 1) // 2)
+             |SELECT dnum, dow, cnt, res_pm, med_pm, mad_pm
+             |FROM dev CROSS JOIN mad
+             |WHERE adev > mad_pm * 3
+             |ORDER BY dnum""".stripMargin)),
+
     // One IPF (raking) round — Deming–Stephan iterative proportional
     // fitting, the survey-weighting step every mix-rebalancing pipeline
     // reinvents: scale the (lang × source) doc-count table to hit
