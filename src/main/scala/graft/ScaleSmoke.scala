@@ -205,6 +205,7 @@ object ScaleSmoke {
     "search_prf_expansion", "tokenizer_vocab_prune", "anti_entropy_bucket_diff",
     "conformal_threshold_split", "dp_noisy_histogram", "ipf_raking_step",
     "fellegi_sunter_em_step", "seasonal_residual_outlier_days",
+    "bleu2_neardup_pairs",
     // graph_anf_reach_sketch: the exact-truth audit leg IS the quadratic
     // baseline the sketch exists to avoid — production runs sketch-only
     "graph_anf_reach_sketch",

@@ -1296,6 +1296,109 @@ object DedupQueries {
               |        JOIN lens lb ON lb.doc_id = ov.doc_id_b
               |ORDER BY doc_id_a, doc_id_b""".stripMargin)),
 
+    // BLEU-2 over the verified near-dup pairs — ROUGE's
+    // precision-oriented sibling (Papineni 2002): clipped unigram and
+    // bigram precisions (candidate n-gram counts clipped at the
+    // reference's counts — the multiset min, same machinery as ROUGE's
+    // overlap) combined by the geometric mean and the brevity penalty.
+    // Engine-exact without trusting exp/ln: p1, p2 ride as exact
+    // integer num/den pairs, the geometric mean is ONE
+    // sqrt(p1·p2)-of-doubles both engines share, and BP = min(1,
+    // e^(1−r/c)) is emitted as its exact integer (r, c) inputs plus the
+    // one identical IEEE exp. Pair generation is the LSH pipeline —
+    // never all-pairs; n-gram joins move only candidate-pair multisets.
+    QueryDef(
+      "bleu2_neardup_pairs",
+      (s, d) => {
+        val pairs = Dedup.nearDuplicates(t(s, d, "documents"), "doc_id", "text",
+          threshold = 0.2, numHashes = 16, bands = 8)
+          .select(col("doc_id_a"), col("doc_id_b"))
+        val docs = t(s, d, "documents")
+        def grams(n: Int) = docs.select(col("doc_id"),
+          explode(graft.dedup.Dedup.shingles(col("text"), n)).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        val uni = grams(1); val bi = grams(2)
+        def leg(tc: org.apache.spark.sql.DataFrame, nm: String) = {
+          val ov = pairs
+            .join(tc.select(col("doc_id").as("doc_id_a"), col("g"), col("c").as("ca")),
+              Seq("doc_id_a"))
+            .join(tc.select(col("doc_id").as("doc_id_b"), col("g"), col("c").as("cb")),
+              Seq("doc_id_b", "g"))
+            .groupBy("doc_id_a", "doc_id_b")
+            .agg(sum(least(col("ca"), col("cb"))).as(s"clip_$nm"))
+          val lens = tc.groupBy("doc_id").agg(sum("c").as("len"))
+          (ov, lens)
+        }
+        val (ov1, len1) = leg(uni, "1")
+        val (ov2, len2) = leg(bi, "2")
+        pairs
+          .join(ov1, Seq("doc_id_a", "doc_id_b"), "left_outer")
+          .join(ov2, Seq("doc_id_a", "doc_id_b"), "left_outer")
+          .join(len1.select(col("doc_id").as("doc_id_a"), col("len").as("c1")), "doc_id_a")
+          .join(len1.select(col("doc_id").as("doc_id_b"), col("len").as("r1")), "doc_id_b")
+          .join(len2.select(col("doc_id").as("doc_id_a"), col("len").as("c2")), "doc_id_a")
+          .withColumn("clip_1", coalesce(col("clip_1"), lit(0L)))
+          .withColumn("clip_2", coalesce(col("clip_2"), lit(0L)))
+          .withColumn("bp",
+            when(col("c1") >= col("r1"), lit(1.0))
+              .otherwise(exp(lit(1.0) - col("r1").cast("double") / col("c1").cast("double"))))
+          .select(col("doc_id_a"), col("doc_id_b"),
+            col("clip_1"), col("c1"), col("clip_2"), col("c2"), col("r1"),
+            (col("bp") * sqrt(
+              (col("clip_1").cast("double") / col("c1").cast("double")) *
+              (col("clip_2").cast("double") / col("c2").cast("double"))))
+              .as("bleu2"))
+          .orderBy("doc_id_a", "doc_id_b")
+      },
+      Some(s"""$candidatesCte,
+              |sets AS (SELECT doc_id, list_distinct($shinglesSql) AS sset FROM documents WHERE len(list_distinct($shinglesSql)) > 0),
+              |verified AS (SELECT doc_id_a, doc_id_b
+              |  FROM cands JOIN sets a ON doc_id_a = a.doc_id
+              |             JOIN sets b ON doc_id_b = b.doc_id
+              |  WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+              |      / CAST(len(list_distinct(list_concat(a.sset, b.sset))) AS DOUBLE) >= 0.2),
+              |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              |u AS (
+              |  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM (
+              |    SELECT doc_id, unnest(w) AS g FROM toks) GROUP BY 1, 2),
+              |b2 AS (
+              |  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM (
+              |    SELECT doc_id,
+              |      w[i] || ' ' || w[i + 1] AS g
+              |    FROM toks, unnest(range(1, len(w))) AS t(i)) GROUP BY 1, 2),
+              |o1 AS (
+              |  SELECT v.doc_id_a, v.doc_id_b,
+              |    CAST(sum(least(x.c, y.c)) AS BIGINT) AS clip_1
+              |  FROM verified v
+              |  JOIN u x ON x.doc_id = v.doc_id_a
+              |  JOIN u y ON y.doc_id = v.doc_id_b AND y.g = x.g
+              |  GROUP BY 1, 2),
+              |o2 AS (
+              |  SELECT v.doc_id_a, v.doc_id_b,
+              |    CAST(sum(least(x.c, y.c)) AS BIGINT) AS clip_2
+              |  FROM verified v
+              |  JOIN b2 x ON x.doc_id = v.doc_id_a
+              |  JOIN b2 y ON y.doc_id = v.doc_id_b AND y.g = x.g
+              |  GROUP BY 1, 2),
+              |l1 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS len FROM u GROUP BY 1),
+              |l2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS len FROM b2 GROUP BY 1)
+              |SELECT v.doc_id_a, v.doc_id_b,
+              |  COALESCE(clip_1, 0) AS clip_1, ca1.len AS c1,
+              |  COALESCE(clip_2, 0) AS clip_2, ca2.len AS c2, rb1.len AS r1,
+              |  (CASE WHEN ca1.len >= rb1.len THEN 1.0
+              |        ELSE exp(1.0 - CAST(rb1.len AS DOUBLE) / CAST(ca1.len AS DOUBLE))
+              |   END)
+              |  * sqrt((CAST(COALESCE(clip_1, 0) AS DOUBLE) / CAST(ca1.len AS DOUBLE))
+              |       * (CAST(COALESCE(clip_2, 0) AS DOUBLE) / CAST(ca2.len AS DOUBLE)))
+              |    AS bleu2
+              |FROM verified v
+              |LEFT JOIN o1 ON o1.doc_id_a = v.doc_id_a AND o1.doc_id_b = v.doc_id_b
+              |LEFT JOIN o2 ON o2.doc_id_a = v.doc_id_a AND o2.doc_id_b = v.doc_id_b
+              |JOIN l1 ca1 ON ca1.doc_id = v.doc_id_a
+              |JOIN l1 rb1 ON rb1.doc_id = v.doc_id_b
+              |JOIN l2 ca2 ON ca2.doc_id = v.doc_id_a
+              |ORDER BY v.doc_id_a, v.doc_id_b""".stripMargin)),
+
     // Adjusted Rand index between the near-dup components and the
     // `source` partition — the external clustering-validity metric
     // (Hubert & Arabie 1985) answering "do duplicate clusters follow

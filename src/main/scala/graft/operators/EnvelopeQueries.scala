@@ -513,6 +513,40 @@ object EnvelopeQueries {
              |FROM events WHERE event_type = 'purchase'""".stripMargin),
       bench = false, sideEffecting = true),
 
+    // Lake file-layout audit — the small-files/skew diagnostic a
+    // compaction planner reads: the events lake is written one file per
+    // event_type partition (repartition by the partition column before
+    // the partitioned write — the canonical no-small-files recipe), then
+    // the audit reconstructs per-partition row counts purely from FILE
+    // introspection (input_file_name() parsed for the partition value,
+    // one distinct file pinned per partition) and must agree with the
+    // table's own group-by — proving the directory layout, the file
+    // census, and the data tell one story. At 100 TB this audit is a
+    // listing-plus-footer pass, never a data scan.
+    QueryDef(
+      "lake_file_skew_audit",
+      (s, d) => StreamingQueries.cachedRun(s, "lake_file_skew_audit", d) {
+        (scratch, resultOut) =>
+          val lake = s"$scratch/ev_files_by_type"
+          t(s, d, "events")
+            .select(col("event_id"), col("value"), col("event_type"))
+            .repartition(col("event_type"))
+            .write.mode("overwrite").partitionBy("event_type").parquet(lake)
+          s.read.parquet(lake)
+            .select(regexp_extract(input_file_name(),
+              "event_type=([^/]+)/", 1).as("event_type"),
+              input_file_name().as("f"))
+            .groupBy("event_type")
+            .agg(count(lit(1)).as("n_rows"),
+              countDistinct(col("f")).as("n_files"))
+            .orderBy("event_type")
+            .coalesce(1).write.mode("overwrite").parquet(resultOut)
+      },
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(1 AS BIGINT) AS n_files
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      bench = false, sideEffecting = true),
+
     // Dynamic partition pruning: the fact lake is partitioned by order
     // month, the month dimension (month → quarter) is filtered on a
     // DIM attribute — so the fact partitions to read are only known at
