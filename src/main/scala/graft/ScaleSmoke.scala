@@ -206,9 +206,6 @@ object ScaleSmoke {
     "conformal_threshold_split", "dp_noisy_histogram", "ipf_raking_step",
     "fellegi_sunter_em_step", "seasonal_residual_outlier_days",
     "bleu2_neardup_pairs",
-    // graph_anf_reach_sketch: the exact-truth audit leg IS the quadratic
-    // baseline the sketch exists to avoid — production runs sketch-only
-    "graph_anf_reach_sketch",
     "ann_nprobe_recall_sweep",
     // nn_descent_round shares sim_cluster_neardup_pairs' deliberate
     // exemption: the scaler clones embedding vectors verbatim, so all 10

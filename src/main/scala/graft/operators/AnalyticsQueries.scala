@@ -785,7 +785,10 @@ object AnalyticsQueries {
              |       ELSE 15 * 4503599627370496 // h_k END - reach2_exact) * 1000
              |       // reach2_exact AS BIGINT) AS rel_err_permille
              |FROM sk s JOIN truth t ON s.v = t.v
-             |ORDER BY node""".stripMargin)),
+             |ORDER BY node""".stripMargin),
+      // the exact-truth leg is the deliberate quadratic baseline — same
+      // bench=false contract as the brute Jaccard/containment audits
+      bench = false),
 
     // Adamic–Adar link prediction (Adamic & Adar 2003) — the
     // frequency-weighted upgrade of link_prediction_common_nbrs: a

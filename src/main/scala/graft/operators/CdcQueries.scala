@@ -387,11 +387,16 @@ object CdcQueries {
           .withColumn("bkt", col("rh") % 256)
         val a = hashed(ev)
         val b = hashed(ev.filter(col("event_id") % 97 =!= 0))
+        // digest sums ride DECIMAL(38,0): 52-bit hashes × billions of
+        // rows/bucket overflow int64 (caught by the 10× smoke under ANSI)
         def digest(df: org.apache.spark.sql.DataFrame, n: String, c: String) = df
-          .groupBy("bkt").agg(sum(col("rh")).as(n), count(lit(1)).as(c))
+          .groupBy("bkt").agg(
+            sum(col("rh").cast(org.apache.spark.sql.types.DecimalType(38, 0))).as(n),
+            count(lit(1)).as(c))
+        val zero = lit(0).cast(org.apache.spark.sql.types.DecimalType(38, 0))
         val diff = digest(a, "sum_a", "n_a")
           .join(digest(b, "sum_b", "n_b"), Seq("bkt"), "full_outer")
-          .filter(coalesce(col("sum_a"), lit(0L)) =!= coalesce(col("sum_b"), lit(0L)) ||
+          .filter(coalesce(col("sum_a"), zero) =!= coalesce(col("sum_b"), zero) ||
             coalesce(col("n_a"), lit(0L)) =!= coalesce(col("n_b"), lit(0L)))
           .select(col("bkt"), coalesce(col("n_a"), lit(0L)).as("n_a"),
             coalesce(col("n_b"), lit(0L)).as("n_b"))
