@@ -117,6 +117,142 @@ object SimilarityQueries {
            |  FROM scored) WHERE rank <= 5""".stripMargin
       }),
 
+    // IVF-PQ with RESIDUAL quantization — the production ANN index layout
+    // (FAISS IVFPQ): vectors are PQ-encoded not on their raw values but
+    // on the residual vec − centroid, which concentrates the quantizer's
+    // dynamic range on the within-cell variation (the whole reason IVFPQ
+    // beats flat PQ at equal bits), and the ADC probe scores
+    // dot(q, centroid) + Σ_m lut[m, code_m] — the centroid term restores
+    // what the residual dropped — restricted to the query's own cell.
+    // Codebooks are the first-16 residuals per subspace (deterministic
+    // seeds, the sim_pq_topk convention); residual arithmetic is the
+    // identical CAST-to-double chain on both engines, so encode + probe
+    // replay exactly under the oracle like the rest of the ANN family.
+    QueryDef(
+      "sim_ivfpq_residual_topk",
+      (s, d) => {
+        val emb = t(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val cents = broadcast(emb.filter(col("id") < 8)
+          .select(col("id").as("centroid_id"), col("vec").as("cvec"),
+            Similarity.l2Norm(col("vec")).as("cnorm")))
+        val assigned = emb
+          .withColumn("vnorm", Similarity.l2Norm(col("vec")))
+          .crossJoin(cents)
+          .withColumn("csim", Similarity.dot(col("vec"), col("cvec")) /
+            (col("vnorm") * col("cnorm")))
+          .groupBy(col("id"))
+          .agg(max_by(struct(col("vec"), col("centroid_id")),
+            struct(col("csim"), (-col("centroid_id")).as("nc"))).as("best"))
+          .select(col("id"), col("best.vec").as("vec"),
+            col("best.centroid_id").as("centroid_id"))
+        val resid = assigned
+          .join(broadcast(cents.select(col("centroid_id"), col("cvec"))), Seq("centroid_id"))
+          .withColumn("rv",
+            expr("zip_with(vec, cvec, (a, b) -> CAST(a AS DOUBLE) - CAST(b AS DOUBLE))"))
+          .select(col("id"), col("centroid_id"), col("rv"))
+        val cb = Similarity.pqCodebook(
+          resid.filter(col("id") < 16).select(col("id"), col("rv").as("vec")),
+          "id", "vec", m = 4, subDim = 16)
+        val codes = Similarity.pqCodesWide(
+          Similarity.pqAssign(
+            Similarity.subvectors(resid.select(col("id"), col("rv").as("vec")),
+              "id", "vec", 4, 16), cb, "id"),
+          "id", m = 4)
+          .join(resid.select("id", "centroid_id"), Seq("id"))
+        val q = assigned.filter(col("id") < 10)
+          .select(col("id").as("query_id"), col("vec").as("qvec"), col("centroid_id"))
+        val qsubs = Similarity.subvectors(
+          q.select(col("query_id"), col("qvec").as("vec")), "query_id", "vec", 4, 16)
+        val lut = qsubs.join(broadcast(cb), "m")
+          .select(col("query_id"), (col("m") * 16 + col("k")).as("mk"),
+            Similarity.dot(col("sub"), col("cvec")).as("pdot"))
+          .groupBy("query_id")
+          .agg(map_from_entries(collect_list(struct(col("mk"), col("pdot"))))
+            .as("lut"))
+        val qc = q.join(broadcast(cents.select(col("centroid_id"), col("cvec"))),
+            Seq("centroid_id"))
+          .withColumn("qc_dot", Similarity.dot(col("qvec"), col("cvec")))
+          .select("query_id", "centroid_id", "qc_dot")
+        // association order matches the oracle's left-to-right sum:
+        // ((((qc + l0) + l1) + l2) + l3) — FP grouping is part of the contract
+        val approx = (Seq(col("qc_dot")) ++ (0 until 4).map { i =>
+          element_at(col("lut"), lit(i * 16) + col(s"c$i"))
+        }).reduce(_ + _)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("approx_dot").desc, col("id"))
+        codes.join(broadcast(qc), Seq("centroid_id"))
+          .filter(col("id") =!= col("query_id"))
+          .join(broadcast(lut), Seq("query_id"))
+          .withColumn("approx_dot", approx)
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("id").as("neighbor_id"),
+            col("approx_dot"), col("rank"))
+      },
+      Some {
+        def sub(v: String) = s"$v[m*16+1 : m*16+16]"
+        s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cvec,
+           |                      sqrt(${dotSql("embedding", "embedding")}) AS cnorm
+           |               FROM embeddings WHERE vec_id < 8),
+           |assigned AS (
+           |  SELECT id, vec, centroid_id FROM (
+           |    SELECT e.vec_id AS id, e.embedding AS vec, centroid_id,
+           |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+           |             ${dotSql("e.embedding", "cvec")} /
+           |               (sqrt(${dotSql("e.embedding", "e.embedding")}) * cnorm) DESC,
+           |             centroid_id) AS rn
+           |    FROM embeddings e CROSS JOIN cents) WHERE rn = 1),
+           |resid AS (
+           |  SELECT a.id, a.centroid_id,
+           |    list_transform(range(1, len(a.vec) + 1),
+           |      i -> CAST(a.vec[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)) AS rv
+           |  FROM assigned a JOIN cents c USING (centroid_id)),
+           |ms AS (SELECT unnest(range(0, 4)) AS m),
+           |cb AS (SELECT m, CAST(id AS INT) AS k, ${sub("rv")} AS cvec
+           |       FROM resid CROSS JOIN ms WHERE id < 16),
+           |subs AS (SELECT id, m, ${sub("rv")} AS sub FROM resid CROSS JOIN ms),
+           |enc AS (
+           |  SELECT id, m, k AS code FROM (
+           |    SELECT s.id, s.m, c.k,
+           |      ROW_NUMBER() OVER (PARTITION BY s.id, s.m ORDER BY
+           |        (${dotSql("sub", "sub")} - 2 * ${dotSql("sub", "cvec")} +
+           |         ${dotSql("cvec", "cvec")}), c.k) AS rn
+           |    FROM subs s JOIN cb c ON s.m = c.m) WHERE rn = 1),
+           |wide AS (
+           |  SELECT e.id, a.centroid_id,
+           |    MAX(CASE WHEN m = 0 THEN code END) AS c0,
+           |    MAX(CASE WHEN m = 1 THEN code END) AS c1,
+           |    MAX(CASE WHEN m = 2 THEN code END) AS c2,
+           |    MAX(CASE WHEN m = 3 THEN code END) AS c3
+           |  FROM enc e JOIN assigned a USING (id) GROUP BY e.id, a.centroid_id),
+           |q AS (SELECT id AS query_id, vec AS qvec, centroid_id
+           |      FROM assigned WHERE id < 10),
+           |qsubs AS (SELECT query_id, m,
+           |            list_transform(range(1, 17),
+           |              i -> CAST(qvec[m * 16 + i] AS DOUBLE)) AS sub
+           |          FROM q CROSS JOIN ms),
+           |lut AS (
+           |  SELECT s.query_id, s.m, c.k, ${dotSql("sub", "cvec")} AS pdot
+           |  FROM qsubs s JOIN cb c ON s.m = c.m),
+           |qc AS (
+           |  SELECT query_id, q.centroid_id, ${dotSql("qvec", "cvec")} AS qc_dot
+           |  FROM q JOIN cents c ON c.centroid_id = q.centroid_id),
+           |scored AS (
+           |  SELECT qc.query_id, w.id AS neighbor_id,
+           |    qc.qc_dot + l0.pdot + l1.pdot + l2.pdot + l3.pdot AS approx_dot
+           |  FROM wide w
+           |  JOIN qc ON qc.centroid_id = w.centroid_id
+           |  JOIN lut l0 ON l0.query_id = qc.query_id AND l0.m = 0 AND l0.k = w.c0
+           |  JOIN lut l1 ON l1.query_id = qc.query_id AND l1.m = 1 AND l1.k = w.c1
+           |  JOIN lut l2 ON l2.query_id = qc.query_id AND l2.m = 2 AND l2.k = w.c2
+           |  JOIN lut l3 ON l3.query_id = qc.query_id AND l3.m = 3 AND l3.k = w.c3
+           |  WHERE w.id != qc.query_id)
+           |SELECT query_id, neighbor_id, approx_dot, rank FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+           |            ORDER BY approx_dot DESC, neighbor_id) AS rank
+           |  FROM scored) WHERE rank <= 5""".stripMargin
+      }),
+
     // Per-dimension corpus statistics (the feature-scaling / quantizer
     // calibration pass every vector index build runs): posexplode each
     // vector to (dim, value), aggregate count/sum/min/max per dimension.
