@@ -205,7 +205,7 @@ object ScaleSmoke {
     "search_prf_expansion", "tokenizer_vocab_prune", "anti_entropy_bucket_diff",
     "conformal_threshold_split", "dp_noisy_histogram", "ipf_raking_step",
     "fellegi_sunter_em_step", "seasonal_residual_outlier_days",
-    "bleu2_neardup_pairs", "sim_ivfpq_residual_topk",
+    "bleu2_neardup_pairs", "sim_ivfpq_residual_topk", "scd2_daily_snapshot_grid",
     "ann_nprobe_recall_sweep",
     // nn_descent_round shares sim_cluster_neardup_pairs' deliberate
     // exemption: the scaler clones embedding vectors verbatim, so all 10

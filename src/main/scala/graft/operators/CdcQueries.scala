@@ -358,6 +358,67 @@ object CdcQueries {
              |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // Daily snapshot densification from the interval history — the BI
+    // serving pattern that turns an SCD2 table into a day-grid time
+    // series ("how many entities were on which version each day")
+    // WITHOUT a version-explosion scan per day: the calendar grid joins
+    // the validity intervals through the binned range join
+    // (RangeJoin.pointInInterval — shuffled equi join on week bins,
+    // never a nested loop), with the open sentinel CLAMPED to the grid
+    // end before binning so the 9999 sentinel doesn't explode the bin
+    // sequence. Per day: active entities, entities still on version 1,
+    // and the max version — each an exact integer.
+    QueryDef(
+      "scd2_daily_snapshot_grid",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val hist = Scd2.versionize(ev, "user_id", "event_id", "ts")
+          .select(col("user_id"), col("version_num"),
+            expr("unix_micros(CAST(valid_from AS TIMESTAMP))").as("from_us"),
+            expr("unix_micros(CAST(valid_to AS TIMESTAMP))").as("to_raw"))
+        val bounds = broadcast(ev.agg(
+          expr("min(CAST(ts AS DATE))").as("d0"),
+          expr("max(CAST(ts AS DATE))").as("d1")))
+        val grid = bounds
+          .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+          .select(col("day"),
+            expr("unix_micros(CAST(day AS TIMESTAMP))").as("day_us"))
+        val capped = hist.join(bounds)
+          .withColumn("to_us",
+            least(col("to_raw"),
+              expr("unix_micros(CAST(d1 AS TIMESTAMP)) + 86400000000")))
+          .select("user_id", "version_num", "from_us", "to_us")
+        RangeJoin.pointInInterval(grid, capped,
+            "day_us", "from_us", "to_us", binWidth = 7L * 86400000000L)
+          .groupBy("day")
+          .agg(count(lit(1)).as("n_active"),
+            sum(when(col("version_num") === 1, 1L).otherwise(0L)).as("n_on_v1"),
+            max(col("version_num")).as("max_version"))
+          .orderBy("day")
+      },
+      Some(s"""WITH hist AS (
+             |  SELECT user_id,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id)
+             |      AS version_num,
+             |    ts AS valid_from,
+             |    COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY event_id),
+             |             $sentinelSql) AS valid_to
+             |  FROM events),
+             |b AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+             |      FROM events),
+             |grid AS (
+             |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+             |    AS day
+             |  FROM b)
+             |SELECT g.day, CAST(count(*) AS BIGINT) AS n_active,
+             |  CAST(sum(CASE WHEN version_num = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_on_v1,
+             |  CAST(max(version_num) AS BIGINT) AS max_version
+             |FROM grid g JOIN hist h
+             |  ON CAST(g.day AS TIMESTAMP) >= h.valid_from
+             | AND CAST(g.day AS TIMESTAMP) < h.valid_to
+             |GROUP BY g.day ORDER BY g.day""".stripMargin)),
+
     // Anti-entropy (Merkle-style) replica reconciliation — the operator a
     // CDC fan-out runs to answer "has replica B drifted from A, and
     // WHERE?" without shipping either table: each side summarizes into
