@@ -2393,6 +2393,95 @@ object AnalyticsQueries {
              |  TRUE AS union_within_10pct
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Month-over-month / year-over-year revenue growth — the BI read
+    // every revenue dashboard leads with: monthly exact-decimal revenue,
+    // then MoM and YoY percent changes via lag windows over the BOUNDED
+    // month series (an aggregate of ~84 rows — the unpartitioned lags are
+    // calendar-bounded, PlanAudit-clean). Growth ratios are the only
+    // doubles, one division each from exact decimal sums.
+    QueryDef(
+      "revenue_mom_yoy_growth",
+      (s, d) => {
+        val monthly = t(s, d, "orders")
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+          .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+        val w = Window.orderBy("month")
+        monthly
+          .withColumn("prev_m", lag(col("rev"), 1).over(w))
+          .withColumn("prev_y", lag(col("rev"), 12).over(w))
+          .select(col("month"), col("rev").cast("double").as("revenue"),
+            ((col("rev") - col("prev_m")).cast("double") * 100.0 /
+              col("prev_m").cast("double")).as("mom_pct"),
+            ((col("rev") - col("prev_y")).cast("double") * 100.0 /
+              col("prev_y").cast("double")).as("yoy_pct"))
+          .orderBy("month")
+      },
+      Some("""WITH m AS (
+             |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+             |  FROM orders GROUP BY 1),
+             |l AS (
+             |  SELECT month, rev,
+             |    LAG(rev, 1) OVER (ORDER BY month) AS prev_m,
+             |    LAG(rev, 12) OVER (ORDER BY month) AS prev_y
+             |  FROM m)
+             |SELECT month, CAST(rev AS DOUBLE) AS revenue,
+             |  CAST(rev - prev_m AS DOUBLE) * 100.0 / CAST(prev_m AS DOUBLE)
+             |    AS mom_pct,
+             |  CAST(rev - prev_y AS DOUBLE) * 100.0 / CAST(prev_y AS DOUBLE)
+             |    AS yoy_pct
+             |FROM l ORDER BY month""".stripMargin)),
+
+    // Feature-hashing (hashing-trick) collision audit — the check a
+    // feature pipeline runs before committing to a hashed feature space:
+    // tokens hash into 1024 buckets (md5 → 52-bit int → mod), and the
+    // audit reports occupied buckets, colliding buckets (≥ 2 distinct
+    // tokens), the worst bucket load, and the occurrence mass landing in
+    // colliding buckets — the quantities that decide whether 2^10
+    // features suffice or the space must grow. Pure integer hashing and
+    // counts; one vocabulary aggregate, one 1024-bounded rollup.
+    QueryDef(
+      "feature_hashing_collision_audit",
+      (s, d) => {
+        val tc = t(s, d, "documents")
+          .select(explode(graft.text.TextOps.tokens(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("n"))
+          .withColumn("bucket",
+            conv(substring(md5(concat(lit("fh:"), col("tok"))), 1, 13), 16, 10)
+              .cast("long") % 1024)
+        val buckets = tc.groupBy("bucket")
+          .agg(countDistinct(col("tok")).as("n_toks"), sum(col("n")).as("occ"))
+        buckets.agg(
+          count(lit(1)).as("n_buckets_occupied"),
+          sum(when(col("n_toks") >= 2, 1L).otherwise(0L)).as("n_colliding"),
+          max(col("n_toks")).as("max_load"),
+          sum(when(col("n_toks") >= 2, col("occ")).otherwise(0L))
+            .as("occ_in_collisions"),
+          sum(col("occ")).as("occ_total"))
+          .withColumn("collision_mass_frac",
+            col("occ_in_collisions").cast("double") / col("occ_total").cast("double"))
+      },
+      Some("""WITH tc AS (
+             |  SELECT tok, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(('0x' || substr(md5('fh:' || tok), 1, 13)) AS BIGINT) % 1024
+             |      AS bucket
+             |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+             |  GROUP BY tok),
+             |b AS (
+             |  SELECT bucket, CAST(count(DISTINCT tok) AS BIGINT) AS n_toks,
+             |    CAST(sum(n) AS BIGINT) AS occ
+             |  FROM tc GROUP BY 1)
+             |SELECT CAST(count(*) AS BIGINT) AS n_buckets_occupied,
+             |  CAST(sum(CASE WHEN n_toks >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_colliding,
+             |  CAST(max(n_toks) AS BIGINT) AS max_load,
+             |  CAST(sum(CASE WHEN n_toks >= 2 THEN occ ELSE 0 END) AS BIGINT)
+             |    AS occ_in_collisions,
+             |  CAST(sum(occ) AS BIGINT) AS occ_total,
+             |  CAST(sum(CASE WHEN n_toks >= 2 THEN occ ELSE 0 END) AS DOUBLE)
+             |    / CAST(sum(occ) AS DOUBLE) AS collision_mass_frac
+             |FROM b""".stripMargin)),
+
     // KMV (K-Minimum-Values, Bar-Yossef et al. 2002) distinct sketch,
     // audited against the exact count: per event type, keep the k=64
     // smallest 60-bit md5 hashes of the user ids; the unbiased estimate
