@@ -389,4 +389,27 @@ class CatalogPropertySpec extends SparkSuite {
       s"median pair diverges: got (${row.getAs[Long]("med_rise")}, " +
         s"${row.getAs[Long]("med_run")}) want (${med._1}, ${med._2})")
   }
+
+  test("anti_entropy_bucket_diff accounts for every withheld row on a " +
+      "random lake (no silent drift)") {
+    val rnd = new Random(2026L)
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = (1 to 800).map { i =>
+      (i.toLong, 1L + rnd.nextInt(50),
+        new java.sql.Timestamp(t0.getTime + rnd.nextInt(86400000)),
+        Seq("view", "purchase", "click")(rnd.nextInt(3)),
+        (rnd.nextInt(10000) / 100.0))
+    }
+    val dir = lake("events") { p =>
+      rows.toDF("event_id", "user_id", "ts", "event_type", "value")
+        .write.parquet(p)
+    }
+    val out = SparkEntry.queries("anti_entropy_bucket_diff")(spark, dir)
+      .select("n_missing").as[Long].collect()
+    val withheld = rows.count(_._1 % 97 == 0).toLong
+    assert(withheld > 0)
+    assert(out.sum == withheld,
+      s"bucket drill-down must account for all ${withheld} withheld rows, " +
+        s"found ${out.sum}")
+  }
 }
