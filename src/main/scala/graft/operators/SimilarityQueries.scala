@@ -253,6 +253,90 @@ object SimilarityQueries {
            |  FROM scored) WHERE rank <= 5""".stripMargin
       }),
 
+    // Embedding outlier screen — index hygiene before an ANN build: per
+    // vector, the cosine distance to its assigned centroid, then a
+    // per-CLUSTER robust MAD gate (median and MAD of the 1e9-quantized
+    // distances, rank-selected lower medians — never interpolated) flags
+    // vectors beyond 3×MAD of their own cluster's typical spread:
+    // corrupted ingests, wrong-space embeddings, and label noise that
+    // would poison centroid training. All ranking windows are keyed by
+    // centroid (bounded per-cluster state); flags compare exact
+    // integers.
+    QueryDef(
+      "embedding_outlier_screen",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+        val emb = t(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val cents = broadcast(emb.filter(col("id") < 8)
+          .select(col("id").as("centroid_id"), col("vec").as("cvec"),
+            Similarity.l2Norm(col("vec")).as("cnorm")))
+        val assigned = emb
+          .withColumn("vnorm", Similarity.l2Norm(col("vec")))
+          .crossJoin(cents)
+          .withColumn("csim", Similarity.dot(col("vec"), col("cvec")) /
+            (col("vnorm") * col("cnorm")))
+          .groupBy(col("id"))
+          .agg(max_by(struct(col("centroid_id"), col("csim")),
+            struct(col("csim"), (-col("centroid_id")).as("nc"))).as("best"))
+          .select(col("id"), col("best.centroid_id").as("centroid_id"),
+            (round((lit(1.0) - col("best.csim")) * lit(1e9))).cast("long").as("dist_q"))
+        val byDist = w.partitionBy("centroid_id").orderBy(col("dist_q"), col("id"))
+        val sizes = assigned.groupBy("centroid_id").agg(count(lit(1)).as("n_c"))
+        val med = assigned
+          .withColumn("rn", row_number().over(byDist).cast("long"))
+          .join(broadcast(sizes), Seq("centroid_id"))
+          .filter(col("rn") === expr("(n_c + 1) div 2"))
+          .select(col("centroid_id"), col("dist_q").as("med_q"))
+        val dev = assigned.join(broadcast(med), Seq("centroid_id"))
+          .withColumn("adev", abs(col("dist_q") - col("med_q")))
+        val byDev = w.partitionBy("centroid_id").orderBy(col("adev"), col("id"))
+        val mad = dev
+          .withColumn("rn", row_number().over(byDev).cast("long"))
+          .join(broadcast(sizes), Seq("centroid_id"))
+          .filter(col("rn") === expr("(n_c + 1) div 2"))
+          .select(col("centroid_id"), col("adev").as("mad_q"))
+        dev.join(broadcast(mad), Seq("centroid_id"))
+          .filter(col("adev") > col("mad_q") * 3)
+          .select(col("id").as("vec_id"), col("centroid_id"), col("dist_q"),
+            col("med_q"), col("mad_q"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cvec,
+           |                      sqrt(${dotSql("embedding", "embedding")}) AS cnorm
+           |               FROM embeddings WHERE vec_id < 8),
+           |assigned AS (
+           |  SELECT id, centroid_id,
+           |    CAST(round((1.0 - csim) * 1e9) AS BIGINT) AS dist_q FROM (
+           |    SELECT e.vec_id AS id, centroid_id,
+           |           ${dotSql("e.embedding", "cvec")} /
+           |             (sqrt(${dotSql("e.embedding", "e.embedding")}) * cnorm)
+           |             AS csim,
+           |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+           |             ${dotSql("e.embedding", "cvec")} /
+           |               (sqrt(${dotSql("e.embedding", "e.embedding")}) * cnorm) DESC,
+           |             centroid_id) AS rn
+           |    FROM embeddings e CROSS JOIN cents) WHERE rn = 1),
+           |sz AS (SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_c
+           |       FROM assigned GROUP BY 1),
+           |med AS (SELECT centroid_id, dist_q AS med_q FROM (
+           |  SELECT a.centroid_id, dist_q, n_c,
+           |    ROW_NUMBER() OVER (PARTITION BY a.centroid_id
+           |      ORDER BY dist_q, id) AS rn
+           |  FROM assigned a JOIN sz USING (centroid_id))
+           |  WHERE rn = (n_c + 1) // 2),
+           |dev AS (SELECT a.*, med_q, abs(dist_q - med_q) AS adev
+           |        FROM assigned a JOIN med USING (centroid_id)),
+           |mad AS (SELECT centroid_id, adev AS mad_q FROM (
+           |  SELECT d.centroid_id, adev, n_c,
+           |    ROW_NUMBER() OVER (PARTITION BY d.centroid_id
+           |      ORDER BY adev, id) AS rn
+           |  FROM dev d JOIN sz USING (centroid_id))
+           |  WHERE rn = (n_c + 1) // 2)
+           |SELECT id AS vec_id, dev.centroid_id, dist_q, dev.med_q, mad_q
+           |FROM dev JOIN mad USING (centroid_id)
+           |WHERE adev > mad_q * 3
+           |ORDER BY vec_id""".stripMargin)),
+
     // Per-dimension corpus statistics (the feature-scaling / quantizer
     // calibration pass every vector index build runs): posexplode each
     // vector to (dim, value), aggregate count/sum/min/max per dimension.

@@ -1052,6 +1052,72 @@ object StatQueries {
              |       / CAST(nb - 1 AS DOUBLE)) AS df_welch
              |FROM w""".stripMargin)),
 
+    // EWMA level + one-step volume forecast (Holt without trend — the
+    // capacity-planning baseline): level_t = α·Σ_{s≤t} (1−α)^(t−s)·y_s
+    // with α = 0.3, normalized by the finite-window weight sum so early
+    // days aren't biased low. Computed via the CALENDAR-BOUNDED day-pair
+    // expansion (C(days,2) pairs — the theil_sen shape) rather than the
+    // (1−α)^(−s) power trick, which overflows over long horizons; each
+    // pair's term is nano-quantized BEFORE the integer sum (the
+    // surprisal discipline), so the fold is order-free and engine-exact.
+    // The forecast for day t+1 is the day-t level — emitted next to the
+    // actual for the residual readout.
+    QueryDef(
+      "ewma_volume_forecast",
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(expr("CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)")
+            .as("dnum"))
+          .agg(count(lit(1)).as("cnt"))
+        val pairs = daily.select(col("dnum").as("t"), col("cnt").as("yt"))
+          .crossJoin(broadcast(daily.select(col("dnum").as("sday"), col("cnt").as("ys"))))
+          .filter(col("sday") <= col("t"))
+          .withColumn("term_nano",
+            round(col("ys").cast("double") *
+              pow(lit(0.7), (col("t") - col("sday")).cast("double")) * lit(1e9))
+              .cast("long"))
+          .withColumn("wt_nano",
+            round(pow(lit(0.7), (col("t") - col("sday")).cast("double")) * lit(1e9))
+              .cast("long"))
+        val lvl = pairs.groupBy("t")
+          .agg(max(when(col("sday") === col("t"), col("ys"))).as("actual"),
+            sum(col("term_nano")).as("num_nano"), sum(col("wt_nano")).as("den_nano"))
+          .withColumn("ewma_level",
+            col("num_nano").cast("double") / col("den_nano").cast("double"))
+        val w = Window.orderBy("t")
+        lvl
+          .withColumn("forecast_next", col("ewma_level"))
+          .withColumn("prev_level", lag(col("ewma_level"), 1).over(w))
+          .select(col("t").as("dnum"), col("actual"), col("ewma_level"),
+            (col("actual").cast("double") - col("prev_level")).as("residual_vs_forecast"))
+          .orderBy("dnum")
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+             |      AS dnum,
+             |    CAST(count(*) AS BIGINT) AS cnt
+             |  FROM events GROUP BY 1),
+             |pairs AS (
+             |  SELECT a.dnum AS t, b.dnum AS sday, b.cnt AS ys,
+             |    CAST(round(CAST(b.cnt AS DOUBLE)
+             |      * pow(0.7, CAST(a.dnum - b.dnum AS DOUBLE)) * 1e9) AS BIGINT)
+             |      AS term_nano,
+             |    CAST(round(pow(0.7, CAST(a.dnum - b.dnum AS DOUBLE)) * 1e9) AS BIGINT)
+             |      AS wt_nano
+             |  FROM daily a JOIN daily b ON b.dnum <= a.dnum),
+             |lvl AS (
+             |  SELECT t,
+             |    CAST(max(CASE WHEN sday = t THEN ys END) AS BIGINT) AS actual,
+             |    CAST(sum(term_nano) AS BIGINT) AS num_nano,
+             |    CAST(sum(wt_nano) AS BIGINT) AS den_nano
+             |  FROM pairs GROUP BY t)
+             |SELECT t AS dnum, actual,
+             |  CAST(num_nano AS DOUBLE) / CAST(den_nano AS DOUBLE) AS ewma_level,
+             |  CAST(actual AS DOUBLE)
+             |    - LAG(CAST(num_nano AS DOUBLE) / CAST(den_nano AS DOUBLE), 1)
+             |        OVER (ORDER BY t) AS residual_vs_forecast
+             |FROM lvl ORDER BY dnum""".stripMargin)),
+
     // Seasonality-adjusted anomaly days — the composed production alert
     // (deseasonalize, THEN screen): daily event counts minus the
     // day-of-week mean leave residuals that a raw-count screen would
