@@ -2393,6 +2393,57 @@ object AnalyticsQueries {
              |  TRUE AS union_within_10pct
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Sliding 7-day distinct users via MERGEABLE daily sketches — the
+    // incremental architecture window_sliding_distinct's exact operator
+    // gets replaced with at 100 TB: one HLL sketch per (type, day) is
+    // built ONCE (the standing materialization a streaming maintainer
+    // appends to), and every 7-day window is a UNION of 7 sketches —
+    // new day arrives, 7 windows update, nothing rescans raw events.
+    // The exact sliding count rides along; the contract boolean uses a
+    // max(5%, 50) bar that sits far outside the ≤7-way lgK=14 union
+    // error (the hll_mergeable_daily_union pattern, wide enough to be
+    // hash-safe per the r8 ADVICE on near-margin booleans).
+    QueryDef(
+      "hll_sliding_window_distinct",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_type"),
+            expr("CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)")
+              .as("dnum"),
+            col("user_id"))
+        val daily = ev.groupBy("event_type", "dnum")
+          .agg(hll_sketch_agg(col("user_id"), 14).as("sk"))
+        val est = daily
+          .select(col("event_type"), col("sk"),
+            explode(expr("sequence(dnum, dnum + 6)")).as("win_day"))
+          .groupBy("event_type", "win_day")
+          .agg(hll_sketch_estimate(
+            hll_union_agg(col("sk"), allowDifferentLgConfigK = false)).as("est"))
+        val exact = ev.select(col("event_type"), col("user_id"),
+            explode(expr("sequence(dnum, dnum + 6)")).as("win_day"))
+          .groupBy("event_type", "win_day")
+          .agg(countDistinct(col("user_id")).as("n_exact"))
+        exact.join(est, Seq("event_type", "win_day"))
+          .select(col("event_type"), col("win_day"), col("n_exact"),
+            (abs(col("est") - col("n_exact")).cast("double") <=
+              greatest(col("n_exact").cast("double") * 0.05, lit(50.0)))
+              .as("within_tol"))
+          .orderBy("event_type", "win_day")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type,
+             |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+             |      AS dnum,
+             |    user_id
+             |  FROM events),
+             |x AS (
+             |  SELECT event_type, user_id, dnum + w AS win_day
+             |  FROM ev CROSS JOIN (SELECT unnest(range(0, 7)) AS w) g)
+             |SELECT event_type, win_day,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+             |  TRUE AS within_tol
+             |FROM x GROUP BY 1, 2 ORDER BY event_type, win_day""".stripMargin)),
+
     // Month-over-month / year-over-year revenue growth — the BI read
     // every revenue dashboard leads with: monthly exact-decimal revenue,
     // then MoM and YoY percent changes via lag windows over the BOUNDED
