@@ -2393,6 +2393,96 @@ object AnalyticsQueries {
              |  TRUE AS union_within_10pct
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // 1-Wasserstein (earth-mover) drift between the reference and
+    // current value distributions — the INTEGRAL companion to
+    // drift_ks_statistic's max: EMD₁ = ∫|F_ref − F_cur| dv, which
+    // catches a broad small shift that KS's single point understates.
+    // Exact integer arithmetic end-to-end: per distinct value, the CDF
+    // cross-difference |cum_ref·tot_cur − cum_cur·tot_ref| (the KS
+    // numerator) is weighted by the gap to the NEXT distinct value in
+    // CENTS, summed through DECIMAL(38,0); one division at the end.
+    // Scale shape: the same two-level decomposed rank as drift_ks
+    // (bounded floor(value) bins, broadcast offsets, bin-partitioned
+    // running sums), with the next-value gap computed by a
+    // bin-partitioned lead plus a bounded per-bin boundary handoff —
+    // no global window anywhere.
+    QueryDef(
+      "drift_emd_wasserstein",
+      (s, d) => {
+        val ev = t(s, d, "events").select(col("value"),
+          when(expr("ts < TIMESTAMP_NTZ '2024-01-16 00:00:00'"), 1L)
+            .otherwise(0L).as("is_ref"))
+        val g = ev.groupBy("value").agg(
+          sum(col("is_ref")).as("ref_cnt"),
+          sum(lit(1L) - col("is_ref")).as("cur_cnt"))
+          .withColumn("cents",
+            (col("value").cast(DecimalType(18, 2)) * 100).cast("long"))
+          .withColumn("bin", floor(col("value")).cast("long"))
+        val binTot = g.groupBy("bin").agg(
+          sum(col("ref_cnt")).as("bin_ref"), sum(col("cur_cnt")).as("bin_cur"),
+          min(col("cents")).as("bin_min_cents"))
+        val wBin = Window.orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = binTot
+          .withColumn("base_ref", coalesce(sum(col("bin_ref")).over(wBin), lit(0L)))
+          .withColumn("base_cur", coalesce(sum(col("bin_cur")).over(wBin), lit(0L)))
+          .withColumn("next_bin_min",
+            lead(col("bin_min_cents"), 1).over(Window.orderBy("bin")))
+          .select("bin", "base_ref", "base_cur", "next_bin_min")
+        val tot = g.groupBy().agg(
+          sum(col("ref_cnt")).as("tot_ref"), sum(col("cur_cnt")).as("tot_cur"))
+        val wIn = Window.partitionBy("bin").orderBy("value")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wLead = Window.partitionBy("bin").orderBy("value")
+        g.join(broadcast(offs), Seq("bin"))
+          .withColumn("cum_ref", col("base_ref") + sum("ref_cnt").over(wIn))
+          .withColumn("cum_cur", col("base_cur") + sum("cur_cnt").over(wIn))
+          .withColumn("gap_cents",
+            coalesce(lead(col("cents"), 1).over(wLead), col("next_bin_min"))
+              - col("cents"))
+          .filter(col("gap_cents").isNotNull)
+          .join(broadcast(tot))
+          .agg(sum((abs(col("cum_ref") * col("tot_cur") -
+              col("cum_cur") * col("tot_ref")) * col("gap_cents"))
+              .cast(DecimalType(38, 0))).as("emd_num_d"),
+            max(col("tot_ref")).as("tot_ref"), max(col("tot_cur")).as("tot_cur"))
+          .select(col("tot_ref"), col("tot_cur"),
+            col("emd_num_d").cast("double").as("emd_num"),
+            (col("emd_num_d").cast("double") /
+              (col("tot_ref") * col("tot_cur")).cast("double") / lit(100.0))
+              .as("emd_wasserstein"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT value,
+             |    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS is_ref
+             |  FROM events),
+             |g AS (
+             |  SELECT value, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      AS cents,
+             |    CAST(sum(is_ref) AS BIGINT) AS ref_cnt,
+             |    CAST(sum(1 - is_ref) AS BIGINT) AS cur_cnt
+             |  FROM ev GROUP BY 1),
+             |c AS (
+             |  SELECT cents,
+             |    CAST(sum(ref_cnt) OVER (ORDER BY value
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |      AS cum_ref,
+             |    CAST(sum(cur_cnt) OVER (ORDER BY value
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |      AS cum_cur,
+             |    LEAD(cents) OVER (ORDER BY value) - cents AS gap_cents,
+             |    CAST(sum(ref_cnt) OVER () AS BIGINT) AS tot_ref,
+             |    CAST(sum(cur_cnt) OVER () AS BIGINT) AS tot_cur
+             |  FROM g)
+             |SELECT max(tot_ref) AS tot_ref, max(tot_cur) AS tot_cur,
+             |  CAST(sum(CAST(abs(cum_ref * tot_cur - cum_cur * tot_ref)
+             |    * gap_cents AS DECIMAL(38,0))) AS DOUBLE) AS emd_num,
+             |  CAST(sum(CAST(abs(cum_ref * tot_cur - cum_cur * tot_ref)
+             |    * gap_cents AS DECIMAL(38,0))) AS DOUBLE)
+             |    / CAST(max(tot_ref) * max(tot_cur) AS DOUBLE) / 100.0
+             |    AS emd_wasserstein
+             |FROM c WHERE gap_cents IS NOT NULL""".stripMargin)),
+
     // Sliding 7-day distinct users via MERGEABLE daily sketches — the
     // incremental architecture window_sliding_distinct's exact operator
     // gets replaced with at 100 TB: one HLL sketch per (type, day) is

@@ -927,6 +927,46 @@ object StreamingQueries {
       .coalesce(1).write.mode("overwrite").parquet(resultOut)
   }
 
+  /** Mergeable-HLL distinct maintenance: per micro-batch, one sketch per
+    * event type lands in the emissions lake; the converged estimate is
+    * the UNION of all batch sketches — register-max merging is
+    * order-independent, so any trigger slicing converges to the same
+    * registers as a single batch aggregation. This is the streaming leg
+    * of hll_mergeable_daily_union's architecture (CMS has
+    * streaming_cms_maintain; this is the distinct-count sibling).
+    */
+  private def runHllMaintain(s: SparkSession, sfDir: String, scratch: String, resultOut: String): Unit = {
+    val glob = stageEventSlices(s, sfDir, s"$scratch/evlake")
+    val out = s"$scratch/emissions"
+    val q = eventStream(s, glob)
+      .writeStream
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        b.groupBy("event_type")
+          .agg(hll_sketch_agg(col("user_id"), 14).as("sk"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(out)
+        ()
+      }
+      .option("checkpointLocation", s"$scratch/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val merged = s.read.parquet(out)
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(
+        hll_union_agg(col("sk"), allowDifferentLgConfigK = false)).as("est"))
+    val exact = graft.QueryDef.t(s, sfDir, "events")
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    exact.join(merged, Seq("event_type"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("est") - col("n_exact")).cast("double") <=
+          greatest(col("n_exact").cast("double") * 0.05, lit(20.0)))
+          .as("within_tol"))
+      .orderBy("event_type")
+      .coalesce(1).write.mode("overwrite").parquet(resultOut)
+  }
+
   /** Retract-stream (changelog) maintenance of a grouped aggregate — see
     * [[graft.streaming.StatefulAgg.ChangelogAgg]]. The per-entity state
     * emits ±delta rows against the entity's current group; the converged
@@ -1422,6 +1462,19 @@ object StreamingQueries {
       Some("""SELECT user_id, count(*) AS n_events,
              |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
              |FROM events GROUP BY user_id""".stripMargin),
+      bench = false, sideEffecting = true),
+
+    // The batch-sketch union must converge to the corpus distinct count
+    // within the lgK=14 tolerance regardless of trigger slicing — a
+    // dropped batch sketch or a non-merged register undercounts and
+    // flips the boolean against the exact recompute.
+    QueryDef(
+      "streaming_hll_maintain",
+      (s, d) => cachedStream(s, "streaming_hll_maintain", d)(runHllMaintain(s, d, _, _)),
+      Some("""SELECT event_type,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+             |  TRUE AS within_tol
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
       bench = false, sideEffecting = true),
 
     // The ListState last-N maintainer must converge to the batch top-3
