@@ -1052,6 +1052,96 @@ object StatQueries {
              |       / CAST(nb - 1 AS DOUBLE)) AS df_welch
              |FROM w""".stripMargin)),
 
+    // One ALS half-step (Koren/Hu et al.; the alternating-least-squares
+    // recommender update that was Spark MLlib's flagship workload): with
+    // ITEM factors fixed (two deterministic hash-seeded dimensions), each
+    // user's 2-vector solves its own ridge normal equations
+    // (AᵀA + λI)θ = Aᵀr in closed form over that user's purchase rows
+    // (implicit rating = quantity). The distributed shape is the point:
+    // one shuffle keyed by user, each group a constant-size 2×2 solve —
+    // no driver-side matrix anywhere. Engine-exactness: every per-item
+    // moment term (v², v·v, v·r) is nano-quantized BEFORE the per-user
+    // integer sums (FP-order-free), λ joins as an integer, and the
+    // Cramer solve is one fixed double chain per user.
+    QueryDef(
+      "als_user_factor_step",
+      (s, d) => {
+        val r = t(s, d, "lineitem")
+          .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("user"), col("l_partkey").as("item"),
+            col("l_quantity").cast(DecimalType(12, 2)).cast("double").as("r"))
+        val withF = r
+          .withColumn("v1",
+            PipelineQueries.hashPermille(col("item").cast("string"), "alsv1")
+              .cast("double") / lit(1000000.0))
+          .withColumn("v2",
+            PipelineQueries.hashPermille(col("item").cast("string"), "alsv2")
+              .cast("double") / lit(1000000.0))
+          .select(col("user"),
+            round(col("v1") * col("v1") * lit(1e9)).cast("long").as("a11"),
+            round(col("v1") * col("v2") * lit(1e9)).cast("long").as("a12"),
+            round(col("v2") * col("v2") * lit(1e9)).cast("long").as("a22"),
+            round(col("v1") * col("r") * lit(1e9)).cast("long").as("b1"),
+            round(col("v2") * col("r") * lit(1e9)).cast("long").as("b2"))
+        val lam = 100000000L // 0.1 in nano units
+        withF.groupBy("user")
+          .agg(count(lit(1)).as("n_items"),
+            (sum(col("a11")) + lit(lam)).as("s11"),
+            sum(col("a12")).as("s12"),
+            (sum(col("a22")) + lit(lam)).as("s22"),
+            sum(col("b1")).as("sb1"), sum(col("b2")).as("sb2"))
+          .withColumn("det",
+            col("s11").cast("double") * col("s22").cast("double") -
+              col("s12").cast("double") * col("s12").cast("double"))
+          .select(col("user").as("o_custkey"), col("n_items"),
+            ((col("s22").cast("double") * col("sb1").cast("double") -
+              col("s12").cast("double") * col("sb2").cast("double")) / col("det"))
+              .as("theta1"),
+            ((col("s11").cast("double") * col("sb2").cast("double") -
+              col("s12").cast("double") * col("sb1").cast("double")) / col("det"))
+              .as("theta2"))
+          .orderBy("o_custkey")
+      },
+      Some(s"""WITH r AS (
+             |  SELECT o_custkey AS u, l_partkey AS item,
+             |    CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE) AS r
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |f AS (
+             |  SELECT u,
+             |    CAST((${PipelineQueries.hashSqlExpr("item", "alsv1")})
+             |      AS DOUBLE) / 1000000.0 AS v1,
+             |    CAST((${PipelineQueries.hashSqlExpr("item", "alsv2")})
+             |      AS DOUBLE) / 1000000.0 AS v2,
+             |    r
+             |  FROM r),
+             |q AS (
+             |  SELECT u,
+             |    CAST(round(v1 * v1 * 1e9) AS BIGINT) AS a11,
+             |    CAST(round(v1 * v2 * 1e9) AS BIGINT) AS a12,
+             |    CAST(round(v2 * v2 * 1e9) AS BIGINT) AS a22,
+             |    CAST(round(v1 * r * 1e9) AS BIGINT) AS b1,
+             |    CAST(round(v2 * r * 1e9) AS BIGINT) AS b2
+             |  FROM f),
+             |m AS (
+             |  SELECT u, CAST(count(*) AS BIGINT) AS n_items,
+             |    CAST(sum(a11) + 100000000 AS BIGINT) AS s11,
+             |    CAST(sum(a12) AS BIGINT) AS s12,
+             |    CAST(sum(a22) + 100000000 AS BIGINT) AS s22,
+             |    CAST(sum(b1) AS BIGINT) AS sb1,
+             |    CAST(sum(b2) AS BIGINT) AS sb2
+             |  FROM q GROUP BY u)
+             |SELECT u AS o_custkey, n_items,
+             |  (CAST(s22 AS DOUBLE) * CAST(sb1 AS DOUBLE)
+             |     - CAST(s12 AS DOUBLE) * CAST(sb2 AS DOUBLE))
+             |    / (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE)
+             |     - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE)) AS theta1,
+             |  (CAST(s11 AS DOUBLE) * CAST(sb2 AS DOUBLE)
+             |     - CAST(s12 AS DOUBLE) * CAST(sb1 AS DOUBLE))
+             |    / (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE)
+             |     - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE)) AS theta2
+             |FROM m ORDER BY o_custkey""".stripMargin)),
+
     // EWMA level + one-step volume forecast (Holt without trend — the
     // capacity-planning baseline): level_t = α·Σ_{s≤t} (1−α)^(t−s)·y_s
     // with α = 0.3, normalized by the finite-window weight sum so early
