@@ -209,7 +209,7 @@ object ScaleSmoke {
     "revenue_mom_yoy_growth", "feature_hashing_collision_audit",
     "embedding_outlier_screen", "ewma_volume_forecast",
     "hll_sliding_window_distinct", "drift_emd_wasserstein",
-    "als_user_factor_step",
+    "als_user_factor_step", "logreg_irls_step",
     "ann_nprobe_recall_sweep",
     // nn_descent_round shares sim_cluster_neardup_pairs' deliberate
     // exemption: the scaler clones embedding vectors verbatim, so all 10

@@ -1052,6 +1052,111 @@ object StatQueries {
              |       / CAST(nb - 1 AS DOUBLE)) AS df_welch
              |FROM w""".stripMargin)),
 
+    // One IRLS (Newton–Raphson) step for a 2-feature logistic regression
+    // — converted ~ order count + revenue, the churn/propensity model
+    // every CRM fits: from the FIXED documented prior β = (−1, 0.2,
+    // 0.05), each row contributes its weighted working-response moments
+    // (w = μ(1−μ), z = η + (y−μ)/w), and the update solves the 3×3
+    // weighted normal equations by the ols_two_feature_cramer
+    // determinant machinery. The per-row μ chain (one exp) is identical
+    // IEEE on both engines and every moment term is nano-quantized
+    // BEFORE the sums — so an ITERATIVE optimizer's inner loop replays
+    // bit-exactly under the oracle, the same per-round contract as the
+    // ALS/IPF/EM steps. One scan, one 10-moment aggregate.
+    QueryDef(
+      "logreg_irls_step",
+      (s, d) => {
+        val per = t(s, d, "orders").groupBy("o_custkey")
+          .agg(count(lit(1)).cast("double").as("x1"),
+            (sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double") /
+              lit(1e6)).as("x2"),
+            max(when(col("o_orderstatus") === "F", 1.0).otherwise(0.0)).as("y"))
+        val withW = per
+          .withColumn("eta", lit(-1.0) + lit(0.2) * col("x1") + lit(0.05) * col("x2"))
+          .withColumn("mu", lit(1.0) / (lit(1.0) + exp(-col("eta"))))
+          .withColumn("w", col("mu") * (lit(1.0) - col("mu")))
+          .withColumn("z", col("eta") + (col("y") - col("mu")) / col("w"))
+        def q(c: org.apache.spark.sql.Column, n: String) =
+          sum(round(c * lit(1e9)).cast("long")).as(n)
+        val m = withW.agg(
+          count(lit(1)).as("n"),
+          q(col("w"), "s0"), q(col("w") * col("x1"), "s1"),
+          q(col("w") * col("x2"), "s2"),
+          q(col("w") * col("x1") * col("x1"), "s11"),
+          q(col("w") * col("x2") * col("x2"), "s22"),
+          q(col("w") * col("x1") * col("x2"), "s12"),
+          q(col("w") * col("z"), "sy"),
+          q(col("w") * col("x1") * col("z"), "s1y"),
+          q(col("w") * col("x2") * col("z"), "s2y"))
+        def dbl(n: String) = col(n).cast("double")
+        def det(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+                c: org.apache.spark.sql.Column, dd: org.apache.spark.sql.Column,
+                e: org.apache.spark.sql.Column, f: org.apache.spark.sql.Column,
+                g: org.apache.spark.sql.Column, h: org.apache.spark.sql.Column,
+                i: org.apache.spark.sql.Column) =
+          a * (e * i - f * h) - b * (dd * i - f * g) + c * (dd * h - e * g)
+        val (s0, s1, s2, sy) = (dbl("s0"), dbl("s1"), dbl("s2"), dbl("sy"))
+        val (s11, s22, s12, s1y, s2y) =
+          (dbl("s11"), dbl("s22"), dbl("s12"), dbl("s1y"), dbl("s2y"))
+        val dm = det(s0, s1, s2, s1, s11, s12, s2, s12, s22)
+        val d0 = det(sy, s1, s2, s1y, s11, s12, s2y, s12, s22)
+        val d1 = det(s0, sy, s2, s1, s1y, s12, s2, s2y, s22)
+        val d2 = det(s0, s1, sy, s1, s11, s1y, s2, s12, s2y)
+        m.select(col("n"),
+          (d0 / dm).as("beta0_new"), (d1 / dm).as("beta1_new"),
+          (d2 / dm).as("beta2_new"))
+      },
+      Some("""WITH per AS (
+             |  SELECT o_custkey,
+             |    CAST(count(*) AS DOUBLE) AS x1,
+             |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / 1e6
+             |      AS x2,
+             |    max(CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END) AS y
+             |  FROM orders GROUP BY 1),
+             |ww AS (
+             |  SELECT *,
+             |    -1.0 + 0.2 * x1 + 0.05 * x2 AS eta,
+             |    1.0 / (1.0 + exp(-(-1.0 + 0.2 * x1 + 0.05 * x2))) AS mu
+             |  FROM per),
+             |w2 AS (
+             |  SELECT *, mu * (1.0 - mu) AS w,
+             |    eta + (y - mu) / (mu * (1.0 - mu)) AS z
+             |  FROM ww),
+             |m AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CAST(round(w * 1e9) AS BIGINT)) AS BIGINT) AS s0,
+             |    CAST(sum(CAST(round(w * x1 * 1e9) AS BIGINT)) AS BIGINT) AS s1,
+             |    CAST(sum(CAST(round(w * x2 * 1e9) AS BIGINT)) AS BIGINT) AS s2,
+             |    CAST(sum(CAST(round(w * x1 * x1 * 1e9) AS BIGINT)) AS BIGINT) AS s11,
+             |    CAST(sum(CAST(round(w * x2 * x2 * 1e9) AS BIGINT)) AS BIGINT) AS s22,
+             |    CAST(sum(CAST(round(w * x1 * x2 * 1e9) AS BIGINT)) AS BIGINT) AS s12,
+             |    CAST(sum(CAST(round(w * z * 1e9) AS BIGINT)) AS BIGINT) AS sy,
+             |    CAST(sum(CAST(round(w * x1 * z * 1e9) AS BIGINT)) AS BIGINT) AS s1y,
+             |    CAST(sum(CAST(round(w * x2 * z * 1e9) AS BIGINT)) AS BIGINT) AS s2y
+             |  FROM w2),
+             |dd AS (
+             |  SELECT n,
+             |    CAST(s0 AS DOUBLE) AS s0, CAST(s1 AS DOUBLE) AS s1,
+             |    CAST(s2 AS DOUBLE) AS s2, CAST(sy AS DOUBLE) AS sy,
+             |    CAST(s11 AS DOUBLE) AS s11, CAST(s22 AS DOUBLE) AS s22,
+             |    CAST(s12 AS DOUBLE) AS s12, CAST(s1y AS DOUBLE) AS s1y,
+             |    CAST(s2y AS DOUBLE) AS s2y
+             |  FROM m)
+             |SELECT n,
+             |  (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+             |     + s2 * (s1y * s12 - s11 * s2y))
+             |  / (s0 * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+             |     + s2 * (s1 * s12 - s11 * s2)) AS beta0_new,
+             |  (s0 * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+             |     + s2 * (s1 * s2y - s1y * s2))
+             |  / (s0 * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+             |     + s2 * (s1 * s12 - s11 * s2)) AS beta1_new,
+             |  (s0 * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+             |     + sy * (s1 * s12 - s11 * s2))
+             |  / (s0 * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+             |     + s2 * (s1 * s12 - s11 * s2)) AS beta2_new
+             |FROM dd""".stripMargin)),
+
     // One ALS half-step (Koren/Hu et al.; the alternating-least-squares
     // recommender update that was Spark MLlib's flagship workload): with
     // ITEM factors fixed (two deterministic hash-seeded dimensions), each
