@@ -412,4 +412,73 @@ class CatalogPropertySpec extends SparkSuite {
       s"bucket drill-down must account for all ${withheld} withheld rows, " +
         s"found ${out.sum}")
   }
+
+  test("ipf_raking_step's column step leaves source marginals uniform " +
+      "(the IPF invariant, up to per-cell rounding)") {
+    // After the column scaling, every source's weight mass must equal
+    // total/n_source exactly up to the nano-quantization of each cell
+    // (≤ 0.5 nano per cell) — this is the property the iteration exists
+    // to enforce, checked on the catalog query's own output.
+    val rows = SparkEntry.queries("ipf_raking_step")(spark, "/root/testdata/sf0.001")
+      .select("source", "w2_nano").as[(String, Long)].collect()
+    val bySrc = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val total = SparkEntry.queries("ipf_raking_step")(spark, "/root/testdata/sf0.001")
+      .agg(sum(col("n"))).as[Long].head()
+    val nSource = bySrc.size
+    val target = total * 1000000000.0 / nSource
+    val maxCells = rows.length
+    bySrc.foreach { case (src, w) =>
+      assert(math.abs(w - target) <= maxCells.toDouble,
+        s"source $src marginal ${w} deviates from uniform target $target " +
+          s"beyond rounding tolerance $maxCells nanos")
+    }
+  }
+
+  test("als_user_factor_step == in-memory per-user ridge solve with the " +
+      "same quantization on a random lake") {
+    val rnd = new Random(88L)
+    val orders = (1 to 200).map(i => (i.toLong, 1L + rnd.nextInt(30)))
+    val lines = orders.flatMap { case (ok, _) =>
+      (0 until 1 + rnd.nextInt(4)).map(j =>
+        (ok, 1L + rnd.nextInt(40), (1 + rnd.nextInt(50)).toDouble))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-als").toString
+    orders.toDF("o_orderkey", "o_custkey").write.parquet(s"$dir/orders.parquet")
+    lines.toDF("l_orderkey", "l_partkey", "l_quantity")
+      .write.parquet(s"$dir/lineitem.parquet")
+
+    val got = SparkEntry.queries("als_user_factor_step")(spark, dir)
+      .select("o_custkey", "theta1", "theta2")
+      .as[(Long, Double, Double)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+
+    def permille(s0: String, salt: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$salt:$s0".getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 1000000L
+    }
+    val custOf = orders.toMap
+    val want = lines.groupBy(l => custOf(l._1)).map { case (u, ls) =>
+      var (a11, a12, a22, b1, b2) = (100000000L, 0L, 100000000L, 0L, 0L)
+      // accumulation order must not matter: terms are pre-quantized longs
+      ls.foreach { case (_, item, r) =>
+        val v1 = permille(item.toString, "alsv1").toDouble / 1e6
+        val v2 = permille(item.toString, "alsv2").toDouble / 1e6
+        a11 += math.round(v1 * v1 * 1e9); a12 += math.round(v1 * v2 * 1e9)
+        a22 += math.round(v2 * v2 * 1e9)
+        b1 += math.round(v1 * r * 1e9); b2 += math.round(v2 * r * 1e9)
+      }
+      // a22 seeded with lambda above; a11 too
+      val det = a11.toDouble * a22.toDouble - a12.toDouble * a12.toDouble
+      u -> ((
+        (a22.toDouble * b1.toDouble - a12.toDouble * b2.toDouble) / det,
+        (a11.toDouble * b2.toDouble - a12.toDouble * b1.toDouble) / det))
+    }
+    assert(got.keySet == want.keySet)
+    got.foreach { case (u, (t1, t2)) =>
+      val (w1, w2) = want(u)
+      assert(t1 == w1 && t2 == w2,
+        s"user $u factors diverge: got ($t1,$t2) want ($w1,$w2)")
+    }
+  }
 }
