@@ -423,17 +423,23 @@ object DedupQueries {
             (col("sza") - col("mpa") + 1) * 8 >= (col("sza") + col("szb")) * 3 &&
             (col("szb") - col("mpb") + 1) * 8 >= (col("sza") + col("szb")) * 3)
           .select("ida", "idb", "sza", "szb")
-        // verify by shingle-SET intersect (r9, the dedup_containment_bounded
-        // trick): two candidate-bounded joins attach whole sets instead of
-        // re-shuffling the exploded token table twice — measured 5.7 s →
-        // ~2 s on the sf0.1 headline with the oracle unchanged
-        val sets = t(s, d, "documents")
-          .filter(size(graft.text.TextOps.tokens(col("text"))) >= 3)
-          .select(col("doc_id"), graft.dedup.Dedup.shingleSet(col("text"), 3).as("sset"))
+        // verify by counting matching TOKENS per candidate pair — only
+        // integers and short shingle strings cross the exchange. The r9
+        // set-array variant (attach whole shingle sets to every candidate
+        // via two joins) looked faster locally but REGRESSED 2.3× in the
+        // driver bench (BENCH_r09: 13.4 s vs r8's 5.7 s): ~300k candidate
+        // rows × two ~200-element arrays paid array serialization through
+        // two exchanges. Here every exchanged row is ids + ONE shingle:
+        // join the candidate table to A's tokens on ida, keep only tokens
+        // also present in B via the (idb, tok) equi-join, and the pair
+        // count partial-aggregates map-side before the final (ida, idb)
+        // exchange. Candidates are data-proportional, so shuffle joins
+        // (not a broadcast of cands) are the shape that survives 100×.
         val inter = cands
-          .join(sets.select(col("doc_id").as("ida"), col("sset").as("sa")), Seq("ida"))
-          .join(sets.select(col("doc_id").as("idb"), col("sset").as("sb")), Seq("idb"))
-          .withColumn("ov", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+          .join(toks.select(col("doc_id").as("ida"), col("tok")), Seq("ida"))
+          .join(toks.select(col("doc_id").as("idb"), col("tok")), Seq("idb", "tok"))
+          .groupBy("ida", "idb", "sza", "szb")
+          .agg(count(lit(1)).as("ov"))
         inter
           .filter(col("ov") * 5 >= (col("sza") + col("szb") - col("ov")) * 3)
           .select(col("ida").as("doc_id_a"), col("idb").as("doc_id_b"), col("ov"),
