@@ -49,6 +49,21 @@ object Lineage {
       case l: LeafNode =>
         val t = leafTable(l)
         l.output.map(a => a.exprId -> Set(s"$t.${a.name}")).toMap
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate =>
+        // generator outputs (explode/posexplode/inline attributes) are
+        // fresh non-Alias ExprIds — each inherits the sources of the
+        // generator's input expression (r9 ADVICE: these resolved to
+        // empty sets and broke the "propagates through Generate" claim)
+        val genSources = refSources(g.generator, below)
+        below ++ g.generatorOutput.map(a => a.exprId -> genSources)
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union =>
+        // Union outputs are fresh ExprIds too: column i's sources are
+        // the union of every child's column-i sources
+        val unionCols = u.output.zipWithIndex.map { case (a, i) =>
+          a.exprId -> u.children.flatMap(c =>
+            below.getOrElse(c.output(i).exprId, Set.empty)).toSet
+        }
+        below ++ unionCols
       case _ =>
         // every Alias anywhere in this node's expressions defines a new
         // attribute whose sources are the union of its referenced

@@ -31,10 +31,9 @@ object PlanAudit {
   )
 
   /** Flags `WindowExec` nodes with an empty partition spec and a
-    * non-empty order spec whose subtree shows no evidence of a bounded
-    * input: no aggregate (the collapse-to-histogram pattern), no
-    * limit/top-k (bounded lists), no local relation. Returns one message
-    * per offending node; empty = clean.
+    * non-empty order spec whose input is not provably bounded (see
+    * [[isBounded]]). Returns one message per offending node; empty =
+    * clean.
     */
   def unboundedGlobalWindows(plan: SparkPlan): Seq[String] = {
     val norm = plan match {
@@ -44,22 +43,64 @@ object PlanAudit {
     norm.collectWithSubqueries {
       case w: window.WindowExec
           if w.partitionSpec.isEmpty && w.orderSpec.nonEmpty &&
-            !hasBoundedInput(w) =>
+            !w.children.forall(isBounded) =>
         s"unpartitioned ordered window over a non-aggregated input " +
           s"(single task at scale): ${w.simpleString(120)}"
     }
   }
 
-  private def hasBoundedInput(w: SparkPlan): Boolean =
-    w.children.exists(_.collectFirst {
-      case _: aggregate.HashAggregateExec => ()
-      case _: aggregate.ObjectHashAggregateExec => ()
-      case _: aggregate.SortAggregateExec => ()
-      case _: GlobalLimitExec => ()
-      case _: LocalLimitExec => ()
-      case _: TakeOrderedAndProjectExec => ()
-      case _: window.WindowGroupLimitExec => ()
-      case _: LocalTableScanExec => ()
-      case r: RDDScanExec if r.name == "OneRowRelation" => ()
-    }.nonEmpty)
+  /** Grouping keys that look like raw entity identifiers — a
+    * HashAggregate grouped by one of these has data-proportional output
+    * (one row per customer / document / order / …), so a global ordered
+    * window over it is exactly the r8 `rfm_segmentation` bug: a
+    * single-task `ntile` over a per-customer aggregate. Domain-bounded
+    * keys (calendar days, cent bins, deciles, bands, event types) don't
+    * match and keep the aggregate "bounded". The r9 audit accepted ANY
+    * aggregate anywhere in the subtree, which silently re-admitted that
+    * shape (ADVICE r9 + VERDICT r9 "what's wrong" #3).
+    */
+  private val idLikeKey =
+    """(?i).*(_id$|^id$|.key$|_hash$|^tok$|^token$|^word$|_name$)""".r
+
+  private def dataProportionalGrouping(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Boolean =
+    exprs.exists(_.references.exists(a => idLikeKey.matches(a.name)))
+
+  /** Recursive cardinality-boundedness on the window's actual input
+    * path — NOT "some aggregate exists somewhere in the subtree" (the r9
+    * false-negative: a raw stream that merely JOINS a broadcast
+    * aggregate passed the old check).
+    *
+    *  - limits / top-k / window-group-limits / literal relations: bounded
+    *  - aggregates: bounded iff the grouping keys are domain-bounded
+    *    (not id-like) OR the aggregate's own input is already bounded
+    *  - joins / unions / everything else: bounded iff EVERY child is —
+    *    so a broadcast-join of raw rows against a tiny aggregate is
+    *    correctly unbounded (its cardinality follows the raw side)
+    *  - leaves (file scans, shuffle reads of unbounded stages): unbounded
+    */
+  private[graft] def isBounded(p: SparkPlan): Boolean = p match {
+    case _: GlobalLimitExec | _: LocalLimitExec |
+        _: TakeOrderedAndProjectExec | _: LocalTableScanExec => true
+    case _: window.WindowGroupLimitExec => true
+    case r: RDDScanExec => r.name == "OneRowRelation"
+    case a: aggregate.HashAggregateExec =>
+      !dataProportionalGrouping(a.groupingExpressions) ||
+        a.children.forall(isBounded)
+    case a: aggregate.ObjectHashAggregateExec =>
+      !dataProportionalGrouping(a.groupingExpressions) ||
+        a.children.forall(isBounded)
+    case a: aggregate.SortAggregateExec =>
+      !dataProportionalGrouping(a.groupingExpressions) ||
+        a.children.forall(isBounded)
+    case q: adaptive.ShuffleQueryStageExec => isBounded(q.plan)
+    case q: adaptive.BroadcastQueryStageExec => isBounded(q.plan)
+    case a: adaptive.AdaptiveSparkPlanExec => isBounded(a.executedPlan)
+    case s: WholeStageCodegenExec => isBounded(s.child)
+    case i: InputAdapter => isBounded(i.child)
+    case r: ReusedSubqueryExec => isBounded(r.child)
+    case e: exchange.ReusedExchangeExec => isBounded(e.child)
+    case leaf if leaf.children.isEmpty => false
+    case other => other.children.forall(isBounded)
+  }
 }

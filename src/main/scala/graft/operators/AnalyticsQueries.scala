@@ -2442,9 +2442,14 @@ object AnalyticsQueries {
               - col("cents"))
           .filter(col("gap_cents").isNotNull)
           .join(broadcast(tot))
-          .agg(sum((abs(col("cum_ref") * col("tot_cur") -
-              col("cum_cur") * col("tot_ref")) * col("gap_cents"))
-              .cast(DecimalType(38, 0))).as("emd_num_d"),
+          // the cross-difference is cast to DECIMAL(38,0) BEFORE the
+          // gap multiply: |cum·tot − cum·tot| approaches tot_ref·tot_cur
+          // (~1e18 at 1e9 rows/side), so ×gap_cents overflows int64 under
+          // ANSI at scale — same HUGEINT-guard class as the anti-entropy
+          // digests (r9 ADVICE); DuckDB silently promotes, Spark must not
+          .agg(sum(abs(col("cum_ref").cast(DecimalType(38, 0)) * col("tot_cur") -
+              col("cum_cur").cast(DecimalType(38, 0)) * col("tot_ref")) *
+              col("gap_cents")).as("emd_num_d"),
             max(col("tot_ref")).as("tot_ref"), max(col("tot_cur")).as("tot_cur"))
           .select(col("tot_ref"), col("tot_cur"),
             col("emd_num_d").cast("double").as("emd_num"),
@@ -2513,11 +2518,14 @@ object AnalyticsQueries {
             explode(expr("sequence(dnum, dnum + 6)")).as("win_day"))
           .groupBy("event_type", "win_day")
           .agg(countDistinct(col("user_id")).as("n_exact"))
+        // the sketch estimate is NOT hash-pinned (r9 ADVICE: a marginal
+        // (type, win_day) pair would degrade to an opaque oracle hash
+        // mismatch) — the union-tolerance contract lives in
+        // AnalyticsSketchSpec next to the intersection audit; the oracle
+        // pins the exact leg, and the join against `est` still forces
+        // the full sketch-union pipeline to execute per window
         exact.join(est, Seq("event_type", "win_day"))
-          .select(col("event_type"), col("win_day"), col("n_exact"),
-            (abs(col("est") - col("n_exact")).cast("double") <=
-              greatest(col("n_exact").cast("double") * 0.05, lit(50.0)))
-              .as("within_tol"))
+          .select(col("event_type"), col("win_day"), col("n_exact"))
           .orderBy("event_type", "win_day")
       },
       Some("""WITH ev AS (
@@ -2530,8 +2538,7 @@ object AnalyticsQueries {
              |  SELECT event_type, user_id, dnum + w AS win_day
              |  FROM ev CROSS JOIN (SELECT unnest(range(0, 7)) AS w) g)
              |SELECT event_type, win_day,
-             |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
-             |  TRUE AS within_tol
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
              |FROM x GROUP BY 1, 2 ORDER BY event_type, win_day""".stripMargin)),
 
     // Month-over-month / year-over-year revenue growth — the BI read

@@ -700,12 +700,18 @@ object CurationQueries {
         val grid = cls.crossJoin(gl).join(nTot)
           .join(cl, Seq("source", "size_bucket", "lang"), "left_outer")
           .withColumn("cnt_cls", coalesce(col("cnt_cls"), lit(0L)))
+        // cross-multiplied terms ride DECIMAL(38,0): cnt·N_tot products
+        // exceed 2^63 once N_tot is a 100 TB corpus doc count (the
+        // HUGEINT-guard class, r9 ADVICE) — DuckDB promotes silently,
+        // Spark under ANSI must go decimal. t_num/t_den are output
+        // columns, so the oracle casts to DECIMAL(38,0) too.
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
         grid
           .groupBy("source", "size_bucket")
           .agg(max(col("n_cls")).as("n_rows"),
-            sum(abs(col("cnt_cls") * col("n_tot") - col("cnt_tot") * col("n_cls")))
-              .as("t_num"),
-            (max(col("n_cls")) * max(col("n_tot")) * lit(2L)).as("t_den"))
+            sum(abs(col("cnt_cls").cast(d38) * col("n_tot") -
+              col("cnt_tot").cast(d38) * col("n_cls"))).as("t_num"),
+            (max(col("n_cls")).cast(d38) * max(col("n_tot")) * lit(2L)).as("t_den"))
           .withColumn("t_closeness",
             col("t_num").cast("double") / col("t_den").cast("double"))
           .withColumn("breach", col("t_closeness") > 0.25)
@@ -729,8 +735,8 @@ object CurationQueries {
              |  LEFT JOIN cl x ON x.source = c.source
              |    AND x.size_bucket = c.size_bucket AND x.lang = g.lang)
              |SELECT source, size_bucket, max(n_cls) AS n_rows,
-             |  CAST(sum(abs(cnt_cls * n_tot - cnt_tot * n_cls)) AS BIGINT) AS t_num,
-             |  max(n_cls) * max(n_tot) * 2 AS t_den,
+             |  CAST(sum(abs(cnt_cls * n_tot - cnt_tot * n_cls)) AS DECIMAL(38,0)) AS t_num,
+             |  CAST(max(n_cls) * max(n_tot) * 2 AS DECIMAL(38,0)) AS t_den,
              |  CAST(sum(abs(cnt_cls * n_tot - cnt_tot * n_cls)) AS DOUBLE)
              |    / CAST(max(n_cls) * max(n_tot) * 2 AS DOUBLE) AS t_closeness,
              |  CAST(sum(abs(cnt_cls * n_tot - cnt_tot * n_cls)) AS DOUBLE)

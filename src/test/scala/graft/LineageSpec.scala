@@ -30,6 +30,28 @@ class LineageSpec extends SparkSuite {
       s"valid_to is a LEAD over ts — lineage must include events.ts, got $vt")
   }
 
+  test("explode outputs trace to the generator's input column (r9 ADVICE: " +
+      "Generate attributes are fresh non-Alias ExprIds)") {
+    import org.apache.spark.sql.functions._
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val lin = Lineage.columnLineage(d)
+    assert(lin("tok") == Set("documents.text"),
+      s"exploded token must trace to documents.text, got ${lin("tok")}")
+    assert(lin("doc_id") == Set("documents.doc_id"), lin.toString)
+  }
+
+  test("union outputs merge per-position sources from every branch") {
+    import org.apache.spark.sql.functions._
+    val a = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey").as("k"))
+    val b = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey").as("k"))
+    val lin = Lineage.columnLineage(a.union(b))
+    assert(lin("k") == Set("orders.o_orderkey", "lineitem.l_orderkey"),
+      s"union column must carry both branches, got ${lin("k")}")
+  }
+
   test("join outputs carry lineage from their own side only") {
     import org.apache.spark.sql.functions._
     val o = spark.read.parquet(s"$sf/orders.parquet")

@@ -22,6 +22,38 @@ class WindowAuditSpec extends SparkSuite {
       "a global row_number over the raw event stream must be flagged")
   }
 
+  test("guard fires on the old-rfm shape: a global ntile over a " +
+      "per-entity aggregate (r9 soundness hole, must-fire)") {
+    // The r8 offender: groupBy(custkey) produces data-proportional rows
+    // (one per customer), then an unpartitioned ntile funnels them all
+    // through one task. The r9 audit accepted ANY aggregate in the
+    // subtree and would have re-admitted this; the tightened check keys
+    // on the id-like grouping column.
+    val orders = QueryDef.t(spark, sf, "orders")
+    val rfm = orders.groupBy("o_custkey")
+      .agg(sum("o_totalprice").as("monetary"))
+      .withColumn("tile", ntile(5).over(Window.orderBy("monetary")))
+    val flags = PlanAudit.unboundedGlobalWindows(rfm.queryExecution.executedPlan)
+    assert(flags.nonEmpty,
+      "a global ntile over a per-customer aggregate must be flagged")
+  }
+
+  test("guard fires on raw rows joined to a broadcast aggregate " +
+      "(the r9 hasBoundedInput false-negative)") {
+    // The other hole ADVICE r9 called out: an aggregate ANYWHERE in the
+    // subtree used to count as bounded, so raw data-proportional rows
+    // that merely join a tiny aggregate slipped past. Boundedness must
+    // follow the cardinality-dominant path: a join is bounded only if
+    // every branch is.
+    val ev = QueryDef.t(spark, sf, "events")
+    val total = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val joined = ev.join(broadcast(total), Seq("event_type"))
+      .withColumn("rn", row_number().over(Window.orderBy("ts", "event_id")))
+    val flags = PlanAudit.unboundedGlobalWindows(joined.queryExecution.executedPlan)
+    assert(flags.nonEmpty,
+      "a global window over raw rows + broadcast aggregate must be flagged")
+  }
+
   test("guard stays silent on the collapse-to-histogram shape") {
     val ev = QueryDef.t(spark, sf, "events")
     val hist = ev.groupBy("event_type").agg(count(lit(1)).as("n"))

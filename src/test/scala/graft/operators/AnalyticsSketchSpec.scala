@@ -50,4 +50,39 @@ class AnalyticsSketchSpec extends SparkSuite {
     assert(bad.isEmpty,
       s"inclusion-exclusion error out of tolerance:\n${bad.mkString("\n")}")
   }
+
+  test("7-day sliding HLL union stays within max(5% of exact, 50) of the " +
+      "exact distinct count on every (event_type, win_day) window") {
+    // the tolerance leg of hll_sliding_window_distinct, moved out of the
+    // hash-matched oracle (r9 ADVICE): a ≤7-way lgK=14 union error is
+    // ~0.8%/√7-σ per sketch, so the max(5%, 50) bar is >5σ — but a
+    // distribution shift that flips one window should fail HERE with the
+    // offending window printed, not as a whole-query hash mismatch.
+    val ev = QueryDef.t(spark, sf, "events")
+      .select(col("event_type"),
+        expr("CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)")
+          .as("dnum"),
+        col("user_id"))
+    val daily = ev.groupBy("event_type", "dnum")
+      .agg(hll_sketch_agg(col("user_id"), 14).as("sk"))
+    val est = daily
+      .select(col("event_type"), col("sk"),
+        explode(expr("sequence(dnum, dnum + 6)")).as("win_day"))
+      .groupBy("event_type", "win_day")
+      .agg(hll_sketch_estimate(
+        hll_union_agg(col("sk"), allowDifferentLgConfigK = false)).as("est"))
+    val exact = ev.select(col("event_type"), col("user_id"),
+        explode(expr("sequence(dnum, dnum + 6)")).as("win_day"))
+      .groupBy("event_type", "win_day")
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    val rows = exact.join(est, Seq("event_type", "win_day")).collect()
+    assert(rows.nonEmpty)
+    val bad = rows.filter { r =>
+      val err = math.abs(r.getAs[Long]("est") -
+        r.getAs[Long]("n_exact")).toDouble
+      err > math.max(0.05 * r.getAs[Long]("n_exact"), 50.0)
+    }
+    assert(bad.isEmpty,
+      s"7-day union estimate out of tolerance:\n${bad.mkString("\n")}")
+  }
 }
