@@ -321,7 +321,12 @@ object ScaleSmoke {
     // broadcast value-histogram probe — the single-partition stage is
     // the DISTINCT value domain, which grows sublinearly)
     "rouge1_neardup_pairs", "nmf_multiplicative_step",
-    "quantile_normalize_sources")
+    "quantile_normalize_sources",
+    // round 10: the five-round PageRank loop — per-round cost is one
+    // edge join + one aggregate, so total must be ~5× the one-step
+    // query and linear in edges; a superlinear ratio here means the
+    // localCheckpoint pins stopped cutting lineage between rounds
+    "pagerank_power_k5")
 
   /** Run each smoke query twice on the scaled dir, return min seconds. */
   def run(spark: SparkSession, scaledDir: String): Map[String, Double] =

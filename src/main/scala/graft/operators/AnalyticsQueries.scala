@@ -583,6 +583,105 @@ object AnalyticsQueries {
              |FROM edges JOIN deg USING (l_partkey)
              |GROUP BY l_suppkey""".stripMargin)),
 
+    // Five full PageRank power iterations (damping 0.85) over the
+    // UNDIRECTED part↔supplier graph — the multi-round driver-side
+    // iteration story: each round is one join + one aggregate over a
+    // localCheckpoint-pinned edge table, and each new rank vector is
+    // checkpointed before the next round so the lineage stays one-round
+    // deep (the `Dedup.connectedComponents` discipline — without the
+    // pin, round k re-expands rounds 1..k-1 and the plan blows up
+    // exponentially). Arithmetic is FIXED-POINT integer end-to-end:
+    // total mass 1e12, contribution = r div outdeg, update
+    // r' = (15·(1e12 div N)) div 100 + (85·Σcontrib) div 100 — every
+    // step is order-independent BIGINT, so five rounds replay exactly
+    // in DuckDB (a double 1/outdeg sum would drift by shuffle order by
+    // round 2). Mass bounds are corpus-independent (Σr ≤ 1e12, ×85
+    // ≤ 8.5e13 ≪ 2^63), so the arithmetic survives any scale; the
+    // undirected bipartite edges mean no dangling nodes (every src has
+    // outdeg ≥ 1) and mass circulates instead of draining. The 1-row
+    // node count rides a checkpointed broadcast cross join — no
+    // driver-side collect anywhere in the loop.
+    QueryDef(
+      "pagerank_power_k5",
+      (s, d) => {
+        val pairs = t(s, d, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey")).distinct()
+        val edges = pairs
+          .select(concat(lit("p"), col("l_partkey")).as("src"),
+            concat(lit("s"), col("l_suppkey")).as("dst"))
+          .union(pairs.select(concat(lit("s"), col("l_suppkey")).as("src"),
+            concat(lit("p"), col("l_partkey")).as("dst")))
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+        // (src, dst, outdeg) — reused every round. PERSISTED (not
+        // checkpointed) with an explicit hash(src) repartition + in-
+        // partition sort: cached plans keep their declared partitioning
+        // and ordering (AQE may not change cached-plan output
+        // partitioning by default), so every round's merge join reads
+        // the edge side with ZERO exchange and ZERO sort — only the
+        // rank vector (node-proportional, the small side) moves per
+        // round. A localCheckpoint here measurably re-exchanged the
+        // edges every round: the AQE shuffle read behind the pin
+        // reports unknown partitioning, so EnsureRequirements re-added
+        // the big-side shuffle ×5.
+        val graph = edges.join(deg, "src").repartition(col("src"))
+          .sortWithinPartitions("src").persist()
+        val nB = graph.select("src").distinct()
+          .agg(count(lit(1)).as("n_nodes")).localCheckpoint(true)
+        var ranks = graph.select(col("src").as("node")).distinct()
+          .crossJoin(broadcast(nB))
+          .select(col("node"), expr("1000000000000 div n_nodes").as("r"))
+          .localCheckpoint(true)
+        for (_ <- 1 to 5) {
+          // merge hint: the edge side GROWS with the corpus, so letting
+          // AQE hash-build/broadcast it is the copurchase scale cliff;
+          // SMJ rides the cached sort order for free
+          val next = graph.hint("merge")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(col("dst").as("node"), expr("r div outdeg").as("c"))
+            .groupBy("node").agg(sum(col("c")).as("inmass"))
+            .crossJoin(broadcast(nB))
+            .select(col("node"),
+              expr("(15 * (1000000000000 div n_nodes)) div 100 " +
+                "+ (85 * inmass) div 100").as("r"))
+            .localCheckpoint(true)
+          ranks.unpersist()
+          ranks = next
+        }
+        graph.unpersist() // final ranks are checkpointed; drop the cache
+        ranks.select(col("node"), col("r").as("score_fp"))
+      },
+      Some("""WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+             |edges AS (
+             |  SELECT 'p' || l_partkey AS src, 's' || l_suppkey AS dst FROM pairs
+             |  UNION ALL
+             |  SELECT 's' || l_suppkey AS src, 'p' || l_partkey AS dst FROM pairs),
+             |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+             |nn AS (SELECT count(*) AS n_nodes FROM deg),
+             |base AS (SELECT (15 * (1000000000000 // n_nodes)) // 100 AS b FROM nn),
+             |r0 AS (SELECT src AS node,
+             |  CAST(1000000000000 // n_nodes AS BIGINT) AS r FROM deg, nn),
+             |r1 AS (SELECT x.node, CAST(bb.b + (85 * x.inmass) // 100 AS BIGINT) AS r
+             |  FROM (SELECT e.dst AS node, sum(rr.r // d.outdeg) AS inmass
+             |        FROM edges e JOIN deg d ON d.src = e.src
+             |        JOIN r0 rr ON rr.node = e.src GROUP BY 1) x, base bb),
+             |r2 AS (SELECT x.node, CAST(bb.b + (85 * x.inmass) // 100 AS BIGINT) AS r
+             |  FROM (SELECT e.dst AS node, sum(rr.r // d.outdeg) AS inmass
+             |        FROM edges e JOIN deg d ON d.src = e.src
+             |        JOIN r1 rr ON rr.node = e.src GROUP BY 1) x, base bb),
+             |r3 AS (SELECT x.node, CAST(bb.b + (85 * x.inmass) // 100 AS BIGINT) AS r
+             |  FROM (SELECT e.dst AS node, sum(rr.r // d.outdeg) AS inmass
+             |        FROM edges e JOIN deg d ON d.src = e.src
+             |        JOIN r2 rr ON rr.node = e.src GROUP BY 1) x, base bb),
+             |r4 AS (SELECT x.node, CAST(bb.b + (85 * x.inmass) // 100 AS BIGINT) AS r
+             |  FROM (SELECT e.dst AS node, sum(rr.r // d.outdeg) AS inmass
+             |        FROM edges e JOIN deg d ON d.src = e.src
+             |        JOIN r3 rr ON rr.node = e.src GROUP BY 1) x, base bb),
+             |r5 AS (SELECT x.node, CAST(bb.b + (85 * x.inmass) // 100 AS BIGINT) AS r
+             |  FROM (SELECT e.dst AS node, sum(rr.r // d.outdeg) AS inmass
+             |        FROM edges e JOIN deg d ON d.src = e.src
+             |        JOIN r4 rr ON rr.node = e.src GROUP BY 1) x, base bb)
+             |SELECT node, r AS score_fp FROM r5""".stripMargin)),
+
     // Quantile-sketch accuracy contract — the percentile counterpart of
     // approx_distinct_users' pattern: at 100 TB exact percentiles mean
     // sorting the universe, so the scale path is approx_percentile
