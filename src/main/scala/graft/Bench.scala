@@ -44,10 +44,22 @@ object Bench {
     // message head per failed query), so an rc=1 round is diagnosable
     // from BENCH_r*.json alone without the stderr log (VERDICT r6).
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // per-query shuffle-write MB (r10 verdict task #3): measured on the
+    // last of the three runs — bytes are plan-deterministic across runs,
+    // and the drain in snapshot() keeps each delta on the right query
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
+    val shuffleMb = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = SparkEntry.benchQueries.map { name =>
       val times = (1 to 3).map { _ =>
+        val s0 = meter.snapshot(spark.sparkContext)
         val t0 = System.nanoTime()
-        try { fns(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        try {
+          fns(name)(spark, sfDir).count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          shuffleMb(name) = (meter.snapshot(spark.sparkContext) - s0) / 1e6
+          sec
+        }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           errors(name) =
@@ -59,6 +71,9 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val shufJson = results.map { case (k, _) =>
+      "\"" + k + "\":" + f"${shuffleMb.getOrElse(k, -1.0)}%.1f"
+    }.mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => k }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -73,7 +88,10 @@ object Bench {
       val tb0 = System.nanoTime()
       val scaledDir = ScaleSmoke.ensureScaled(spark, sfDir)
       val buildSec = (System.nanoTime() - tb0) / 1e9
-      val smoke = ScaleSmoke.run(spark, scaledDir)
+      val smoke = ScaleSmoke.run(spark, scaledDir, Some(meter))
+      val smokeShufJson = ScaleSmoke.lastShuffleMb.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + f"$v%.1f" }
+        .mkString("{", ",", "}")
       val headline = results.toMap
       val ratios = smoke.collect { case (k, v) if v > 0 && headline.getOrElse(k, -1.0) > 0 =>
         k -> v / headline(k)
@@ -88,7 +106,7 @@ object Bench {
         .mkString("{", ",", "}")
       val sl = superlinear.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
       val sf = sFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
-      (s""","scale_smoke":{"factor":${ScaleSmoke.Factor},"build_sec":$buildSec,"queries":$sq,"ratio_vs_headline":$rq,"superlinear":$sl,"failed":$sf}""",
+      (s""","scale_smoke":{"factor":${ScaleSmoke.Factor},"build_sec":$buildSec,"queries":$sq,"ratio_vs_headline":$rq,"shuffle_mb":$smokeShufJson,"superlinear":$sl,"failed":$sf}""",
         sFailed)
     } else ("", Seq.empty[String])
 
@@ -102,7 +120,7 @@ object Bench {
     } + "\""
     val errorsJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"errors":$errorsJson,"sf":"$sfDir"$smokeJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$shufJson,"failed":$failedJson,"errors":$errorsJson,"sf":"$sfDir"$smokeJson}""")
     spark.stop()
     if (failed.nonEmpty || smokeFailed.nonEmpty) sys.exit(1)
   }

@@ -49,22 +49,56 @@ object PlanAudit {
     }
   }
 
-  /** Grouping keys that look like raw entity identifiers — a
-    * HashAggregate grouped by one of these has data-proportional output
-    * (one row per customer / document / order / …), so a global ordered
-    * window over it is exactly the r8 `rfm_segmentation` bug: a
-    * single-task `ntile` over a per-customer aggregate. Domain-bounded
-    * keys (calendar days, cent bins, deciles, bands, event types) don't
-    * match and keep the aggregate "bounded". The r9 audit accepted ANY
-    * aggregate anywhere in the subtree, which silently re-admitted that
-    * shape (ADVICE r9 + VERDICT r9 "what's wrong" #3).
+  /** Bounded-domain grouping-key whitelist (r10 verdict task #6): an
+    * aggregate's output is accepted as bounded ONLY when every grouping
+    * key matches one of these documented domains. This is the inverse of
+    * the r9/r10 blacklist (`_id$|.key$|…`), which silently admitted any
+    * data-proportional key named outside the pattern — `node`, `src`,
+    * `nbr`, `bkt` — exactly the names the graph operators group by.
+    * Each entry carries the one-line boundedness argument; adding a
+    * pattern is a review decision, not a green-CI shortcut.
     */
-  private val idLikeKey =
-    """(?i).*(_id$|^id$|.key$|_hash$|^tok$|^token$|^word$|_name$)""".r
+  private[graft] val boundedDomainKeys: Seq[(scala.util.matching.Regex, String)] = Seq(
+    """(?i).*(^|_)(day|date|dt|week|month|year|hour|minute|dow|hod|dnum)s?$""".r ->
+      "calendar units (incl. the dnum epoch-day convention): cardinality fixed by the clock, not the corpus",
+    """(?i).*_(pm|ppm|permille)$""".r ->
+      "fixed-point permille/ppm quantization: <= 10^6 distinct values by construction",
+    """(?i).*(bucket|bin|band|tile|decile|quantile|percentile|grid|cell)s?$""".r ->
+      "explicit binning: the query constructs a fixed number of bins",
+    """(?i).*(^|_)(type|kind|class|status|state|flag|op|opcode|category|cat)s?$""".r ->
+      "enum codes: closed vocabularies (event types, CDC ops, statuses)",
+    """(?i).*(^|_)(lang|language|source|shard|split|segment|grade|tier|level|priority|label)s?$""".r ->
+      "catalog enums: language / source / shard / split / priority domains",
+    """(?i).*(^|_)(region|nation|brand|container|mode|returnflag|linestatus|mktsegment|shippriority|orderpriority|shipmode|shipinstruct|mfgr)(_?(name|code))?s?$""".r ->
+      "TPC-H dimension domains: fixed-cardinality reference data",
+    """(?i).*(^|_)(side|variant|arm|cohort|method|metric|feature|col|column|field|rule|check|audit|stage|phase|round|iter|k|n|threshold|param)s?$""".r ->
+      "audit/experiment axes: one row per declared metric / arm / rule",
+    """(?i).*(^|_)(is|has)_[a-z0-9_]+$""".r ->
+      "boolean predicates: two-valued by construction"
+  )
 
-  private def dataProportionalGrouping(
-      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Boolean =
-    exprs.exists(_.references.exists(a => idLikeKey.matches(a.name)))
+  private def inBoundedDomain(name: String): Boolean =
+    boundedDomainKeys.exists(_._1.matches(name))
+
+  /** A grouping is bounded iff EVERY key sits in a documented bounded
+    * domain (a global aggregate — no keys — is 1 row). Computed keys
+    * surface in the physical plan as `_groupingexpression#N`, with the
+    * user's alias applied in the aggregate's own resultExpressions
+    * (`_groupingexpression#17 AS month#6`), so the check resolves each
+    * key's DISPLAY name through those aliases before falling back to the
+    * raw reference names. Unknown names are data-proportional until
+    * argued otherwise.
+    */
+  private def boundedDomainGrouping(a: aggregate.BaseAggregateExec): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    a.groupingExpressions.forall { g =>
+      val aliasName = a.resultExpressions.collectFirst {
+        case al: Alias if al.child.semanticEquals(g) => al.name
+      }
+      aliasName.exists(inBoundedDomain) ||
+        g.references.forall(r => inBoundedDomain(r.name))
+    }
+  }
 
   /** Recursive cardinality-boundedness on the window's actual input
     * path — NOT "some aggregate exists somewhere in the subtree" (the r9
@@ -72,8 +106,9 @@ object PlanAudit {
     * aggregate passed the old check).
     *
     *  - limits / top-k / window-group-limits / literal relations: bounded
-    *  - aggregates: bounded iff the grouping keys are domain-bounded
-    *    (not id-like) OR the aggregate's own input is already bounded
+    *  - aggregates: bounded iff EVERY grouping key is in the documented
+    *    bounded-domain whitelist OR the aggregate's own input is already
+    *    bounded
     *  - joins / unions / everything else: bounded iff EVERY child is —
     *    so a broadcast-join of raw rows against a tiny aggregate is
     *    correctly unbounded (its cardinality follows the raw side)
@@ -84,15 +119,8 @@ object PlanAudit {
         _: TakeOrderedAndProjectExec | _: LocalTableScanExec => true
     case _: window.WindowGroupLimitExec => true
     case r: RDDScanExec => r.name == "OneRowRelation"
-    case a: aggregate.HashAggregateExec =>
-      !dataProportionalGrouping(a.groupingExpressions) ||
-        a.children.forall(isBounded)
-    case a: aggregate.ObjectHashAggregateExec =>
-      !dataProportionalGrouping(a.groupingExpressions) ||
-        a.children.forall(isBounded)
-    case a: aggregate.SortAggregateExec =>
-      !dataProportionalGrouping(a.groupingExpressions) ||
-        a.children.forall(isBounded)
+    case a: aggregate.BaseAggregateExec =>
+      boundedDomainGrouping(a) || a.children.forall(isBounded)
     case q: adaptive.ShuffleQueryStageExec => isBounded(q.plan)
     case q: adaptive.BroadcastQueryStageExec => isBounded(q.plan)
     case a: adaptive.AdaptiveSparkPlanExec => isBounded(a.executedPlan)

@@ -218,7 +218,15 @@ object ScaleSmoke {
     // production scales nlist with the corpus; the NN-Descent proposal
     // stage itself is K-bounded
     "nn_descent_round",
-    "markov_holding_times")
+    "markov_holding_times",
+    // window_sliding_distinct is the documented NON-scale path — exact
+    // countDistinct after a 7× explode, kept as the correctness twin of
+    // hll_sliding_window_distinct (the 100 TB architecture, which stays
+    // green in the smoke). Its driver ratio swung 1.8×→4.9× across rounds
+    // with zero code change (pure environment noise on a 0.3-1.6 s
+    // query), so it measures the box, not the operator (r10 verdict
+    // task #7 decision).
+    "window_sliding_distinct")
 
   /** The data-heavy headline queries worth re-timing at 10×: the dedup /
     * similarity / text pipelines (shuffle- and explode-bound) plus the
@@ -270,7 +278,7 @@ object ScaleSmoke {
     // and the IVM merge (delta-side cost must track |delta|, the base
     // behind the checkpoint only pays its one-off argmax)
     "heavy_hitters_misra_gries", "link_prediction_common_nbrs",
-    "window_sliding_distinct", "ivm_delta_agg",
+    "ivm_delta_agg",
     // round 7 batch 3: the one-sided containment join (candidate volume
     // is Σ_A Σ_{tok∈prefix(A)} df(tok) — rare-token df growth is the
     // thing to watch, there is no size upper bound on the super side by
@@ -328,13 +336,31 @@ object ScaleSmoke {
     // localCheckpoint pins stopped cutting lineage between rounds
     "pagerank_power_k5")
 
-  /** Run each smoke query twice on the scaled dir, return min seconds. */
-  def run(spark: SparkSession, scaledDir: String): Map[String, Double] =
+  /** Per-query shuffle-write MB from the most recent [[run]] (last
+    * execution of each query), populated only when a meter was passed.
+    */
+  val lastShuffleMb: scala.collection.mutable.LinkedHashMap[String, Double] =
+    scala.collection.mutable.LinkedHashMap.empty
+
+  /** Run each smoke query twice on the scaled dir, return min seconds.
+    * With a [[ShuffleMeter]], also record per-query shuffle-write MB into
+    * [[lastShuffleMb]] (bytes are plan-deterministic across runs).
+    */
+  def run(spark: SparkSession, scaledDir: String,
+          meter: Option[ShuffleMeter] = None): Map[String, Double] = {
+    lastShuffleMb.clear()
     smokeQueries.map { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to 2).map { _ =>
+        val s0 = meter.map(_.snapshot(spark.sparkContext))
         val t0 = System.nanoTime()
-        try { fn(spark, scaledDir).count(); (System.nanoTime() - t0) / 1e9 }
+        try {
+          fn(spark, scaledDir).count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          for (m <- meter; b0 <- s0)
+            lastShuffleMb(name) = (m.snapshot(spark.sparkContext) - b0) / 1e6
+          sec
+        }
         catch { case e: Throwable =>
           System.err.println(s"[scale-smoke] $name failed: ${e.getMessage}")
           -1.0
@@ -342,4 +368,5 @@ object ScaleSmoke {
       }
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }.toMap
+  }
 }

@@ -611,41 +611,22 @@ object AnalyticsQueries {
             concat(lit("s"), col("l_suppkey")).as("dst"))
           .union(pairs.select(concat(lit("s"), col("l_suppkey")).as("src"),
             concat(lit("p"), col("l_partkey")).as("dst")))
-        val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-        // (src, dst, outdeg) — reused every round. PERSISTED (not
-        // checkpointed) with an explicit hash(src) repartition + in-
-        // partition sort: cached plans keep their declared partitioning
-        // and ordering (AQE may not change cached-plan output
-        // partitioning by default), so every round's merge join reads
-        // the edge side with ZERO exchange and ZERO sort — only the
-        // rank vector (node-proportional, the small side) moves per
-        // round. A localCheckpoint here measurably re-exchanged the
-        // edges every round: the AQE shuffle read behind the pin
-        // reports unknown partitioning, so EnsureRequirements re-added
-        // the big-side shuffle ×5.
-        val graph = edges.join(deg, "src").repartition(col("src"))
-          .sortWithinPartitions("src").persist()
+        // loop body lives in graph.PageRankLoop so PlanSpec can pin the
+        // per-round plan (zero exchange/sort on the persisted edge side;
+        // only the node-proportional rank vector moves per round)
+        val graph = graft.graph.PageRankLoop.persistedGraph(edges)
         val nB = graph.select("src").distinct()
           .agg(count(lit(1)).as("n_nodes")).localCheckpoint(true)
-        var ranks = graph.select(col("src").as("node")).distinct()
-          .crossJoin(broadcast(nB))
-          .select(col("node"), expr("1000000000000 div n_nodes").as("r"))
+        var ranks = graft.graph.PageRankLoop.initRanks(graph, nB)
           .localCheckpoint(true)
         for (_ <- 1 to 5) {
-          // merge hint: the edge side GROWS with the corpus, so letting
-          // AQE hash-build/broadcast it is the copurchase scale cliff;
-          // SMJ rides the cached sort order for free
-          val next = graph.hint("merge")
-            .join(ranks.withColumnRenamed("node", "src"), "src")
-            .select(col("dst").as("node"), expr("r div outdeg").as("c"))
-            .groupBy("node").agg(sum(col("c")).as("inmass"))
-            .crossJoin(broadcast(nB))
-            .select(col("node"),
-              expr("(15 * (1000000000000 div n_nodes)) div 100 " +
-                "+ (85 * inmass) div 100").as("r"))
+          // no unpersist of the previous vector: localCheckpoint pins the
+          // RDD directly (no CacheManager entry, so Dataset.unpersist
+          // would free nothing); blocks are node-proportional and
+          // ContextCleaner reclaims them once the previous round's
+          // Dataset is unreferenced
+          ranks = graft.graph.PageRankLoop.nextRanks(graph, ranks, nB)
             .localCheckpoint(true)
-          ranks.unpersist()
-          ranks = next
         }
         graph.unpersist() // final ranks are checkpointed; drop the cache
         ranks.select(col("node"), col("r").as("score_fp"))
@@ -1958,15 +1939,15 @@ object AnalyticsQueries {
         // row_number, then the NTILE arithmetic on (rank, n_total)
         def quintile(bin: org.apache.spark.sql.Column,
             inOrd: Seq[org.apache.spark.sql.Column], name: String) = {
-          val b = agg.withColumn("b", bin)
-          val binTot = b.groupBy("b").agg(count(lit(1)).as("bc"))
-          val wB = Window.orderBy(col("b").desc)
+          val b = agg.withColumn("vbin", bin)
+          val binTot = b.groupBy("vbin").agg(count(lit(1)).as("bc"))
+          val wB = Window.orderBy(col("vbin").desc)
             .rowsBetween(Window.unboundedPreceding, -1)
           val offs = binTot
             .withColumn("base", coalesce(sum(col("bc")).over(wB), lit(0L)))
-            .select("b", "base")
-          val wIn = Window.partitionBy("b").orderBy(inOrd: _*)
-          b.join(broadcast(offs), Seq("b"))
+            .select("vbin", "base")
+          val wIn = Window.partitionBy("vbin").orderBy(inOrd: _*)
+          b.join(broadcast(offs), Seq("vbin"))
             .withColumn("rn", col("base") + row_number().over(wIn).cast("long"))
             .join(broadcast(nTot))
             .withColumn(name, expr(
@@ -2287,11 +2268,11 @@ object AnalyticsQueries {
       "pareto_frontier_parts",
       (s, d) => {
         val p = t(s, d, "part")
-        val byPrice = p.groupBy("p_retailprice")
+        val byPrice = p.groupBy(col("p_retailprice").as("price_bin"))
           .agg(max("p_size").as("max_size_at_price"))
-        val w = Window.orderBy("p_retailprice")
+        val w = Window.orderBy("price_bin")
           .rowsBetween(Window.unboundedPreceding, -1)
-        val run = byPrice.select(col("p_retailprice"),
+        val run = byPrice.select(col("price_bin").as("p_retailprice"),
           max("max_size_at_price").over(w).as("best_cheaper"))
         p.join(broadcast(run), Seq("p_retailprice"))
           .filter(col("best_cheaper").isNull || col("best_cheaper") <= col("p_size"))
@@ -3460,11 +3441,12 @@ object AnalyticsQueries {
               .orderBy("n_chars", "doc_id")) - 1)
           .withColumn("b",
             count(lit(1)).over(Window.partitionBy("source")) - 1)
-        val hist = docs.groupBy("n_chars").agg(count(lit(1)).as("m"))
+        val hist = docs.groupBy(col("n_chars").as("chars_bin"))
+          .agg(count(lit(1)).as("m"))
           .withColumn("cum_prev",
-            coalesce(sum("m").over(Window.orderBy("n_chars")
+            coalesce(sum("m").over(Window.orderBy("chars_bin")
               .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .select(col("n_chars").as("norm_chars"), col("m"), col("cum_prev"))
+          .select(col("chars_bin").as("norm_chars"), col("m"), col("cum_prev"))
         val ng = docs.agg(count(lit(1)).as("ng"))
         ranked.crossJoin(broadcast(ng))
           .withColumn("g",

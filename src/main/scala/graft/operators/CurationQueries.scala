@@ -703,17 +703,25 @@ object CurationQueries {
         // cross-multiplied terms ride DECIMAL(38,0): cnt·N_tot products
         // exceed 2^63 once N_tot is a 100 TB corpus doc count (the
         // HUGEINT-guard class, r9 ADVICE) — DuckDB promotes silently,
-        // Spark under ANSI must go decimal. t_num/t_den are output
-        // columns, so the oracle casts to DECIMAL(38,0) too.
+        // Spark under ANSI must go decimal. The decimal stays INTERNAL:
+        // wider-than-int64 decimal must never reach an output column
+        // (the driver hasher distinguishes int128-backed decimals from
+        // DuckDB HUGEINT even when values match — this exact query was
+        // the only r10 red), so t_num/t_den leave as DOUBLE, mirroring
+        // drift_emd_wasserstein / anti-entropy digests.
         val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
         grid
           .groupBy("source", "size_bucket")
           .agg(max(col("n_cls")).as("n_rows"),
             sum(abs(col("cnt_cls").cast(d38) * col("n_tot") -
-              col("cnt_tot").cast(d38) * col("n_cls"))).as("t_num"),
-            (max(col("n_cls")).cast(d38) * max(col("n_tot")) * lit(2L)).as("t_den"))
-          .withColumn("t_closeness",
-            col("t_num").cast("double") / col("t_den").cast("double"))
+              col("cnt_tot").cast(d38) * col("n_cls"))).as("t_num_d"),
+            (max(col("n_cls")).cast(d38) * max(col("n_tot")) * lit(2L)).as("t_den_d"))
+          .withColumn("t_num", col("t_num_d").cast("double"))
+          .withColumn("t_den", col("t_den_d").cast("double"))
+          .withColumn("t_closeness", col("t_num") / col("t_den"))
+          .drop("t_num_d", "t_den_d")
+          .select(col("source"), col("size_bucket"), col("n_rows"),
+            col("t_num"), col("t_den"), col("t_closeness"))
           .withColumn("breach", col("t_closeness") > 0.25)
           .orderBy("source", "size_bucket")
       },
@@ -735,8 +743,8 @@ object CurationQueries {
              |  LEFT JOIN cl x ON x.source = c.source
              |    AND x.size_bucket = c.size_bucket AND x.lang = g.lang)
              |SELECT source, size_bucket, max(n_cls) AS n_rows,
-             |  CAST(sum(abs(cnt_cls * n_tot - cnt_tot * n_cls)) AS DECIMAL(38,0)) AS t_num,
-             |  CAST(max(n_cls) * max(n_tot) * 2 AS DECIMAL(38,0)) AS t_den,
+             |  CAST(sum(abs(cnt_cls * n_tot - cnt_tot * n_cls)) AS DOUBLE) AS t_num,
+             |  CAST(max(n_cls) * max(n_tot) * 2 AS DOUBLE) AS t_den,
              |  CAST(sum(abs(cnt_cls * n_tot - cnt_tot * n_cls)) AS DOUBLE)
              |    / CAST(max(n_cls) * max(n_tot) * 2 AS DOUBLE) AS t_closeness,
              |  CAST(sum(abs(cnt_cls * n_tot - cnt_tot * n_cls)) AS DOUBLE)
@@ -878,27 +886,27 @@ object CurationQueries {
       "isotonic_calibration_pav",
       (s, d) => {
         val bins = scoredUsers(s, d)
-          .groupBy(expr("score_pm div 20000").as("b"))
+          .groupBy(expr("score_pm div 20000").as("cal_bin"))
           .agg(count(lit(1)).as("w"), sum("conv").as("y"))
-        val wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+        val wb = Window.orderBy("cal_bin").rowsBetween(Window.unboundedPreceding, 0)
         val pref = bins
           .withColumn("cw", sum("w").over(wb))
           .withColumn("cy", sum("y").over(wb))
-          .select(col("b"), col("cw"), col("cy"))
+          .select(col("cal_bin"), col("cw"), col("cy"))
         val pref0 = pref.unionAll(
-          s.range(1).select(lit(-1L).as("b"), lit(0L).as("cw"), lit(0L).as("cy")))
+          s.range(1).select(lit(-1L).as("cal_bin"), lit(0L).as("cw"), lit(0L).as("cy")))
         val pairs = pref0.as("i")
-          .join(broadcast(pref.as("j")), col("i.b") < col("j.b"))
-          .select(col("i.b").as("i0"), col("j.b").as("jj"),
+          .join(broadcast(pref.as("j")), col("i.cal_bin") < col("j.cal_bin"))
+          .select(col("i.cal_bin").as("i0"), col("j.cal_bin").as("jj"),
             ((col("j.cy") - col("i.cy")).cast("double") /
               (col("j.cw") - col("i.cw")).cast("double")).as("m"))
         val innerM = pairs
-          .join(broadcast(bins.select(col("b").as("k"))),
+          .join(broadcast(bins.select(col("cal_bin").as("k"))),
             col("i0") < col("k") && col("jj") >= col("k"))
           .groupBy("i0", "k").agg(min("m").as("im"))
         val fit = innerM.groupBy("k").agg(max("im").as("iso_rate"))
-        bins.join(broadcast(fit), col("b") === col("k"))
-          .select(col("b").as("bin"), col("w").as("n_users"), col("y").as("n_conv"),
+        bins.join(broadcast(fit), col("cal_bin") === col("k"))
+          .select(col("cal_bin").as("bin"), col("w").as("n_users"), col("y").as("n_conv"),
             (col("y").cast("double") / col("w").cast("double")).as("raw_rate"),
             col("iso_rate"))
           .orderBy("bin")

@@ -817,17 +817,20 @@ object DedupQueries {
           .filter(col("ida") =!= col("idb") &&
             col("szb") * 5 >= col("sza") * 4 && col("szb") <= col("sza") * 4)
           .select("ida", "idb", "sza", "szb").distinct()
-        // verify by shingle-SET intersect, not a token-level re-join: two
-        // candidate-bounded joins attach the whole sets (the sets table is
-        // ~40× smaller than the exploded token table), and the overlap is
-        // one codegen'd array_intersect per candidate pair
-        val sets = t(s, d, "documents")
-          .filter(size(graft.text.TextOps.tokens(col("text"))) >= 3)
-          .select(col("doc_id"), graft.dedup.Dedup.shingleSet(col("text"), 3).as("sset"))
+        // verify by counting matching TOKENS per candidate pair — the
+        // same shape the r10 revert gave simjoin_prefix_filter: only ids
+        // and ONE shingle per row cross the exchanges, and the pair count
+        // partial-aggregates map-side before the final (ida, idb)
+        // exchange. The previous set-array variant (attach whole shingle
+        // sets via two candidate joins) paid array serialization through
+        // both exchanges and blew up to 12.5× in the r10 driver smoke
+        // under memory pressure — a plan whose cost explodes when spills
+        // start is not the 100× plan.
         val inter = cands
-          .join(sets.select(col("doc_id").as("ida"), col("sset").as("sa")), Seq("ida"))
-          .join(sets.select(col("doc_id").as("idb"), col("sset").as("sb")), Seq("idb"))
-          .withColumn("ov", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+          .join(toks.select(col("doc_id").as("ida"), col("tok")), Seq("ida"))
+          .join(toks.select(col("doc_id").as("idb"), col("tok")), Seq("idb", "tok"))
+          .groupBy("ida", "idb", "sza", "szb")
+          .agg(count(lit(1)).as("ov"))
         inter.filter(col("ov") * 5 >= col("sza") * 4)
           .select(col("ida").as("doc_id_sub"), col("idb").as("doc_id_super"),
             col("sza").as("sz_sub"), col("szb").as("sz_super"), col("ov"),

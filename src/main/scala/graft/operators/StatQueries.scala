@@ -50,15 +50,15 @@ object StatQueries {
         val cents = t(s, d, "orders")
           .groupBy("o_custkey")
           .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev_d"))
-          .select((col("rev_d") * 100).cast("long").as("cents"))
-        val hist = cents.groupBy("cents").agg(count(lit(1)).as("m"))
-        val w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+          .select((col("rev_d") * 100).cast("long").as("cent_bin"))
+        val hist = cents.groupBy("cent_bin").agg(count(lit(1)).as("m"))
+        val w = Window.orderBy("cent_bin").rowsBetween(Window.unboundedPreceding, -1)
         hist
           .withColumn("c_lt", coalesce(sum("m").over(w), lit(0L)))
           .agg(
             sum(col("m")).as("n"),
-            sum(col("cents") * col("m")).as("tot"),
-            sum(col("cents") * (col("m") * col("c_lt") + expr("m * (m + 1) div 2")))
+            sum(col("cent_bin") * col("m")).as("tot"),
+            sum(col("cent_bin") * (col("m") * col("c_lt") + expr("m * (m + 1) div 2")))
               .as("rs"))
           .select(
             col("n").as("n_customers"),
@@ -283,12 +283,12 @@ object StatQueries {
           .select(
             when(col("p_day").isNotNull, datediff(col("p_day"), col("v_day")))
               .otherwise(datediff(col("max_day"), col("v_day")))
-              .cast("long").as("dur"),
+              .cast("long").as("dur_days"),
             when(col("p_day").isNotNull, 1L).otherwise(0L).as("ev"))
         val tot = subj.agg(count(lit(1)).as("n_subjects"))
-        val wPrev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
-        val wCum = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
-        subj.groupBy("dur")
+        val wPrev = Window.orderBy("dur_days").rowsBetween(Window.unboundedPreceding, -1)
+        val wCum = Window.orderBy("dur_days").rowsBetween(Window.unboundedPreceding, 0)
+        subj.groupBy("dur_days")
           .agg(sum("ev").as("d"), count(lit(1)).as("ended"))
           .crossJoin(broadcast(tot))
           .withColumn("n_at_risk",
@@ -301,7 +301,7 @@ object StatQueries {
             round(log((col("n_at_risk") - col("d")).cast("double") /
               col("n_at_risk").cast("double")) * lit(1e9)).cast("long"))
           .withColumn("logs_nano", sum("term_nano").over(wCum))
-          .select(col("dur").as("t_days"), col("n_at_risk"),
+          .select(col("dur_days").as("t_days"), col("n_at_risk"),
             col("d").as("n_conversions"), col("logs_nano"),
             round(exp(col("logs_nano").cast("double") / lit(1e9)) * lit(1e6))
               .cast("long").as("surv_micro"))
@@ -1264,26 +1264,26 @@ object StatQueries {
           .groupBy(expr("CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)")
             .as("dnum"))
           .agg(count(lit(1)).as("cnt"))
-        val pairs = daily.select(col("dnum").as("t"), col("cnt").as("yt"))
-          .crossJoin(broadcast(daily.select(col("dnum").as("sday"), col("cnt").as("ys"))))
-          .filter(col("sday") <= col("t"))
+        val pairs = daily.select(col("dnum").as("t_day"), col("cnt").as("yt"))
+          .crossJoin(broadcast(daily.select(col("dnum").as("s_day"), col("cnt").as("ys"))))
+          .filter(col("s_day") <= col("t_day"))
           .withColumn("term_nano",
             round(col("ys").cast("double") *
-              pow(lit(0.7), (col("t") - col("sday")).cast("double")) * lit(1e9))
+              pow(lit(0.7), (col("t_day") - col("s_day")).cast("double")) * lit(1e9))
               .cast("long"))
           .withColumn("wt_nano",
-            round(pow(lit(0.7), (col("t") - col("sday")).cast("double")) * lit(1e9))
+            round(pow(lit(0.7), (col("t_day") - col("s_day")).cast("double")) * lit(1e9))
               .cast("long"))
-        val lvl = pairs.groupBy("t")
-          .agg(max(when(col("sday") === col("t"), col("ys"))).as("actual"),
+        val lvl = pairs.groupBy("t_day")
+          .agg(max(when(col("s_day") === col("t_day"), col("ys"))).as("actual"),
             sum(col("term_nano")).as("num_nano"), sum(col("wt_nano")).as("den_nano"))
           .withColumn("ewma_level",
             col("num_nano").cast("double") / col("den_nano").cast("double"))
-        val w = Window.orderBy("t")
+        val w = Window.orderBy("t_day")
         lvl
           .withColumn("forecast_next", col("ewma_level"))
           .withColumn("prev_level", lag(col("ewma_level"), 1).over(w))
-          .select(col("t").as("dnum"), col("actual"), col("ewma_level"),
+          .select(col("t_day").as("dnum"), col("actual"), col("ewma_level"),
             (col("actual").cast("double") - col("prev_level")).as("residual_vs_forecast"))
           .orderBy("dnum")
       },
@@ -1711,10 +1711,10 @@ object StatQueries {
           .groupBy(expr("CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)")
             .as("dnum"))
           .agg(count(lit(1)).as("cnt"))
-        val pairs = daily.select(col("dnum").as("d1"), col("cnt").as("c1"))
-          .crossJoin(broadcast(daily.select(col("dnum").as("d2"), col("cnt").as("c2"))))
-          .filter(col("d1") < col("d2"))
-          .select((col("c2") - col("c1")).as("rise"), (col("d2") - col("d1")).as("run"))
+        val pairs = daily.select(col("dnum").as("lo_day"), col("cnt").as("c1"))
+          .crossJoin(broadcast(daily.select(col("dnum").as("hi_day"), col("cnt").as("c2"))))
+          .filter(col("lo_day") < col("hi_day"))
+          .select((col("c2") - col("c1")).as("rise"), (col("hi_day") - col("lo_day")).as("run"))
           .withColumn("slope", col("rise").cast("double") / col("run").cast("double"))
         val w = Window.orderBy(col("slope"), col("rise"), col("run"))
         pairs

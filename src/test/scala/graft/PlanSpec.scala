@@ -882,6 +882,85 @@ class PlanSpec extends SparkSuite {
       "no corpus crossJoin may survive into the per-round plan")
   }
 
+  test("PageRank round: the persisted edge side enters the merge join " +
+      "with zero exchange and zero sort; only the rank vector moves") {
+    // r10 verdict task #4: the "ZERO exchange per round on the edge
+    // side" claim was comment-only. Build ONE un-checkpointed round from
+    // the same PageRankLoop code the query runs and pin it: the SMJ's
+    // edge branch must read the InMemoryTableScan directly (its declared
+    // hash(src) partitioning + in-partition sort satisfy the join
+    // requirements), while the rank branch pays the round's only
+    // pre-join exchange+sort; the destination aggregate adds the second.
+    import org.apache.spark.sql.functions._
+    val pairs = QueryDef.t(spark, sf, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val edges = pairs
+      .select(concat(lit("p"), col("l_partkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+      .union(pairs.select(concat(lit("s"), col("l_suppkey")).as("src"),
+        concat(lit("p"), col("l_partkey")).as("dst")))
+    val graph = graft.graph.PageRankLoop.persistedGraph(edges)
+    try {
+      val nB = graph.select("src").distinct()
+        .agg(count(lit(1)).as("n_nodes")).localCheckpoint(true)
+      val r0 = graft.graph.PageRankLoop.initRanks(graph, nB).localCheckpoint(true)
+      val round = graft.graph.PageRankLoop.nextRanks(graph, r0, nB)
+      round.count() // materialize so AQE finalizes the round's plan
+      val p = round.queryExecution.executedPlan
+      val smj = collectAll(p) {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(smj.size == 1, s"the round must be ONE merge join, got ${smj.size}")
+      val (edgeSides, rankSides) = smj.head.children.partition(c =>
+        c.collect {
+          case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => m
+        }.nonEmpty)
+      assert(edgeSides.size == 1,
+        "exactly one join branch must read the persisted edge table")
+      val edgeExchanges = edgeSides.head.collect {
+        case e: ShuffleExchangeExec => e
+        case s: org.apache.spark.sql.execution.SortExec => s
+      }
+      assert(edgeExchanges.isEmpty,
+        s"edge side must ride the cached hash(src) partitioning + sort; " +
+          s"found ${edgeExchanges.map(_.nodeName).mkString(", ")}")
+      val rankExchanges = rankSides.head.collect { case e: ShuffleExchangeExec => e }
+      assert(rankExchanges.size == 1,
+        s"the rank vector pays the round's only pre-join exchange, " +
+          s"got ${rankExchanges.size}")
+      val allExchanges = collectAll(p) { case e: ShuffleExchangeExec => e }
+      assert(allExchanges.size == 2,
+        s"one rank re-key + one destination aggregate = 2 exchanges per " +
+          s"round, got ${allExchanges.size}")
+    } finally graph.unpersist()
+  }
+
+  test("link prediction wedges ride ONE degree-capped subtree: group-" +
+      "limit below the self-join, second side via ReusedExchange") {
+    // r10 verdict task #5: the 1.27×→9.80× driver swing needs the plan
+    // pinned so any future regression is attributable. The contract:
+    // (a) the row_number ≤ 16 cap compiles to a WindowGroupLimit (rank-
+    // limit pushdown) BELOW the wedge self-join — the cap must bound the
+    // join input, not filter its output; (b) the join's second side
+    // reuses the first's exchange instead of recomputing the capped
+    // neighbor lists.
+    // AQE resolves exchange reuse at runtime, so execute before reading
+    // the final plan (collect drives THIS QueryExecution; a count() would
+    // plan a different one and leave this plan un-finalized)
+    val df = SparkEntry.queries("link_prediction_common_nbrs")(spark, sf)
+    df.collect()
+    // string-level checks: the final adaptive plan nests the capped
+    // subtree inside materialized query stages, which collect() treats
+    // as leaves — toString prints through them
+    val planStr = df.queryExecution.executedPlan.toString
+    assert("WindowGroupLimit \\[node#\\d+L?\\].*row_number\\(\\), 16".r
+        .findFirstIn(planStr).isDefined,
+      "the degree cap must compile to WindowGroupLimit (pushed below the join)")
+    assert("ReusedExchange \\[node#".r.findFirstIn(planStr).isDefined,
+      "the wedge join's second side must consume the capped subtree's " +
+        "exchange via ReusedExchange, not recompute the neighbor lists")
+  }
+
   test("Mann-Kendall's day-pair join broadcasts the tiny daily aggregate") {
     val p = plan("mann_kendall_trend")
     val bnlj = collectAll(p) {

@@ -54,6 +54,22 @@ class WindowAuditSpec extends SparkSuite {
       "a global window over raw rows + broadcast aggregate must be flagged")
   }
 
+  test("guard fires on a per-NODE aggregate with a non-id-like name " +
+      "(r10 blacklist hole, must-fire)") {
+    // The r10 heuristic blacklisted id-LIKE names (_id, .key, _hash…), so
+    // a data-proportional grouping key named `node` / `src` / `nbr` — the
+    // graph operators' vocabulary — passed silently. The whitelist
+    // inversion makes unknown names unbounded by default.
+    val li = QueryDef.t(spark, sf, "lineitem")
+    val perNode = li.select(col("l_partkey").as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .withColumn("rank", row_number().over(Window.orderBy(col("deg").desc, col("node"))))
+    val flags = PlanAudit.unboundedGlobalWindows(perNode.queryExecution.executedPlan)
+    assert(flags.nonEmpty,
+      "a global window over a per-node aggregate must be flagged even " +
+        "though 'node' matches no id-like pattern")
+  }
+
   test("guard stays silent on the collapse-to-histogram shape") {
     val ev = QueryDef.t(spark, sf, "events")
     val hist = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
