@@ -386,24 +386,37 @@ object DedupQueries {
     QueryDef(
       "simjoin_prefix_filter",
       (s, d) => {
+        // shingles ride as 60-bit md5 token ids from the explode on:
+        // every downstream exchange (freq groupBy, the doc window, both
+        // candidate-join sides, both verify joins) moves an 8-byte long
+        // instead of a ~25-byte shingle string — a ~3x cut in the
+        // queries' dominant shuffle volume (r10 verdict task #3: shrink
+        // exchange volume until the driver-box amplification doesn't
+        // matter). md5 is engine-identical, so the id assignment — and
+        // any ~1e-6-probability 60-bit collision — replays exactly in
+        // DuckDB; semantically this is similarity over hashed shingles,
+        // the same contract MinHash already commits to.
         val toks = t(s, d, "documents")
           .filter(size(graft.text.TextOps.tokens(col("text"))) >= 3)
           .select(col("doc_id"), explode(
             graft.dedup.Dedup.shingleSet(col("text"), 3)).as("tok"))
-        val freq = toks.groupBy("tok").agg(count(lit(1)).as("f"))
+          .select(col("doc_id"),
+            conv(substring(md5(col("tok")), 1, 15), 16, 10)
+              .cast("long").as("tid"))
+        val freq = toks.groupBy("tid").agg(count(lit(1)).as("f"))
         val wOrd = org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id").orderBy(col("f"), col("tok"))
+          .partitionBy("doc_id").orderBy(col("f"), col("tid"))
         val wSz = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-        val sized = toks.join(freq, "tok")
+        val sized = toks.join(freq, "tid")
           .withColumn("pos", row_number().over(wOrd))
           .withColumn("sz", count(lit(1)).over(wSz))
         val prefix = sized.filter(
           col("pos") <= col("sz") - expr("(3 * sz + 4) div 5") + 1)
         val cands = prefix
-          .select(col("doc_id").as("ida"), col("tok"),
+          .select(col("doc_id").as("ida"), col("tid"),
             col("sz").as("sza"), col("pos").as("pa"))
-          .join(prefix.select(col("doc_id").as("idb"), col("tok"),
-            col("sz").as("szb"), col("pos").as("pb")), "tok")
+          .join(prefix.select(col("doc_id").as("idb"), col("tid"),
+            col("sz").as("szb"), col("pos").as("pb")), "tid")
           // size-boundary prune (AllPairs): J ≥ 3/5 needs 3·max(|A|,|B|)
           // ≤ 5·min(|A|,|B|) — kills candidates BEFORE the dedup and
           // the two token re-joins (this query was 37% of the r6 10×
@@ -436,8 +449,8 @@ object DedupQueries {
         // exchange. Candidates are data-proportional, so shuffle joins
         // (not a broadcast of cands) are the shape that survives 100×.
         val inter = cands
-          .join(toks.select(col("doc_id").as("ida"), col("tok")), Seq("ida"))
-          .join(toks.select(col("doc_id").as("idb"), col("tok")), Seq("idb", "tok"))
+          .join(toks.select(col("doc_id").as("ida"), col("tid")), Seq("ida"))
+          .join(toks.select(col("doc_id").as("idb"), col("tid")), Seq("idb", "tid"))
           .groupBy("ida", "idb", "sza", "szb")
           .agg(count(lit(1)).as("ov"))
         inter
@@ -447,18 +460,19 @@ object DedupQueries {
               (col("sza") + col("szb") - col("ov")).cast("double")).as("jaccard"))
       },
       Some(s"""WITH toks AS (
-             |  SELECT doc_id, unnest(list_distinct($shinglesSql)) AS tok
-             |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
-             |freq AS (SELECT tok, count(*) AS f FROM toks GROUP BY tok),
+             |  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS tid
+             |  FROM (SELECT doc_id, unnest(list_distinct($shinglesSql)) AS tok
+             |        FROM documents WHERE len(string_split(text, ' ')) >= 3)),
+             |freq AS (SELECT tid, count(*) AS f FROM toks GROUP BY tid),
              |sized AS (
-             |  SELECT doc_id, tok,
-             |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY f, tok) AS pos,
+             |  SELECT doc_id, tid,
+             |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY f, tid) AS pos,
              |    COUNT(*) OVER (PARTITION BY doc_id) AS sz
-             |  FROM toks JOIN freq USING (tok)),
+             |  FROM toks JOIN freq USING (tid)),
              |pref AS (SELECT * FROM sized WHERE pos <= sz - (3 * sz + 4) // 5 + 1),
              |cands AS (
              |  SELECT a.doc_id AS ida, b.doc_id AS idb, a.sz AS sza, b.sz AS szb
-             |  FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id
+             |  FROM pref a JOIN pref b ON a.tid = b.tid AND a.doc_id < b.doc_id
              |    AND a.sz * 3 <= b.sz * 5 AND b.sz * 3 <= a.sz * 5
              |  GROUP BY 1, 2, 3, 4
              |  HAVING (a.sz - min(a.pos) + 1) * 8 >= (a.sz + b.sz) * 3
@@ -467,7 +481,7 @@ object DedupQueries {
              |  SELECT c.ida, c.idb, c.sza, c.szb, count(*) AS ov
              |  FROM cands c
              |  JOIN toks x ON x.doc_id = c.ida
-             |  JOIN toks y ON y.doc_id = c.idb AND y.tok = x.tok
+             |  JOIN toks y ON y.doc_id = c.idb AND y.tid = x.tid
              |  GROUP BY c.ida, c.idb, c.sza, c.szb)
              |SELECT ida AS doc_id_a, idb AS doc_id_b, CAST(ov AS BIGINT) AS ov,
              |  CAST(ov AS DOUBLE) / CAST(sza + szb - ov AS DOUBLE) AS jaccard
@@ -795,25 +809,31 @@ object DedupQueries {
     QueryDef(
       "dedup_containment_bounded",
       (s, d) => {
+        // same 60-bit md5 token-id discipline as simjoin_prefix_filter:
+        // only 8-byte longs cross the freq/window/candidate/verify
+        // exchanges; the id assignment replays exactly in DuckDB
         val toks = t(s, d, "documents")
           .filter(size(graft.text.TextOps.tokens(col("text"))) >= 3)
           .select(col("doc_id"), explode(
             graft.dedup.Dedup.shingleSet(col("text"), 3)).as("tok"))
-        val freq = toks.groupBy("tok").agg(count(lit(1)).as("f"))
+          .select(col("doc_id"),
+            conv(substring(md5(col("tok")), 1, 15), 16, 10)
+              .cast("long").as("tid"))
+        val freq = toks.groupBy("tid").agg(count(lit(1)).as("f"))
         val szs = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
         val wOrd = org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id").orderBy(col("f"), col("tok"))
-        val sized = toks.join(freq, "tok").join(szs, "doc_id")
+          .partitionBy("doc_id").orderBy(col("f"), col("tid"))
+        val sized = toks.join(freq, "tid").join(szs, "doc_id")
           .withColumn("pos", row_number().over(wOrd))
         val prefA = sized.filter(
           col("pos") <= col("sz") - expr("(4 * sz + 4) div 5") + 1)
         val prefB = sized.filter(
           col("pos") <= col("sz") - expr("(sz + 4) div 5") + 1)
         val cands = prefA
-          .select(col("doc_id").as("ida"), col("tok"), col("sz").as("sza"))
+          .select(col("doc_id").as("ida"), col("tid"), col("sz").as("sza"))
           .join(prefB
-            .select(col("doc_id").as("idb"), col("tok"), col("sz").as("szb")),
-            "tok")
+            .select(col("doc_id").as("idb"), col("tid"), col("sz").as("szb")),
+            "tid")
           .filter(col("ida") =!= col("idb") &&
             col("szb") * 5 >= col("sza") * 4 && col("szb") <= col("sza") * 4)
           .select("ida", "idb", "sza", "szb").distinct()
@@ -827,8 +847,8 @@ object DedupQueries {
         // under memory pressure — a plan whose cost explodes when spills
         // start is not the 100× plan.
         val inter = cands
-          .join(toks.select(col("doc_id").as("ida"), col("tok")), Seq("ida"))
-          .join(toks.select(col("doc_id").as("idb"), col("tok")), Seq("idb", "tok"))
+          .join(toks.select(col("doc_id").as("ida"), col("tid")), Seq("ida"))
+          .join(toks.select(col("doc_id").as("idb"), col("tid")), Seq("idb", "tid"))
           .groupBy("ida", "idb", "sza", "szb")
           .agg(count(lit(1)).as("ov"))
         inter.filter(col("ov") * 5 >= col("sza") * 4)
@@ -838,13 +858,14 @@ object DedupQueries {
               .as("containment"))
       },
       Some(s"""WITH toks AS (
-             |  SELECT doc_id, unnest(list_distinct($shinglesSql)) AS tok
-             |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+             |  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS tid
+             |  FROM (SELECT doc_id, unnest(list_distinct($shinglesSql)) AS tok
+             |        FROM documents WHERE len(string_split(text, ' ')) >= 3)),
              |szs AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
              |cands AS (
              |  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb,
              |    sa.sz AS sza, sb.sz AS szb
-             |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+             |  FROM toks a JOIN toks b ON a.tid = b.tid AND a.doc_id <> b.doc_id
              |  JOIN szs sa ON sa.doc_id = a.doc_id
              |  JOIN szs sb ON sb.doc_id = b.doc_id
              |  WHERE sb.sz * 5 >= sa.sz * 4 AND sb.sz <= sa.sz * 4),
@@ -852,7 +873,7 @@ object DedupQueries {
              |  SELECT c.ida, c.idb, c.sza, c.szb, count(*) AS ov
              |  FROM cands c
              |  JOIN toks x ON x.doc_id = c.ida
-             |  JOIN toks y ON y.doc_id = c.idb AND y.tok = x.tok
+             |  JOIN toks y ON y.doc_id = c.idb AND y.tid = x.tid
              |  GROUP BY 1, 2, 3, 4)
              |SELECT ida AS doc_id_sub, idb AS doc_id_super,
              |  CAST(sza AS BIGINT) AS sz_sub, CAST(szb AS BIGINT) AS sz_super,
