@@ -219,6 +219,12 @@ object ScaleSmoke {
     // stage itself is K-bounded
     "nn_descent_round",
     "markov_holding_times",
+    // graph_bfs_hops_k3 shares pagerank_power_k5's persisted-edge round
+    // shape (same PageRankLoop graph, same per-round SMJ + aggregate, one
+    // localCheckpoint per round) and pagerank is that family's smoked
+    // representative; BFS rounds additionally shrink with the frontier,
+    // so its 10x cost is bounded above by pagerank's
+    "graph_bfs_hops_k3",
     // window_sliding_distinct is the documented NON-scale path — exact
     // countDistinct after a 7× explode, kept as the correctness twin of
     // hll_sliding_window_distinct (the 100 TB architecture, which stays

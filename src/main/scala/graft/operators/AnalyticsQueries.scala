@@ -663,6 +663,68 @@ object AnalyticsQueries {
              |        JOIN r4 rr ON rr.node = e.src GROUP BY 1) x, base bb)
              |SELECT node, r AS score_fp FROM r5""".stripMargin)),
 
+    // Frontier BFS, three rounds — minimum hop count from a deterministic
+    // ~2% seed set (md5-permille < 20) over the same undirected
+    // part↔supplier graph, the second multi-round iterative operator on
+    // the pagerank_power_k5 loop discipline: per round, ONLY the frontier
+    // (nodes first reached last round) joins the persisted hash(src)-
+    // partitioned edge table (zero exchange/sort on the edge side — the
+    // PlanSpec-pinned PageRankLoop shape), and the merged distance table
+    // is localCheckpoint-pinned so lineage stays one round deep. This is
+    // the label-propagating traversal primitive (reachability, taint/
+    // lineage spread, influence radius) that joins the engine's iterate-
+    // to-fixpoint family; cost per round is O(frontier·deg-capped edges),
+    // never O(nodes·edges). All integer; three chained CTEs replay it
+    // exactly in DuckDB.
+    QueryDef(
+      "graph_bfs_hops_k3",
+      (s, d) => {
+        val pairs = t(s, d, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey")).distinct()
+        val edges = pairs
+          .select(concat(lit("p"), col("l_partkey")).as("src"),
+            concat(lit("s"), col("l_suppkey")).as("dst"))
+          .union(pairs.select(concat(lit("s"), col("l_suppkey")).as("src"),
+            concat(lit("p"), col("l_partkey")).as("dst")))
+        val graph = graft.graph.PageRankLoop.persistedGraph(edges)
+        var dist = graph.select(col("src").as("node")).distinct()
+          .filter(PipelineQueries.hashPermille(col("node"), "bfs") < 20000L)
+          .withColumn("d", lit(0L))
+          .localCheckpoint(true)
+        for (k <- 1 to 3) {
+          val frontier = dist.filter(col("d") === (k - 1))
+            .withColumnRenamed("node", "src")
+          val reached = graph.hint("merge").join(frontier, "src")
+            .select(col("dst").as("node"), lit(k.toLong).as("d"))
+          dist = dist.unionByName(reached)
+            .groupBy("node").agg(min(col("d")).as("d"))
+            .localCheckpoint(true)
+        }
+        graph.unpersist()
+        dist.select(col("node"), col("d").as("min_hops")).orderBy("node")
+      },
+      Some(s"""WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+             |edges AS (
+             |  SELECT 'p' || l_partkey AS src, 's' || l_suppkey AS dst FROM pairs
+             |  UNION ALL
+             |  SELECT 's' || l_suppkey AS src, 'p' || l_partkey AS dst FROM pairs),
+             |nodes AS (SELECT DISTINCT src AS node FROM edges),
+             |d0 AS (SELECT node, CAST(0 AS BIGINT) AS d FROM nodes
+             |       WHERE ${PipelineQueries.hashSqlExpr("node", "bfs")} < 20000),
+             |d1 AS (SELECT node, CAST(min(d) AS BIGINT) AS d FROM (
+             |  SELECT * FROM d0 UNION ALL
+             |  SELECT e.dst AS node, 1 AS d FROM edges e
+             |  JOIN d0 f ON f.node = e.src AND f.d = 0) GROUP BY node),
+             |d2 AS (SELECT node, CAST(min(d) AS BIGINT) AS d FROM (
+             |  SELECT * FROM d1 UNION ALL
+             |  SELECT e.dst AS node, 2 AS d FROM edges e
+             |  JOIN d1 f ON f.node = e.src AND f.d = 1) GROUP BY node),
+             |d3 AS (SELECT node, CAST(min(d) AS BIGINT) AS d FROM (
+             |  SELECT * FROM d2 UNION ALL
+             |  SELECT e.dst AS node, 3 AS d FROM edges e
+             |  JOIN d2 f ON f.node = e.src AND f.d = 2) GROUP BY node)
+             |SELECT node, d AS min_hops FROM d3 ORDER BY node""".stripMargin)),
+
     // Quantile-sketch accuracy contract — the percentile counterpart of
     // approx_distinct_users' pattern: at 100 TB exact percentiles mean
     // sorting the universe, so the scale path is approx_percentile

@@ -830,13 +830,26 @@ object DedupQueries {
         val prefB = sized.filter(
           col("pos") <= col("sz") - expr("(sz + 4) div 5") + 1)
         val cands = prefA
-          .select(col("doc_id").as("ida"), col("tid"), col("sz").as("sza"))
+          .select(col("doc_id").as("ida"), col("tid"),
+            col("sz").as("sza"), col("pos").as("pa"))
           .join(prefB
-            .select(col("doc_id").as("idb"), col("tid"), col("sz").as("szb")),
+            .select(col("doc_id").as("idb"), col("tid"),
+              col("sz").as("szb"), col("pos").as("pb")),
             "tid")
           .filter(col("ida") =!= col("idb") &&
             col("szb") * 5 >= col("sza") * 4 && col("szb") <= col("sza") * 4)
-          .select("ida", "idb", "sza", "szb").distinct()
+          // PPJoin positional bound on the SUPER side, replacing the
+          // plain distinct() with a same-shuffle groupBy: every common
+          // token sits at B-position ≥ the pair's earliest prefix match
+          // (anything earlier inside prefB would itself have matched),
+          // so ov ≤ szb − min(pb) + 1; C ≥ 0.8 needs 5·ov ≥ 4·sza, and a
+          // pair whose bound can't clear that dies before the verify
+          // joins. The A-side bound is vacuous by construction (prefA
+          // keeps only pos ≤ sza/5 + 1), so only min(pb) is aggregated.
+          .groupBy("ida", "idb", "sza", "szb")
+          .agg(min(col("pb")).as("mpb"))
+          .filter((col("szb") - col("mpb") + 1) * 5 >= col("sza") * 4)
+          .select("ida", "idb", "sza", "szb")
         // verify by counting matching TOKENS per candidate pair — the
         // same shape the r10 revert gave simjoin_prefix_filter: only ids
         // and ONE shingle per row cross the exchanges, and the pair count
