@@ -606,11 +606,16 @@ object AnalyticsQueries {
       (s, d) => {
         val pairs = t(s, d, "lineitem")
           .select(col("l_partkey"), col("l_suppkey")).distinct()
+        // LONG node ids (even = part, odd = supplier) instead of "p"/"s"
+        // string prefixes: the rank vector and edge table are the loop's
+        // entire exchange volume, and numeric ids halve the bytes AND
+        // make every SMJ compare a long compare (r11: 10x-smoke shuffle
+        // 538 MB with string nodes)
         val edges = pairs
-          .select(concat(lit("p"), col("l_partkey")).as("src"),
-            concat(lit("s"), col("l_suppkey")).as("dst"))
-          .union(pairs.select(concat(lit("s"), col("l_suppkey")).as("src"),
-            concat(lit("p"), col("l_partkey")).as("dst")))
+          .select((col("l_partkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .union(pairs.select((col("l_suppkey") * 2 + 1).as("src"),
+            (col("l_partkey") * 2).as("dst")))
         // loop body lives in graph.PageRankLoop so PlanSpec can pin the
         // per-round plan (zero exchange/sort on the persisted edge side;
         // only the node-proportional rank vector moves per round)
@@ -633,9 +638,9 @@ object AnalyticsQueries {
       },
       Some("""WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
              |edges AS (
-             |  SELECT 'p' || l_partkey AS src, 's' || l_suppkey AS dst FROM pairs
+             |  SELECT 2 * l_partkey AS src, 2 * l_suppkey + 1 AS dst FROM pairs
              |  UNION ALL
-             |  SELECT 's' || l_suppkey AS src, 'p' || l_partkey AS dst FROM pairs),
+             |  SELECT 2 * l_suppkey + 1 AS src, 2 * l_partkey AS dst FROM pairs),
              |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
              |nn AS (SELECT count(*) AS n_nodes FROM deg),
              |base AS (SELECT (15 * (1000000000000 // n_nodes)) // 100 AS b FROM nn),
@@ -682,10 +687,10 @@ object AnalyticsQueries {
         val pairs = t(s, d, "lineitem")
           .select(col("l_partkey"), col("l_suppkey")).distinct()
         val edges = pairs
-          .select(concat(lit("p"), col("l_partkey")).as("src"),
-            concat(lit("s"), col("l_suppkey")).as("dst"))
-          .union(pairs.select(concat(lit("s"), col("l_suppkey")).as("src"),
-            concat(lit("p"), col("l_partkey")).as("dst")))
+          .select((col("l_partkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .union(pairs.select((col("l_suppkey") * 2 + 1).as("src"),
+            (col("l_partkey") * 2).as("dst")))
         val graph = graft.graph.PageRankLoop.persistedGraph(edges)
         var dist = graph.select(col("src").as("node")).distinct()
           .filter(PipelineQueries.hashPermille(col("node"), "bfs") < 20000L)
@@ -705,10 +710,10 @@ object AnalyticsQueries {
       },
       Some(s"""WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
              |edges AS (
-             |  SELECT 'p' || l_partkey AS src, 's' || l_suppkey AS dst FROM pairs
+             |  SELECT 2 * l_partkey AS src, 2 * l_suppkey + 1 AS dst FROM pairs
              |  UNION ALL
-             |  SELECT 's' || l_suppkey AS src, 'p' || l_partkey AS dst FROM pairs),
-             |nodes AS (SELECT DISTINCT src AS node FROM edges),
+             |  SELECT 2 * l_suppkey + 1 AS src, 2 * l_partkey AS dst FROM pairs),
+             |nodes AS (SELECT DISTINCT CAST(src AS BIGINT) AS node FROM edges),
              |d0 AS (SELECT node, CAST(0 AS BIGINT) AS d FROM nodes
              |       WHERE ${PipelineQueries.hashSqlExpr("node", "bfs")} < 20000),
              |d1 AS (SELECT node, CAST(min(d) AS BIGINT) AS d FROM (

@@ -895,10 +895,10 @@ class PlanSpec extends SparkSuite {
     val pairs = QueryDef.t(spark, sf, "lineitem")
       .select(col("l_partkey"), col("l_suppkey")).distinct()
     val edges = pairs
-      .select(concat(lit("p"), col("l_partkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst"))
-      .union(pairs.select(concat(lit("s"), col("l_suppkey")).as("src"),
-        concat(lit("p"), col("l_partkey")).as("dst")))
+      .select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .union(pairs.select((col("l_suppkey") * 2 + 1).as("src"),
+        (col("l_partkey") * 2).as("dst")))
     val graph = graft.graph.PageRankLoop.persistedGraph(edges)
     try {
       val nB = graph.select("src").distinct()
