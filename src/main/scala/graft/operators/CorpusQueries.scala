@@ -745,13 +745,21 @@ object CorpusQueries {
     QueryDef(
       "source_overlap_matrix",
       (s, d) => {
+        // n-grams ride as 60-bit md5 ids (the simjoin_prefix_filter
+        // discipline): the distinct and the cross-source self-join — this
+        // query's whole exchange volume — move 8-byte longs instead of
+        // ~20-byte n-gram strings; md5 is engine-identical so the oracle
+        // replays the ids (and any ~1e-6 collision) exactly
         val sets = t(s, d, "documents")
           .select(col("source"),
             explode(graft.dedup.Dedup.shingleSet(col("text"), 3)).as("ng"))
+          .select(col("source"),
+            conv(substring(md5(col("ng")), 1, 15), 16, 10)
+              .cast("long").as("ngid"))
           .distinct()
         val sizes = sets.groupBy("source").agg(count(lit(1)).as("sz"))
-        val shared = sets.select(col("source").as("src_a"), col("ng"))
-          .join(sets.select(col("source").as("src_b"), col("ng")), "ng")
+        val shared = sets.select(col("source").as("src_a"), col("ngid"))
+          .join(sets.select(col("source").as("src_b"), col("ngid")), "ngid")
           .filter(col("src_a") < col("src_b"))
           .groupBy("src_a", "src_b")
           .agg(count(lit(1)).as("n_shared"))
@@ -766,12 +774,14 @@ object CorpusQueries {
         val ng3 = "list_transform(range(0, len(string_split(text, ' ')) - 2), " +
           "i -> array_to_string((string_split(text, ' '))[i+1:i+3], ' '))"
         s"""WITH sets AS (
-           |  SELECT DISTINCT source, unnest(list_distinct($ng3)) AS ng
-           |  FROM documents),
+           |  SELECT DISTINCT source,
+           |    CAST(('0x' || substr(md5(ng), 1, 15)) AS BIGINT) AS ngid
+           |  FROM (SELECT source, unnest(list_distinct($ng3)) AS ng
+           |        FROM documents)),
            |sizes AS (SELECT source, count(*) AS sz FROM sets GROUP BY 1),
            |shared AS (
            |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
-           |  FROM sets a JOIN sets b ON a.ng = b.ng AND a.source < b.source
+           |  FROM sets a JOIN sets b ON a.ngid = b.ngid AND a.source < b.source
            |  GROUP BY 1, 2)
            |SELECT src_a, src_b, n_shared, sa.sz AS sz_a, sb.sz AS sz_b,
            |  CAST(n_shared AS DOUBLE) /
