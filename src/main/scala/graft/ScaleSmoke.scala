@@ -340,7 +340,13 @@ object ScaleSmoke {
     // edge join + one aggregate, so total must be ~5× the one-step
     // query and linear in edges; a superlinear ratio here means the
     // localCheckpoint pins stopped cutting lineage between rounds
-    "pagerank_power_k5")
+    "pagerank_power_k5",
+    // round 11: three Lloyd rounds — each round is one corpus scan +
+    // one argmax shuffle (a single row per vector) + an 8x64 bounded
+    // aggregate, so the smoke watches that the 3x-scan stays linear
+    // (the scaler clones vectors verbatim; clusters grow 10x in
+    // membership, never in pair volume — no quadratic term exists)
+    "kmeans_lloyd_k3")
 
   /** Per-query shuffle-write MB from the most recent [[run]] (last
     * execution of each query), populated only when a meter was passed.

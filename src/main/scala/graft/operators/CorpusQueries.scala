@@ -520,6 +520,92 @@ object CorpusQueries {
            |FROM assigned CROSS JOIN p GROUP BY 1, 2""".stripMargin
       }),
 
+    // Three full Lloyd iterations of k-means (k = 8, seeded from the
+    // first 8 vectors) — the embedding-side multi-round iterative
+    // operator, completing the trio with pagerank_power_k5 and
+    // graph_bfs_hops_k3: assign (broadcast argmax over the 8 centroids,
+    // one shuffled row per vector via max_by) -> update (per-dimension
+    // NANO-QUANTIZED means: each component contributes
+    // round(v*1e9) BIGINT, the mean is one double division + round, so
+    // the centroid update is FP-order-free and engine-exact; `div` is
+    // deliberately avoided because component sums go negative and
+    // Spark's div truncates where DuckDB's // floors) -> rebuild the
+    // centroid arrays and repeat. Per round the corpus is scanned once
+    // and only (vector, centroid) argmax rows shuffle; the 8x64 centroid
+    // table is localCheckpoint-pinned between rounds so round k never
+    // re-expands rounds 1..k-1 (the pagerank lineage discipline). The
+    // oracle replays all three rounds as chained CTEs.
+    QueryDef(
+      "kmeans_lloyd_k3",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+          .select(col("vec_id").as("id"),
+            transform(col("embedding"), x => x.cast("double")).as("vec"))
+        var cents = emb.filter(col("id") < 8)
+          .select(col("id").as("centroid_id"), col("vec").as("cvec"))
+          .localCheckpoint(true)
+        var means: org.apache.spark.sql.DataFrame = null
+        for (r <- 1 to 3) {
+          val cb = broadcast(cents.withColumn("cnorm", Similarity.l2Norm(col("cvec"))))
+          val assigned = emb
+            .withColumn("vnorm", Similarity.l2Norm(col("vec")))
+            .crossJoin(cb)
+            .withColumn("csim", Similarity.dot(col("vec"), col("cvec")) /
+              (col("vnorm") * col("cnorm")))
+            .groupBy(col("id"))
+            .agg(max_by(struct(col("vec"), col("centroid_id")),
+              struct(col("csim"), (-col("centroid_id")).as("nc"))).as("best"))
+            .select(col("best.centroid_id").as("centroid_id"), col("best.vec").as("vec"))
+          means = assigned
+            .select(col("centroid_id"), posexplode(col("vec")))
+            .groupBy(col("centroid_id"), col("pos").cast("long").as("pos"))
+            .agg(count(lit(1)).as("n_members"),
+              expr("CAST(round(CAST(sum(CAST(round(col * 1e9) AS BIGINT)) AS DOUBLE) " +
+                "/ count(1)) AS BIGINT)").as("mean_nano"))
+          if (r < 3) {
+            cents = means.groupBy("centroid_id")
+              .agg(transform(
+                array_sort(collect_list(struct(col("pos"), col("mean_nano")))),
+                x => x.getField("mean_nano").cast("double") / lit(1e9)).as("cvec"))
+              .localCheckpoint(true)
+          }
+        }
+        means.orderBy("centroid_id", "pos")
+      },
+      Some {
+        val dotSql = "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+          "list_transform(range(1, len(%s) + 1), i -> CAST(%s[i] AS DOUBLE) * CAST(%s[i] AS DOUBLE))), (acc, x) -> acc + x)"
+        def dot(a: String, b: String) = dotSql.format(a, a, b)
+        def round(prev: String, r: Int): String =
+          s"""a$r AS (
+             |  SELECT centroid_id, vec FROM (
+             |    SELECT e.vec AS vec, c.centroid_id,
+             |      ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY
+             |        ${dot("e.vec", "c.cvec")} /
+             |          (sqrt(${dot("e.vec", "e.vec")}) * sqrt(${dot("c.cvec", "c.cvec")})) DESC,
+             |        c.centroid_id) AS rn
+             |    FROM emb e CROSS JOIN $prev c) WHERE rn = 1),
+             |m$r AS (
+             |  SELECT centroid_id, pos, count(*) AS n_members,
+             |    CAST(round(CAST(sum(CAST(round(vec[pos + 1] * 1e9) AS BIGINT)) AS DOUBLE)
+             |      / count(*)) AS BIGINT) AS mean_nano
+             |  FROM a$r CROSS JOIN p GROUP BY 1, 2),
+             |c$r AS (SELECT centroid_id, list(mean_nano / 1e9 ORDER BY pos) AS cvec
+             |        FROM m$r GROUP BY 1)""".stripMargin
+        s"""WITH emb AS (
+           |  SELECT vec_id AS id,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+           |  FROM embeddings),
+           |c0 AS (SELECT id AS centroid_id, vec AS cvec FROM emb WHERE id < 8),
+           |p AS (SELECT unnest(range(0, 64)) AS pos),
+           |${round("c0", 1)},
+           |${round("c1", 2)},
+           |${round("c2", 3)}
+           |SELECT centroid_id, pos, CAST(n_members AS BIGINT) AS n_members,
+           |  mean_nano
+           |FROM m3 ORDER BY centroid_id, pos""".stripMargin
+      }),
+
     // IVF probe search: queries scored only against their own centroid's
     // bucket — the sub-linear ANN path (scan cost /= nlist). Recall < 1 by
     // construction; the oracle replays the identical two-stage plan so the
