@@ -78,6 +78,33 @@ class WindowAuditSpec extends SparkSuite {
       "an ordered window over a bounded aggregate is the sanctioned shape")
   }
 
+  test("no BENCHED catalog query plans a CartesianProductExec — " +
+      "unbroadcast cross products are the one join shape with no 100 TB story") {
+    // Broadcast crossJoins (1-row totals, bounded dimension grids) plan
+    // as BroadcastNestedLoopJoin and are fine; a CartesianProductExec
+    // means BOTH sides were too big to broadcast and Spark fell back to
+    // the full n*m shuffle — on the bench path that is always a bug
+    // (brute-force oracle baselines are bench=false and exempt).
+    val offenders = SparkEntry.all
+      .filter(q => q.bench && !q.sideEffecting)
+      .flatMap { q =>
+        val cart =
+          try {
+            val p = q.spark(spark, sf).queryExecution.executedPlan match {
+              case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+                a.executedPlan // AQE root is a leaf; descend into the real plan
+              case other => other
+            }
+            p.collectWithSubqueries {
+              case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+            }
+          } catch { case _: Throwable => Nil }
+        if (cart.isEmpty) Nil else Seq(q.name)
+      }
+    assert(offenders.isEmpty,
+      s"benched queries with cartesian products: ${offenders.mkString(", ")}")
+  }
+
   test("no catalog query runs an unpartitioned window over an unbounded " +
       "input (whitelist excepted)") {
     val offenders = SparkEntry.all.filter(!_.sideEffecting)
