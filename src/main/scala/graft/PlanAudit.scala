@@ -71,7 +71,7 @@ object PlanAudit {
       "catalog enums: language / source / shard / split / priority domains",
     """(?i).*(^|_)(region|nation|brand|container|mode|returnflag|linestatus|mktsegment|shippriority|orderpriority|shipmode|shipinstruct|mfgr)(_?(name|code))?s?$""".r ->
       "TPC-H dimension domains: fixed-cardinality reference data",
-    """(?i).*(^|_)(side|variant|arm|cohort|method|metric|feature|col|column|field|rule|check|audit|stage|phase|round|iter|k|n|threshold|param)s?$""".r ->
+    """(?i).*(^|_)(side|variant|arm|cohort|method|metric|feature|col|column|field|rule|check|audit|stage|phase|round|iter|threshold|param)s?$""".r ->
       "audit/experiment axes: one row per declared metric / arm / rule",
     """(?i).*(^|_)(is|has)_[a-z0-9_]+$""".r ->
       "boolean predicates: two-valued by construction"
