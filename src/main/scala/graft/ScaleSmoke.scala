@@ -225,6 +225,11 @@ object ScaleSmoke {
     // representative; BFS rounds additionally shrink with the frontier,
     // so its 10x cost is bounded above by pagerank's
     "graph_bfs_hops_k3",
+    // graph_sssp_bellman_k3: same exemption as graph_bfs_hops_k3 — the
+    // identical persisted-edge frontier round shape (weighted min instead
+    // of hop min), cost bounded above by pagerank's smoked full-vector
+    // rounds since the frontier only shrinks
+    "graph_sssp_bellman_k3",
     // window_sliding_distinct is the documented NON-scale path — exact
     // countDistinct after a 7× explode, kept as the correctness twin of
     // hll_sliding_window_distinct (the 100 TB architecture, which stays

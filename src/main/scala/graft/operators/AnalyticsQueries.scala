@@ -47,6 +47,25 @@ object AnalyticsQueries {
       .select(col("l_orderkey"), col("l_partkey")).distinct()
       .hint("merge")
 
+  /** Undirected part↔supplier edge list with LONG node ids (even =
+    * 2·partkey, odd = 2·suppkey+1) — the shared graph of the
+    * iterate-to-fixpoint family (pagerank_power_k5, graph_bfs_hops_k3;
+    * graph_sssp_bellman_k3 builds the weighted variant inline). Numeric
+    * ids keep the loop's entire exchange volume (rank/dist vector + edge
+    * table) at 8 bytes per key and make every per-round SMJ compare a
+    * long compare (r11: pagerank 10×-smoke shuffle 538 MB with string
+    * nodes, halved by this encoding).
+    */
+  private[operators] def partSupplierEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val pairs = t(s, d, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    pairs.select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .union(pairs.select((col("l_suppkey") * 2 + 1).as("src"),
+        (col("l_partkey") * 2).as("dst")))
+  }
+
   /** Undirected distinct co-purchase edges (a < b) over copurchaseItems. */
   private[operators] def copurchaseEdges(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
@@ -604,18 +623,12 @@ object AnalyticsQueries {
     QueryDef(
       "pagerank_power_k5",
       (s, d) => {
-        val pairs = t(s, d, "lineitem")
-          .select(col("l_partkey"), col("l_suppkey")).distinct()
         // LONG node ids (even = part, odd = supplier) instead of "p"/"s"
         // string prefixes: the rank vector and edge table are the loop's
         // entire exchange volume, and numeric ids halve the bytes AND
         // make every SMJ compare a long compare (r11: 10x-smoke shuffle
         // 538 MB with string nodes)
-        val edges = pairs
-          .select((col("l_partkey") * 2).as("src"),
-            (col("l_suppkey") * 2 + 1).as("dst"))
-          .union(pairs.select((col("l_suppkey") * 2 + 1).as("src"),
-            (col("l_partkey") * 2).as("dst")))
+        val edges = partSupplierEdges(s, d)
         // loop body lives in graph.PageRankLoop so PlanSpec can pin the
         // per-round plan (zero exchange/sort on the persisted edge side;
         // only the node-proportional rank vector moves per round)
@@ -684,14 +697,7 @@ object AnalyticsQueries {
     QueryDef(
       "graph_bfs_hops_k3",
       (s, d) => {
-        val pairs = t(s, d, "lineitem")
-          .select(col("l_partkey"), col("l_suppkey")).distinct()
-        val edges = pairs
-          .select((col("l_partkey") * 2).as("src"),
-            (col("l_suppkey") * 2 + 1).as("dst"))
-          .union(pairs.select((col("l_suppkey") * 2 + 1).as("src"),
-            (col("l_partkey") * 2).as("dst")))
-        val graph = graft.graph.PageRankLoop.persistedGraph(edges)
+        val graph = graft.graph.PageRankLoop.persistedGraph(partSupplierEdges(s, d))
         var dist = graph.select(col("src").as("node")).distinct()
           .filter(PipelineQueries.hashPermille(col("node"), "bfs") < 20000L)
           .withColumn("d", lit(0L))
@@ -729,6 +735,85 @@ object AnalyticsQueries {
              |  SELECT e.dst AS node, 3 AS d FROM edges e
              |  JOIN d2 f ON f.node = e.src AND f.d = 2) GROUP BY node)
              |SELECT node, d AS min_hops FROM d3 ORDER BY node""".stripMargin)),
+
+    // Weighted single-source-set shortest paths, three Bellman-Ford
+    // relaxation rounds — the third member of the iterate-to-fixpoint
+    // family on the PageRankLoop discipline (edge weight = min quantity
+    // ever shipped for the part↔supplier pair, integral 1..50 so the
+    // double→BIGINT narrowing is exact on both engines). Per round, ONLY
+    // the frontier (nodes whose distance improved last round) joins the
+    // persisted hash(src)-partitioned edge table — zero exchange/sort on
+    // the edge side, the PlanSpec-pinned PageRankLoop round shape — and
+    // the merged distance table is localCheckpoint-pinned so lineage
+    // stays one round deep. The frontier restriction is the classic SPFA
+    // invariant and provably result-identical to full relaxation: a node
+    // whose distance did NOT improve in round k already propagated that
+    // value in an earlier round, so its round-k+1 relaxations are
+    // subsumed (GraphSsspSpec asserts the equivalence on real data); the
+    // DuckDB oracle replays the simpler full-relaxation form. Distances
+    // are BIGINT (≤ 3·50), order-independent under min — bit-exact
+    // replay. Cost per round is O(frontier·edges-of-frontier), never
+    // O(nodes·edges): at 100 TB the frontier decays as the wavefront
+    // passes, exactly like graph_bfs_hops_k3's.
+    QueryDef(
+      "graph_sssp_bellman_k3",
+      (s, d) => {
+        val pairs = t(s, d, "lineitem")
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(min(col("l_quantity")).cast("long").as("w"))
+        val edges = pairs
+          .select((col("l_partkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"), col("w"))
+          .unionByName(pairs.select((col("l_suppkey") * 2 + 1).as("src"),
+            (col("l_partkey") * 2).as("dst"), col("w")))
+        // persistedGraph keeps extra edge columns: (src, dst, w, outdeg)
+        val graph = graft.graph.PageRankLoop.persistedGraph(edges)
+        var dist = graph.select(col("src").as("node")).distinct()
+          .filter(PipelineQueries.hashPermille(col("node"), "sssp") < 20000L)
+          .select(col("node"), lit(0L).as("d"), lit(true).as("changed"))
+          .localCheckpoint(true)
+        val Inf = Long.MaxValue
+        for (_ <- 1 to 3) {
+          val frontier = dist.filter(col("changed"))
+            .select(col("node").as("src"), col("d"))
+          val relaxed = graph.hint("merge").join(frontier, "src")
+            .select(col("dst").as("node"), (col("d") + col("w")).as("cand"))
+            .groupBy("node").agg(min(col("cand")).as("cand"))
+          dist = dist.select(col("node"), col("d"))
+            .join(relaxed, Seq("node"), "full_outer")
+            .select(col("node"),
+              least(coalesce(col("d"), lit(Inf)),
+                coalesce(col("cand"), lit(Inf))).as("nd"),
+              (coalesce(col("cand"), lit(Inf)) <
+                coalesce(col("d"), lit(Inf))).as("changed"))
+            .withColumnRenamed("nd", "d")
+            .localCheckpoint(true)
+        }
+        graph.unpersist()
+        dist.select(col("node"), col("d").as("min_cost")).orderBy("node")
+      },
+      Some(s"""WITH pairs AS (SELECT l_partkey, l_suppkey,
+             |  CAST(min(l_quantity) AS BIGINT) AS w FROM lineitem GROUP BY 1, 2),
+             |edges AS (
+             |  SELECT 2 * l_partkey AS src, 2 * l_suppkey + 1 AS dst, w FROM pairs
+             |  UNION ALL
+             |  SELECT 2 * l_suppkey + 1 AS src, 2 * l_partkey AS dst, w FROM pairs),
+             |nodes AS (SELECT DISTINCT CAST(src AS BIGINT) AS node FROM edges),
+             |d0 AS (SELECT node, CAST(0 AS BIGINT) AS d FROM nodes
+             |       WHERE ${PipelineQueries.hashSqlExpr("node", "sssp")} < 20000),
+             |d1 AS (SELECT node, CAST(min(d) AS BIGINT) AS d FROM (
+             |  SELECT * FROM d0 UNION ALL
+             |  SELECT e.dst AS node, f.d + e.w AS d FROM edges e
+             |  JOIN d0 f ON f.node = e.src) GROUP BY node),
+             |d2 AS (SELECT node, CAST(min(d) AS BIGINT) AS d FROM (
+             |  SELECT * FROM d1 UNION ALL
+             |  SELECT e.dst AS node, f.d + e.w AS d FROM edges e
+             |  JOIN d1 f ON f.node = e.src) GROUP BY node),
+             |d3 AS (SELECT node, CAST(min(d) AS BIGINT) AS d FROM (
+             |  SELECT * FROM d2 UNION ALL
+             |  SELECT e.dst AS node, f.d + e.w AS d FROM edges e
+             |  JOIN d2 f ON f.node = e.src) GROUP BY node)
+             |SELECT node, d AS min_cost FROM d3 ORDER BY node""".stripMargin)),
 
     // Quantile-sketch accuracy contract — the percentile counterpart of
     // approx_distinct_users' pattern: at 100 TB exact percentiles mean
