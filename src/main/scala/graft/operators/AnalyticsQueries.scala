@@ -777,16 +777,18 @@ object AnalyticsQueries {
           val frontier = dist.filter(col("changed"))
             .select(col("node").as("src"), col("d"))
           val relaxed = graph.hint("merge").join(frontier, "src")
-            .select(col("dst").as("node"), (col("d") + col("w")).as("cand"))
-            .groupBy("node").agg(min(col("cand")).as("cand"))
-          dist = dist.select(col("node"), col("d"))
-            .join(relaxed, Seq("node"), "full_outer")
-            .select(col("node"),
-              least(coalesce(col("d"), lit(Inf)),
-                coalesce(col("cand"), lit(Inf))).as("nd"),
-              (coalesce(col("cand"), lit(Inf)) <
-                coalesce(col("d"), lit(Inf))).as("changed"))
-            .withColumnRenamed("nd", "d")
+            .select(col("dst").as("node"), (col("d") + col("w")).as("d"),
+              lit(true).as("isnew"))
+          // merge old + relaxed in ONE aggregate (the BFS union shape —
+          // a full_outer join here measured ~3× the per-round cost):
+          // changed ⟺ the round's min improves on the settled distance
+          dist = dist.select(col("node"), col("d"), lit(false).as("isnew"))
+            .unionByName(relaxed)
+            .groupBy("node")
+            .agg(min(col("d")).as("nd"),
+              min(when(!col("isnew"), col("d"))).as("old_d"))
+            .select(col("node"), col("nd").as("d"),
+              (col("nd") < coalesce(col("old_d"), lit(Inf))).as("changed"))
             .localCheckpoint(true)
         }
         graph.unpersist()
