@@ -230,6 +230,26 @@ object ScaleSmoke {
     // of hop min), cost bounded above by pagerank's smoked full-vector
     // rounds since the frontier only shrinks
     "graph_sssp_bellman_k3",
+    // hits_power_k3: pagerank_power_k5 is the smoked representative of
+    // full-vector persisted-edge loop rounds; HITS's six half-rounds are
+    // the identical join+aggregate shape split across the two cached
+    // orientations, with no term that could scale differently
+    "hits_power_k3",
+    // ppr_seed_restart_k3: same exemption as hits/BFS — the pinned
+    // persisted-edge round shape with pagerank as the smoked
+    // representative; PPR's vector is additionally sparse early (seeds
+    // only), so per-round cost is bounded above by pagerank's
+    "ppr_seed_restart_k3",
+    // louvain_move_round: the only data-proportional subtree is the
+    // co-purchase edge build, smoked under copurchase_pairs; everything
+    // above it is one edge-proportional map-side-combined aggregate plus
+    // a 16-row broadcast — no term that could scale past the edge build
+    "louvain_move_round",
+    // graph_randomwalk_k3: constant-size walker frontier (one row per
+    // seed per round) against the same persisted edge table — per-round
+    // cost strictly below graph_bfs_hops_k3's growing frontier, which is
+    // itself bounded above by the smoked pagerank rounds
+    "graph_randomwalk_k3",
     // window_sliding_distinct is the documented NON-scale path — exact
     // countDistinct after a 7× explode, kept as the correctness twin of
     // hll_sliding_window_distinct (the 100 TB architecture, which stays

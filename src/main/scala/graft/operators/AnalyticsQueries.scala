@@ -817,6 +817,309 @@ object AnalyticsQueries {
              |  JOIN d2 f ON f.node = e.src) GROUP BY node)
              |SELECT node, d AS min_cost FROM d3 ORDER BY node""".stripMargin)),
 
+    // HITS hubs-and-authorities, three power-iteration rounds over the
+    // DIRECTED part→supplier purchase graph — the iterate-to-fixpoint
+    // family's normalization-in-loop shape: unlike pagerank (whose damping
+    // keeps total mass constant by construction), each HITS half-round
+    // must L1-renormalize its vector, and that global sum rides the same
+    // 1-row checkpointed broadcast cross join as pagerank's node count —
+    // no driver collect. Each half-round is one merge join + one
+    // aggregate; the hub→auth half consumes the src-partitioned persisted
+    // edge table and the auth→hub half a REVERSED persisted copy, so BOTH
+    // orientations enter their joins with zero exchange/sort (the
+    // PlanSpec-pinned PageRankLoop contract) and only the node-
+    // proportional score vectors move. Arithmetic: raw sums in
+    // DECIMAL(38,0) (Spark) / HUGEINT (DuckDB — its BIGINT sum widens
+    // automatically), normalized by integral division to a BIGINT vector
+    // of total mass 1e12 — decimal never reaches an output column (the
+    // t_closeness rule), and every step is order-independent, so three
+    // rounds replay bit-exactly in DuckDB.
+    QueryDef(
+      "hits_power_k3",
+      (s, d) => {
+        val pairs = t(s, d, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey")).distinct()
+        val fwd = pairs.select((col("l_partkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        val bySrc = graft.graph.PageRankLoop.persistedGraph(fwd)
+        val byDst = graft.graph.PageRankLoop.persistedGraph(
+          fwd.select(col("dst").as("src"), col("src").as("dst")))
+        def normalize(raw: org.apache.spark.sql.DataFrame,
+            outCol: String): org.apache.spark.sql.DataFrame = {
+          val tot = raw.agg(sum(col("raw")).as("tot")).localCheckpoint(true)
+          raw.crossJoin(broadcast(tot))
+            .select(col("node"),
+              expr("CAST((raw * 1000000000000) div tot AS BIGINT)").as(outCol))
+            .localCheckpoint(true)
+        }
+        var hubs = bySrc.select(col("src").as("node")).distinct()
+          .withColumn("h", lit(1000000L)).localCheckpoint(true)
+        var auths: org.apache.spark.sql.DataFrame = null
+        for (_ <- 1 to 3) {
+          val aRaw = bySrc.hint("merge")
+            .join(hubs.withColumnRenamed("node", "src"), "src")
+            .groupBy(col("dst"))
+            .agg(sum(col("h").cast(DecimalType(38, 0))).as("raw"))
+            .withColumnRenamed("dst", "node")
+          auths = normalize(aRaw, "a")
+          val hRaw = byDst.hint("merge")
+            .join(auths.withColumnRenamed("node", "src"), "src")
+            .groupBy(col("dst"))
+            .agg(sum(col("a").cast(DecimalType(38, 0))).as("raw"))
+            .withColumnRenamed("dst", "node")
+          hubs = normalize(hRaw, "h")
+        }
+        bySrc.unpersist(); byDst.unpersist()
+        auths.select(col("node"), lit("auth").as("kind"), col("a").as("score"))
+          .unionByName(hubs.select(col("node"), lit("hub").as("kind"),
+            col("h").as("score")))
+          .orderBy("kind", "node")
+      },
+      Some("""WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+             |e AS (SELECT 2 * l_partkey AS p, 2 * l_suppkey + 1 AS s FROM pairs),
+             |h0 AS (SELECT DISTINCT p AS node, CAST(1000000 AS BIGINT) AS h FROM e),
+             |a1r AS (SELECT e.s AS node, sum(h.h) AS raw FROM e
+             |        JOIN h0 h ON h.node = e.p GROUP BY 1),
+             |a1 AS (SELECT node, CAST((raw * 1000000000000)
+             |  // (SELECT sum(raw) FROM a1r) AS BIGINT) AS a FROM a1r),
+             |h1r AS (SELECT e.p AS node, sum(a.a) AS raw FROM e
+             |        JOIN a1 a ON a.node = e.s GROUP BY 1),
+             |h1 AS (SELECT node, CAST((raw * 1000000000000)
+             |  // (SELECT sum(raw) FROM h1r) AS BIGINT) AS h FROM h1r),
+             |a2r AS (SELECT e.s AS node, sum(h.h) AS raw FROM e
+             |        JOIN h1 h ON h.node = e.p GROUP BY 1),
+             |a2 AS (SELECT node, CAST((raw * 1000000000000)
+             |  // (SELECT sum(raw) FROM a2r) AS BIGINT) AS a FROM a2r),
+             |h2r AS (SELECT e.p AS node, sum(a.a) AS raw FROM e
+             |        JOIN a2 a ON a.node = e.s GROUP BY 1),
+             |h2 AS (SELECT node, CAST((raw * 1000000000000)
+             |  // (SELECT sum(raw) FROM h2r) AS BIGINT) AS h FROM h2r),
+             |a3r AS (SELECT e.s AS node, sum(h.h) AS raw FROM e
+             |        JOIN h2 h ON h.node = e.p GROUP BY 1),
+             |a3 AS (SELECT node, CAST((raw * 1000000000000)
+             |  // (SELECT sum(raw) FROM a3r) AS BIGINT) AS a FROM a3r),
+             |h3r AS (SELECT e.p AS node, sum(a.a) AS raw FROM e
+             |        JOIN a3 a ON a.node = e.s GROUP BY 1),
+             |h3 AS (SELECT node, CAST((raw * 1000000000000)
+             |  // (SELECT sum(raw) FROM h3r) AS BIGINT) AS h FROM h3r)
+             |SELECT node, 'auth' AS kind, a AS score FROM a3
+             |UNION ALL SELECT node, 'hub' AS kind, h AS score FROM h3
+             |ORDER BY kind, node""".stripMargin)),
+
+    // Personalized PageRank, three power rounds restarting to a
+    // deterministic ~2% seed set — the seed-biased variant of
+    // pagerank_power_k5 that drives graph-based retrieval and
+    // recommendation ("rank everything by proximity to THESE docs").
+    // Two scale deltas vs the global walk: the teleport term lands only
+    // on seeds (a hash predicate evaluated inline — no seed-set join,
+    // no broadcast of a node-proportional table), and the rank vector
+    // starts SPARSE (seeds only) and fills in as mass diffuses, so
+    // early rounds move frontier-sized vectors, not node-sized ones.
+    // Per round: one merge join against the persisted hash(src) edge
+    // table (zero exchange/sort on the edge side — the PlanSpec-pinned
+    // PageRankLoop contract), then the BFS-style union-aggregate folds
+    // diffused mass and restart mass in ONE exchange. All-BIGINT
+    // fixed-point arithmetic (mass 1e12, ×85 ≪ 2^63) replays bit-exact
+    // in DuckDB.
+    QueryDef(
+      "ppr_seed_restart_k3",
+      (s, d) => {
+        val graph = graft.graph.PageRankLoop.persistedGraph(partSupplierEdges(s, d))
+        val Total = graft.graph.PageRankLoop.TotalMass
+        val seeds = graph.select(col("src").as("node")).distinct()
+          .filter(PipelineQueries.hashPermille(col("node"), "ppr") < 20000L)
+        val sB = seeds.agg(count(lit(1)).as("n_seeds")).localCheckpoint(true)
+        val restart = seeds.crossJoin(broadcast(sB))
+          .select(col("node"),
+            expr(s"(15 * ($Total div n_seeds)) div 100").as("m"))
+          .localCheckpoint(true)
+        var r = seeds.crossJoin(broadcast(sB))
+          .select(col("node"), expr(s"$Total div n_seeds").as("r"))
+          .localCheckpoint(true)
+        for (_ <- 1 to 3) {
+          val inm = graph.hint("merge")
+            .join(r.withColumnRenamed("node", "src"), "src")
+            .select(col("dst").as("node"), expr("r div outdeg").as("c"))
+            .groupBy("node").agg(sum(col("c")).as("inmass"))
+          r = inm.select(col("node"), expr("(85 * inmass) div 100").as("m"))
+            .unionByName(restart)
+            .groupBy("node").agg(sum(col("m")).as("r"))
+            .localCheckpoint(true)
+        }
+        graph.unpersist()
+        r.select(col("node"), col("r").as("ppr_mass")).orderBy("node")
+      },
+      Some(s"""WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+             |edges AS (
+             |  SELECT 2 * l_partkey AS src, 2 * l_suppkey + 1 AS dst FROM pairs
+             |  UNION ALL
+             |  SELECT 2 * l_suppkey + 1 AS src, 2 * l_partkey AS dst FROM pairs),
+             |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+             |        FROM edges GROUP BY 1),
+             |nodes AS (SELECT DISTINCT CAST(src AS BIGINT) AS node FROM edges),
+             |seeds AS (SELECT node FROM nodes
+             |          WHERE ${PipelineQueries.hashSqlExpr("node", "ppr")} < 20000),
+             |sc AS (SELECT CAST(count(*) AS BIGINT) AS n_seeds FROM seeds),
+             |rst AS (SELECT node, (15 * (1000000000000 // n_seeds)) // 100 AS m
+             |        FROM seeds CROSS JOIN sc),
+             |r0 AS (SELECT node, 1000000000000 // n_seeds AS r
+             |       FROM seeds CROSS JOIN sc),
+             |r1 AS (SELECT node, CAST(sum(m) AS BIGINT) AS r FROM (
+             |  SELECT e.dst AS node, (85 * sum(f.r // d.outdeg)) // 100 AS m
+             |  FROM edges e JOIN deg d ON d.src = e.src
+             |  JOIN r0 f ON f.node = e.src GROUP BY e.dst
+             |  UNION ALL SELECT node, m FROM rst) GROUP BY node),
+             |r2 AS (SELECT node, CAST(sum(m) AS BIGINT) AS r FROM (
+             |  SELECT e.dst AS node, (85 * sum(f.r // d.outdeg)) // 100 AS m
+             |  FROM edges e JOIN deg d ON d.src = e.src
+             |  JOIN r1 f ON f.node = e.src GROUP BY e.dst
+             |  UNION ALL SELECT node, m FROM rst) GROUP BY node),
+             |r3 AS (SELECT node, CAST(sum(m) AS BIGINT) AS r FROM (
+             |  SELECT e.dst AS node, (85 * sum(f.r // d.outdeg)) // 100 AS m
+             |  FROM edges e JOIN deg d ON d.src = e.src
+             |  JOIN r2 f ON f.node = e.src GROUP BY e.dst
+             |  UNION ALL SELECT node, m FROM rst) GROUP BY node)
+             |SELECT node, r AS ppr_mass FROM r3 ORDER BY node""".stripMargin)),
+
+    // One parallel Louvain local-move round over the co-purchase graph —
+    // community detection's workhorse step: every node simultaneously
+    // picks the neighboring community (or its own) maximizing the exact
+    // modularity gain, from the %16 starting partition that
+    // graph_modularity_audit scores. The gain comparison is fully
+    // cross-multiplied integer arithmetic — score(i,C) = 2m·k_{i,C} −
+    // k_i·(Σtot(C) − [C = c(i)]·k_i), the ΔQ numerator over a constant
+    // 4m² — so argmax + deterministic tie-break (smallest community id,
+    // via one max-of-struct aggregate, no per-node sort) replays
+    // bit-exactly in DuckDB. Scale shape: neighbor-community mass
+    // k_{i,C} is ONE edge-proportional map-side-combined aggregate; the
+    // 16-row community totals ride a broadcast; nothing is quadratic —
+    // the only heavy subtree is the co-purchase edge build itself,
+    // benched once under copurchase_pairs.
+    QueryDef(
+      "louvain_move_round",
+      (s, d) => {
+        val e = copurchaseEdges(s, d)
+        val und = e.select(col("a").as("node"), col("b").as("nbr"))
+          .unionByName(e.select(col("b").as("node"), col("a").as("nbr")))
+        val deg = und.groupBy("node").agg(count(lit(1)).as("k"))
+        val mB = e.agg(count(lit(1)).as("m")).localCheckpoint(true)
+        val tot = deg.groupBy((col("node") % 16).as("c"))
+          .agg(sum(col("k")).as("s_tot"))
+        val kic = und.groupBy(col("node"), (col("nbr") % 16).as("c"))
+          .agg(count(lit(1)).as("k_ic"))
+        val cand = kic
+          .unionByName(deg.select(col("node"), (col("node") % 16).as("c"),
+            lit(0L).as("k_ic")))
+          .groupBy("node", "c").agg(sum(col("k_ic")).as("k_ic"))
+        cand.join(deg, "node").join(broadcast(tot), "c")
+          .crossJoin(broadcast(mB))
+          .select(col("node"), (col("node") % 16).as("c_old"), col("c"),
+            (lit(2L) * col("m") * col("k_ic") - col("k") *
+              (col("s_tot") - when(col("c") === col("node") % 16, col("k"))
+                .otherwise(lit(0L)))).as("score"))
+          .groupBy("node", "c_old")
+          .agg(max(struct(col("score"), (-col("c")).as("negc"))).as("best"))
+          .select(col("node"), col("c_old"),
+            (-col("best.negc")).as("c_new"), col("best.score").as("gain_score"))
+          .withColumn("moved", col("c_new") =!= col("c_old"))
+          .orderBy("node")
+      },
+      Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+             |      FROM items x JOIN items y
+             |        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+             |und AS (SELECT a AS node, b AS nbr FROM e
+             |        UNION ALL SELECT b, a FROM e),
+             |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS k
+             |        FROM und GROUP BY 1),
+             |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+             |tot AS (SELECT node % 16 AS c, CAST(sum(k) AS BIGINT) AS s_tot
+             |        FROM deg GROUP BY 1),
+             |kic AS (SELECT node, nbr % 16 AS c, CAST(count(*) AS BIGINT) AS k_ic
+             |        FROM und GROUP BY 1, 2),
+             |cand AS (SELECT node, c, CAST(sum(k_ic) AS BIGINT) AS k_ic FROM (
+             |  SELECT node, c, k_ic FROM kic
+             |  UNION ALL SELECT node, node % 16, 0 FROM deg) GROUP BY 1, 2),
+             |sc AS (SELECT cand.node, cand.node % 16 AS c_old, cand.c,
+             |  2 * m * cand.k_ic - d.k * (tot.s_tot -
+             |    CASE WHEN cand.c = cand.node % 16 THEN d.k ELSE 0 END) AS score
+             |  FROM cand JOIN deg d ON d.node = cand.node
+             |  JOIN tot ON tot.c = cand.c CROSS JOIN mm),
+             |pick AS (SELECT node, c_old, c AS c_new, score,
+             |  row_number() OVER (PARTITION BY node
+             |                     ORDER BY score DESC, c) AS rn FROM sc)
+             |SELECT node, c_old, c_new, score AS gain_score,
+             |  c_new <> c_old AS moved
+             |FROM pick WHERE rn = 1 ORDER BY node""".stripMargin)),
+
+    // Deterministic random walks, three steps from the BFS seed set —
+    // the sampling primitive under DeepWalk/node2vec-style graph
+    // embeddings: each walker steps to the neighbor minimizing a
+    // per-(walker, step) md5 draw, so the "random" choice is a pure
+    // function both engines compute identically (the same contract the
+    // hash-split/sampling family rides). Per step the walker table —
+    // CONSTANT-sized (one row per seed, forever) — merge joins the
+    // persisted hash(src) edge table (zero exchange/sort on the edge
+    // side), and the argmin over a walker's out-edges is one
+    // max-of-struct aggregate, no per-walker sort. Output is the
+    // (walk_id, step, node) trajectory table — the positive-pair corpus
+    // a skip-gram embedding trainer consumes. Cost per round is
+    // O(Σ outdeg(frontier)) with a fixed frontier, strictly below
+    // BFS's growing one; at 100 TB walks shard by walk_id with the
+    // edge table static — the ideal iterate shape.
+    QueryDef(
+      "graph_randomwalk_k3",
+      (s, d) => {
+        val graph = graft.graph.PageRankLoop.persistedGraph(partSupplierEdges(s, d))
+        var cur = graph.select(col("src").as("node")).distinct()
+          .filter(PipelineQueries.hashPermille(col("node"), "walk") < 20000L)
+          .select(col("node").as("walk_id"), col("node"))
+          .localCheckpoint(true)
+        var path = cur.select(col("walk_id"), lit(0L).as("step"), col("node"))
+        for (k <- 1 to 3) {
+          val draw = PipelineQueries.hashPermille(
+            concat_ws(":", col("walk_id"), col("dst")), s"walk$k")
+          cur = graph.hint("merge")
+            .join(cur.withColumnRenamed("node", "src"), "src")
+            .groupBy("walk_id")
+            .agg(min(struct(draw.as("h"), col("dst"))).as("pick"))
+            .select(col("walk_id"), col("pick.dst").as("node"))
+            .localCheckpoint(true)
+          path = path.unionByName(
+            cur.select(col("walk_id"), lit(k.toLong).as("step"), col("node")))
+        }
+        graph.unpersist()
+        path.orderBy("walk_id", "step")
+      },
+      Some {
+        def hop(prev: String, k: Int): String = {
+          val h = PipelineQueries.hashSqlExpr(
+            "CAST(w.walk_id AS VARCHAR) || ':' || CAST(e.dst AS VARCHAR)",
+            s"walk$k")
+          s"""s$k AS (SELECT walk_id, node FROM (
+             |  SELECT w.walk_id, e.dst AS node,
+             |    row_number() OVER (PARTITION BY w.walk_id
+             |                       ORDER BY $h, e.dst) AS rn
+             |  FROM $prev w JOIN edges e ON e.src = w.node) WHERE rn = 1)"""
+        }
+        s"""WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+           |edges AS (
+           |  SELECT 2 * l_partkey AS src, 2 * l_suppkey + 1 AS dst FROM pairs
+           |  UNION ALL
+           |  SELECT 2 * l_suppkey + 1 AS src, 2 * l_partkey AS dst FROM pairs),
+           |nodes AS (SELECT DISTINCT CAST(src AS BIGINT) AS node FROM edges),
+           |s0 AS (SELECT node AS walk_id, node FROM nodes
+           |       WHERE ${PipelineQueries.hashSqlExpr("node", "walk")} < 20000),
+           |${hop("s0", 1)},
+           |${hop("s1", 2)},
+           |${hop("s2", 3)}
+           |SELECT walk_id, CAST(0 AS BIGINT) AS step, node FROM s0
+           |UNION ALL SELECT walk_id, 1, node FROM s1
+           |UNION ALL SELECT walk_id, 2, node FROM s2
+           |UNION ALL SELECT walk_id, 3, node FROM s3
+           |ORDER BY walk_id, step""".stripMargin
+      }),
+
     // Quantile-sketch accuracy contract — the percentile counterpart of
     // approx_distinct_users' pattern: at 100 TB exact percentiles mean
     // sorting the universe, so the scale path is approx_percentile
