@@ -250,6 +250,15 @@ object ScaleSmoke {
     // cost strictly below graph_bfs_hops_k3's growing frontier, which is
     // itself bounded above by the smoked pagerank rounds
     "graph_randomwalk_k3",
+    // gbdt_hist_split: one scan + a ≤192-cell (3 features × 64 bins)
+    // map-side-combined histogram aggregate + windows over those cells —
+    // the single-scan bounded-aggregate shape the drift/stats family
+    // documents; nothing row-proportional survives the first aggregate
+    "gbdt_hist_split",
+    // target_encode_oof: the lineitem⋈part FK join is the TPC-H chain
+    // smoked under q5/q10/q21; above it only the 125-cell bounded
+    // aggregate and broadcasts of that matrix
+    "target_encode_oof",
     // window_sliding_distinct is the documented NON-scale path — exact
     // countDistinct after a 7× explode, kept as the correctness twin of
     // hll_sliding_window_distinct (the 100 TB architecture, which stays

@@ -841,33 +841,22 @@ object AnalyticsQueries {
           .select(col("l_partkey"), col("l_suppkey")).distinct()
         val fwd = pairs.select((col("l_partkey") * 2).as("src"),
           (col("l_suppkey") * 2 + 1).as("dst"))
+        // half-round + normalize live in graph.HitsLoop so PlanSpec can
+        // pin the per-half-round plan (zero exchange/sort on either
+        // persisted orientation; only the score vector moves)
         val bySrc = graft.graph.PageRankLoop.persistedGraph(fwd)
         val byDst = graft.graph.PageRankLoop.persistedGraph(
           fwd.select(col("dst").as("src"), col("src").as("dst")))
-        def normalize(raw: org.apache.spark.sql.DataFrame,
-            outCol: String): org.apache.spark.sql.DataFrame = {
-          val tot = raw.agg(sum(col("raw")).as("tot")).localCheckpoint(true)
-          raw.crossJoin(broadcast(tot))
-            .select(col("node"),
-              expr("CAST((raw * 1000000000000) div tot AS BIGINT)").as(outCol))
-            .localCheckpoint(true)
-        }
         var hubs = bySrc.select(col("src").as("node")).distinct()
           .withColumn("h", lit(1000000L)).localCheckpoint(true)
         var auths: org.apache.spark.sql.DataFrame = null
         for (_ <- 1 to 3) {
-          val aRaw = bySrc.hint("merge")
-            .join(hubs.withColumnRenamed("node", "src"), "src")
-            .groupBy(col("dst"))
-            .agg(sum(col("h").cast(DecimalType(38, 0))).as("raw"))
-            .withColumnRenamed("dst", "node")
-          auths = normalize(aRaw, "a")
-          val hRaw = byDst.hint("merge")
-            .join(auths.withColumnRenamed("node", "src"), "src")
-            .groupBy(col("dst"))
-            .agg(sum(col("a").cast(DecimalType(38, 0))).as("raw"))
-            .withColumnRenamed("dst", "node")
-          hubs = normalize(hRaw, "h")
+          auths = graft.graph.HitsLoop.normalize(
+            graft.graph.HitsLoop.halfRound(bySrc, hubs, "h"), "a")
+            .localCheckpoint(true)
+          hubs = graft.graph.HitsLoop.normalize(
+            graft.graph.HitsLoop.halfRound(byDst, auths, "a"), "h")
+            .localCheckpoint(true)
         }
         bySrc.unpersist(); byDst.unpersist()
         auths.select(col("node"), lit("auth").as("kind"), col("a").as("score"))
@@ -1119,6 +1108,154 @@ object AnalyticsQueries {
            |UNION ALL SELECT walk_id, 3, node FROM s3
            |ORDER BY walk_id, step""".stripMargin
       }),
+
+    // Histogram-based best-split finding — the inner loop of distributed
+    // gradient boosting (LightGBM/XGBoost-style): bin three features to
+    // bounded histograms of (count, gradient-sum) in ONE map-side-
+    // combined aggregate over the scan, cumulate left-stats with a
+    // window over the ≤64-bin bounded partition, and argmax the exact
+    // variance gain per feature. This is THE 100 TB shape for tree
+    // learning — workers ship (feature, bin) partial histograms (a few
+    // KB), never rows; the gain scan is over bins, not data. Label =
+    // revenue cents (decimal-exact BIGINT); gain terms are deterministic
+    // IEEE doubles of exact integer sums (the stats-family contract), so
+    // the argmax + min-bin tie-break replays identically in DuckDB via
+    // one max-of-struct aggregate (no per-feature sort).
+    QueryDef(
+      "gbdt_hist_split",
+      (s, d) => {
+        val base = t(s, d, "lineitem").select(
+          expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("cents"),
+          col("l_quantity").cast("long").as("qty_bin"),
+          expr("CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("disc_bin"))
+        val feats = base.select(lit("quantity").as("feature"),
+            col("qty_bin").as("bin"), col("cents"))
+          .unionByName(base.select(lit("discount").as("feature"),
+            col("disc_bin").as("bin"), col("cents")))
+          .unionByName(base.select(lit("price").as("feature"),
+            least(lit(63L), expr("cents div 200000")).as("bin"), col("cents")))
+        val hist = feats.groupBy("feature", "bin")
+          .agg(count(lit(1)).as("n_b"), sum("cents").as("s_b"))
+        val wc = Window.partitionBy("feature").orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wt = Window.partitionBy("feature")
+        val cum = hist.select(col("feature"), col("bin"),
+          sum("n_b").over(wc).as("n_l"), sum("s_b").over(wc).as("s_l"),
+          sum("n_b").over(wt).as("n"), sum("s_b").over(wt).as("s"))
+        val gains = cum.filter(col("n_l") < col("n"))
+          .select(col("feature"), col("bin"), col("n_l"),
+            (col("n") - col("n_l")).as("n_r"), col("s_l"),
+            (col("s") - col("s_l")).as("s_r"),
+            (col("s_l").cast("double") * col("s_l") / col("n_l")
+              + (col("s") - col("s_l")).cast("double") * (col("s") - col("s_l"))
+                / (col("n") - col("n_l"))
+              - col("s").cast("double") * col("s") / col("n")).as("gain"))
+        gains.groupBy("feature")
+          .agg(max(struct(col("gain"), (-col("bin")).as("negbin"), col("n_l"),
+            col("n_r"), col("s_l"), col("s_r"))).as("best"))
+          .select(col("feature"), (-col("best.negbin")).as("split_bin"),
+            col("best.n_l").as("n_left"), col("best.n_r").as("n_right"),
+            col("best.s_l").as("sum_left_cents"),
+            col("best.s_r").as("sum_right_cents"), col("best.gain").as("gain"))
+          .orderBy("feature")
+      },
+      Some("""WITH base AS (SELECT
+             |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             |  CAST(l_quantity AS BIGINT) AS qty_bin,
+             |  CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS disc_bin
+             |  FROM lineitem),
+             |feats AS (
+             |  SELECT 'quantity' AS feature, qty_bin AS bin, cents FROM base
+             |  UNION ALL SELECT 'discount', disc_bin, cents FROM base
+             |  UNION ALL SELECT 'price', LEAST(63, cents // 200000), cents FROM base),
+             |hist AS (SELECT feature, bin, CAST(count(*) AS BIGINT) AS n_b,
+             |         CAST(sum(cents) AS BIGINT) AS s_b FROM feats GROUP BY 1, 2),
+             |cum AS (SELECT feature, bin,
+             |  CAST(sum(n_b) OVER wc AS BIGINT) AS n_l,
+             |  CAST(sum(s_b) OVER wc AS BIGINT) AS s_l,
+             |  CAST(sum(n_b) OVER wt AS BIGINT) AS n,
+             |  CAST(sum(s_b) OVER wt AS BIGINT) AS s
+             |  FROM hist WINDOW
+             |    wc AS (PARTITION BY feature ORDER BY bin
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |    wt AS (PARTITION BY feature)),
+             |gains AS (SELECT feature, bin, n_l, n - n_l AS n_r, s_l,
+             |  s - s_l AS s_r,
+             |  CAST(s_l AS DOUBLE) * s_l / n_l
+             |    + CAST(s - s_l AS DOUBLE) * (s - s_l) / (n - n_l)
+             |    - CAST(s AS DOUBLE) * s / n AS gain
+             |  FROM cum WHERE n_l < n),
+             |pick AS (SELECT *, row_number() OVER (PARTITION BY feature
+             |  ORDER BY gain DESC, bin) AS rn FROM gains)
+             |SELECT feature, bin AS split_bin, n_l AS n_left, n_r AS n_right,
+             |  s_l AS sum_left_cents, s_r AS sum_right_cents, gain
+             |FROM pick WHERE rn = 1 ORDER BY feature""".stripMargin)),
+
+    // Leakage-free K-fold target encoding — the feature-engineering
+    // staple for categorical features at scale: each (brand, fold)
+    // cell's encoded value is the target mean computed WITHOUT that
+    // fold's own rows (out-of-fold), smoothed toward the global prior
+    // with weight 100. Fold assignment is the md5-permille hash the
+    // split family rides (pure function of the row key — both engines
+    // agree), so the encoding is reproducible shard-by-shard. Shape:
+    // the lineitem⋈part FK join (the standard TPC-H chain), then ONE
+    // bounded (25 brands × 5 folds) map-side-combined aggregate; brand
+    // totals and the global prior ride broadcasts of the tiny cell
+    // matrix — after the join, nothing row-proportional moves. Sums are
+    // decimal-exact BIGINTs; the encoded value is a deterministic
+    // double of exact integers.
+    QueryDef(
+      "target_encode_oof",
+      (s, d) => {
+        val li = t(s, d, "lineitem").select(col("l_partkey"),
+          expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("cents"),
+          (PipelineQueries.hashPermille(
+            concat_ws(":", col("l_orderkey"), col("l_linenumber")), "fold")
+            % 5).as("fold"))
+        val cells = li
+          .join(t(s, d, "part").select(col("p_partkey").as("l_partkey"),
+            col("p_brand")), "l_partkey")
+          .groupBy("p_brand", "fold")
+          .agg(count(lit(1)).as("n_cell"), sum("cents").as("s_cell"))
+        val bt = cells.groupBy("p_brand")
+          .agg(sum("n_cell").as("n_brand"), sum("s_cell").as("s_brand"))
+        val gt = cells.agg(sum(col("n_cell")).as("g_n"),
+          sum(col("s_cell")).as("g_s"))
+        cells.join(broadcast(bt), "p_brand")
+          .crossJoin(broadcast(gt))
+          .select(col("p_brand"), col("fold"),
+            (col("n_brand") - col("n_cell")).as("n_oof"),
+            (col("s_brand") - col("s_cell")).as("s_oof_cents"),
+            (((col("s_brand") - col("s_cell")).cast("double")
+              + lit(100.0) * (col("g_s").cast("double") / col("g_n")))
+              / ((col("n_brand") - col("n_cell")) + lit(100L)))
+              .as("enc_cents"))
+          .orderBy("p_brand", "fold")
+      },
+      Some(s"""WITH li AS (SELECT l_partkey,
+             |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             |  ${PipelineQueries.hashSqlExpr(
+                  "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)",
+                  "fold")} % 5 AS fold
+             |  FROM lineitem),
+             |cells AS (SELECT p_brand, fold, CAST(count(*) AS BIGINT) AS n_cell,
+             |  CAST(sum(cents) AS BIGINT) AS s_cell
+             |  FROM li JOIN part ON p_partkey = l_partkey GROUP BY 1, 2),
+             |bt AS (SELECT p_brand, CAST(sum(n_cell) AS BIGINT) AS n_brand,
+             |  CAST(sum(s_cell) AS BIGINT) AS s_brand FROM cells GROUP BY 1),
+             |gt AS (SELECT CAST(sum(n_cell) AS BIGINT) AS g_n,
+             |  CAST(sum(s_cell) AS BIGINT) AS g_s FROM cells)
+             |SELECT c.p_brand, c.fold,
+             |  n_brand - n_cell AS n_oof,
+             |  s_brand - s_cell AS s_oof_cents,
+             |  (CAST(s_brand - s_cell AS DOUBLE)
+             |    + 100.0 * (CAST(g_s AS DOUBLE) / g_n))
+             |    / ((n_brand - n_cell) + 100) AS enc_cents
+             |FROM cells c JOIN bt USING (p_brand) CROSS JOIN gt
+             |ORDER BY p_brand, fold""".stripMargin)),
 
     // Quantile-sketch accuracy contract — the percentile counterpart of
     // approx_distinct_users' pattern: at 100 TB exact percentiles mean

@@ -935,6 +935,52 @@ class PlanSpec extends SparkSuite {
     } finally graph.unpersist()
   }
 
+  test("HITS half-round: the REVERSED persisted orientation enters its " +
+      "merge join with zero exchange and zero sort") {
+    // hits_power_k3's delta vs the pagerank pin above: the auth→hub half
+    // consumes a reversed persisted copy of the edge table, and the
+    // zero-exchange contract must hold for THAT orientation too — its
+    // hash(src) partitioning is over the original dst ids, a different
+    // key domain than the forward copy's.
+    import org.apache.spark.sql.functions._
+    val pairs = QueryDef.t(spark, sf, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val fwd = pairs.select((col("l_partkey") * 2).as("src"),
+      (col("l_suppkey") * 2 + 1).as("dst"))
+    val byDst = graft.graph.PageRankLoop.persistedGraph(
+      fwd.select(col("dst").as("src"), col("src").as("dst")))
+    try {
+      val vec = byDst.select(col("src").as("node")).distinct()
+        .withColumn("a", lit(1000000L)).localCheckpoint(true)
+      val half = graft.graph.HitsLoop.halfRound(byDst, vec, "a")
+      half.count() // materialize so AQE finalizes the half-round's plan
+      val p = half.queryExecution.executedPlan
+      val smj = collectAll(p) {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(smj.size == 1,
+        s"the half-round must be ONE merge join, got ${smj.size}")
+      val (edgeSides, vecSides) = smj.head.children.partition(c =>
+        c.collect {
+          case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => m
+        }.nonEmpty)
+      assert(edgeSides.size == 1,
+        "exactly one join branch must read the persisted reversed orientation")
+      val edgeExchanges = edgeSides.head.collect {
+        case e: ShuffleExchangeExec => e
+        case s: org.apache.spark.sql.execution.SortExec => s
+      }
+      assert(edgeExchanges.isEmpty,
+        s"the reversed orientation must ride its cached hash(src) " +
+          s"partitioning + sort; found " +
+          s"${edgeExchanges.map(_.nodeName).mkString(", ")}")
+      val vecExchanges = vecSides.head.collect { case e: ShuffleExchangeExec => e }
+      assert(vecExchanges.size == 1,
+        s"the score vector pays the half-round's only pre-join exchange, " +
+          s"got ${vecExchanges.size}")
+    } finally byDst.unpersist()
+  }
+
   test("link prediction wedges ride ONE degree-capped subtree: group-" +
       "limit below the self-join, second side via ReusedExchange") {
     // r10 verdict task #5: the 1.27×→9.80× driver swing needs the plan
