@@ -259,6 +259,17 @@ object ScaleSmoke {
     // smoked under q5/q10/q21; above it only the 125-cell bounded
     // aggregate and broadcasts of that matrix
     "target_encode_oof",
+    // ar2_yulewalker_fit: shares acf_daily_events' entire
+    // data-proportional subtree (the daily-count aggregate; the window
+    // and moments run over the DATE domain) — same single-scan
+    // bounded-aggregate exemption
+    "ar2_yulewalker_fit",
+    // naive_bayes_train: the only corpus-proportional stage is one
+    // explode + (lang, token) count — the vocab-cardinality exchange
+    // class whose smoked representative is text_tfidf_topterms; above
+    // the checkpointed model table everything is vocab-bounded
+    // (WindowGroupLimit top-k, three derived aggregates, broadcasts)
+    "naive_bayes_train",
     // window_sliding_distinct is the documented NON-scale path — exact
     // countDistinct after a 7× explode, kept as the correctness twin of
     // hll_sliding_window_distinct (the 100 TB architecture, which stays
@@ -380,7 +391,13 @@ object ScaleSmoke {
     // aggregate, so the smoke watches that the 3x-scan stays linear
     // (the scaler clones vectors verbatim; clusters grow 10x in
     // membership, never in pair volume — no quadratic term exists)
-    "kmeans_lloyd_k3")
+    "kmeans_lloyd_k3",
+    // round 11: k-truss support — the census's sparsified wedge join
+    // PLUS the per-triangle 3-edge fanback and an edge-keyed count;
+    // the smoke watches that triangle volume (and so the fanback)
+    // stays linear across key-disjoint copies, same argument as the
+    // smoked census but with the extra triangle-proportional stage
+    "graph_ktruss_support")
 
   /** Per-query shuffle-write MB from the most recent [[run]] (last
     * execution of each query), populated only when a meter was passed.

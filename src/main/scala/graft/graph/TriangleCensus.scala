@@ -22,10 +22,30 @@ import org.apache.spark.sql.functions._
   */
 object TriangleCensus {
 
-  /** One row: (n_edges, n_wedges, n_triangles) of the given edge set.
-    * `n_wedges` is Σ C(deg, 2) (open + closed 2-paths), integer-exact.
+  /** Degree-oriented triangle identities: one row per triangle, columns
+    * `(tri_x, tri_y, tri_z)` canonicalized to id order (x < y < z). The
+    * enumeration respects one total order for both the wedge pair and the
+    * closing edge, so each triangle appears EXACTLY once — the property
+    * k-truss support counting depends on.
     */
-  def census(edges: DataFrame): DataFrame = {
+  def triangles(edges: DataFrame): DataFrame = {
+    val (oriented, _) = orient(edges)
+    val wedgePairs = oriented.select(col("src"), col("dst").as("u"), col("ddst").as("du"))
+      .join(oriented.select(col("src"), col("dst").as("v"), col("ddst").as("dv")), "src")
+      .filter(col("du") < col("dv") ||
+              (col("du") === col("dv") && col("u") < col("v")))
+    wedgePairs
+      .join(oriented.select(col("src").as("u"), col("dst").as("v")), Seq("u", "v"))
+      .select(array_sort(array(col("src"), col("u"), col("v"))).as("t"))
+      .select(col("t").getItem(0).as("tri_x"),
+        col("t").getItem(1).as("tri_y"),
+        col("t").getItem(2).as("tri_z"))
+  }
+
+  /** Re-orient canonical (a < b) edges from the lower-(degree, id)
+    * endpoint to the higher; returns (oriented edges with dst degree,
+    * the degree table). */
+  private def orient(edges: DataFrame): (DataFrame, DataFrame) = {
     val deg = edges.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("dg"))
     val withDeg = edges
@@ -38,16 +58,18 @@ object TriangleCensus {
       .otherwise(
         struct(col("b").as("s"), col("a").as("t"), col("da").as("dt"))).as("e"))
       .select(col("e.s").as("src"), col("e.t").as("dst"), col("e.dt").as("ddst"))
-    val wedgePairs = oriented.select(col("src"), col("dst").as("u"), col("ddst").as("du"))
-      .join(oriented.select(col("src"), col("dst").as("v"), col("ddst").as("dv")), "src")
-      .filter(col("du") < col("dv") ||
-              (col("du") === col("dv") && col("u") < col("v")))
-    val triangles = wedgePairs
-      .join(oriented.select(col("src").as("u"), col("dst").as("v")), Seq("u", "v"))
-      .agg(count(lit(1)).as("n_triangles"))
+    (oriented, deg)
+  }
+
+  /** One row: (n_edges, n_wedges, n_triangles) of the given edge set.
+    * `n_wedges` is Σ C(deg, 2) (open + closed 2-paths), integer-exact.
+    */
+  def census(edges: DataFrame): DataFrame = {
+    val (_, deg) = orient(edges)
+    val triangleCount = triangles(edges).agg(count(lit(1)).as("n_triangles"))
     val edgeCount = edges.agg(count(lit(1)).as("n_edges"))
     val wedgeCount = deg.agg(sum(expr("dg * (dg - 1) div 2")).as("n_wedges"))
-    edgeCount.join(broadcast(wedgeCount)).join(broadcast(triangles))
+    edgeCount.join(broadcast(wedgeCount)).join(broadcast(triangleCount))
   }
 
   /** Reference implementation: the plain a<b triple join. O(wedges) with

@@ -1645,6 +1645,66 @@ object AnalyticsQueries {
              |    AS global_clustering
              |FROM ec, wc, tri""".stripMargin)),
 
+    // k-truss support histogram (Cohen 2008) — the edge-level tier above
+    // triangle counting: per-edge triangle SUPPORT, the peel criterion of
+    // the densest-subgraph ladder (an edge is in the 4-truss iff ≥ 2
+    // triangles close it; communities survive, bridges don't). Same
+    // scale discipline as the census, one step further: the colorful
+    // mono-edge sparsification (mod 16) bounds the edge set, the wedge
+    // join rides the DEGREE orientation (fanout ≤ out-degree = O(√m),
+    // hub-proof), and — the part the census doesn't need — each
+    // enumerated triangle fans back out to its THREE id-canonical edges,
+    // whose per-edge count partial-aggregates map-side before one
+    // bounded histogram groupBy. The oracle replays support with the
+    // plain a<b<c triple join — identical multiset, different join
+    // geometry (same cross-validation contract as the census). Output is
+    // domain-bounded: one row per distinct support value.
+    QueryDef(
+      "graph_ktruss_support",
+      (s, d) => {
+        val items = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val edges = items.select(col("l_orderkey"), col("l_partkey").as("a"))
+          .join(items.select(col("l_orderkey"), col("l_partkey").as("b")),
+            "l_orderkey")
+          .filter(col("a") < col("b") && col("a") % 16 === col("b") % 16)
+          .select("a", "b").distinct()
+        val tri = graft.graph.TriangleCensus.triangles(edges)
+        val sup = tri.select(explode(array(
+            struct(col("tri_x").as("a"), col("tri_y").as("b")),
+            struct(col("tri_y").as("a"), col("tri_z").as("b")),
+            struct(col("tri_x").as("a"), col("tri_z").as("b")))).as("e"))
+          .select(col("e.a").as("a"), col("e.b").as("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("sup"))
+        edges.join(sup, Seq("a", "b"), "left_outer")
+          .select(coalesce(col("sup"), lit(0L)).as("support"))
+          .groupBy("support").agg(count(lit(1)).as("n_edges"))
+          .withColumn("in_4truss", col("support") >= 2)
+          .orderBy("support")
+      },
+      Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |edges AS (
+             |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+             |  FROM items x JOIN items y
+             |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+             |       AND x.l_partkey % 16 = y.l_partkey % 16),
+             |tri AS (
+             |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+             |  FROM edges e1
+             |  JOIN edges e2 ON e1.b = e2.a
+             |  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b),
+             |te AS (
+             |  SELECT x AS a, y AS b FROM tri
+             |  UNION ALL SELECT y, z FROM tri
+             |  UNION ALL SELECT x, z FROM tri),
+             |ts AS (SELECT a, b, CAST(count(*) AS BIGINT) AS sup
+             |       FROM te GROUP BY 1, 2),
+             |sup AS (SELECT coalesce(ts.sup, 0) AS support
+             |        FROM edges e LEFT JOIN ts USING (a, b))
+             |SELECT support, CAST(count(*) AS BIGINT) AS n_edges,
+             |  support >= 2 AS in_4truss
+             |FROM sup GROUP BY support ORDER BY support""".stripMargin)),
+
     // Bucketed co-located join — the OTHER half of the layout story next
     // to z-order: both fact tables are saved bucketed (8 buckets) AND
     // sorted on the join key, so the join consumes bucket files directly —
@@ -3776,6 +3836,108 @@ object AnalyticsQueries {
              |  / (CAST(ss AS DOUBLE)
              |     - CAST(s AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) AS acf
              |FROM u ORDER BY lag""".stripMargin)),
+
+    // AR(2) model fit via Yule-Walker (Box-Jenkins) on the densified
+    // daily event volume — the forecasting step above acf_daily_events:
+    // solve the 2×2 Toeplitz system [1 r1; r1 1]·[φ1 φ2]ᵀ = [r1 r2]ᵀ in
+    // closed form (φ1 = r1(1−r2)/(1−r1²), φ2 = (r2−r1²)/(1−r1²)) and
+    // report the innovation-variance ratio 1 − φ1·r1 − φ2·r2 (how much
+    // of the day-to-day variance the AR(2) explains). Same exactness
+    // discipline as the ACF: every moment (Σx, Σx², Σx·x₊ₖ, truncated
+    // edge sums) is one map-side-combinable EXACT-BIGINT aggregate over
+    // the date-domain-bounded series; r1/r2/φ/σ² are a FIXED sequence of
+    // double ops on those integers, written identically in both engines
+    // (IEEE ops are not reassociated by either optimizer, so the bits
+    // match). One calendar scan, one 1-row aggregate — nothing here is
+    // corpus-proportional beyond the daily count.
+    QueryDef(
+      "ar2_yulewalker_fit",
+      (s, d) => {
+        val counts = t(s, d, "events")
+          .groupBy(col("ts").cast("date").as("day"))
+          .agg(count(lit(1)).as("x"))
+        val cal = counts.agg(min("day").as("d0"), max("day").as("d1"))
+          .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+        val daily = cal.join(counts, Seq("day"), "left_outer")
+          .select(col("day"), coalesce(col("x"), lit(0L)).as("x"))
+        val w = Window.orderBy("day")
+        val led = daily.select(col("x"),
+          lead("x", 1).over(w).as("l1"),
+          lead("x", 2).over(w).as("l2"))
+        val m = led.agg(
+          count(lit(1)).as("n"), sum("x").as("s"),
+          sum(col("x") * col("x")).as("ss"),
+          sum(col("x") * col("l1")).as("p1"),
+          sum(when(col("l1").isNotNull, col("x"))).as("a1"), sum("l1").as("b1"),
+          sum(col("x") * col("l2")).as("p2"),
+          sum(when(col("l2").isNotNull, col("x"))).as("a2"), sum("l2").as("b2"))
+        val mu = col("s").cast("double") / col("n").cast("double")
+        val den0 = col("ss").cast("double") - col("s").cast("double") * mu
+        def r(k: Int) =
+          (col(s"p$k").cast("double") -
+            mu * (col(s"a$k") + col(s"b$k")).cast("double") +
+            (col("n") - lit(k.toLong)).cast("double") * mu * mu) / den0
+        m.select(col("n").as("n_days"),
+            r(1).as("r1"), r(2).as("r2"))
+          .select(col("n_days"), col("r1"), col("r2"),
+            (col("r1") * (lit(1.0) - col("r2")) /
+              (lit(1.0) - col("r1") * col("r1"))).as("phi1"),
+            ((col("r2") - col("r1") * col("r1")) /
+              (lit(1.0) - col("r1") * col("r1"))).as("phi2"))
+          .select(col("n_days"), col("r1"), col("r2"), col("phi1"), col("phi2"),
+            (lit(1.0) - col("phi1") * col("r1") - col("phi2") * col("r2"))
+              .as("innov_var_ratio"))
+      },
+      Some("""WITH counts AS (
+             |  SELECT CAST(ts AS DATE) AS day, count(*) AS x
+             |  FROM events GROUP BY 1),
+             |cal AS (
+             |  SELECT CAST(unnest(generate_series(
+             |    (SELECT min(day) FROM counts),
+             |    (SELECT max(day) FROM counts), INTERVAL 1 DAY)) AS DATE) AS day),
+             |daily AS (
+             |  SELECT cal.day, coalesce(counts.x, 0) AS x
+             |  FROM cal LEFT JOIN counts ON counts.day = cal.day),
+             |l AS (
+             |  SELECT x,
+             |    lead(x, 1) OVER (ORDER BY day) AS l1,
+             |    lead(x, 2) OVER (ORDER BY day) AS l2
+             |  FROM daily),
+             |m AS (
+             |  SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS s,
+             |    CAST(sum(x * x) AS BIGINT) AS ss,
+             |    CAST(sum(x * l1) AS BIGINT) AS p1,
+             |    CAST(sum(CASE WHEN l1 IS NOT NULL THEN x END) AS BIGINT) AS a1,
+             |    CAST(sum(l1) AS BIGINT) AS b1,
+             |    CAST(sum(x * l2) AS BIGINT) AS p2,
+             |    CAST(sum(CASE WHEN l2 IS NOT NULL THEN x END) AS BIGINT) AS a2,
+             |    CAST(sum(l2) AS BIGINT) AS b2
+             |  FROM l),
+             |r AS (
+             |  SELECT n AS n_days,
+             |    (CAST(p1 AS DOUBLE)
+             |     - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(a1 + b1 AS DOUBLE)
+             |     + CAST(n - 1 AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             |       * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+             |    / (CAST(ss AS DOUBLE)
+             |       - CAST(s AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+             |      AS r1,
+             |    (CAST(p2 AS DOUBLE)
+             |     - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(a2 + b2 AS DOUBLE)
+             |     + CAST(n - 2 AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             |       * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+             |    / (CAST(ss AS DOUBLE)
+             |       - CAST(s AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+             |      AS r2
+             |  FROM m),
+             |p AS (
+             |  SELECT n_days, r1, r2,
+             |    r1 * (1.0 - r2) / (1.0 - r1 * r1) AS phi1,
+             |    (r2 - r1 * r1) / (1.0 - r1 * r1) AS phi2
+             |  FROM r)
+             |SELECT n_days, r1, r2, phi1, phi2,
+             |  1.0 - phi1 * r1 - phi2 * r2 AS innov_var_ratio
+             |FROM p""".stripMargin)),
 
     // Approximate functional-dependency profiler (the g₃ error of
     // Kivinen & Mannila 1995): for each declared X→Y pair, the minimum

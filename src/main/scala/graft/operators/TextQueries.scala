@@ -431,5 +431,76 @@ object TextQueries {
              |  CAST(sum(code_permille) AS BIGINT) AS sum_permille,
              |  CAST(sum(code_permille) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000.0
              |    AS mean_code_score
-             |FROM sc GROUP BY lang ORDER BY lang""".stripMargin)))
+             |FROM sc GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Multinomial Naive Bayes training (McCallum & Nigam 1998) for the
+    // lang-given-tokens classifier — the fitted model IS the
+    // per-(class, token) count table: ONE map-side-combined aggregate
+    // over the corpus, materialized with localCheckpoint (vocab-bounded,
+    // node-proportional — the model, never the corpus) so the per-token
+    // totals, per-lang totals, and vocab/global scalars all derive from
+    // it without a second corpus scan. Emitted per lang: the top-10
+    // tokens by in-class count (the mode of the fitted P(token|lang))
+    // with their Laplace-smoothed likelihood odds vs the complement
+    // class, odds = [(n_lt+1)·(n_¬l+V)] / [(n_¬l,t+1)·(n_l+V)]. Ranking
+    // rides EXACT BIGINTs (n_lt desc, token) — never the double — and
+    // compiles to WindowGroupLimit over the vocab-bounded count table;
+    // the ≤ 10·|langs| survivors BROADCAST into the vocab-sized totals
+    // join (the big side streams, the top-k probes). Cross-multiplied
+    // odds ride DECIMAL(38,0) internally (BIGINT products overflow once
+    // corpus token counts pass ~3e9 — the HUGEINT-guard class) and leave
+    // as ONE double division of exact integers (< 2^53 at oracle scale),
+    // per the recorded rule: decimal wider than int64 never reaches an
+    // output column.
+    QueryDef(
+      "naive_bayes_train",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy(col("n_lt").desc, col("token"))
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val lt = t(s, d, "documents")
+          .select(col("lang"), explode(TextOps.tokens(col("text"))).as("token"))
+          .groupBy("lang", "token").agg(count(lit(1)).as("n_lt"))
+          .localCheckpoint(true)
+        val tt = lt.groupBy("token").agg(sum("n_lt").as("n_t"))
+        val lg = lt.groupBy("lang").agg(sum("n_lt").as("n_l"))
+        val g = lt.agg(sum(col("n_lt")).as("g_tok"),
+          countDistinct(col("token")).as("v"))
+        broadcast(lt.withColumn("rk", row_number().over(w).cast("long"))
+            .filter(col("rk") <= 10))
+          .join(tt, "token")
+          .join(broadcast(lg), "lang")
+          .crossJoin(broadcast(g))
+          .select(col("lang"), col("rk"), col("token"), col("n_lt"),
+            (((col("n_lt") + lit(1L)).cast(d38) *
+                (col("g_tok") - col("n_l") + col("v")).cast(d38)).cast("double") /
+             ((col("n_t") - col("n_lt") + lit(1L)).cast(d38) *
+                (col("n_l") + col("v")).cast(d38)).cast("double")).as("odds"))
+          .orderBy("lang", "rk")
+      },
+      Some("""WITH tok AS (
+             |  SELECT lang, unnest(string_split(text, ' ')) AS token
+             |  FROM documents),
+             |lt AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS n_lt
+             |       FROM tok GROUP BY 1, 2),
+             |tt AS (SELECT token, CAST(sum(n_lt) AS BIGINT) AS n_t
+             |       FROM lt GROUP BY 1),
+             |lg AS (SELECT lang, CAST(sum(n_lt) AS BIGINT) AS n_l
+             |       FROM lt GROUP BY 1),
+             |g AS (SELECT CAST(sum(n_lt) AS BIGINT) AS g_tok,
+             |             CAST(count(DISTINCT token) AS BIGINT) AS v FROM lt),
+             |top AS (
+             |  SELECT lang, token, n_lt,
+             |    ROW_NUMBER() OVER (PARTITION BY lang
+             |                       ORDER BY n_lt DESC, token) AS rk
+             |  FROM lt)
+             |SELECT p.lang, p.rk, p.token, p.n_lt,
+             |  CAST(CAST(p.n_lt + 1 AS HUGEINT)
+             |         * CAST(g.g_tok - lg.n_l + g.v AS HUGEINT) AS DOUBLE)
+             |  / CAST(CAST(tt.n_t - p.n_lt + 1 AS HUGEINT)
+             |         * CAST(lg.n_l + g.v AS HUGEINT) AS DOUBLE) AS odds
+             |FROM top p
+             |JOIN tt USING (token) JOIN lg USING (lang) CROSS JOIN g
+             |WHERE p.rk <= 10
+             |ORDER BY lang, rk""".stripMargin)))
 }

@@ -56,4 +56,43 @@ class TriangleCensusSpec extends SparkSuite {
     assert(oriented == naive && naive > 0,
       s"oriented=$oriented naive=$naive (must match and be non-trivial)")
   }
+
+  test("triangles() on K8 enumerates each canonical triple exactly once " +
+      "and every edge carries support n-2") {
+    val k8 = for (i <- 0L until 8L; j <- (i + 1) until 8L) yield (i, j)
+    val tri = TriangleCensus.triangles(edgesOf(k8))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(tri.length == 56, s"K8 has C(8,3)=56 triangles, got ${tri.length}")
+    assert(tri.distinct.length == 56, "each triangle must appear exactly once")
+    assert(tri.forall { case (x, y, z) => x < y && y < z },
+      "triples must be id-canonical (x < y < z)")
+    // per-edge support in K_n is n-2: every edge closes with each other node
+    val support = tri.flatMap { case (x, y, z) => Seq((x, y), (y, z), (x, z)) }
+      .groupBy(identity).map(_._2.length).toSeq
+    assert(support.length == 28 && support.forall(_ == 6),
+      s"K8 edge support must be 6 everywhere, got ${support.distinct}")
+  }
+
+  test("graph_ktruss_support histogram accounts for every sparsified edge " +
+      "and sums to 3x the census triangle count") {
+    import graft.{QueryDef, SparkEntry}
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val items = QueryDef.t(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = items.select(col("l_orderkey"), col("l_partkey").as("a"))
+      .join(items.select(col("l_orderkey"), col("l_partkey").as("b")), "l_orderkey")
+      .filter(col("a") < col("b") && col("a") % 16 === col("b") % 16)
+      .select("a", "b").distinct()
+    val c = TriangleCensus.census(edges).head()
+    val hist = SparkEntry.queries("graph_ktruss_support")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(hist.map(_._2).sum == c.getAs[Long]("n_edges"),
+      "histogram must cover every edge exactly once")
+    assert(hist.map { case (s, n, _) => s * n }.sum ==
+      3L * c.getAs[Long]("n_triangles"),
+      "total support must be 3x the triangle count (each triangle has 3 edges)")
+    assert(hist.forall { case (s, _, in4) => in4 == (s >= 2) },
+      "4-truss membership is support >= k-2 = 2")
+  }
 }

@@ -359,6 +359,57 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("ar2_yulewalker_fit: phi solves the Toeplitz system exactly and " +
+      "r1/r2 agree with acf_daily_events") {
+    val row = SparkEntry.queries("ar2_yulewalker_fit")(spark, sf).head()
+    val (r1, r2) = (row.getAs[Double]("r1"), row.getAs[Double]("r2"))
+    val (p1, p2) = (row.getAs[Double]("phi1"), row.getAs[Double]("phi2"))
+    // Yule-Walker: r1 = phi1 + phi2*r1, r2 = phi1*r1 + phi2 — holds iff
+    // the closed-form 2x2 solve is right, independent of moment code.
+    assert(math.abs(r1 - (p1 + p2 * r1)) < 1e-12, s"YW eq1: $r1 vs ${p1 + p2 * r1}")
+    assert(math.abs(r2 - (p1 * r1 + p2)) < 1e-12, s"YW eq2: $r2 vs ${p1 * r1 + p2}")
+    // same moments as the ACF card: its lag-1/lag-2 values must match
+    val acf = SparkEntry.queries("acf_daily_events")(spark, sf)
+      .select("lag", "acf").as[(Long, Double)].collect().toMap
+    assert(math.abs(r1 - acf(1L)) < 1e-12 && math.abs(r2 - acf(2L)) < 1e-12,
+      s"AR(2) r-moments diverge from acf_daily_events: ($r1,$r2) vs $acf")
+    // the fit must explain variance, never create it
+    val ivr = row.getAs[Double]("innov_var_ratio")
+    assert(ivr > 0.0 && ivr <= 1.0 + 1e-12, s"innovation variance ratio $ivr")
+  }
+
+  test("naive_bayes_train: rank rides exact in-class counts and the " +
+      "smoothed odds replay from independently-grouped counts") {
+    val out = SparkEntry.queries("naive_bayes_train")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getAs[Double]("odds")))
+    val perLang = out.groupBy(_._1)
+    perLang.foreach { case (lang, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to rows.length),
+        s"$lang ranks must be 1..${rows.length}")
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._4 > b._4 || (a._4 == b._4 && a._3 < b._3)
+        case _ => true
+      }, s"$lang must be ordered by n_lt desc, token asc")
+    }
+    // replay one row's odds from scratch: group the corpus independently
+    val toks = graft.QueryDef.t(spark, sf, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val (lang0, _, tok0, nLt0, odds0) = out.head
+    val nLt = toks.count(t => t._1 == lang0 && t._2 == tok0).toLong
+    val nT = toks.count(_._2 == tok0).toLong
+    val nL = toks.count(_._1 == lang0).toLong
+    val g = toks.length.toLong
+    val v = toks.map(_._2).distinct.length.toLong
+    assert(nLt == nLt0, s"in-class count: $nLt vs $nLt0")
+    val expected = ((nLt + 1).toDouble * (g - nL + v).toDouble) /
+      ((nT - nLt + 1).toDouble * (nL + v).toDouble)
+    assert(math.abs(odds0 - expected) < 1e-12 * expected,
+      s"odds for ($lang0,$tok0): $odds0 vs $expected")
+  }
+
   test("hybrid_rrf_fusion: ppm scores decompose into the two exact " +
       "integer-division rank contributions") {
     val rows = SparkEntry.queries("hybrid_rrf_fusion")(spark, sf)
