@@ -9,7 +9,8 @@ object ExplainOne {
       val df = q.spark(spark, sfDir)
       df.collect()  // force AQE final plan
       println(s"== ${q.name} ==")
-      println(df.queryExecution.executedPlan.toString.take(8000))
+      println(df.queryExecution.executedPlan.toString
+        .take(sys.env.getOrElse("EXPLAIN_MAX", "8000").toInt))
     }
     spark.stop()
   }

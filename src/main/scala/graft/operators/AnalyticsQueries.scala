@@ -66,7 +66,16 @@ object AnalyticsQueries {
         (col("l_partkey") * 2).as("dst")))
   }
 
-  /** Undirected distinct co-purchase edges (a < b) over copurchaseItems. */
+  /** Undirected distinct co-purchase edges (a < b) over copurchaseItems.
+    *
+    * Callers that consume the edge table MORE THAN ONCE (degree + adjacency
+    * + totals, …) append `.localCheckpoint(true)` — the persisted-edge
+    * idiom of the loop family: without the pin Spark re-plans the order
+    * self-join per consumer (louvain measured 18 scans / 12 SMJs before
+    * the pin; edge list ≪ corpus, so the materialization is cheap).
+    * Single-consumer callers (and the two plan-pinned queries whose specs
+    * assert the in-plan SortMergeJoin) keep the lazy form.
+    */
   private[operators] def copurchaseEdges(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val items = copurchaseItems(s, d)
@@ -987,7 +996,12 @@ object AnalyticsQueries {
     QueryDef(
       "louvain_move_round",
       (s, d) => {
-        val e = copurchaseEdges(s, d)
+        // the edge table feeds FOUR consumers (deg twice via the join and
+        // the community totals, k_ic, and 2m) — without the pin the plan
+        // rebuilds the order self-join per consumer (measured: 18 scans,
+        // 12 SMJs); one localCheckpoint makes it the loop family's
+        // persisted-edge shape (edge list ≪ corpus)
+        val e = copurchaseEdges(s, d).localCheckpoint(true)
         val und = e.select(col("a").as("node"), col("b").as("nbr"))
           .unionByName(e.select(col("b").as("node"), col("a").as("nbr")))
         val deg = und.groupBy("node").agg(count(lit(1)).as("k"))
@@ -1386,6 +1400,11 @@ object AnalyticsQueries {
       "graph_anf_reach_sketch",
       (s, d) => {
         val w = org.apache.spark.sql.expressions.Window
+        // deliberately NOT checkpointed: the quadratic exact-truth join
+        // below dominates this bench=false audit, and the lazy lineage
+        // lets AQE size the sketch-side joins off real scan stats
+        // (measured: pinning the edge table here made the sf0.1 run 4.7×
+        // slower while every sketch-only sibling got faster)
         val edges = copurchaseEdges(s, d)
         val und = edges.select(col("a").as("v"), col("b").as("u"))
           .unionByName(edges.select(col("b").as("v"), col("a").as("u")))
@@ -1480,7 +1499,7 @@ object AnalyticsQueries {
       (s, d) => {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("node").orderBy("nbr")
-        val edges = copurchaseEdges(s, d)
+        val edges = copurchaseEdges(s, d).localCheckpoint(true)
         val und = edges.select(col("a").as("node"), col("b").as("nbr"))
           .unionByName(edges.select(col("b").as("node"), col("a").as("nbr")))
         val deg = und.groupBy("node").agg(count(lit(1)).as("deg"))
@@ -1552,7 +1571,7 @@ object AnalyticsQueries {
     QueryDef(
       "label_propagation_round",
       (s, d) => {
-        val edges = copurchaseEdges(s, d)
+        val edges = copurchaseEdges(s, d).localCheckpoint(true)
         val adj = edges.select(col("a").as("node"), col("b").as("nbr"))
           .union(edges.select(col("b").as("node"), col("a").as("nbr")))
         val l0 = adj.groupBy("node").agg(min(col("nbr")).as("mn"))
@@ -2528,7 +2547,7 @@ object AnalyticsQueries {
     QueryDef(
       "kcore_peel_round",
       (s, d) => {
-        val edges = copurchaseEdges(s, d)
+        val edges = copurchaseEdges(s, d).localCheckpoint(true)
         val touch = edges.select(col("a").as("node"))
           .unionByName(edges.select(col("b").as("node")))
         val deg0 = touch.groupBy("node").agg(count(lit(1)).as("deg0"))
@@ -2724,6 +2743,7 @@ object AnalyticsQueries {
           .filter(col("a") < col("b"))
           .select("a", "b").distinct()
           .withColumn("ca", col("a") % 16).withColumn("cb", col("b") % 16)
+          .localCheckpoint(true) // 3 consumers below — pin one edge build
         val m = edges.agg(count(lit(1)).as("m"))
         val internal = edges.filter(col("ca") === col("cb"))
           .groupBy(col("ca").as("community")).agg(count(lit(1)).as("e_c"))
@@ -3702,7 +3722,7 @@ object AnalyticsQueries {
     QueryDef(
       "graph_degree_assortativity",
       (s, d) => {
-        val edges = copurchaseEdges(s, d)
+        val edges = copurchaseEdges(s, d).localCheckpoint(true)
         val deg = edges.select(col("a").as("node"))
           .unionByName(edges.select(col("b").as("node")))
           .groupBy("node").agg(count(lit(1)).as("deg"))
