@@ -264,6 +264,12 @@ object ScaleSmoke {
     // and moments run over the DATE domain) — same single-scan
     // bounded-aggregate exemption
     "ar2_yulewalker_fit",
+    // zonemap_prune_audit: one fact scan + a 2x stack fanout into
+    // per-(layout, file) min/max cells that partial-aggregate map-side —
+    // the exchange carries file-count rows (corpus/512), the same
+    // footer-stats cardinality class as lake_file_skew_audit; everything
+    // above is file-bounded
+    "zonemap_prune_audit",
     // naive_bayes_train: the only corpus-proportional stage is one
     // explode + (lang, token) count — the vocab-cardinality exchange
     // class whose smoked representative is text_tfidf_topterms; above

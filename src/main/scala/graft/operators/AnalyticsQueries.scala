@@ -1799,6 +1799,116 @@ object AnalyticsQueries {
            |FROM pairs GROUP BY 1""".stripMargin
       }),
 
+    // Zone-map prune-effectiveness audit — the MEASUREMENT that justifies
+    // zorder_layout: for one 2-D range predicate (the quarter-to-half box
+    // of each dimension's observed domain), how many of 64 files — and
+    // how many rows — can footer min/max stats skip under (a) the
+    // insertion-order layout (files follow l_orderkey — arrival time) vs
+    // (b) the z-order layout (files follow the Morton key)? This is the
+    // lake planner's before/after card: insertion-order files are wide on
+    // both filter dimensions (every file straddles the box → ~zero
+    // pruning) while z-order files are bounding-boxed on BOTH. The file
+    // assignment is scale-free — file = key·64 div (max+1), one 1-row
+    // broadcast of the domain maxes — so the audit reads the same at any
+    // corpus size (files grow like real size-targeted files). One fact
+    // scan fans each row to its two (layout, file) homes via a 2-row
+    // stack; the per-file min/max/count aggregate is a FIXED 128-cell
+    // matrix that partial-aggregates map-side, and everything above it is
+    // file-bounded. All integers; permille columns are exact integer
+    // divisions.
+    QueryDef(
+      "zonemap_prune_audit",
+      (s, d) => {
+        val bits = 16
+        def z(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          (0 until bits).map { i =>
+            shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
+              .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+          }.reduce(_ bitwiseOR _)
+        val rows = t(s, d, "lineitem")
+          .select(col("l_orderkey"),
+            col("l_partkey").bitwiseAND(lit(65535L)).as("pm"),
+            col("l_suppkey").bitwiseAND(lit(65535L)).as("sm"))
+          .withColumn("zv", z(col("pm"), col("sm")))
+        val dom = rows.agg(max("l_orderkey").as("max_ok"),
+          max("pm").as("max_pm"), max("sm").as("max_sm"),
+          max("zv").as("max_z"))
+        val perFile = rows.crossJoin(broadcast(dom))
+          .select(col("pm"), col("sm"),
+            expr("stack(2, " +
+              "'insertion', l_orderkey * 64 div (max_ok + 1), " +
+              "'zorder', zv * 64 div (max_z + 1)) AS (layout, file_id)"),
+            col("max_pm"), col("max_sm"))
+          .groupBy("layout", "file_id")
+          .agg(count(lit(1)).as("n_rows"),
+            min("pm").as("min_pm"), max(col("pm")).as("hi_pm"),
+            min("sm").as("min_sm"), max(col("sm")).as("hi_sm"),
+            max("max_pm").as("dom_pm"), max("max_sm").as("dom_sm"))
+        val mustScan = !(col("min_pm") > expr("dom_pm div 2") ||
+          col("hi_pm") < expr("dom_pm div 4") ||
+          col("min_sm") > expr("dom_sm div 2") ||
+          col("hi_sm") < expr("dom_sm div 4"))
+        perFile
+          .withColumn("scan", mustScan)
+          .groupBy("layout")
+          .agg(count(lit(1)).as("n_files"),
+            sum(when(col("scan"), 1L).otherwise(0L)).as("files_scanned"),
+            sum(col("n_rows")).as("rows_total"),
+            sum(when(col("scan"), col("n_rows")).otherwise(0L))
+              .as("rows_scanned"))
+          .withColumn("files_pruned_permille",
+            expr("(n_files - files_scanned) * 1000 div n_files"))
+          .withColumn("rows_scanned_permille",
+            expr("rows_scanned * 1000 div rows_total"))
+          .orderBy("layout")
+      },
+      Some {
+        val bits = 16
+        val terms = (0 until bits).flatMap(i => Seq(
+          s"(((pm >> $i) & 1) << ${2 * i})",
+          s"(((sm >> $i) & 1) << ${2 * i + 1})"))
+        val zExpr = terms.mkString(" | ")
+        s"""WITH rows_t AS (
+           |  SELECT l_orderkey, l_partkey & 65535 AS pm, l_suppkey & 65535 AS sm,
+           |    ($zExpr) AS zv
+           |  FROM lineitem),
+           |dom AS (
+           |  SELECT max(l_orderkey) AS max_ok, max(pm) AS max_pm,
+           |    max(sm) AS max_sm, max(zv) AS max_z
+           |  FROM rows_t),
+           |homed AS (
+           |  SELECT 'insertion' AS layout,
+           |    l_orderkey * 64 // (max_ok + 1) AS file_id, pm, sm,
+           |    max_pm, max_sm
+           |  FROM rows_t CROSS JOIN dom
+           |  UNION ALL
+           |  SELECT 'zorder', zv * 64 // (max_z + 1), pm, sm, max_pm, max_sm
+           |  FROM rows_t CROSS JOIN dom),
+           |per_file AS (
+           |  SELECT layout, file_id, CAST(count(*) AS BIGINT) AS n_rows,
+           |    min(pm) AS min_pm, max(pm) AS hi_pm,
+           |    min(sm) AS min_sm, max(sm) AS hi_sm,
+           |    max(max_pm) AS dom_pm, max(max_sm) AS dom_sm
+           |  FROM homed GROUP BY 1, 2),
+           |flagged AS (
+           |  SELECT layout, n_rows,
+           |    NOT (min_pm > dom_pm // 2 OR hi_pm < dom_pm // 4
+           |         OR min_sm > dom_sm // 2 OR hi_sm < dom_sm // 4) AS scan
+           |  FROM per_file),
+           |agg AS (
+           |  SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+           |    CAST(sum(CASE WHEN scan THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS files_scanned,
+           |    CAST(sum(n_rows) AS BIGINT) AS rows_total,
+           |    CAST(sum(CASE WHEN scan THEN n_rows ELSE 0 END) AS BIGINT)
+           |      AS rows_scanned
+           |  FROM flagged GROUP BY 1)
+           |SELECT layout, n_files, files_scanned, rows_total, rows_scanned,
+           |  (n_files - files_scanned) * 1000 // n_files AS files_pruned_permille,
+           |  rows_scanned * 1000 // rows_total AS rows_scanned_permille
+           |FROM agg ORDER BY layout""".stripMargin
+      }),
+
     // Join-key skew profile: the fanout distribution of a join key (how
     // many customers place n orders), plus each bucket's share of all
     // rows — the diagnostic run before choosing salting/AQE-skew
