@@ -264,6 +264,11 @@ object ScaleSmoke {
     // and moments run over the DATE domain) — same single-scan
     // bounded-aggregate exemption
     "ar2_yulewalker_fit",
+    // theil_inequality_decomp: the orders→customer→nation→region chain is
+    // the TPC-H join family smoked under q5/q10/q21; above the
+    // per-customer aggregate everything is 5 bounded region cells and
+    // broadcasts
+    "theil_inequality_decomp",
     // zonemap_prune_audit: one fact scan + a 2x stack fanout into
     // per-(layout, file) min/max cells that partial-aggregate map-side —
     // the exchange carries file-count rows (corpus/512), the same

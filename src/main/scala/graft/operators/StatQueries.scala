@@ -1739,5 +1739,91 @@ object StatQueries {
              |  FROM pairs)
              |SELECT n_pairs, rise AS med_rise, run AS med_run,
              |  slope AS theil_sen_slope
-             |FROM r WHERE rn = (n_pairs + 1) // 2""".stripMargin)))
+             |FROM r WHERE rn = (n_pairs + 1) // 2""".stripMargin)),
+
+    // Theil-T inequality decomposition (Theil 1967) of customer revenue
+    // by region — the additive upgrade of gini_revenue_concentration:
+    // total inequality splits EXACTLY into between-region and
+    // within-region terms, the audit that tells a marketplace whether
+    // spend concentration is a geography story or an in-market story.
+    // Determinism rides the doc_unigram_surprisal discipline: each
+    // customer's ln(x_i·N_g / X_g) quantizes to integer MILLINATS before
+    // the revenue-weighted sum, so the per-region aggregate is an exact
+    // integer Σ x_i·m_i (cents × millinats < 2^63 at any plausible
+    // scale); the only doubles are the final fixed-order divisions. The
+    // between term needs one ln per REGION (5 rows). Scale shape: one
+    // orders scan → per-customer cents (map-side), two broadcast dim
+    // hops, region totals broadcast back — nothing above the customer
+    // aggregate is row-proportional.
+    QueryDef(
+      "theil_inequality_decomp",
+      (s, d) => {
+        val cust = t(s, d, "orders")
+          .groupBy("o_custkey")
+          .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .as("cents"))
+          .join(t(s, d, "customer").select(col("c_custkey").as("o_custkey"),
+            col("c_nationkey")), "o_custkey")
+          .join(broadcast(t(s, d, "nation").select(col("n_nationkey").as("c_nationkey"),
+            col("n_regionkey"))), "c_nationkey")
+          .join(broadcast(t(s, d, "region").select(col("r_regionkey").as("n_regionkey"),
+            col("r_name"))), "n_regionkey")
+          .select(col("r_name"), col("cents"))
+        val reg = cust.groupBy("r_name")
+          .agg(count(lit(1)).as("n_g"), sum("cents").as("x_g"))
+        val tot = reg.agg(sum("n_g").as("n"), sum("x_g").as("x"))
+        val m = round(lit(1000.0) * log(col("cents").cast("double") *
+          col("n_g").cast("double") / col("x_g").cast("double"))).cast("long")
+        val within = cust.join(broadcast(reg), "r_name")
+          .withColumn("m", m)
+          .groupBy("r_name")
+          .agg(sum(col("cents") * col("m")).as("s_g"))
+        val betweenTerm = round(lit(1000.0) * log(col("x_g").cast("double") *
+          col("n").cast("double") / (col("x").cast("double") *
+            col("n_g").cast("double")))).cast("long")
+        reg.join(within, "r_name").crossJoin(broadcast(tot))
+          .withColumn("between_term_millinats", betweenTerm)
+          .select(col("r_name"), col("n_g").as("n_customers"),
+            col("x_g").as("revenue_cents"),
+            (col("s_g").cast("double") / col("x_g").cast("double"))
+              .as("t_within_millinats"),
+            col("between_term_millinats"),
+            (col("x_g").cast("double") / col("x").cast("double") *
+              col("between_term_millinats").cast("double"))
+              .as("between_contrib_millinats"))
+          .orderBy("r_name")
+      },
+      Some("""WITH cust AS (
+             |  SELECT r_name,
+             |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+             |         AS BIGINT) AS cents
+             |  FROM orders
+             |  JOIN customer ON c_custkey = o_custkey
+             |  JOIN nation ON n_nationkey = c_nationkey
+             |  JOIN region ON r_regionkey = n_regionkey
+             |  GROUP BY r_name, o_custkey),
+             |reg AS (SELECT r_name, CAST(count(*) AS BIGINT) AS n_g,
+             |               CAST(sum(cents) AS BIGINT) AS x_g
+             |        FROM cust GROUP BY 1),
+             |tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n,
+             |               CAST(sum(x_g) AS BIGINT) AS x FROM reg),
+             |within AS (
+             |  SELECT c.r_name,
+             |    CAST(sum(c.cents * CAST(round(1000.0 * ln(
+             |      CAST(c.cents AS DOUBLE) * CAST(g.n_g AS DOUBLE)
+             |        / CAST(g.x_g AS DOUBLE))) AS BIGINT)) AS BIGINT) AS s_g
+             |  FROM cust c JOIN reg g USING (r_name) GROUP BY 1)
+             |SELECT g.r_name, g.n_g AS n_customers, g.x_g AS revenue_cents,
+             |  CAST(w.s_g AS DOUBLE) / CAST(g.x_g AS DOUBLE)
+             |    AS t_within_millinats,
+             |  CAST(round(1000.0 * ln(CAST(g.x_g AS DOUBLE) * CAST(n AS DOUBLE)
+             |    / (CAST(x AS DOUBLE) * CAST(g.n_g AS DOUBLE)))) AS BIGINT)
+             |    AS between_term_millinats,
+             |  CAST(g.x_g AS DOUBLE) / CAST(x AS DOUBLE)
+             |    * CAST(CAST(round(1000.0 * ln(CAST(g.x_g AS DOUBLE)
+             |        * CAST(n AS DOUBLE) / (CAST(x AS DOUBLE)
+             |        * CAST(g.n_g AS DOUBLE)))) AS BIGINT) AS DOUBLE)
+             |    AS between_contrib_millinats
+             |FROM reg g JOIN within w USING (r_name) CROSS JOIN tot
+             |ORDER BY r_name""".stripMargin)))
 }

@@ -174,4 +174,30 @@ class StatSpec extends SparkSuite {
     assert(illegal.count() == 0,
       "every adopted label must be some neighbor's initial label")
   }
+
+  test("Theil decomposition: weighted within + between terms reassemble " +
+      "the brute-force total Theil-T index") {
+    import graft.QueryDef.t
+    // independent brute force: per-customer revenue cents, unquantized
+    val cents = t(spark, sf, "orders")
+      .groupBy("o_custkey")
+      .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .as("cents"))
+      .collect().map(_.getLong(1).toDouble)
+    val (n, x) = (cents.length.toDouble, cents.sum)
+    val tTotal = cents.map(c => (c / x) * math.log(c * n / x)).sum // nats
+    val rows = graft.SparkEntry.queries("theil_inequality_decomp")(spark, sf)
+      .collect().map(r => (r.getLong(2).toDouble,            // revenue_cents
+        r.getAs[Double]("t_within_millinats"),
+        r.getAs[Double]("between_contrib_millinats")))
+    val xTot = rows.map(_._1).sum
+    val reassembled = rows.map { case (xg, w, b) => (xg / xTot) * w + b }.sum
+    // per-row ln quantization is ±0.5 millinat; revenue-weighted averages
+    // keep it there, so the identity must hold within ~1 millinat
+    assert(math.abs(reassembled - 1000.0 * tTotal) < 1.0,
+      s"decomposition ${reassembled} vs brute ${1000.0 * tTotal} millinats")
+    // and within-region inequality must dominate for this uniform synth
+    assert(rows.map(_._2).min > math.abs(rows.map(_._3).sum),
+      "between-region term should be small next to any within term")
+  }
 }
