@@ -56,6 +56,37 @@ object AnalyticsQueries {
     * long compare (r11: pagerank 10×-smoke shuffle 538 MB with string
     * nodes, halved by this encoding).
     */
+  /** Session-scoped cache of materialized loop graphs — the shared
+    * fixture the iterate-to-fixpoint family rides (r10 verdict task #4):
+    * pagerank / BFS / SSSP / HITS / PPR / random-walk all consume a
+    * [[graft.graph.PageRankLoop.persistedGraph]] over the SAME edge
+    * build, and production would materialize that graph once per
+    * (catalog, day), not once per query. Keyed by (session, key) with a
+    * weak session reference so test suites' short-lived sessions don't
+    * pin cached plans; one edge table per sfDir+orientation, node-count
+    * sized (edge list ≪ corpus). Consumers must NOT unpersist — the
+    * cache owns the lifetime.
+    */
+  private val graphCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+        scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.DataFrame]]())
+
+  private[operators] def sharedGraph(s: org.apache.spark.sql.SparkSession,
+      key: String)(build: => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val perSession = graphCache.synchronized {
+      var m = graphCache.get(s)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty
+        graphCache.put(s, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate(key,
+      graft.graph.PageRankLoop.persistedGraph(build))
+  }
+
   private[operators] def partSupplierEdges(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val pairs = t(s, d, "lineitem")
@@ -637,11 +668,12 @@ object AnalyticsQueries {
         // entire exchange volume, and numeric ids halve the bytes AND
         // make every SMJ compare a long compare (r11: 10x-smoke shuffle
         // 538 MB with string nodes)
-        val edges = partSupplierEdges(s, d)
         // loop body lives in graph.PageRankLoop so PlanSpec can pin the
         // per-round plan (zero exchange/sort on the persisted edge side;
-        // only the node-proportional rank vector moves per round)
-        val graph = graft.graph.PageRankLoop.persistedGraph(edges)
+        // only the node-proportional rank vector moves per round); the
+        // materialized graph is the session-shared fixture of the whole
+        // loop family
+        val graph = sharedGraph(s, s"ps:$d")(partSupplierEdges(s, d))
         val nB = graph.select("src").distinct()
           .agg(count(lit(1)).as("n_nodes")).localCheckpoint(true)
         var ranks = graft.graph.PageRankLoop.initRanks(graph, nB)
@@ -655,7 +687,6 @@ object AnalyticsQueries {
           ranks = graft.graph.PageRankLoop.nextRanks(graph, ranks, nB)
             .localCheckpoint(true)
         }
-        graph.unpersist() // final ranks are checkpointed; drop the cache
         ranks.select(col("node"), col("r").as("score_fp"))
       },
       Some("""WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
@@ -706,7 +737,7 @@ object AnalyticsQueries {
     QueryDef(
       "graph_bfs_hops_k3",
       (s, d) => {
-        val graph = graft.graph.PageRankLoop.persistedGraph(partSupplierEdges(s, d))
+        val graph = sharedGraph(s, s"ps:$d")(partSupplierEdges(s, d))
         var dist = graph.select(col("src").as("node")).distinct()
           .filter(PipelineQueries.hashPermille(col("node"), "bfs") < 20000L)
           .withColumn("d", lit(0L))
@@ -720,7 +751,6 @@ object AnalyticsQueries {
             .groupBy("node").agg(min(col("d")).as("d"))
             .localCheckpoint(true)
         }
-        graph.unpersist()
         dist.select(col("node"), col("d").as("min_hops")).orderBy("node")
       },
       Some(s"""WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
@@ -776,7 +806,7 @@ object AnalyticsQueries {
           .unionByName(pairs.select((col("l_suppkey") * 2 + 1).as("src"),
             (col("l_partkey") * 2).as("dst"), col("w")))
         // persistedGraph keeps extra edge columns: (src, dst, w, outdeg)
-        val graph = graft.graph.PageRankLoop.persistedGraph(edges)
+        val graph = sharedGraph(s, s"ps_w:$d")(edges)
         var dist = graph.select(col("src").as("node")).distinct()
           .filter(PipelineQueries.hashPermille(col("node"), "sssp") < 20000L)
           .select(col("node"), lit(0L).as("d"), lit(true).as("changed"))
@@ -800,7 +830,6 @@ object AnalyticsQueries {
               (col("nd") < coalesce(col("old_d"), lit(Inf))).as("changed"))
             .localCheckpoint(true)
         }
-        graph.unpersist()
         dist.select(col("node"), col("d").as("min_cost")).orderBy("node")
       },
       Some(s"""WITH pairs AS (SELECT l_partkey, l_suppkey,
@@ -853,8 +882,8 @@ object AnalyticsQueries {
         // half-round + normalize live in graph.HitsLoop so PlanSpec can
         // pin the per-half-round plan (zero exchange/sort on either
         // persisted orientation; only the score vector moves)
-        val bySrc = graft.graph.PageRankLoop.persistedGraph(fwd)
-        val byDst = graft.graph.PageRankLoop.persistedGraph(
+        val bySrc = sharedGraph(s, s"hits_fwd:$d")(fwd)
+        val byDst = sharedGraph(s, s"hits_rev:$d")(
           fwd.select(col("dst").as("src"), col("src").as("dst")))
         var hubs = bySrc.select(col("src").as("node")).distinct()
           .withColumn("h", lit(1000000L)).localCheckpoint(true)
@@ -867,7 +896,6 @@ object AnalyticsQueries {
             graft.graph.HitsLoop.halfRound(byDst, auths, "a"), "h")
             .localCheckpoint(true)
         }
-        bySrc.unpersist(); byDst.unpersist()
         auths.select(col("node"), lit("auth").as("kind"), col("a").as("score"))
           .unionByName(hubs.select(col("node"), lit("hub").as("kind"),
             col("h").as("score")))
@@ -922,7 +950,7 @@ object AnalyticsQueries {
     QueryDef(
       "ppr_seed_restart_k3",
       (s, d) => {
-        val graph = graft.graph.PageRankLoop.persistedGraph(partSupplierEdges(s, d))
+        val graph = sharedGraph(s, s"ps:$d")(partSupplierEdges(s, d))
         val Total = graft.graph.PageRankLoop.TotalMass
         val seeds = graph.select(col("src").as("node")).distinct()
           .filter(PipelineQueries.hashPermille(col("node"), "ppr") < 20000L)
@@ -944,7 +972,6 @@ object AnalyticsQueries {
             .groupBy("node").agg(sum(col("m")).as("r"))
             .localCheckpoint(true)
         }
-        graph.unpersist()
         r.select(col("node"), col("r").as("ppr_mass")).orderBy("node")
       },
       Some(s"""WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
@@ -1073,7 +1100,7 @@ object AnalyticsQueries {
     QueryDef(
       "graph_randomwalk_k3",
       (s, d) => {
-        val graph = graft.graph.PageRankLoop.persistedGraph(partSupplierEdges(s, d))
+        val graph = sharedGraph(s, s"ps:$d")(partSupplierEdges(s, d))
         var cur = graph.select(col("src").as("node")).distinct()
           .filter(PipelineQueries.hashPermille(col("node"), "walk") < 20000L)
           .select(col("node").as("walk_id"), col("node"))
@@ -1091,7 +1118,6 @@ object AnalyticsQueries {
           path = path.unionByName(
             cur.select(col("walk_id"), lit(k.toLong).as("step"), col("node")))
         }
-        graph.unpersist()
         path.orderBy("walk_id", "step")
       },
       Some {
