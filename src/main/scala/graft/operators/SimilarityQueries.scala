@@ -1319,6 +1319,10 @@ object SimilarityQueries {
             struct(col("csim"), (-col("centroid_id")).as("nc"))).as("best"))
           .select(col("id"), col("best.vec").as("vec"),
             col("best.vnorm").as("vnorm"), col("best.centroid_id").as("centroid_id"))
+          // the assignment table feeds va/vb on both the candidate and
+          // refine legs (6 consumers) — pin one scan+argmax, not six
+          // (the louvain multi-consumer rule, PLANS.md round 11)
+          .localCheckpoint(true)
         val va = c.select(col("id").as("v"), col("vec").as("va"),
           col("vnorm").as("na"), col("centroid_id"))
         val vb = c.select(col("id").as("u"), col("vec").as("vb"),
