@@ -1661,6 +1661,7 @@ object AnalyticsQueries {
             "l_orderkey")
           .filter(col("a") < col("b") && col("a") % 16 === col("b") % 16)
           .select("a", "b").distinct()
+          .localCheckpoint(true) // 4 consumers inside census (deg, orient, wedges, count)
         graft.graph.TriangleCensus.census(edges)
           .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
             (col("n_triangles") * lit(256L)).as("est_triangles_full"),
@@ -1714,6 +1715,7 @@ object AnalyticsQueries {
             "l_orderkey")
           .filter(col("a") < col("b") && col("a") % 16 === col("b") % 16)
           .select("a", "b").distinct()
+          .localCheckpoint(true) // consumed by orient/deg/wedges + the support join
         val tri = graft.graph.TriangleCensus.triangles(edges)
         val sup = tri.select(explode(array(
             struct(col("tri_x").as("a"), col("tri_y").as("b")),
@@ -4293,6 +4295,7 @@ object AnalyticsQueries {
             "l_orderkey")
           .filter(col("a") < col("b"))
           .groupBy("a", "b").agg(count(lit(1)).as("w"))
+          .localCheckpoint(true) // incidence/select/count consume ew 4 ways
         val inc = ew.select(col("a").as("node"), col("a"), col("b"), col("w"))
           .unionAll(ew.select(col("b").as("node"), col("a"), col("b"), col("w")))
         val sel = inc.groupBy("node")

@@ -1769,6 +1769,7 @@ object StatQueries {
           .join(broadcast(t(s, d, "region").select(col("r_regionkey").as("n_regionkey"),
             col("r_name"))), "n_regionkey")
           .select(col("r_name"), col("cents"))
+          .localCheckpoint(true) // region totals + the millinat leg both rescan cust
         val reg = cust.groupBy("r_name")
           .agg(count(lit(1)).as("n_g"), sum("cents").as("x_g"))
         val tot = reg.agg(sum("n_g").as("n"), sum("x_g").as("x"))
