@@ -403,11 +403,16 @@ object DedupQueries {
           .select(col("doc_id"),
             conv(substring(md5(col("tok")), 1, 15), 16, 10)
               .cast("long").as("tid"))
-        val freq = toks.groupBy("tid").agg(count(lit(1)).as("f"))
+        // NOT pinned (unlike containment): the A/B at sf0.1 paid +1.6 s
+        // headline for the checkpoint write and bought back only 0.4 s at
+        // 10x — this query's four toks consumers are each one cheap
+        // scan+explode leg, and AQE sizes them fine lazily
+        val toksP = toks
+        val freq = toksP.groupBy("tid").agg(count(lit(1)).as("f"))
         val wOrd = org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id").orderBy(col("f"), col("tid"))
         val wSz = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-        val sized = toks.join(freq, "tid")
+        val sized = toksP.join(freq, "tid")
           .withColumn("pos", row_number().over(wOrd))
           .withColumn("sz", count(lit(1)).over(wSz))
         val prefix = sized.filter(
@@ -449,8 +454,8 @@ object DedupQueries {
         // exchange. Candidates are data-proportional, so shuffle joins
         // (not a broadcast of cands) are the shape that survives 100×.
         val inter = cands
-          .join(toks.select(col("doc_id").as("ida"), col("tid")), Seq("ida"))
-          .join(toks.select(col("doc_id").as("idb"), col("tid")), Seq("idb", "tid"))
+          .join(toksP.select(col("doc_id").as("ida"), col("tid")), Seq("ida"))
+          .join(toksP.select(col("doc_id").as("idb"), col("tid")), Seq("idb", "tid"))
           .groupBy("ida", "idb", "sza", "szb")
           .agg(count(lit(1)).as("ov"))
         inter
@@ -819,12 +824,19 @@ object DedupQueries {
           .select(col("doc_id"),
             conv(substring(md5(col("tok")), 1, 15), 16, 10)
               .cast("long").as("tid"))
+          // five consumers (freq, sizes, the windowed prefix table, both
+          // verify legs) — pin one explode+md5 pass, not five (the
+          // round-11 multi-consumer rule)
+          .localCheckpoint(true)
         val freq = toks.groupBy("tid").agg(count(lit(1)).as("f"))
         val szs = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
         val wOrd = org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id").orderBy(col("f"), col("tid"))
         val sized = toks.join(freq, "tid").join(szs, "doc_id")
           .withColumn("pos", row_number().over(wOrd))
+          // prefA and prefB both read the windowed table — pin the
+          // freq/size joins + window once
+          .localCheckpoint(true)
         val prefA = sized.filter(
           col("pos") <= col("sz") - expr("(4 * sz + 4) div 5") + 1)
         val prefB = sized.filter(
