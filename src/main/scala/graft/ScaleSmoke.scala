@@ -264,6 +264,10 @@ object ScaleSmoke {
     // and moments run over the DATE domain) — same single-scan
     // bounded-aggregate exemption
     "ar2_yulewalker_fit",
+    // ar2_residual_backtest: same exemption — acf's daily-count subtree
+    // is the only corpus-proportional stage; fit moments, forecasts and
+    // error sums live on the date-bounded series
+    "ar2_residual_backtest",
     // theil_inequality_decomp: the orders→customer→nation→region chain is
     // the TPC-H join family smoked under q5/q10/q21; above the
     // per-customer aggregate everything is 5 bounded region cells and

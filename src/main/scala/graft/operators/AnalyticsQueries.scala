@@ -4097,6 +4097,140 @@ object AnalyticsQueries {
              |  1.0 - phi1 * r1 - phi2 * r2 AS innov_var_ratio
              |FROM p""".stripMargin)),
 
+    // AR(2) in-sample residual backtest — the diagnostic card on top of
+    // ar2_yulewalker_fit: one-step-ahead forecasts
+    // x̂_t = μ + φ1·(x_{t-1}−μ) + φ2·(x_{t-2}−μ) over the densified daily
+    // series, with MAE and RMSE of the residuals. The fit's doubles
+    // (μ, φ1, φ2) are the SAME fixed op sequence as the fit query, so
+    // both engines forecast bit-identically; each day's residual then
+    // quantizes to integer MILLIS before the error sums (the surprisal
+    // discipline — |e| and e² accumulate as exact BIGINTs in any
+    // partition order; e²_milli ≤ 10¹² per day keeps the sum ≪ 2^63).
+    // Scale shape: the daily aggregate is the only corpus-proportional
+    // stage; the window, fit moments, and error sums all live on the
+    // DATE-domain-bounded series.
+    QueryDef(
+      "ar2_residual_backtest",
+      (s, d) => {
+        val counts = t(s, d, "events")
+          .groupBy(col("ts").cast("date").as("day"))
+          .agg(count(lit(1)).as("x"))
+        val cal = counts.agg(min("day").as("d0"), max("day").as("d1"))
+          .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+        val daily = cal.join(counts, Seq("day"), "left_outer")
+          .select(col("day"), coalesce(col("x"), lit(0L)).as("x"))
+        val w = Window.orderBy("day")
+        val led = daily.select(col("day"), col("x"),
+          lead("x", 1).over(w).as("l1"),
+          lead("x", 2).over(w).as("l2"))
+        val m = led.agg(
+          count(lit(1)).as("n"), sum("x").as("s"),
+          sum(col("x") * col("x")).as("ss"),
+          sum(col("x") * col("l1")).as("p1"),
+          sum(when(col("l1").isNotNull, col("x"))).as("a1"), sum("l1").as("b1"),
+          sum(col("x") * col("l2")).as("p2"),
+          sum(when(col("l2").isNotNull, col("x"))).as("a2"), sum("l2").as("b2"))
+          .localCheckpoint(true) // 1 row; the forecast leg broadcasts it
+        val mu = col("s").cast("double") / col("n").cast("double")
+        val den0 = col("ss").cast("double") - col("s").cast("double") * mu
+        def r(k: Int) =
+          (col(s"p$k").cast("double") -
+            mu * (col(s"a$k") + col(s"b$k")).cast("double") +
+            (col("n") - lit(k.toLong)).cast("double") * mu * mu) / den0
+        val lagged = daily.select(col("x"),
+          lag("x", 1).over(w).as("g1"),
+          lag("x", 2).over(w).as("g2"))
+          .filter(col("g1").isNotNull && col("g2").isNotNull)
+        lagged.crossJoin(broadcast(m))
+          .withColumn("r1", r(1)).withColumn("r2", r(2))
+          .withColumn("phi1", col("r1") * (lit(1.0) - col("r2")) /
+            (lit(1.0) - col("r1") * col("r1")))
+          .withColumn("phi2", (col("r2") - col("r1") * col("r1")) /
+            (lit(1.0) - col("r1") * col("r1")))
+          .withColumn("e_milli",
+            round(lit(1000.0) * (col("x").cast("double") - (mu +
+              col("phi1") * (col("g1").cast("double") - mu) +
+              col("phi2") * (col("g2").cast("double") - mu)))).cast("long"))
+          .agg(count(lit(1)).as("n_forecast_days"),
+            sum(abs(col("e_milli"))).as("sum_abs_e_millis"),
+            sum(col("e_milli") * col("e_milli")).as("sum_sq_e"))
+          .select(col("n_forecast_days"), col("sum_abs_e_millis"),
+            (col("sum_abs_e_millis").cast("double") /
+              col("n_forecast_days").cast("double")).as("mae_millis"),
+            sqrt(col("sum_sq_e").cast("double") /
+              col("n_forecast_days").cast("double")).as("rmse_millis"))
+      },
+      Some("""WITH counts AS (
+             |  SELECT CAST(ts AS DATE) AS day, count(*) AS x
+             |  FROM events GROUP BY 1),
+             |cal AS (
+             |  SELECT CAST(unnest(generate_series(
+             |    (SELECT min(day) FROM counts),
+             |    (SELECT max(day) FROM counts), INTERVAL 1 DAY)) AS DATE) AS day),
+             |daily AS (
+             |  SELECT cal.day, coalesce(counts.x, 0) AS x
+             |  FROM cal LEFT JOIN counts ON counts.day = cal.day),
+             |l AS (
+             |  SELECT x,
+             |    lead(x, 1) OVER (ORDER BY day) AS l1,
+             |    lead(x, 2) OVER (ORDER BY day) AS l2
+             |  FROM daily),
+             |m AS (
+             |  SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS s,
+             |    CAST(sum(x * x) AS BIGINT) AS ss,
+             |    CAST(sum(x * l1) AS BIGINT) AS p1,
+             |    CAST(sum(CASE WHEN l1 IS NOT NULL THEN x END) AS BIGINT) AS a1,
+             |    CAST(sum(l1) AS BIGINT) AS b1,
+             |    CAST(sum(x * l2) AS BIGINT) AS p2,
+             |    CAST(sum(CASE WHEN l2 IS NOT NULL THEN x END) AS BIGINT) AS a2,
+             |    CAST(sum(l2) AS BIGINT) AS b2
+             |  FROM l),
+             |r AS (
+             |  SELECT n,
+             |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+             |    (CAST(p1 AS DOUBLE)
+             |     - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(a1 + b1 AS DOUBLE)
+             |     + CAST(n - 1 AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             |       * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+             |    / (CAST(ss AS DOUBLE)
+             |       - CAST(s AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+             |      AS r1,
+             |    (CAST(p2 AS DOUBLE)
+             |     - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(a2 + b2 AS DOUBLE)
+             |     + CAST(n - 2 AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             |       * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+             |    / (CAST(ss AS DOUBLE)
+             |       - CAST(s AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+             |      AS r2
+             |  FROM m),
+             |p AS (
+             |  SELECT mu,
+             |    r1 * (1.0 - r2) / (1.0 - r1 * r1) AS phi1,
+             |    (r2 - r1 * r1) / (1.0 - r1 * r1) AS phi2
+             |  FROM r),
+             |lagged AS (
+             |  SELECT x,
+             |    lag(x, 1) OVER (ORDER BY day) AS g1,
+             |    lag(x, 2) OVER (ORDER BY day) AS g2
+             |  FROM daily),
+             |err AS (
+             |  SELECT CAST(round(1000.0 * (CAST(x AS DOUBLE) - (mu
+             |    + phi1 * (CAST(g1 AS DOUBLE) - mu)
+             |    + phi2 * (CAST(g2 AS DOUBLE) - mu)))) AS BIGINT) AS e_milli
+             |  FROM lagged CROSS JOIN p
+             |  WHERE g1 IS NOT NULL AND g2 IS NOT NULL),
+             |agg AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_forecast_days,
+             |    CAST(sum(abs(e_milli)) AS BIGINT) AS sum_abs_e_millis,
+             |    CAST(sum(e_milli * e_milli) AS BIGINT) AS sum_sq_e
+             |  FROM err)
+             |SELECT n_forecast_days, sum_abs_e_millis,
+             |  CAST(sum_abs_e_millis AS DOUBLE) / CAST(n_forecast_days AS DOUBLE)
+             |    AS mae_millis,
+             |  sqrt(CAST(sum_sq_e AS DOUBLE) / CAST(n_forecast_days AS DOUBLE))
+             |    AS rmse_millis
+             |FROM agg""".stripMargin)),
+
     // Approximate functional-dependency profiler (the g₃ error of
     // Kivinen & Mannila 1995): for each declared X→Y pair, the minimum
     // number of rows to delete before the FD holds — Σ_x (|group x| −

@@ -175,6 +175,30 @@ class StatSpec extends SparkSuite {
       "every adopted label must be some neighbor's initial label")
   }
 
+  test("ar2_residual_backtest MAE matches a driver-side replay from the " +
+      "fit query's own coefficients") {
+    import graft.QueryDef.t
+    val fit = graft.SparkEntry.queries("ar2_yulewalker_fit")(spark, sf).head()
+    val (p1, p2) = (fit.getAs[Double]("phi1"), fit.getAs[Double]("phi2"))
+    // densified daily series, rebuilt independently
+    val perDay = t(spark, sf, "events")
+      .groupBy(expr("CAST(ts AS DATE)").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1))).toMap
+    val (d0, d1) = (perDay.keys.min, perDay.keys.max)
+    val xs = Iterator.iterate(d0)(_.plusDays(1)).takeWhile(!_.isAfter(d1))
+      .map(d => perDay.getOrElse(d, 0L).toDouble).toArray
+    val mu = xs.sum / xs.length
+    val es = (2 until xs.length).map { i =>
+      math.round(1000.0 *
+        (xs(i) - (mu + p1 * (xs(i - 1) - mu) + p2 * (xs(i - 2) - mu))))
+    }
+    val row = graft.SparkEntry.queries("ar2_residual_backtest")(spark, sf).head()
+    assert(row.getLong(0) == es.length.toLong, "forecast-day count")
+    assert(row.getLong(1) == es.map(math.abs).sum,
+      s"quantized |e| sum: ${row.getLong(1)} vs ${es.map(math.abs).sum}")
+  }
+
   test("Theil decomposition: weighted within + between terms reassemble " +
       "the brute-force total Theil-T index") {
     import graft.QueryDef.t
