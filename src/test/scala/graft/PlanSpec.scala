@@ -777,6 +777,30 @@ class PlanSpec extends SparkSuite {
       "ORDER BY ks_num DESC LIMIT 1 must compile to TakeOrderedAndProject")
   }
 
+  test("multi-consumer pinned queries never re-plan their shared subtree " +
+      "(executed plan scans each source at most twice)") {
+    // round-11 rule (PLANS.md): when a shared aggregate/join subtree has
+    // 3+ consumers, one localCheckpoint replaces N re-planned scans.
+    // Louvain carried 18 parquet scans before the pin; this guard fails
+    // if a refactor silently drops any pin. The bound is 2: everything
+    // downstream of the checkpoint reads RDD leaves, so at most the
+    // pre-checkpoint job's own sources remain visible (usually zero).
+    val pinned = Seq("louvain_move_round", "kcore_peel_round",
+      "link_prediction_adamic_adar", "label_propagation_round",
+      "graph_modularity_audit", "graph_degree_assortativity",
+      "graph_triangle_census", "graph_ktruss_support", "boruvka_msf_round",
+      "theil_inequality_decomp", "dedup_containment_bounded",
+      "nn_descent_round")
+    for (q <- pinned) {
+      val scans = collectAll(plan(q)) {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+      }
+      assert(scans.size <= 2,
+        s"$q: ${scans.size} file scans in the executed plan — a " +
+          "multi-consumer pin was dropped (see PLANS.md round 11)")
+    }
+  }
+
   test("degree assortativity builds edges from equi joins only") {
     val p = plan("graph_degree_assortativity")
     val cart = collectAll(p) {
