@@ -718,11 +718,12 @@ object StreamingQueries {
     * the 8h/2h offsets and the modtime scheme must never diverge between
     * them.
     */
-  private def stageSentinelSlice(s: SparkSession, sfDir: String, stage: String): Unit = {
+  private def stageSentinelSlice(s: SparkSession, sfDir: String, stage: String,
+      leadHours: Long = 8L): Unit = {
     val maxTs = graft.QueryDef.t(s, sfDir, "events")
       .agg(max(col("ts").cast("timestamp"))).head().getTimestamp(0)
     val sentinel = s.range(1).select(
-      lit(new java.sql.Timestamp(maxTs.getTime + 8L * 3600 * 1000)).as("ts"),
+      lit(new java.sql.Timestamp(maxTs.getTime + leadHours * 3600 * 1000)).as("ts"),
       lit("heartbeat").as("event_type"), lit(0.0).as("value"),
       lit(-1L).as("user_id"), lit(-1L).as("event_id"))
     val b4 = s"$stage/b4"
@@ -843,6 +844,55 @@ object StreamingQueries {
       .agg(max_by(struct(col("n_events"), col("sum_cents")), col("batch_id")).as("v"))
       .select(col("user_id"), col("v.n_events").as("n_events"),
         col("v.sum_cents").as("sum_cents"))
+      .coalesce(1).write.mode("overwrite").parquet(resultOut)
+  }
+
+  /** Event-time-timer window finalization — see
+    * [[graft.streaming.StatefulAgg.DayCloser]]. Append-mode emissions
+    * happen only in `handleExpiredTimer`, driven by the watermark; the
+    * sentinel slice leads by 60 h (not the default 8) because a day-end
+    * timer can sit up to 24 h past the last real event and the watermark
+    * must clear it by another 2 h before the stream ends.
+    */
+  private def runTimerDayClose(s: SparkSession, sfDir: String, scratch: String, resultOut: String): Unit = {
+    import s.implicits._
+    val stage = s"$scratch/evlake"
+    val glob = stageEventSlices(s, sfDir, stage)
+    stageSentinelSlice(s, sfDir, stage, leadHours = 60L)
+    val out = s"$scratch/emissions"
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = s.conf.getOption(providerKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ds = eventStream(s, glob)
+        .select(col("ts").cast("timestamp").as("ts"), col("user_id"),
+          expr("CAST(unix_date(CAST(ts AS DATE)) AS BIGINT)").as("dnum"),
+          (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+            .cast("long").as("cents"))
+        .withWatermark("ts", "2 hours")
+        .select(col("user_id"), col("dnum"), col("cents"))
+        .as[(Long, Long, Long)]
+      val closes = ds.groupByKey(_._1)
+        .transformWithState(new graft.streaming.StatefulAgg.DayCloser,
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+      val q = closes.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.streaming.StatefulAgg.DayClose], _: Long) =>
+          b.write.mode("append").parquet(out)
+          ()
+        }
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally prior match {
+      case Some(v) => s.conf.set(providerKey, v)
+      case None => s.conf.unset(providerKey)
+    }
+    s.read.parquet(out)
+      .filter(col("user_id") =!= -1L)
+      .select("user_id", "dnum", "n_events", "sum_cents")
       .coalesce(1).write.mode("overwrite").parquet(resultOut)
   }
 
@@ -1462,6 +1512,25 @@ object StreamingQueries {
       Some("""SELECT user_id, count(*) AS n_events,
              |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
              |FROM events GROUP BY user_id""".stripMargin),
+      bench = false, sideEffecting = true),
+
+    // EVENT-TIME TIMER window finalization (StatefulAgg.DayCloser): each
+    // (user, day) emits EXACTLY ONCE, when the watermark passes day end —
+    // the timer leg of state v2. The emission set must equal the batch
+    // per-(user, day) rollup: a timer that fires early (incomplete day),
+    // never fires (last days unflushed — the sentinel lead exists for
+    // this), or double-fires after a replay hash-fails against the plain
+    // GROUP BY oracle.
+    QueryDef(
+      "streaming_timer_day_close",
+      (s, d) => cachedStream(s, "streaming_timer_day_close", d)(runTimerDayClose(s, d, _, _)),
+      Some("""SELECT user_id,
+             |  CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+             |    AS dnum,
+             |  count(*) AS n_events,
+             |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+             |    AS sum_cents
+             |FROM events GROUP BY 1, 2""".stripMargin),
       bench = false, sideEffecting = true),
 
     // The batch-sketch union must converge to the corpus distinct count

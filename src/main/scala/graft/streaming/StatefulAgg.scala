@@ -183,4 +183,54 @@ object StatefulAgg {
       flags.iterator
     }
   }
+
+  /** One finalized (user, day) window. `dnum` is epoch days. */
+  case class DayClose(user_id: Long, dnum: Long, n_events: Long, sum_cents: Long)
+
+  /** EVENT-TIME TIMERS — the state-v2 leg the Value/Map/List trio doesn't
+    * touch: per (user, event-time day) totals accumulate in a
+    * MapState[day → (n, cents)], and each NEW day registers an event-time
+    * timer at that day's end. The timer fires only when the WATERMARK
+    * passes day end, at which point no event with ts inside the day can
+    * ever arrive (the watermark contract) — so `handleExpiredTimer` can
+    * emit the finalized window and delete the map entry, append-mode,
+    * exactly once per (user, day). This is window finalization by timer,
+    * the mechanism production uses for TTL eviction and inactivity
+    * timeouts; unlike processing-time TTL it replays deterministically,
+    * which is what lets the DuckDB oracle (a plain GROUP BY) hash-match
+    * the emission set. State is O(open days per user) — bounded by the
+    * watermark horizon, the knob that caps RocksDB growth at any stream
+    * length.
+    */
+  final class DayCloser extends StatefulProcessor[Long, (Long, Long, Long), DayClose] {
+    @transient private var days: MapState[Long, (Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      days = getHandle.getMapState[Long, (Long, Long)](
+        "days", Encoders.scalaLong, Encoders.product[(Long, Long)], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long)],
+                                 timerValues: TimerValues): Iterator[DayClose] = {
+      rows.foreach { case (_, dnum, cents) =>
+        if (days.containsKey(dnum)) {
+          val (n, s) = days.getValue(dnum)
+          days.updateValue(dnum, (n + 1, s + cents))
+        } else {
+          days.updateValue(dnum, (1L, cents))
+          getHandle.registerTimer((dnum + 1) * 86400000L)
+        }
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[DayClose] = {
+      val dnum = expired.getExpiryTimeInMs / 86400000L - 1
+      if (days.containsKey(dnum)) {
+        val (n, s) = days.getValue(dnum)
+        days.removeKey(dnum)
+        Iterator.single(DayClose(key, dnum, n, s))
+      } else Iterator.empty
+    }
+  }
 }
