@@ -36,8 +36,16 @@ object HitsLoop {
     * global sum rides a 1-row checkpointed broadcast cross join (the
     * pagerank node-count pattern — no driver collect), and the decimal
     * stays internal: the output column is BIGINT.
+    *
+    * `raw` itself is checkpointed FIRST: the total and the normalizing
+    * projection both consume it, and without the pin each half-round's
+    * merge join + aggregate ran twice — once under the 1-row total, once
+    * under the projection (the round-11 multi-consumer rule). The
+    * projection over the pinned raw is already lineage-cut, so callers
+    * need no further checkpoint on the returned vector.
     */
-  def normalize(raw: DataFrame, outCol: String): DataFrame = {
+  def normalize(rawIn: DataFrame, outCol: String): DataFrame = {
+    val raw = rawIn.localCheckpoint(true)
     val tot = raw.agg(sum(col("raw")).as("tot")).localCheckpoint(true)
     raw.crossJoin(broadcast(tot))
       .select(col("node"),

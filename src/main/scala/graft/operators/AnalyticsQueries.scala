@@ -889,12 +889,14 @@ object AnalyticsQueries {
           .withColumn("h", lit(1000000L)).localCheckpoint(true)
         var auths: org.apache.spark.sql.DataFrame = null
         for (_ <- 1 to 3) {
+          // normalize checkpoints the half-round's raw sums internally
+          // (total + projection share one materialization); the returned
+          // vector is a projection over that pinned leaf — no second
+          // checkpoint needed
           auths = graft.graph.HitsLoop.normalize(
             graft.graph.HitsLoop.halfRound(bySrc, hubs, "h"), "a")
-            .localCheckpoint(true)
           hubs = graft.graph.HitsLoop.normalize(
             graft.graph.HitsLoop.halfRound(byDst, auths, "a"), "h")
-            .localCheckpoint(true)
         }
         auths.select(col("node"), lit("auth").as("kind"), col("a").as("score"))
           .unionByName(hubs.select(col("node"), lit("hub").as("kind"),
