@@ -264,6 +264,10 @@ object ScaleSmoke {
     // and moments run over the DATE domain) — same single-scan
     // bounded-aggregate exemption
     "ar2_yulewalker_fit",
+    // survival_logrank_test: shares survival_km_conversion's exempted
+    // shape exactly — two per-user argmin aggregates, then every window
+    // and sum runs on the calendar-bounded duration histogram
+    "survival_logrank_test",
     // ar2_residual_backtest: same exemption — acf's daily-count subtree
     // is the only corpus-proportional stage; fit moments, forecasts and
     // error sums live on the date-bounded series

@@ -179,6 +179,53 @@ object DedupQueries {
               |WHERE c.doc_id = c.component_id""".stripMargin),
       bench = false), // same closure as dedup_components — benched once there
 
+    // Soft dedup: per-document LOSS WEIGHT 1/cluster_size instead of
+    // dropping non-canonical members — the data-constrained alternative
+    // (repeating data is worth less, not nothing; down-weighting a dup
+    // family to unit total mass keeps its content while removing its
+    // frequency bias). Weights ride exact integer PERMILLE (1000 div
+    // size — FP-free both engines), and the per-source rollup reports
+    // effective corpus mass (Σ weights vs raw docs) — the number a token
+    //-budget planner consumes. Above the once-benched closure everything
+    // is component-count-bounded aggregates plus one doc-keyed join.
+    QueryDef(
+      "dedup_soft_weights",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.nearDuplicates(docs, "doc_id", "text", threshold = 0.2)
+        val comp = Dedup.connectedComponents(docs, "doc_id", pairs, "doc_id_a", "doc_id_b")
+        val sizes = comp.groupBy("component_id").agg(count(lit(1)).as("cluster_size"))
+        docs.select("doc_id", "source")
+          .join(comp, "doc_id")
+          .join(sizes, "component_id")
+          .withColumn("weight_permille", expr("1000 div cluster_size"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("weight_permille")).as("eff_mass_permille"),
+            sum(when(col("cluster_size") === 1L, 1L).otherwise(0L))
+              .as("n_singletons"))
+          .withColumn("eff_frac_permille",
+            expr("eff_mass_permille div n_docs"))
+          .orderBy("source")
+      },
+      Some(s"""$closureCte,
+              |comp AS (SELECT node AS doc_id, min(lbl) AS component_id
+              |         FROM reach GROUP BY node),
+              |sizes AS (SELECT component_id, CAST(count(*) AS BIGINT) AS cluster_size
+              |          FROM comp GROUP BY 1),
+              |w AS (SELECT d.source, s.cluster_size,
+              |        1000 // s.cluster_size AS weight_permille
+              |      FROM comp c JOIN sizes s USING (component_id)
+              |                  JOIN documents d USING (doc_id))
+              |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(weight_permille) AS BIGINT) AS eff_mass_permille,
+              |  CAST(sum(CASE WHEN cluster_size = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_singletons,
+              |  CAST(sum(weight_permille) AS BIGINT) // CAST(count(*) AS BIGINT)
+              |    AS eff_frac_permille
+              |FROM w GROUP BY source ORDER BY source""".stripMargin),
+      bench = false), // same closure as dedup_components — benched once there
+
     // Duplication-cluster size histogram — the dedup QA card (how much of
     // the corpus is singletons vs large dup families; a sudden mass at
     // size ≥ k is a crawler loop or template blowup). Two map-side-combined

@@ -353,6 +353,129 @@ object StatQueries {
              |    * 1e6) AS BIGINT) AS surv_micro
              |FROM terms ORDER BY t_days""".stripMargin)),
 
+    // Log-rank test (Mantel-Haenszel) over the same view→purchase
+    // conversion durations as survival_km_conversion, comparing two
+    // md5-split user cohorts — the hypothesis test the KM curves feed
+    // ("do the arms convert at the same hazard?"). Per event day the
+    // observed-minus-expected arm-1 deaths d1 − d·n1/n and the
+    // hypergeometric variance d·(n1/n)·(1−n1/n)·(n−d)/(n−1) are FIXED
+    // double sequences over exact BIGINT at-risk/death counts, each
+    // nano-quantized before the (date-bounded) sums — so the χ² assembles
+    // from two exact integers and one final division on both engines.
+    // Scale shape: identical to KM — two per-user argmin aggregates, then
+    // the duration histogram (calendar-bounded) carries every window.
+    QueryDef(
+      "survival_logrank_test",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val fv = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(to_date(col("ts"))).as("v_day"))
+        val fp = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), to_date(col("ts")).as("p_day"))
+          .join(fv, "user_id").filter(col("p_day") >= col("v_day"))
+          .groupBy("user_id").agg(min(col("p_day")).as("p_day"))
+        val maxDay = ev.agg(max(to_date(col("ts"))).as("max_day"))
+        val subj = fv.join(fp, Seq("user_id"), "left_outer")
+          .crossJoin(broadcast(maxDay))
+          .select(
+            when(col("p_day").isNotNull, datediff(col("p_day"), col("v_day")))
+              .otherwise(datediff(col("max_day"), col("v_day")))
+              .cast("long").as("dur_days"),
+            when(col("p_day").isNotNull, 1L).otherwise(0L).as("ev"),
+            when(PipelineQueries.hashPermille(col("user_id"), "logrank")
+              < 500000L, 1L).otherwise(0L).as("arm"))
+        val tot = subj.agg(count(lit(1)).as("n_all"),
+          sum(col("arm")).as("n1_all"))
+        val wPrev = Window.orderBy("dur_days")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val byDay = subj.groupBy("dur_days")
+          .agg(sum("ev").as("dd"), count(lit(1)).as("ended"),
+            sum(col("ev") * col("arm")).as("d1"),
+            sum(col("arm")).as("ended1"))
+          .crossJoin(broadcast(tot))
+          .withColumn("n",
+            col("n_all") - coalesce(sum(col("ended")).over(wPrev), lit(0L)))
+          .withColumn("n1",
+            col("n1_all") - coalesce(sum(col("ended1")).over(wPrev), lit(0L)))
+          .filter(col("dd") > 0 && col("n") > 1)
+        val r = col("n1").cast("double") / col("n").cast("double")
+        val terms = byDay
+          .withColumn("oe_nano",
+            round((col("d1").cast("double") -
+              col("dd").cast("double") * col("n1").cast("double") /
+                col("n").cast("double")) * lit(1e9)).cast("long"))
+          .withColumn("v_nano",
+            round(col("dd").cast("double") * r * (lit(1.0) - r) *
+              ((col("n") - col("dd")).cast("double") /
+                (col("n") - 1L).cast("double")) * lit(1e9)).cast("long"))
+        terms.agg(count(lit(1)).as("n_event_days"),
+            max(col("n_all")).as("n_subjects"),
+            max(col("n1_all")).as("n_arm1"),
+            sum(col("oe_nano")).as("oe_sum_nano"),
+            sum(col("v_nano")).as("var_sum_nano"))
+          .select(col("n_event_days"), col("n_subjects"), col("n_arm1"),
+            col("oe_sum_nano"), col("var_sum_nano"),
+            ((col("oe_sum_nano").cast("double") / lit(1e9)) *
+              (col("oe_sum_nano").cast("double") / lit(1e9)) /
+              (col("var_sum_nano").cast("double") / lit(1e9)))
+              .as("chi2_logrank"))
+      },
+      Some(s"""WITH fv AS (
+             |  SELECT user_id, min(CAST(ts AS DATE)) AS v_day
+             |  FROM events WHERE event_type = 'view' GROUP BY 1),
+             |fp AS (
+             |  SELECT e.user_id, min(CAST(e.ts AS DATE)) AS p_day
+             |  FROM events e JOIN fv ON e.user_id = fv.user_id
+             |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS DATE) >= fv.v_day
+             |  GROUP BY 1),
+             |md AS (SELECT max(CAST(ts AS DATE)) AS max_day FROM events),
+             |subj AS (
+             |  SELECT
+             |    CAST(CASE WHEN fp.p_day IS NOT NULL
+             |      THEN datediff('day', fv.v_day, fp.p_day)
+             |      ELSE datediff('day', fv.v_day, md.max_day) END AS BIGINT)
+             |      AS dur_days,
+             |    CASE WHEN fp.p_day IS NOT NULL THEN 1 ELSE 0 END AS ev,
+             |    CASE WHEN ${PipelineQueries.hashSqlExpr("fv.user_id", "logrank")}
+             |      < 500000 THEN 1 ELSE 0 END AS arm
+             |  FROM fv LEFT JOIN fp USING (user_id) CROSS JOIN md),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all,
+             |               CAST(sum(arm) AS BIGINT) AS n1_all FROM subj),
+             |by_day AS (
+             |  SELECT dur_days, CAST(sum(ev) AS BIGINT) AS dd,
+             |    CAST(count(*) AS BIGINT) AS ended,
+             |    CAST(sum(ev * arm) AS BIGINT) AS d1,
+             |    CAST(sum(arm) AS BIGINT) AS ended1
+             |  FROM subj GROUP BY 1),
+             |risk AS (
+             |  SELECT dur_days, dd, d1, n_all, n1_all,
+             |    n_all - coalesce(CAST(sum(ended) OVER (ORDER BY dur_days
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+             |      AS n,
+             |    n1_all - coalesce(CAST(sum(ended1) OVER (ORDER BY dur_days
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+             |      AS n1
+             |  FROM by_day CROSS JOIN tot),
+             |terms AS (
+             |  SELECT n_all, n1_all,
+             |    CAST(round((CAST(d1 AS DOUBLE)
+             |      - CAST(dd AS DOUBLE) * CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+             |      * 1e9) AS BIGINT) AS oe_nano,
+             |    CAST(round(CAST(dd AS DOUBLE)
+             |      * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+             |      * (1.0 - CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+             |      * (CAST(n - dd AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+             |      * 1e9) AS BIGINT) AS v_nano
+             |  FROM risk WHERE dd > 0 AND n > 1)
+             |SELECT CAST(count(*) AS BIGINT) AS n_event_days,
+             |  max(n_all) AS n_subjects, max(n1_all) AS n_arm1,
+             |  CAST(sum(oe_nano) AS BIGINT) AS oe_sum_nano,
+             |  CAST(sum(v_nano) AS BIGINT) AS var_sum_nano,
+             |  (CAST(sum(oe_nano) AS DOUBLE) / 1e9)
+             |    * (CAST(sum(oe_nano) AS DOUBLE) / 1e9)
+             |    / (CAST(sum(v_nano) AS DOUBLE) / 1e9) AS chi2_logrank
+             |FROM terms""".stripMargin)),
+
     // Randomization (permutation-style) test for the purchase-vs-view
     // mean event value: 64 deterministic hash relabelings rebuild the
     // null distribution of the mean difference, and the p-value is the

@@ -199,6 +199,46 @@ class StatSpec extends SparkSuite {
       s"quantized |e| sum: ${row.getLong(1)} vs ${es.map(math.abs).sum}")
   }
 
+  test("log-rank O-E and variance replay from a driver-side sequential " +
+      "pass over the at-risk table") {
+    import graft.QueryDef.t
+    val ev = t(spark, sf, "events")
+    val fv = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(to_date(col("ts"))).as("v_day"))
+    val fp = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("p_day"))
+      .join(fv, "user_id").filter(col("p_day") >= col("v_day"))
+      .groupBy("user_id").agg(min(col("p_day")).as("p_day"))
+    val maxDay = ev.agg(max(to_date(col("ts")))).head().getDate(0).toLocalDate
+    val subj = fv.join(fp, Seq("user_id"), "left_outer")
+      .select(col("user_id"), col("v_day"), col("p_day")).collect().map { r =>
+        val v = r.getDate(1).toLocalDate
+        val dur = Option(r.getDate(2)).map(p =>
+          java.time.temporal.ChronoUnit.DAYS.between(v, p.toLocalDate))
+          .getOrElse(java.time.temporal.ChronoUnit.DAYS.between(v, maxDay))
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"logrank:${r.getLong(0)}".getBytes("UTF-8"))
+          .take(8).map("%02x".format(_)).mkString.take(15)
+        (dur, r.getDate(2) != null, java.lang.Long.parseLong(h, 16) % 1000000L < 500000L)
+      }
+    var (n, n1) = (subj.length.toLong, subj.count(_._3).toLong)
+    var (oeSum, vSum) = (0L, 0L)
+    for (day <- subj.map(_._1).distinct.sorted) {
+      val at = subj.filter(_._1 == day)
+      val dd = at.count(_._2).toLong; val d1 = at.count(x => x._2 && x._3).toLong
+      if (dd > 0 && n > 1) {
+        val r0 = n1.toDouble / n.toDouble
+        oeSum += math.round((d1.toDouble - dd.toDouble * n1.toDouble / n.toDouble) * 1e9)
+        vSum += math.round(dd.toDouble * r0 * (1.0 - r0) *
+          ((n - dd).toDouble / (n - 1).toDouble) * 1e9)
+      }
+      n -= at.length; n1 -= at.count(_._3)
+    }
+    val row = graft.SparkEntry.queries("survival_logrank_test")(spark, sf).head()
+    assert(row.getLong(3) == oeSum, s"O-E nano: ${row.getLong(3)} vs $oeSum")
+    assert(row.getLong(4) == vSum, s"V nano: ${row.getLong(4)} vs $vSum")
+  }
+
   test("Theil decomposition: weighted within + between terms reassemble " +
       "the brute-force total Theil-T index") {
     import graft.QueryDef.t
