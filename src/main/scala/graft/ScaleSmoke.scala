@@ -264,6 +264,10 @@ object ScaleSmoke {
     // and moments run over the DATE domain) — same single-scan
     // bounded-aggregate exemption
     "ar2_yulewalker_fit",
+    // cohens_kappa_langid: one projection pass into the |langs|^2 cell
+    // matrix (the lang_id_confusion shape, smoked class: single-scan
+    // bounded aggregate); all later terms are matrix-bounded
+    "cohens_kappa_langid",
     // survival_logrank_test: shares survival_km_conversion's exempted
     // shape exactly — two per-user argmin aggregates, then every window
     // and sum runs on the calendar-bounded duration histogram

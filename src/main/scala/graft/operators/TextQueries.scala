@@ -129,6 +129,72 @@ object TextQueries {
               |      FROM documents)
               |GROUP BY 1, 2 ORDER BY lang, lang_pred""".stripMargin)),
 
+    // Cohen's kappa for the language-ID classifier — chance-corrected
+    // agreement over the SAME confusion matrix lang_id_confusion emits
+    // (accuracy alone flatters a classifier on a skewed lang mix; kappa
+    // is the number a filter-quality gate should threshold). κ =
+    // (N·Σdiag − Σ rowᵢ·colᵢ) / (N² − Σ rowᵢ·colᵢ), assembled entirely
+    // from exact BIGINT cell counts — cross products stay < 2^63 until
+    // corpus doc counts pass ~3e9, where the established DECIMAL(38,0)
+    // escape applies; here both engines compute one double division
+    // over exact integers. Scale shape: one projection pass into the
+    // |langs|² cell matrix; every later term is matrix-bounded.
+    QueryDef(
+      "cohens_kappa_langid",
+      (s, d) => {
+        val cm = t(s, d, "documents")
+          .select(col("lang"), TextOps.langId(col("text")).as("lang_pred"))
+          .groupBy("lang", "lang_pred")
+          .agg(count(lit(1)).as("n"))
+        val rows = cm.groupBy("lang").agg(sum("n").as("row_n"))
+        val cols = cm.groupBy(col("lang_pred").as("lang")).agg(sum("n").as("col_n"))
+        val marg = rows.join(cols, Seq("lang"), "full_outer")
+          .select(coalesce(col("row_n"), lit(0L)).as("row_n"),
+            coalesce(col("col_n"), lit(0L)).as("col_n"))
+          .agg(sum(col("row_n")).as("n_total"),
+            sum(col("row_n") * col("col_n")).as("chance_x"))
+        val diag = cm.filter(col("lang") === col("lang_pred"))
+          .agg(sum("n").as("agree"))
+        marg.crossJoin(broadcast(diag))
+          .select(col("n_total"), col("agree"), col("chance_x"),
+            ((col("n_total") * col("agree") - col("chance_x")).cast("double") /
+              (col("n_total") * col("n_total") - col("chance_x")).cast("double"))
+              .as("kappa"),
+            (col("agree").cast("double") / col("n_total").cast("double"))
+              .as("accuracy"))
+      },
+      Some(s"""WITH cm AS (
+              |  SELECT lang,
+              |    CASE
+              |      WHEN en > 0 AND en >= es AND en >= de AND en >= fr THEN 'en'
+              |      WHEN es > 0 AND es >= de AND es >= fr THEN 'es'
+              |      WHEN de > 0 AND de >= fr THEN 'de'
+              |      WHEN fr > 0 THEN 'fr'
+              |      ELSE 'und' END AS lang_pred,
+              |    CAST(count(*) AS BIGINT) AS n
+              |  FROM (SELECT lang,
+              |          ${hitsSql(TextOps.EnStop)} AS en,
+              |          ${hitsSql(TextOps.EsStop)} AS es,
+              |          ${hitsSql(TextOps.DeStop)} AS de,
+              |          ${hitsSql(TextOps.FrStop)} AS fr
+              |        FROM documents)
+              |  GROUP BY 1, 2),
+              |r AS (SELECT lang, CAST(sum(n) AS BIGINT) AS row_n FROM cm GROUP BY 1),
+              |c AS (SELECT lang_pred AS lang, CAST(sum(n) AS BIGINT) AS col_n
+              |      FROM cm GROUP BY 1),
+              |m AS (
+              |  SELECT CAST(sum(coalesce(row_n, 0)) AS BIGINT) AS n_total,
+              |    CAST(sum(coalesce(row_n, 0) * coalesce(col_n, 0)) AS BIGINT)
+              |      AS chance_x
+              |  FROM r FULL OUTER JOIN c USING (lang)),
+              |dg AS (SELECT CAST(sum(n) AS BIGINT) AS agree
+              |       FROM cm WHERE lang = lang_pred)
+              |SELECT n_total, agree, chance_x,
+              |  CAST(n_total * agree - chance_x AS DOUBLE)
+              |    / CAST(n_total * n_total - chance_x AS DOUBLE) AS kappa,
+              |  CAST(agree AS DOUBLE) / CAST(n_total AS DOUBLE) AS accuracy
+              |FROM m CROSS JOIN dg""".stripMargin)),
+
     // Quality scoring: per-row double arithmetic, engine-identical.
     QueryDef(
       "text_quality_score",
