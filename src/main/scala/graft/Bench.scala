@@ -50,6 +50,7 @@ object Bench {
     val meter = new ShuffleMeter
     spark.sparkContext.addSparkListener(meter)
     val shuffleMb = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val headlineWall0 = System.nanoTime()
     val results = SparkEntry.benchQueries.map { name =>
       val times = (1 to 3).map { _ =>
         val s0 = meter.snapshot(spark.sparkContext)
@@ -69,6 +70,7 @@ object Bench {
       }
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
+    val headlineWallSec = (System.nanoTime() - headlineWall0) / 1e9
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val shufJson = results.map { case (k, _) =>
@@ -84,12 +86,16 @@ object Bench {
     // fail the process just like headline failures — a query that only
     // breaks at 10x is exactly the regression class the smoke exists to
     // catch (ADVICE r3).
-    val (smokeJson, smokeFailed) = if (sys.env.getOrElse("SPARK_GRAFT_SCALE_SMOKE", "1") != "0") {
+    val (smokeJson, smokeFailed, worst10Json, smokeWallSec, buildWallSec) =
+      if (sys.env.getOrElse("SPARK_GRAFT_SCALE_SMOKE", "1") != "0") {
       val tb0 = System.nanoTime()
       val scaledDir = ScaleSmoke.ensureScaled(spark, sfDir)
       val buildSec = (System.nanoTime() - tb0) / 1e9
+      val ts0 = System.nanoTime()
       val smoke = ScaleSmoke.run(spark, scaledDir, Some(meter))
-      val smokeShufJson = ScaleSmoke.lastShuffleMb.toSeq.sortBy(_._1)
+      val smokeSec = (System.nanoTime() - ts0) / 1e9
+      val smokeShuf = ScaleSmoke.lastShuffleMb.toMap
+      val smokeShufJson = smokeShuf.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + f"$v%.1f" }
         .mkString("{", ",", "}")
       val headline = results.toMap
@@ -106,9 +112,17 @@ object Bench {
         .mkString("{", ",", "}")
       val sl = superlinear.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
       val sf = sFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      // worst-first compact digest, re-emitted as the LAST key of the
+      // output line: the driver stores only the tail of stdout, and the
+      // r11 artifact's alphabetical ratio map lost its head — including
+      // the one ratio that round's done-bar needed (VERDICT r11 task #1).
+      // Whatever gets truncated, the 10 worst ratios survive.
+      val worst = ratios.toSeq.sortBy(-_._2).take(10).map { case (k, r) =>
+        s"""{"q":"$k","smoke_s":${f"${smoke.getOrElse(k, -1.0)}%.2f"},"ratio":${f"$r%.2f"},"shuffle_mb":${f"${smokeShuf.getOrElse(k, -1.0)}%.1f"}}"""
+      }.mkString("[", ",", "]")
       (s""","scale_smoke":{"factor":${ScaleSmoke.Factor},"build_sec":$buildSec,"queries":$sq,"ratio_vs_headline":$rq,"shuffle_mb":$smokeShufJson,"superlinear":$sl,"failed":$sf}""",
-        sFailed)
-    } else ("", Seq.empty[String])
+        sFailed, worst, smokeSec, buildSec)
+    } else ("", Seq.empty[String], "[]", 0.0, 0.0)
 
     // failures are explicit in the JSON (a filtered-out -1 would make the
     // total look FASTER) and fail the process so no consumer can miss them
@@ -120,7 +134,12 @@ object Bench {
     } + "\""
     val errorsJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$shufJson,"failed":$failedJson,"errors":$errorsJson,"sf":"$sfDir"$smokeJson}""")
+    // `wall` and `worst10` are deliberately the FINAL keys: the driver
+    // keeps only the tail of stdout, so the adjudicable numbers (wall-time
+    // breakdown + worst smoke ratios with their shuffle volume) must be
+    // the last bytes this process prints (VERDICT r11 task #1).
+    val wallJson = f""""wall":{"headline_s":$headlineWallSec%.1f,"smoke_s":$smokeWallSec%.1f,"lake_build_s":$buildWallSec%.1f}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$shufJson,"failed":$failedJson,"errors":$errorsJson,"sf":"$sfDir"$smokeJson,$wallJson,"worst10":$worst10Json}""")
     spark.stop()
     if (failed.nonEmpty || smokeFailed.nonEmpty) sys.exit(1)
   }

@@ -8,7 +8,9 @@ package graft
 object SmokeOne {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val names = args(1).split(",").toSeq
+    // distinct: a repeated name (or trailing comma artifact) would print
+    // the same query twice and read like two divergent measurements
+    val names = args(1).split(",").toSeq.filter(_.nonEmpty).distinct
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt)
     spark.sparkContext.setLogLevel("ERROR")
     val scaled = ScaleSmoke.ensureScaled(spark, sfDir)

@@ -30,6 +30,10 @@ object TriangleCensus {
     */
   def triangles(edges: DataFrame): DataFrame = {
     val (oriented, _) = orient(edges)
+    trianglesOriented(oriented)
+  }
+
+  private def trianglesOriented(oriented: DataFrame): DataFrame = {
     val wedgePairs = oriented.select(col("src"), col("dst").as("u"), col("ddst").as("du"))
       .join(oriented.select(col("src"), col("dst").as("v"), col("ddst").as("dv")), "src")
       .filter(col("du") < col("dv") ||
@@ -65,8 +69,10 @@ object TriangleCensus {
     * `n_wedges` is Σ C(deg, 2) (open + closed 2-paths), integer-exact.
     */
   def census(edges: DataFrame): DataFrame = {
-    val (_, deg) = orient(edges)
-    val triangleCount = triangles(edges).agg(count(lit(1)).as("n_triangles"))
+    // orient ONCE — the triangle enumeration and the wedge total share
+    // one (oriented, deg) build instead of re-deriving it (ADVICE r11)
+    val (oriented, deg) = orient(edges)
+    val triangleCount = trianglesOriented(oriented).agg(count(lit(1)).as("n_triangles"))
     val edgeCount = edges.agg(count(lit(1)).as("n_edges"))
     val wedgeCount = deg.agg(sum(expr("dg * (dg - 1) div 2")).as("n_wedges"))
     edgeCount.join(broadcast(wedgeCount)).join(broadcast(triangleCount))

@@ -56,36 +56,83 @@ object AnalyticsQueries {
     * long compare (r11: pagerank 10×-smoke shuffle 538 MB with string
     * nodes, halved by this encoding).
     */
-  /** Session-scoped cache of materialized loop graphs — the shared
-    * fixture the iterate-to-fixpoint family rides (r10 verdict task #4):
-    * pagerank / BFS / SSSP / HITS / PPR / random-walk all consume a
+  /** Session-scoped cache of materialized graph fixtures — the shared
+    * fixture the graph family rides (r10 verdict task #4, widened to the
+    * single-round co-purchase consumers in r12): pagerank / BFS / SSSP /
+    * HITS / PPR / random-walk consume a
     * [[graft.graph.PageRankLoop.persistedGraph]] over the SAME edge
-    * build, and production would materialize that graph once per
-    * (catalog, day), not once per query. Keyed by (session, key) with a
-    * weak session reference so test suites' short-lived sessions don't
-    * pin cached plans; one edge table per sfDir+orientation, node-count
-    * sized (edge list ≪ corpus). Consumers must NOT unpersist — the
-    * cache owns the lifetime.
+    * build, and the single-round queries (kcore, ktruss, triangles,
+    * louvain, …) consume one checkpointed co-purchase edge table;
+    * production would materialize those once per (catalog, day), not
+    * once per query. Entries hold DataFrames, which strongly reference
+    * their session — a weak-keyed map would never collect them (ADVICE
+    * r11) — so the lifetime is managed EXPLICITLY: an ApplicationEnd
+    * listener (registered once per session at first use) drops the
+    * session's entries when its SparkContext stops, which also frees the
+    * checkpointed blocks themselves. Builds are at-most-once per key:
+    * the per-session map is locked around getOrElseUpdate so concurrent
+    * first consumers can't both materialize (and one leak) a fixture.
+    * Consumers must NOT unpersist — the cache owns the lifetime.
     */
-  private val graphCache =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-        scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.DataFrame]]())
+  private val fixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.DataFrame]]()
+
+  private[operators] def sharedFixture(s: org.apache.spark.sql.SparkSession,
+      key: String)(build: => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val perSession = fixtureCache.computeIfAbsent(s, session => {
+      session.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+            fixtureCache.remove(session); ()
+          }
+        })
+      scala.collection.concurrent.TrieMap.empty
+    })
+    perSession.synchronized { perSession.getOrElseUpdate(key, build) }
+  }
 
   private[operators] def sharedGraph(s: org.apache.spark.sql.SparkSession,
       key: String)(build: => org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val perSession = graphCache.synchronized {
-      var m = graphCache.get(s)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty
-        graphCache.put(s, m)
-      }
-      m
+      : org.apache.spark.sql.DataFrame =
+    sharedFixture(s, key)(graft.graph.PageRankLoop.persistedGraph(build))
+
+  /** The checkpointed co-purchase edge table, built once per (session,
+    * sfDir) and shared by every single-round consumer that previously
+    * paid its own `copurchaseEdges(...).localCheckpoint(true)` — kcore /
+    * louvain / label-prop / adamic-adar / assortativity (VERDICT r11
+    * task #2: the order self-join + distinct behind those queries was
+    * the top of the 10×-smoke shuffle table, rebuilt per query). The two
+    * SMJ-pinned queries (copurchase_pairs, link_prediction_common_nbrs's
+    * capped subtree) and the ANF stats counter-example keep the LAZY
+    * form per the PLANS.md pin-vs-lazy rule — copurchase_pairs is, by
+    * design, the one bench entry that still pays (and therefore prices)
+    * the raw edge build.
+    */
+  private[operators] def sharedCopurchaseEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    sharedFixture(s, s"copurchase:$d")(
+      copurchaseEdges(s, d).localCheckpoint(true))
+
+  /** Colorful (mod-16 monochromatic) sparsified co-purchase edges — the
+    * shared base of graph_triangle_census and graph_ktruss_support, both
+    * of which enumerate triangles over the SAME one-color-class edge set
+    * (Pagh–Tsourakakis). Same fixture discipline as
+    * [[sharedCopurchaseEdges]]: one build per (session, sfDir).
+    */
+  private[operators] def sharedColorfulEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    sharedFixture(s, s"copurchase_mod16:$d") {
+      val items = copurchaseItems(s, d)
+      items.select(col("l_orderkey"), col("l_partkey").as("a"))
+        .join(items.select(col("l_orderkey"), col("l_partkey").as("b")),
+          "l_orderkey")
+        .filter(col("a") < col("b") && col("a") % 16 === col("b") % 16)
+        .select("a", "b").distinct()
+        .localCheckpoint(true)
     }
-    perSession.getOrElseUpdate(key,
-      graft.graph.PageRankLoop.persistedGraph(build))
-  }
 
   private[operators] def partSupplierEdges(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
@@ -1030,7 +1077,7 @@ object AnalyticsQueries {
         // rebuilds the order self-join per consumer (measured: 18 scans,
         // 12 SMJs); one localCheckpoint makes it the loop family's
         // persisted-edge shape (edge list ≪ corpus)
-        val e = copurchaseEdges(s, d).localCheckpoint(true)
+        val e = sharedCopurchaseEdges(s, d)
         val und = e.select(col("a").as("node"), col("b").as("nbr"))
           .unionByName(e.select(col("b").as("node"), col("a").as("nbr")))
         val deg = und.groupBy("node").agg(count(lit(1)).as("k"))
@@ -1527,7 +1574,7 @@ object AnalyticsQueries {
       (s, d) => {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("node").orderBy("nbr")
-        val edges = copurchaseEdges(s, d).localCheckpoint(true)
+        val edges = sharedCopurchaseEdges(s, d)
         val und = edges.select(col("a").as("node"), col("b").as("nbr"))
           .unionByName(edges.select(col("b").as("node"), col("a").as("nbr")))
         val deg = und.groupBy("node").agg(count(lit(1)).as("deg"))
@@ -1599,7 +1646,7 @@ object AnalyticsQueries {
     QueryDef(
       "label_propagation_round",
       (s, d) => {
-        val edges = copurchaseEdges(s, d).localCheckpoint(true)
+        val edges = sharedCopurchaseEdges(s, d)
         val adj = edges.select(col("a").as("node"), col("b").as("nbr"))
           .union(edges.select(col("b").as("node"), col("a").as("nbr")))
         val l0 = adj.groupBy("node").agg(min(col("nbr")).as("mn"))
@@ -1656,14 +1703,9 @@ object AnalyticsQueries {
     QueryDef(
       "graph_triangle_census",
       (s, d) => {
-        val items = t(s, d, "lineitem")
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
-        val edges = items.select(col("l_orderkey"), col("l_partkey").as("a"))
-          .join(items.select(col("l_orderkey"), col("l_partkey").as("b")),
-            "l_orderkey")
-          .filter(col("a") < col("b") && col("a") % 16 === col("b") % 16)
-          .select("a", "b").distinct()
-          .localCheckpoint(true) // 4 consumers inside census (deg, orient, wedges, count)
+        // shared colorful fixture (4 consumers inside census: deg,
+        // orient, wedges, count — plus ktruss's whole pipeline)
+        val edges = sharedColorfulEdges(s, d)
         graft.graph.TriangleCensus.census(edges)
           .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
             (col("n_triangles") * lit(256L)).as("est_triangles_full"),
@@ -1710,14 +1752,9 @@ object AnalyticsQueries {
     QueryDef(
       "graph_ktruss_support",
       (s, d) => {
-        val items = t(s, d, "lineitem")
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
-        val edges = items.select(col("l_orderkey"), col("l_partkey").as("a"))
-          .join(items.select(col("l_orderkey"), col("l_partkey").as("b")),
-            "l_orderkey")
-          .filter(col("a") < col("b") && col("a") % 16 === col("b") % 16)
-          .select("a", "b").distinct()
-          .localCheckpoint(true) // consumed by orient/deg/wedges + the support join
+        // shared colorful fixture — consumed by orient/deg/wedges + the
+        // support join, and identical to the census's edge set
+        val edges = sharedColorfulEdges(s, d)
         val tri = graft.graph.TriangleCensus.triangles(edges)
         val sup = tri.select(explode(array(
             struct(col("tri_x").as("a"), col("tri_y").as("b")),
@@ -2687,7 +2724,7 @@ object AnalyticsQueries {
     QueryDef(
       "kcore_peel_round",
       (s, d) => {
-        val edges = copurchaseEdges(s, d).localCheckpoint(true)
+        val edges = sharedCopurchaseEdges(s, d)
         val touch = edges.select(col("a").as("node"))
           .unionByName(edges.select(col("b").as("node")))
         val deg0 = touch.groupBy("node").agg(count(lit(1)).as("deg0"))
@@ -2875,15 +2912,10 @@ object AnalyticsQueries {
     QueryDef(
       "graph_modularity_audit",
       (s, d) => {
-        val items = t(s, d, "lineitem")
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
-        val edges = items.select(col("l_orderkey"), col("l_partkey").as("a"))
-          .join(items.select(col("l_orderkey"), col("l_partkey").as("b")),
-            "l_orderkey")
-          .filter(col("a") < col("b"))
-          .select("a", "b").distinct()
+        // shared plain-edge fixture; the community columns are a cheap
+        // projection over the checkpointed RDD, re-derived per consumer
+        val edges = sharedCopurchaseEdges(s, d)
           .withColumn("ca", col("a") % 16).withColumn("cb", col("b") % 16)
-          .localCheckpoint(true) // 3 consumers below — pin one edge build
         val m = edges.agg(count(lit(1)).as("m"))
         val internal = edges.filter(col("ca") === col("cb"))
           .groupBy(col("ca").as("community")).agg(count(lit(1)).as("e_c"))
@@ -3862,7 +3894,7 @@ object AnalyticsQueries {
     QueryDef(
       "graph_degree_assortativity",
       (s, d) => {
-        val edges = copurchaseEdges(s, d).localCheckpoint(true)
+        val edges = sharedCopurchaseEdges(s, d)
         val deg = edges.select(col("a").as("node"))
           .unionByName(edges.select(col("b").as("node")))
           .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -4425,13 +4457,17 @@ object AnalyticsQueries {
     QueryDef(
       "boruvka_msf_round",
       (s, d) => {
-        val items = copurchaseItems(s, d)
-        val ew = items.select(col("l_orderkey"), col("l_partkey").as("a"))
-          .join(items.select(col("l_orderkey"), col("l_partkey").as("b")),
-            "l_orderkey")
-          .filter(col("a") < col("b"))
-          .groupBy("a", "b").agg(count(lit(1)).as("w"))
-          .localCheckpoint(true) // incidence/select/count consume ew 4 ways
+        // incidence/select/count consume ew 4 ways — shared weighted
+        // fixture (the co-purchase self-join with order-count weights)
+        val ew = sharedFixture(s, s"copurchase_weighted:$d") {
+          val items = copurchaseItems(s, d)
+          items.select(col("l_orderkey"), col("l_partkey").as("a"))
+            .join(items.select(col("l_orderkey"), col("l_partkey").as("b")),
+              "l_orderkey")
+            .filter(col("a") < col("b"))
+            .groupBy("a", "b").agg(count(lit(1)).as("w"))
+            .localCheckpoint(true)
+        }
         val inc = ew.select(col("a").as("node"), col("a"), col("b"), col("w"))
           .unionAll(ew.select(col("b").as("node"), col("a"), col("b"), col("w")))
         val sel = inc.groupBy("node")

@@ -420,48 +420,45 @@ object TpchExtraQueries {
     // same fact table — suppliers who were the ONLY late shipper on a
     // multi-supplier finished order. Adaptation: no commit/receipt dates,
     // so "late" = shipped more than 60 days after the order date. The
-    // correlated pair is rewritten as per-orderkey AGGREGATES, not
-    // semi/anti self-joins of the fact table: EXISTS(other supplier on
-    // the order) ⟺ min(l_suppkey) ≠ max(l_suppkey) per order, and
-    // NOT EXISTS(other LATE supplier) ⟺ the late lines' per-order
-    // supplier range is degenerate (l1's own row is late, so the sole
-    // late supplier must be l1's). Both aggregates map-side-combine to
-    // O(orders) rows before any join — the r7 driver smoke showed the
-    // semi/anti formulation going 75× superlinear at 10× because the
-    // join's right side was the full fact table with a supplier
-    // inequality as residual (quadratic within multi-line orders); the
-    // min/max ranges shuffle once and join O(orders)-sized sides.
+    // correlated pair is answered from ONE per-orderkey aggregate pass,
+    // never a fact self-join: EXISTS(other supplier on the order) ⟺
+    // min(l_suppkey) ≠ max(l_suppkey) per order, NOT EXISTS(other LATE
+    // supplier) ⟺ the late lines' per-order supplier range is degenerate
+    // (and then all late lines belong to that one supplier, so its
+    // numwait contribution is the order's late-line count). Restricting
+    // the aggregate to F-orders is lossless — the EXISTS probe rows share
+    // l1's orderkey, hence l1's F order. Scale shape (r11 verdict task
+    // #4, cutting the 106 MB 10× shuffle): lineitem is scanned once with
+    // a 3-column projection, shuffled ONCE into the orders join, and the
+    // per-order aggregate reuses that join's orderkey partitioning — the
+    // r7 semi/anti formulation was quadratic within multi-line orders
+    // (75× at 10×), and the r8 three-aggregate form still shuffled the
+    // fact table twice plus two semi joins.
     QueryDef(
       "q21_waiting_supplier",
       (s, d) => {
         val orders = t(s, d, "orders").filter(col("o_orderstatus") === "F")
           .select("o_orderkey", "o_orderdate")
-        // all late lines on finished orders, ALL suppliers (the late-
-        // supplier aggregate must see every nation, so the NATION_4
-        // filter applies only to the l1 leg below)
-        val late = t(s, d, "lineitem")
+        val perOrder = t(s, d, "lineitem")
           .select("l_orderkey", "l_suppkey", "l_shipdate")
           .join(orders, col("l_orderkey") === col("o_orderkey"))
-          .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-          .select("l_orderkey", "l_suppkey")
-        val multiSupp = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"),
+            (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+              .as("late"))
           .groupBy("l_orderkey")
-          .agg(min(col("l_suppkey")).as("smin"), max(col("l_suppkey")).as("smax"))
-          .filter(col("smin") =!= col("smax"))
-          .select(col("l_orderkey").as("ms_orderkey"))
-        val soleLate = late.groupBy("l_orderkey")
-          .agg(min(col("l_suppkey")).as("lmin"), max(col("l_suppkey")).as("lmax"))
-          .filter(col("lmin") === col("lmax"))
-          .select(col("l_orderkey").as("sl_orderkey"))
-        late
+          .agg(min(col("l_suppkey")).as("smin"), max(col("l_suppkey")).as("smax"),
+            min(when(col("late"), col("l_suppkey"))).as("lmin"),
+            max(when(col("late"), col("l_suppkey"))).as("lmax"),
+            sum(when(col("late"), 1L).otherwise(0L)).as("n_late"))
+          .filter(col("smin") =!= col("smax") &&
+            col("lmin").isNotNull && col("lmin") === col("lmax"))
+        perOrder
           .join(broadcast(t(s, d, "supplier")
               .join(broadcast(t(s, d, "nation").filter(col("n_name") === "NATION_4")),
                 col("s_nationkey") === col("n_nationkey"), "left_semi")),
-            col("l_suppkey") === col("s_suppkey"))
-          .join(multiSupp, col("l_orderkey") === col("ms_orderkey"), "left_semi")
-          .join(soleLate, col("l_orderkey") === col("sl_orderkey"), "left_semi")
+            col("lmin") === col("s_suppkey"))
           .groupBy("s_name")
-          .agg(count(lit(1)).as("numwait"))
+          .agg(sum(col("n_late")).as("numwait"))
           .orderBy(col("numwait").desc, col("s_name"))
           .limit(100)
       },

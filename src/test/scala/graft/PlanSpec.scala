@@ -140,35 +140,44 @@ class PlanSpec extends SparkSuite {
       s"packing must shuffle once on the shard key; found ${shuffles.size}")
   }
 
-  test("q21 correlated pair plans as per-order AGGREGATES, not fact self-joins") {
+  test("q21 answers both correlated subqueries from ONE per-order aggregate pass") {
     // the r7 driver smoke measured the semi/anti formulation (right side =
     // full lineitem with a supplier inequality as residual) going 75× at
-    // 10× — quadratic within multi-line orders. The scale-safe rewrite
-    // answers both correlated subqueries from per-orderkey min/max
-    // supplier ranges: every semi join's build side must sit ABOVE an
-    // aggregation (O(orders) rows), never the raw fact table, and there
-    // must be no anti join and no nested loop at all.
+    // 10× — quadratic within multi-line orders; the r8 rewrite's three
+    // separate aggregates still shuffled the fact table twice. The r12
+    // shape scans lineitem ONCE with a 3-column projection, joins
+    // orders-F once, and answers both EXISTS probes from a single
+    // per-orderkey min/max/count aggregate — no anti join, no fact-side
+    // semi joins, no nested loop.
     val p = plan("q21_waiting_supplier")
     val joins = collectAll(p) {
       case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
     }
     val types = joins.map(_.joinType.toString)
-    assert(types.count(_ == "LeftSemi") >= 2,
-      s"expected the two per-order range semi joins, got $types")
     assert(!types.contains("LeftAnti"),
       s"anti join against the fact table must be gone, got $types")
     val bnl = collectAll(p) {
       case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
     }
     assert(bnl.isEmpty, "no nested loops")
-    // both range aggregates present: ≥2 final-mode hash aggregates keyed
-    // on l_orderkey below the semi joins
+    // exactly one per-orderkey aggregate (a partial/final pair at most)
     val orderAggs = collectAll(p) {
       case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
         if a.groupingExpressions.exists(_.toString.contains("l_orderkey")) => a
     }
-    assert(orderAggs.size >= 2,
-      s"expected per-orderkey range aggregates, found ${orderAggs.size}")
+    assert(orderAggs.nonEmpty && orderAggs.size <= 2,
+      s"expected ONE per-orderkey aggregate pass, found ${orderAggs.size}")
+    // lineitem is scanned once, projected to exactly the three columns
+    // the aggregate needs
+    val factScans = collectAll(p) {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec
+        if sc.relation.location.rootPaths.exists(_.toString.contains("lineitem")) => sc
+    }
+    assert(factScans.size == 1,
+      s"lineitem must be scanned exactly once, found ${factScans.size}")
+    assert(factScans.head.schema.fieldNames.toSet ==
+      Set("l_orderkey", "l_suppkey", "l_shipdate"),
+      s"fact scan must read 3 columns, reads ${factScans.head.schema.fieldNames.toSet}")
   }
 
   test("copurchase self-join is pinned to sort-merge (no scaled-side broadcast)") {
