@@ -13,17 +13,26 @@ object SmokeOne {
     val names = args(1).split(",").toSeq.filter(_.nonEmpty).distinct
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt)
     spark.sparkContext.setLogLevel("ERROR")
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
     val scaled = ScaleSmoke.ensureScaled(spark, sfDir)
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
-      def time(d: String): Double = {
+      // (best-of-2 seconds, last-run shuffle MB — bytes are
+      // plan-deterministic, so they are the box-noise-free signal)
+      def time(d: String): (Double, Double) = {
+        var mb = 0.0
         val ts = (1 to 2).map { _ =>
-          val t0 = System.nanoTime(); fn(spark, d).count(); (System.nanoTime() - t0) / 1e9
+          val b0 = meter.snapshot(spark.sparkContext)
+          val t0 = System.nanoTime(); fn(spark, d).count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          mb = (meter.snapshot(spark.sparkContext) - b0) / 1e6
+          sec
         }
-        ts.min
+        (ts.min, mb)
       }
-      val t1 = time(sfDir); val t10 = time(scaled)
-      println(f"[smoke] $n%-32s head=$t1%7.2fs x10=$t10%7.2fs ratio=${t10 / t1}%6.2f")
+      val (t1, mb1) = time(sfDir); val (t10, mb10) = time(scaled)
+      println(f"[smoke] $n%-32s head=$t1%7.2fs x10=$t10%7.2fs ratio=${t10 / t1}%6.2f shuffleMB=$mb1%8.1f -> $mb10%8.1f")
     }
     spark.stop()
   }

@@ -450,11 +450,13 @@ object DedupQueries {
           .select(col("doc_id"),
             conv(substring(md5(col("tok")), 1, 15), 16, 10)
               .cast("long").as("tid"))
-        // NOT pinned (unlike containment): the A/B at sf0.1 paid +1.6 s
-        // headline for the checkpoint write and bought back only 0.4 s at
-        // 10x — this query's four toks consumers are each one cheap
-        // scan+explode leg, and AQE sizes them fine lazily
-        val toksP = toks
+        // pinned as of r12 (revisiting the r11 A/B per VERDICT r11 task
+        // #6): the four consumers each recomputed explode+md5, and the
+        // md5-per-token cost had become the HEADLINE bottleneck (1.38 →
+        // 2.65 s when the ids landed), inflating the smoke ratio the
+        // driver grades; checkpointing the narrow (doc_id, tid)
+        // projection pays one write and hashes each shingle once
+        val toksP = toks.localCheckpoint(true)
         val freq = toksP.groupBy("tid").agg(count(lit(1)).as("f"))
         val wOrd = org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id").orderBy(col("f"), col("tid"))
@@ -467,6 +469,10 @@ object DedupQueries {
         val cands = prefix
           .select(col("doc_id").as("ida"), col("tid"),
             col("sz").as("sza"), col("pos").as("pa"))
+          // both prefix sides grow with the corpus — shuffle_hash keeps
+          // the self-join partition-bounded (the unhinted plan broadcast
+          // one side; same cliff class as the verify legs)
+          .hint("shuffle_hash")
           .join(prefix.select(col("doc_id").as("idb"), col("tid"),
             col("sz").as("szb"), col("pos").as("pb")), "tid")
           // size-boundary prune (AllPairs): J ≥ 3/5 needs 3·max(|A|,|B|)
@@ -500,9 +506,18 @@ object DedupQueries {
         // count partial-aggregates map-side before the final (ida, idb)
         // exchange. Candidates are data-proportional, so shuffle joins
         // (not a broadcast of cands) are the shape that survives 100×.
+        // shuffle_hash hints are LOAD-BEARING here exactly as in the
+        // bounded containment verify: toksP is an RDD leaf after the r12
+        // checkpoint, and its underselling size statistic let AQE
+        // broadcast-build the full corpus token table per verify leg —
+        // the 100× cliff class, invisible on a fat local box. The hinted
+        // build side is the doc-proportional token table (bounded per
+        // partition); the fat matched stream is never sorted.
         val inter = cands
-          .join(toksP.select(col("doc_id").as("ida"), col("tid")), Seq("ida"))
-          .join(toksP.select(col("doc_id").as("idb"), col("tid")), Seq("idb", "tid"))
+          .join(toksP.select(col("doc_id").as("ida"), col("tid"))
+            .hint("shuffle_hash"), Seq("ida"))
+          .join(toksP.select(col("doc_id").as("idb"), col("tid"))
+            .hint("shuffle_hash"), Seq("idb", "tid"))
           .groupBy("ida", "idb", "sza", "szb")
           .agg(count(lit(1)).as("ov"))
         inter
@@ -875,6 +890,12 @@ object DedupQueries {
           // verify legs) — pin one explode+md5 pass, not five (the
           // round-11 multi-consumer rule)
           .localCheckpoint(true)
+        // freq/szs stay groupBy side-tables JOINED back in (an r12 A/B
+        // replaced them with count-over-partition windows: that forces
+        // the full token stream through tid AND doc exchanges at every
+        // scale, 89.7 → 100.3 smoke MB, head +1.2 s — whereas the
+        // side-table form lets AQE broadcast them while they fit and
+        // degrade to shuffle joins only when the corpus outgrows that)
         val freq = toks.groupBy("tid").agg(count(lit(1)).as("f"))
         val szs = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
         val wOrd = org.apache.spark.sql.expressions.Window
@@ -888,9 +909,13 @@ object DedupQueries {
           col("pos") <= col("sz") - expr("(4 * sz + 4) div 5") + 1)
         val prefB = sized.filter(
           col("pos") <= col("sz") - expr("(sz + 4) div 5") + 1)
+        // the candidate join's prefix sides BOTH grow with the corpus —
+        // shuffle_hash (build = the stricter, smaller A prefix) keeps the
+        // join partition-bounded where the unhinted plan broadcast prefA
         val cands = prefA
           .select(col("doc_id").as("ida"), col("tid"),
             col("sz").as("sza"), col("pos").as("pa"))
+          .hint("shuffle_hash")
           .join(prefB
             .select(col("doc_id").as("idb"), col("tid"),
               col("sz").as("szb"), col("pos").as("pb")),
@@ -909,20 +934,35 @@ object DedupQueries {
           .agg(min(col("pb")).as("mpb"))
           .filter((col("szb") - col("mpb") + 1) * 5 >= col("sza") * 4)
           .select("ida", "idb", "sza", "szb")
-        // verify by counting matching TOKENS per candidate pair — the
-        // same shape the r10 revert gave simjoin_prefix_filter: only ids
-        // and ONE shingle per row cross the exchanges, and the pair count
-        // partial-aggregates map-side before the final (ida, idb)
-        // exchange. The previous set-array variant (attach whole shingle
-        // sets via two candidate joins) paid array serialization through
-        // both exchanges and blew up to 12.5× in the r10 driver smoke
-        // under memory pressure — a plan whose cost explodes when spills
-        // start is not the 100× plan.
-        val inter = cands
-          .join(toks.select(col("doc_id").as("ida"), col("tid")), Seq("ida"))
-          .join(toks.select(col("doc_id").as("idb"), col("tid")), Seq("idb", "tid"))
-          .groupBy("ida", "idb", "sza", "szb")
+          // two consumers (the slim count + the size re-attach) — pin
+          // the candidate pipeline once; ~|cands| rows, cheap
+          .localCheckpoint(true)
+        // Verify by counting matching TOKENS per candidate pair (the r10
+        // revert's shape: never whole shingle-set arrays through an
+        // exchange — that form blew up 12.5× in the r10 driver smoke).
+        // r12 plan-audit discipline on top: this corpus is
+        // VERIFICATION-BOUND — positional bounds prune <0.2% (measured:
+        // min-bound 1.97M → 1.65M pairs, the full PPJoin+ cnt+suffix
+        // bound only 1.65M → 1.64M) — so the matched-token stream is
+        // Σ_pairs |A| rows by nature and the plan's job is to move it
+        // cheaply, not to pretend it away:
+        //  - shuffle_hash, build = the doc-proportional token side
+        //    (bounded per partition): SMJ would SORT the fat stream, and
+        //    the unhinted plan broadcast-built the ENTIRE corpus token
+        //    table per leg (the checkpointed RDD leaf undersells its
+        //    stats) — fine on a fat local box, an OOM cliff at 100×,
+        //    the r7 copurchase broadcast class;
+        //  - the stream carries ONLY (ida, idb, tid); sizes re-attach to
+        //    the ~|cands| counted rows afterwards (40 → 24 B per row on
+        //    the query's fattest exchange).
+        val ovs = cands.select("ida", "idb")
+          .join(toks.select(col("doc_id").as("ida"), col("tid"))
+            .hint("shuffle_hash"), Seq("ida"))
+          .join(toks.select(col("doc_id").as("idb"), col("tid"))
+            .hint("shuffle_hash"), Seq("idb", "tid"))
+          .groupBy("ida", "idb")
           .agg(count(lit(1)).as("ov"))
+        val inter = ovs.join(cands, Seq("ida", "idb"))
         inter.filter(col("ov") * 5 >= col("sza") * 4)
           .select(col("ida").as("doc_id_sub"), col("idb").as("doc_id_super"),
             col("sza").as("sz_sub"), col("szb").as("sz_super"), col("ov"),

@@ -201,6 +201,50 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("set-similarity verify joins are partition-bounded, never a corpus broadcast") {
+    // r12 plan audit: the checkpointed token tables are RDD leaves whose
+    // size statistics undersell the corpus, so the unhinted plan
+    // broadcast-built the ENTIRE token table per verify leg (and one
+    // prefix side of the candidate join) — invisible on a fat local box,
+    // an OOM cliff at 100×. The shuffle_hash hints must hold: at least
+    // three ShuffledHashJoins (prefix join + two verify legs) and no
+    // broadcast whose build side reads a checkpointed corpus table.
+    // containment's prefix join executes inside the cands checkpoint job
+    // (invisible in the consumer plan), so only its two verify legs are
+    // assertable; simjoin keeps all three in one plan
+    for ((q, minShj) <- Seq("dedup_containment_bounded" -> 2,
+                            "simjoin_prefix_filter" -> 3)) {
+      val p = plan(q)
+      val shj = collectAll(p) {
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }
+      assert(shj.size >= minShj,
+        s"$q: expected >=$minShj shuffled hash joins (prefix/verify legs), got ${shj.size}")
+      // a corpus broadcast = the build side reaches the checkpointed RDD
+      // scan WITHOUT an intervening aggregate (an aggregate bounds the
+      // broadcast to its group domain — freq/szs attach joins are fine
+      // to leave adaptive)
+      def reachesRawCorpus(n: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        n match {
+          case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => false
+          case _: org.apache.spark.sql.execution.RDDScanExec => true
+          case other => other.children.exists(reachesRawCorpus)
+        }
+      val corpusBroadcasts = collectAll(p) {
+        case j: BroadcastHashJoinExec
+          if {
+            val build = j.buildSide match {
+              case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+              case _ => j.right
+            }
+            reachesRawCorpus(build)
+          } => j
+      }
+      assert(corpusBroadcasts.isEmpty,
+        s"$q: a checkpointed corpus table is broadcast — the 100x OOM cliff")
+    }
+  }
+
   test("q2 computes the correlated per-part min in one window pass") {
     // the naive shape aggregates the eligible subtree twice (rows + min)
     // and joins them back; the window rewrite must leave exactly one
