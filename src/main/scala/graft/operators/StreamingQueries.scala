@@ -896,6 +896,110 @@ object StreamingQueries {
       .coalesce(1).write.mode("overwrite").parquet(resultOut)
   }
 
+  /** STATE-SIZE / TTL AUDIT over the DayCloser pipeline (VERDICT r11
+    * task #7): the 100 TB streaming failure mode is state that outlives
+    * its watermark, so this run re-derives, PER MICRO-BATCH, the exact
+    * number of open (user, day) state entries from two independent
+    * ledgers and asserts they agree:
+    *   - accounting: open = distinct (user, day) pairs delivered so far
+    *     − cumulative timer emissions (DayCloser creates an entry on
+    *     first sight and deletes it exactly at emission, so this IS the
+    *     state row count);
+    *   - watermark bound: pairs whose day-end exceeds the eviction
+    *     watermark the batch ran with (max event-time of PRIOR batches
+    *     − 2 h; AvailableNow appends a no-data batch that applies the
+    *     final watermark).
+    * `leak = open − bound` must be 0 on every row — state lingering past
+    * its watermark (a missed timer) or evicted early (a premature fire)
+    * breaks the equality and hash-fails against the batch replay, which
+    * recomputes both ledgers from the raw events with the same quartile
+    * slicing arithmetic. No sentinel slice here: the last days legally
+    * stay open, and the audit's final row reports exactly how many.
+    */
+  private def runStateTtlAudit(s: SparkSession, sfDir: String, scratch: String, resultOut: String): Unit = {
+    import s.implicits._
+    val stage = s"$scratch/evlake"
+    val glob = stageEventSlices(s, sfDir, stage)
+    val out = s"$scratch/emissions"
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = s.conf.getOption(providerKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ds = eventStream(s, glob)
+        .select(col("ts").cast("timestamp").as("ts"), col("user_id"),
+          // tz-independent day key (floor of epoch ms), so the key and
+          // the DayCloser timer boundary share one clock by construction
+          // (ADVICE r11; equals unix_date under the pinned UTC session)
+          expr("CAST(floor(unix_millis(ts) / 86400000) AS BIGINT)").as("dnum"),
+          (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+            .cast("long").as("cents"))
+        .withWatermark("ts", "2 hours")
+        .select(col("user_id"), col("dnum"), col("cents"))
+        .as[(Long, Long, Long)]
+      val closes = ds.groupByKey(_._1)
+        .transformWithState(new graft.streaming.StatefulAgg.DayCloser,
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+      val q = closes.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.streaming.StatefulAgg.DayClose], bid: Long) =>
+          b.withColumn("batch_id", lit(bid)).write.mode("append").parquet(out)
+          ()
+        }
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally prior match {
+      case Some(v) => s.conf.set(providerKey, v)
+      case None => s.conf.unset(providerKey)
+    }
+    // batch replay of both ledgers from the staged slices
+    val sliced = (0 until 4).map { i =>
+      s.read.parquet(s"$stage/b$i").withColumn("slice", lit(i))
+    }.reduce(_ unionByName _)
+      .select(col("user_id"),
+        expr("CAST(floor(unix_millis(CAST(ts AS TIMESTAMP)) / 86400000) AS BIGINT)")
+          .as("dnum"),
+        expr("unix_millis(CAST(ts AS TIMESTAMP))").as("ms"), col("slice"))
+      .localCheckpoint(true)
+    // batches 0..3 consume slice b; batch 4 is AvailableNow's no-data
+    // finalization batch (applies the watermark of all four slices)
+    val batches = s.range(0, 5).select(col("id").cast("long").as("batch_id"))
+    val perBatch = batches.crossJoin(sliced)
+      .filter(col("slice") <= least(col("batch_id"), lit(3)))
+      .groupBy("batch_id")
+      .agg(countDistinct(col("user_id"), col("dnum")).as("seen_pairs"))
+    // eviction watermark of batch b = max event ms over batches < b − 2h
+    val wms = batches.crossJoin(sliced)
+      .filter(col("slice") <= least(col("batch_id") - 1, lit(3)))
+      .groupBy("batch_id")
+      .agg((max(col("ms")) - lit(7200000L)).as("wm_ms"))
+    val bound = batches.crossJoin(sliced)
+      .filter(col("slice") <= least(col("batch_id"), lit(3)))
+      .select(col("batch_id"), col("user_id"), col("dnum")).distinct()
+      .join(wms, Seq("batch_id"), "left")
+      .filter(col("wm_ms").isNull || (col("dnum") + 1) * 86400000L > col("wm_ms"))
+      .groupBy("batch_id").agg(count(lit(1)).as("wm_bound"))
+    val emitted = s.read.parquet(out).filter(col("user_id") =!= -1L)
+      .groupBy("batch_id").agg(count(lit(1)).as("n_closed"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy("batch_id").rowsBetween(Long.MinValue, 0)
+    batches
+      .join(emitted, Seq("batch_id"), "left")
+      .select(col("batch_id"), coalesce(col("n_closed"), lit(0L)).as("n_closed"))
+      .withColumn("closed_cum", sum(col("n_closed")).over(wCum))
+      .join(perBatch, Seq("batch_id"))
+      .join(bound, Seq("batch_id"))
+      .select(col("batch_id"), col("n_closed"), col("closed_cum"),
+        col("seen_pairs"),
+        (col("seen_pairs") - col("closed_cum")).as("open_state"),
+        col("wm_bound"),
+        (col("seen_pairs") - col("closed_cum") - col("wm_bound")).as("leak"))
+      .orderBy("batch_id")
+      .coalesce(1).write.mode("overwrite").parquet(resultOut)
+  }
+
   /** Exact distinct-user maintenance on MapState — see
     * [[graft.streaming.StatefulAgg.DistinctUsers]]. Update-mode
     * emissions per batch; converged value per key is the last emission.
@@ -1531,6 +1635,55 @@ object StreamingQueries {
              |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
              |    AS sum_cents
              |FROM events GROUP BY 1, 2""".stripMargin),
+      bench = false, sideEffecting = true),
+
+    // State-size/TTL audit (see runStateTtlAudit): per micro-batch, the
+    // open-state accounting (seen pairs − timer emissions) must equal
+    // the watermark-implied bound — `leak` must be 0 on all five rows.
+    // The oracle replays both ledgers from the raw events with the same
+    // quartile-slicing and previous-batch-watermark arithmetic; a timer
+    // that fires early, late, or twice shifts n_closed into the wrong
+    // batch row and hash-fails.
+    QueryDef(
+      "streaming_state_ttl_audit",
+      (s, d) => cachedStream(s, "streaming_state_ttl_audit", d)(runStateTtlAudit(s, d, _, _)),
+      Some("""WITH ev AS (
+             |  SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms,
+             |    CAST(floor(epoch_ms(CAST(ts AS TIMESTAMP)) / 86400000) AS BIGINT) AS dnum
+             |  FROM events),
+             |bnd AS (SELECT min(ms) AS t0, max(ms) AS t1 FROM ev),
+             |sliced AS (
+             |  SELECT user_id, dnum, ms,
+             |    least(3, CAST(floor((ms - t0) * 4 / (t1 - t0 + 1)) AS INT)) AS slice
+             |  FROM ev, bnd),
+             |pairs AS (
+             |  SELECT user_id, dnum, min(slice) AS first_slice,
+             |    (dnum + 1) * 86400000 AS day_end
+             |  FROM sliced GROUP BY user_id, dnum),
+             |batches AS (SELECT batch_id FROM range(0, 5) t(batch_id)),
+             |wm AS (
+             |  SELECT batch_id,
+             |    (SELECT max(ms) FROM sliced WHERE slice <= least(batch_id - 1, 3))
+             |      - 7200000 AS wm_ms
+             |  FROM batches),
+             |led AS (
+             |  SELECT b.batch_id,
+             |    CAST(count(*) FILTER (WHERE p.first_slice <= least(b.batch_id, 3))
+             |      AS BIGINT) AS seen_pairs,
+             |    CAST(count(*) FILTER (WHERE p.first_slice <= least(b.batch_id, 3)
+             |      AND w.wm_ms IS NOT NULL AND p.day_end <= w.wm_ms)
+             |      AS BIGINT) AS closed_cum
+             |  FROM batches b, wm w, pairs p
+             |  WHERE b.batch_id = w.batch_id
+             |  GROUP BY b.batch_id)
+             |SELECT CAST(batch_id AS BIGINT) AS batch_id,
+             |  CAST(closed_cum - lag(closed_cum, 1, 0) OVER (ORDER BY batch_id)
+             |    AS BIGINT) AS n_closed,
+             |  closed_cum, seen_pairs,
+             |  seen_pairs - closed_cum AS open_state,
+             |  seen_pairs - closed_cum AS wm_bound,
+             |  CAST(0 AS BIGINT) AS leak
+             |FROM led ORDER BY batch_id""".stripMargin),
       bench = false, sideEffecting = true),
 
     // The batch-sketch union must converge to the corpus distinct count

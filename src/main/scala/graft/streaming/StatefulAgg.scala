@@ -201,6 +201,16 @@ object StatefulAgg {
     * the emission set. State is O(open days per user) — bounded by the
     * watermark horizon, the knob that caps RocksDB growth at any stream
     * length.
+    *
+    * CLOCK CONTRACT (ADVICE r11): the timer boundary `(dnum+1)·86 400 000`
+    * is a UTC epoch-day end, so the upstream `dnum` MUST be derived on
+    * the same clock — either `floor(unix_millis(ts) / 86 400 000)`
+    * (tz-independent, what runStateTtlAudit uses) or a date cast under a
+    * session pinned to UTC (what runTimerDayClose uses; GraftSession and
+    * Bench both set spark.sql.session.timeZone=UTC). A dnum keyed to a
+    * negative-offset local day would let the timer fire before that day
+    * ends, closing the window early and double-emitting when later
+    * same-day events recreate the map entry.
     */
   final class DayCloser extends StatefulProcessor[Long, (Long, Long, Long), DayClose] {
     @transient private var days: MapState[Long, (Long, Long)] = _
