@@ -105,6 +105,57 @@ class WindowAuditSpec extends SparkSuite {
       s"benched queries with cartesian products: ${offenders.mkString(", ")}")
   }
 
+  test("no BENCHED catalog query broadcast-builds a checkpointed table — " +
+      "a pinned leaf forfeits its stats, so the planner undersells it") {
+    // round-12 cliff class (PLANS.md): localCheckpoint replaces a subtree
+    // with an RDDScanExec whose size statistic undersells the data, and
+    // the planner then broadcast-builds what may be a corpus-sized table
+    // (set-similarity verifies measured this at the 10x lake). A
+    // broadcast build side may reach a checkpointed scan only THROUGH an
+    // aggregate (which bounds the build to its group domain) or through
+    // another join's already-bounded output. Sweep every benched final
+    // plan; a hit means the query needs a shuffle_hash/merge hint.
+    def reachesRawRdd(n: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      n match {
+        case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => false
+        // a rank-limit bounds the subtree to k rows per group — the
+        // naive_bayes top-10-per-lang broadcast is the sanctioned case
+        case _: org.apache.spark.sql.execution.window.WindowGroupLimitExec => false
+        case _: org.apache.spark.sql.execution.RDDScanExec => true
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.joinType.toString == "LeftSemi" || j.joinType.toString == "LeftAnti" =>
+          // a semi/anti join bounds its output to the probe side's
+          // matching rows — treat like the probe subtree
+          reachesRawRdd(j.left)
+        case other => other.children.exists(reachesRawRdd)
+      }
+    val offenders = SparkEntry.all
+      .filter(q => q.bench && !q.sideEffecting)
+      .flatMap { q =>
+        val hits =
+          try {
+            val p = q.spark(spark, sf).queryExecution.executedPlan match {
+              case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+                a.executedPlan
+              case other => other
+            }
+            p.collectWithSubqueries {
+              case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+                if {
+                  val build = j.buildSide match {
+                    case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+                    case _ => j.right
+                  }
+                  reachesRawRdd(build)
+                } => j
+            }
+          } catch { case _: Throwable => Nil }
+        if (hits.isEmpty) Nil else Seq(q.name)
+      }
+    assert(offenders.isEmpty,
+      s"benched queries broadcast-building a checkpointed table: ${offenders.mkString(", ")}")
+  }
+
   test("no catalog query runs an unpartitioned window over an unbounded " +
       "input (whitelist excepted)") {
     val offenders = SparkEntry.all.filter(!_.sideEffecting)
