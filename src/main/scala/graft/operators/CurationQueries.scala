@@ -110,13 +110,20 @@ object CurationQueries {
     QueryDef(
       "dup_span_extraction",
       (s, d) => {
+        // 60-bit md5 shingle ids (the simjoin discipline, r12): both
+        // shingle-keyed exchanges — the distinct-doc count and the semi
+        // join back — move an 8-byte long instead of a ~50-byte 8-token
+        // string; the id assignment replays exactly in DuckDB
         val sh = t(s, d, "documents")
           .select(col("doc_id"),
             posexplode(GraftFunctions.wordShingles(col("text"), 8)).as(Seq("pos", "shingle")))
-        val dup = sh.groupBy("shingle")
+          .select(col("doc_id"), col("pos"),
+            conv(substring(md5(col("shingle")), 1, 15), 16, 10)
+              .cast("long").as("tid"))
+        val dup = sh.groupBy("tid")
           .agg(countDistinct(col("doc_id")).as("nd"))
-          .filter(col("nd") >= 2).select("shingle")
-        val pos = sh.join(dup, Seq("shingle"), "left_semi")
+          .filter(col("nd") >= 2).select("tid")
+        val pos = sh.join(dup, Seq("tid"), "left_semi")
           .select(col("doc_id"), col("pos").cast("long").as("pos"))
         val w = Window.partitionBy("doc_id").orderBy("pos")
         val isl = pos
@@ -133,13 +140,15 @@ object CurationQueries {
       },
       Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
              |sh AS (
-             |  SELECT doc_id, pos, array_to_string(tk[pos+1:pos+8], ' ') AS shingle
+             |  SELECT doc_id, pos,
+             |    CAST(('0x' || substr(md5(array_to_string(tk[pos+1:pos+8], ' ')), 1, 15))
+             |      AS BIGINT) AS tid
              |  FROM (SELECT doc_id, tk, unnest(range(len(tk) - 7)) AS pos
              |        FROM toks WHERE len(tk) >= 8)),
-             |dup AS (SELECT shingle FROM sh GROUP BY shingle
+             |dup AS (SELECT tid FROM sh GROUP BY tid
              |        HAVING count(DISTINCT doc_id) >= 2),
              |p AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos FROM sh
-             |      WHERE shingle IN (SELECT shingle FROM dup)),
+             |      WHERE tid IN (SELECT tid FROM dup)),
              |fl AS (SELECT doc_id, pos,
              |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
              |              THEN 0 ELSE 1 END AS f

@@ -1390,15 +1390,20 @@ object DedupQueries {
         val pairs = Dedup.nearDuplicates(t(s, d, "documents"), "doc_id", "text",
           threshold = 0.2, numHashes = 16, bands = 8)
           .select("doc_id_a", "doc_id_b")
+        // 60-bit md5 token ids (the simjoin discipline, r12): the
+        // (doc, token)-keyed exchanges move longs, not raw unigrams;
+        // identical id assignment replays in the oracle
         val tc = t(s, d, "documents")
           .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
-          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+          .select(col("doc_id"),
+            conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("tid"))
+          .groupBy("doc_id", "tid").agg(count(lit(1)).as("c"))
         val lens = tc.groupBy("doc_id").agg(sum("c").as("len"))
         val ov = pairs
-          .join(tc.select(col("doc_id").as("doc_id_a"), col("tok"), col("c").as("ca")),
+          .join(tc.select(col("doc_id").as("doc_id_a"), col("tid"), col("c").as("ca")),
             Seq("doc_id_a"))
-          .join(tc.select(col("doc_id").as("doc_id_b"), col("tok"), col("c").as("cb")),
-            Seq("doc_id_b", "tok"))
+          .join(tc.select(col("doc_id").as("doc_id_b"), col("tid"), col("c").as("cb")),
+            Seq("doc_id_b", "tid"))
           .groupBy("doc_id_a", "doc_id_b")
           .agg(sum(least(col("ca"), col("cb"))).as("overlap"))
         ov
@@ -1420,7 +1425,8 @@ object DedupQueries {
               |  WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
               |      / CAST(len(list_distinct(list_concat(a.sset, b.sset))) AS DOUBLE) >= 0.2),
               |tc AS (
-              |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+              |  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS tid,
+              |    CAST(count(*) AS BIGINT) AS c
               |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
               |  GROUP BY 1, 2),
               |lens AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS len FROM tc GROUP BY 1),
@@ -1428,7 +1434,7 @@ object DedupQueries {
               |  SELECT v.doc_id_a, v.doc_id_b, CAST(sum(least(a.c, b.c)) AS BIGINT) AS overlap
               |  FROM verified v
               |  JOIN tc a ON a.doc_id = v.doc_id_a
-              |  JOIN tc b ON b.doc_id = v.doc_id_b AND b.tok = a.tok
+              |  JOIN tc b ON b.doc_id = v.doc_id_b AND b.tid = a.tid
               |  GROUP BY 1, 2)
               |SELECT ov.doc_id_a, ov.doc_id_b, overlap, la.len AS len_a, lb.len AS len_b,
               |  CAST(overlap AS DOUBLE) / CAST(lb.len AS DOUBLE) AS rouge1_p,
