@@ -154,7 +154,7 @@ object AnalyticsQueries {
     * Single-consumer callers (and the two plan-pinned queries whose specs
     * assert the in-plan SortMergeJoin) keep the lazy form.
     */
-  private[operators] def copurchaseEdges(s: org.apache.spark.sql.SparkSession,
+  private[graft] def copurchaseEdges(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val items = copurchaseItems(s, d)
     items.select(col("l_orderkey"), col("l_partkey").as("a"))
@@ -1423,7 +1423,13 @@ object AnalyticsQueries {
       (s, d) => {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("node").orderBy("nbr")
-        val edges = copurchaseEdges(s, d)
+        // r12: the shared fixture replaced the lazy edge build — the
+        // lazy form planned the items self-join FIVE times here (one
+        // per union branch/anti consumer; ReusedExchange only covered
+        // two), the query's whole 652 MB 10× shuffle. The SMJ
+        // anti-broadcast pin moved WITH the join to the fixture builder
+        // (PlanSpec "copurchase edge fixture build is pinned...").
+        val edges = sharedCopurchaseEdges(s, d)
         val capped = edges.select(col("a").as("node"), col("b").as("nbr"))
           .unionByName(edges.select(col("b").as("node"), col("a").as("nbr")))
           .withColumn("rn", row_number().over(w)).filter(col("rn") <= 16)

@@ -184,20 +184,28 @@ class PlanSpec extends SparkSuite {
     // the distinct-items side GROWS with the fact table; AQE broadcasting
     // it at 10× was the r7 42× cliff. The merge hint must hold: the
     // l_orderkey self-join plans as SortMergeJoin, and no broadcast
-    // exchange feeds a join keyed on l_orderkey.
-    for (q <- Seq("copurchase_pairs", "link_prediction_common_nbrs")) {
-      val p = plan(q)
+    // exchange feeds a join keyed on l_orderkey. Asserted wherever the
+    // join actually LIVES: in copurchase_pairs' lazy plan (the edge-build
+    // bencher), and in the fixture builder every other consumer shares
+    // (r12 — link_prediction's lazy form planned the self-join five
+    // times, so it moved onto the fixture and its pin moved here).
+    val plans = Seq(
+      "copurchase_pairs" -> plan("copurchase_pairs"),
+      "copurchaseEdges fixture build" ->
+        graft.operators.AnalyticsQueries.copurchaseEdges(spark, sf)
+          .queryExecution.executedPlan)
+    for ((tag, p) <- plans) {
       val smj = collectAll(p) {
         case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
           if j.leftKeys.exists(_.toString.contains("l_orderkey")) => j
       }
-      assert(smj.nonEmpty, s"$q: items self-join must be SortMergeJoin")
+      assert(smj.nonEmpty, s"$tag: items self-join must be SortMergeJoin")
       val bhjOnOrder = collectAll(p) {
         case j: BroadcastHashJoinExec
           if j.leftKeys.exists(_.toString.contains("l_orderkey")) => j
       }
       assert(bhjOnOrder.isEmpty,
-        s"$q: a growing side is broadcast on the l_orderkey self-join")
+        s"$tag: a growing side is broadcast on the l_orderkey self-join")
     }
   }
 
