@@ -27,6 +27,9 @@ object Bench {
       // fixed Janino recompile per run (see GraftSession for the full
       // note; static conf, must precede session creation)
       .config("spark.sql.codegen.cache.maxEntries", "4096")
+      // zstd shuffle/spill compression (same rationale as GraftSession:
+      // ~1.4x over lz4 on the GB-scale narrow-long dedup streams)
+      .config("spark.io.compression.codec", "zstd")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (codegen compiler, parquet footer reads, shuffle

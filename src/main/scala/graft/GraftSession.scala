@@ -30,6 +30,11 @@ object GraftSession {
       // embedding_dim_stats). Static conf: must be set before the first
       // session in the JVM.
       .config("spark.sql.codegen.cache.maxEntries", "4096")
+      // zstd over the default lz4 for shuffle/spill blocks: the
+      // verification-bound dedup queries move GB-scale narrow-long
+      // streams, where zstd's ~1.4x better ratio is a direct cut in
+      // shuffle I/O for a few % CPU (A/B in PERF_NOTES r12)
+      .config("spark.io.compression.codec", "zstd")
       // saveAsTable targets (bucketed-join tables): keep the warehouse in
       // /tmp, not the process cwd (the in-memory catalog means metadata is
       // per-session; data dirs persist and are overwritten on re-create)

@@ -24,6 +24,8 @@ object Verify {
       // one codegen pass per catalog query ≫ the 100-entry default cache
       // (see GraftSession note)
       .config("spark.sql.codegen.cache.maxEntries", "4096")
+      // zstd shuffle/spill compression (same rationale as GraftSession)
+      .config("spark.io.compression.codec", "zstd")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
