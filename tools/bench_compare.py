@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Dev tool: compare two Bench JSON outputs (local files or the driver's
+BENCH_r*.json tail captures) and print per-query movement, worst smoke
+ratios, and the shuffle-vs-seconds rank correlation — the round-over-round
+readout PERF_NOTES keeps deriving by hand.
+
+Usage: python3 tools/bench_compare.py <old.json> <new.json>
+
+Accepts either a raw one-line Bench output or the driver's wrapper object
+({"tail": "..."}); for a truncated tail it recovers whatever complete
+key/value pairs survive.
+"""
+import json
+import re
+import statistics
+import sys
+
+
+def load(path):
+    raw = open(path).read()
+    try:
+        obj = json.loads(raw)
+        if isinstance(obj, dict) and "tail" in obj:
+            raw = obj["tail"]
+        else:
+            return obj
+    except json.JSONDecodeError:
+        pass
+    # truncated tail: recover complete maps by name
+    out = {}
+    for key in ("queries", "shuffle_mb", "ratio_vs_headline"):
+        idx = raw.rfind(f'"{key}"')
+        if idx < 0:
+            continue
+        frag = raw[idx:].split("{", 1)
+        if len(frag) < 2:
+            continue
+        body = frag[1].split("}", 1)[0]
+        pairs = re.findall(r'"([a-z0-9_]+)":([0-9.\-]+)', body)
+        out.setdefault("scale_smoke" if key != "queries" else "_", {})
+        tgt = out if key == "queries" else out.setdefault("scale_smoke", {})
+        tgt[key] = {k: float(v) for k, v in pairs}
+    return out
+
+
+def spearman(xs, ys):
+    def rank(v):
+        order = sorted(range(len(v)), key=lambda i: v[i])
+        r = [0.0] * len(v)
+        for i, j in enumerate(order):
+            r[j] = i
+        return r
+    rx, ry = rank(xs), rank(ys)
+    n = len(xs)
+    d2 = sum((a - b) ** 2 for a, b in zip(rx, ry))
+    return 1 - 6 * d2 / (n * (n * n - 1)) if n > 2 else float("nan")
+
+
+def main():
+    old, new = load(sys.argv[1]), load(sys.argv[2])
+    qo, qn = old.get("queries", {}), new.get("queries", {})
+    common = [k for k in qn if k in qo and qo[k] > 0.3 and qn[k] > 0]
+    if common:
+        moves = sorted(((qn[k] / qo[k], k) for k in common), reverse=True)
+        med = statistics.median(m for m, _ in moves)
+        print(f"headline: {len(common)} comparable, median new/old = {med:.2f} (box factor)")
+        print("  top regressions (vs box factor):")
+        for m, k in moves[:8]:
+            print(f"    {k:36s} {qo[k]:6.2f}s -> {qn[k]:6.2f}s  ({m / med:.2f}x adj)")
+        print("  top improvements:")
+        for m, k in moves[-8:]:
+            print(f"    {k:36s} {qo[k]:6.2f}s -> {qn[k]:6.2f}s  ({m / med:.2f}x adj)")
+    sn = new.get("scale_smoke", {})
+    ratios = sn.get("ratio_vs_headline", {})
+    shuf = sn.get("shuffle_mb", {})
+    if ratios:
+        worst = sorted(ratios.items(), key=lambda kv: -kv[1])[:10]
+        print("new worst smoke ratios:")
+        for k, r in worst:
+            print(f"    {k:36s} ratio={r:6.2f} shuffle={shuf.get(k, float('nan')):8.1f} MB")
+    both = [k for k in ratios if k in shuf]
+    if len(both) > 4:
+        rho = spearman([ratios[k] for k in both], [shuf[k] for k in both])
+        print(f"spearman rho(smoke ratio, smoke shuffle MB) = {rho:.3f} over n={len(both)}")
+
+
+if __name__ == "__main__":
+    main()
