@@ -146,13 +146,16 @@ object AnalyticsQueries {
 
   /** Undirected distinct co-purchase edges (a < b) over copurchaseItems.
     *
-    * Callers that consume the edge table MORE THAN ONCE (degree + adjacency
-    * + totals, …) append `.localCheckpoint(true)` — the persisted-edge
-    * idiom of the loop family: without the pin Spark re-plans the order
-    * self-join per consumer (louvain measured 18 scans / 12 SMJs before
-    * the pin; edge list ≪ corpus, so the materialization is cheap).
-    * Single-consumer callers (and the two plan-pinned queries whose specs
-    * assert the in-plan SortMergeJoin) keep the lazy form.
+    * As of r12 every multi-consumer caller rides [[sharedCopurchaseEdges]]
+    * (one checkpointed build per session and sfDir) — without a pin Spark
+    * re-plans the order self-join per consumer (louvain measured 18 scans
+    * / 12 SMJs in r11; link_prediction's lazy form planned it five times
+    * in r12). The LAZY form survives in exactly two places:
+    * `copurchase_pairs` (the designated edge-build bencher) and
+    * `graph_anf_reach_sketch` (the documented pin-rejection — its
+    * quadratic truth join needs AQE's scan stats). This builder's own
+    * plan carries the anti-broadcast SortMergeJoin pin
+    * (PlanSpec "copurchase self-join is pinned to sort-merge").
     */
   private[graft] def copurchaseEdges(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
