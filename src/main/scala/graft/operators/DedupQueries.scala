@@ -31,6 +31,85 @@ object DedupQueries {
       s"concat_ws('|', '$b', $elems)"
     }.mkString("[", ", ", "]")
 
+  /** Candidate stage of `dedup_containment_bounded` — the prefix-filtered,
+    * size-windowed, positionally-bounded pair generator — extracted so the
+    * linear candidate-growth contract can be pinned in CI
+    * (ContainmentContractSpec, VERDICT r12 task #4: a regression to
+    * superlinear growth must fail `sbt test`, not wait for a bench round).
+    * Returns (toks, cands): the checkpointed 60-bit-md5 token table
+    * (doc_id, tid) the verify stage reuses, and the candidate pairs
+    * (ida, idb, sza, szb). Candidate volume is
+    * Σ_A Σ_{tok∈prefix(A)} df_bounded(tok) with both endpoints
+    * prefix-restricted — linear in corpus copies when copies are
+    * token-disjoint (PERF_NOTES r12 #7: measured exactly 10.0× at 10×).
+    */
+  private[graft] def containmentBoundedCandidates(
+      docs: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    // same 60-bit md5 token-id discipline as simjoin_prefix_filter:
+    // only 8-byte longs cross the freq/window/candidate/verify
+    // exchanges; the id assignment replays exactly in DuckDB
+    val toks = docs
+      .filter(size(graft.text.TextOps.tokens(col("text"))) >= 3)
+      .select(col("doc_id"), explode(
+        graft.dedup.Dedup.shingleSet(col("text"), 3)).as("tok"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10)
+          .cast("long").as("tid"))
+      // five consumers (freq, sizes, the windowed prefix table, both
+      // verify legs) — pin one explode+md5 pass, not five (the
+      // round-11 multi-consumer rule)
+      .localCheckpoint(true)
+    // freq/szs stay groupBy side-tables JOINED back in (an r12 A/B
+    // replaced them with count-over-partition windows: that forces
+    // the full token stream through tid AND doc exchanges at every
+    // scale, 89.7 → 100.3 smoke MB, head +1.2 s — whereas the
+    // side-table form lets AQE broadcast them while they fit and
+    // degrade to shuffle joins only when the corpus outgrows that)
+    val freq = toks.groupBy("tid").agg(count(lit(1)).as("f"))
+    val szs = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("f"), col("tid"))
+    val sized = toks.join(freq, "tid").join(szs, "doc_id")
+      .withColumn("pos", row_number().over(wOrd))
+      // prefA and prefB both read the windowed table — pin the
+      // freq/size joins + window once
+      .localCheckpoint(true)
+    val prefA = sized.filter(
+      col("pos") <= col("sz") - expr("(4 * sz + 4) div 5") + 1)
+    val prefB = sized.filter(
+      col("pos") <= col("sz") - expr("(sz + 4) div 5") + 1)
+    // the candidate join's prefix sides BOTH grow with the corpus —
+    // shuffle_hash (build = the stricter, smaller A prefix) keeps the
+    // join partition-bounded where the unhinted plan broadcast prefA
+    val cands = prefA
+      .select(col("doc_id").as("ida"), col("tid"),
+        col("sz").as("sza"), col("pos").as("pa"))
+      .hint("shuffle_hash")
+      .join(prefB
+        .select(col("doc_id").as("idb"), col("tid"),
+          col("sz").as("szb"), col("pos").as("pb")),
+        "tid")
+      .filter(col("ida") =!= col("idb") &&
+        col("szb") * 5 >= col("sza") * 4 && col("szb") <= col("sza") * 4)
+      // PPJoin positional bound on the SUPER side, replacing the
+      // plain distinct() with a same-shuffle groupBy: every common
+      // token sits at B-position ≥ the pair's earliest prefix match
+      // (anything earlier inside prefB would itself have matched),
+      // so ov ≤ szb − min(pb) + 1; C ≥ 0.8 needs 5·ov ≥ 4·sza, and a
+      // pair whose bound can't clear that dies before the verify
+      // joins. The A-side bound is vacuous by construction (prefA
+      // keeps only pos ≤ sza/5 + 1), so only min(pb) is aggregated.
+      .groupBy("ida", "idb", "sza", "szb")
+      .agg(min(col("pb")).as("mpb"))
+      .filter((col("szb") - col("mpb") + 1) * 5 >= col("sza") * 4)
+      .select("ida", "idb", "sza", "szb")
+      // two consumers (the slim count + the size re-attach) — pin
+      // the candidate pipeline once; ~|cands| rows, cheap
+      .localCheckpoint(true)
+    (toks, cands)
+  }
+
   /** Shared candidate-pair CTE chain (MinHash 16 hashes, 8 bands × 2). */
   private[operators] val candidatesCte: String =
     s"""WITH sh AS (SELECT doc_id, unnest($shinglesSql) AS s FROM documents
@@ -876,67 +955,7 @@ object DedupQueries {
     QueryDef(
       "dedup_containment_bounded",
       (s, d) => {
-        // same 60-bit md5 token-id discipline as simjoin_prefix_filter:
-        // only 8-byte longs cross the freq/window/candidate/verify
-        // exchanges; the id assignment replays exactly in DuckDB
-        val toks = t(s, d, "documents")
-          .filter(size(graft.text.TextOps.tokens(col("text"))) >= 3)
-          .select(col("doc_id"), explode(
-            graft.dedup.Dedup.shingleSet(col("text"), 3)).as("tok"))
-          .select(col("doc_id"),
-            conv(substring(md5(col("tok")), 1, 15), 16, 10)
-              .cast("long").as("tid"))
-          // five consumers (freq, sizes, the windowed prefix table, both
-          // verify legs) — pin one explode+md5 pass, not five (the
-          // round-11 multi-consumer rule)
-          .localCheckpoint(true)
-        // freq/szs stay groupBy side-tables JOINED back in (an r12 A/B
-        // replaced them with count-over-partition windows: that forces
-        // the full token stream through tid AND doc exchanges at every
-        // scale, 89.7 → 100.3 smoke MB, head +1.2 s — whereas the
-        // side-table form lets AQE broadcast them while they fit and
-        // degrade to shuffle joins only when the corpus outgrows that)
-        val freq = toks.groupBy("tid").agg(count(lit(1)).as("f"))
-        val szs = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-        val wOrd = org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id").orderBy(col("f"), col("tid"))
-        val sized = toks.join(freq, "tid").join(szs, "doc_id")
-          .withColumn("pos", row_number().over(wOrd))
-          // prefA and prefB both read the windowed table — pin the
-          // freq/size joins + window once
-          .localCheckpoint(true)
-        val prefA = sized.filter(
-          col("pos") <= col("sz") - expr("(4 * sz + 4) div 5") + 1)
-        val prefB = sized.filter(
-          col("pos") <= col("sz") - expr("(sz + 4) div 5") + 1)
-        // the candidate join's prefix sides BOTH grow with the corpus —
-        // shuffle_hash (build = the stricter, smaller A prefix) keeps the
-        // join partition-bounded where the unhinted plan broadcast prefA
-        val cands = prefA
-          .select(col("doc_id").as("ida"), col("tid"),
-            col("sz").as("sza"), col("pos").as("pa"))
-          .hint("shuffle_hash")
-          .join(prefB
-            .select(col("doc_id").as("idb"), col("tid"),
-              col("sz").as("szb"), col("pos").as("pb")),
-            "tid")
-          .filter(col("ida") =!= col("idb") &&
-            col("szb") * 5 >= col("sza") * 4 && col("szb") <= col("sza") * 4)
-          // PPJoin positional bound on the SUPER side, replacing the
-          // plain distinct() with a same-shuffle groupBy: every common
-          // token sits at B-position ≥ the pair's earliest prefix match
-          // (anything earlier inside prefB would itself have matched),
-          // so ov ≤ szb − min(pb) + 1; C ≥ 0.8 needs 5·ov ≥ 4·sza, and a
-          // pair whose bound can't clear that dies before the verify
-          // joins. The A-side bound is vacuous by construction (prefA
-          // keeps only pos ≤ sza/5 + 1), so only min(pb) is aggregated.
-          .groupBy("ida", "idb", "sza", "szb")
-          .agg(min(col("pb")).as("mpb"))
-          .filter((col("szb") - col("mpb") + 1) * 5 >= col("sza") * 4)
-          .select("ida", "idb", "sza", "szb")
-          // two consumers (the slim count + the size re-attach) — pin
-          // the candidate pipeline once; ~|cands| rows, cheap
-          .localCheckpoint(true)
+        val (toks, cands) = containmentBoundedCandidates(t(s, d, "documents"))
         // Verify by counting matching TOKENS per candidate pair (the r10
         // revert's shape: never whole shingle-set arrays through an
         // exchange — that form blew up 12.5× in the r10 driver smoke).
