@@ -422,37 +422,66 @@ object ScaleSmoke {
     // smoked census but with the extra triangle-proportional stage
     "graph_ktruss_support")
 
-  /** Per-query shuffle-write MB from the most recent [[run]] (last
-    * execution of each query), populated only when a meter was passed.
+  /** One paired smoke measurement: the sf0.1 headline re-timed in the
+    * SAME contention window as the 10× run (`headS`), the 10× seconds
+    * (`smokeS`), the 10× shuffle-write MB (plan-deterministic — the
+    * box-noise-free signal), and the [[ScaleAudit]] hits from the 10×
+    * run's FINAL adaptive plan. -1.0 seconds marks a failed side.
     */
-  val lastShuffleMb: scala.collection.mutable.LinkedHashMap[String, Double] =
-    scala.collection.mutable.LinkedHashMap.empty
+  final case class SmokeMeasure(headS: Double, smokeS: Double,
+                                shuffleMb: Double, audit: Seq[String])
 
-  /** Run each smoke query twice on the scaled dir, return min seconds.
-    * With a [[ShuffleMeter]], also record per-query shuffle-write MB into
-    * [[lastShuffleMb]] (bytes are plan-deterministic across runs).
+  /** Run each smoke query best-of-2 on the HEADLINE dir and then
+    * best-of-2 on the scaled dir, back to back. Pairing the two timings
+    * inside one contention window is what makes the ratio adjudicable:
+    * in r12 the driver's headline and smoke phases ran ~40 minutes apart
+    * and box drift manufactured ten worst10 entries (up to 24.9×), none
+    * of which reproduced locally (VERDICT r12 task #1). The extra sf0.1
+    * re-time costs ~1-2 s per query — noise against the 10× runs.
+    *
+    * Each query's 10× FINAL adaptive plan is also swept by
+    * [[ScaleAudit.audit]] for runtime broadcast cliffs (VERDICT r12 task
+    * #5) — the class only exists at scale, so CI can't see it. An audit
+    * that itself fails is recorded as a hit, never swallowed (the
+    * WindowAuditSpec lesson from ADVICE r12).
     */
-  def run(spark: SparkSession, scaledDir: String,
-          meter: Option[ShuffleMeter] = None): Map[String, Double] = {
-    lastShuffleMb.clear()
+  def run(spark: SparkSession, sfDir: String, scaledDir: String,
+          meter: Option[ShuffleMeter] = None): Map[String, SmokeMeasure] = {
     smokeQueries.map { name =>
       val fn = SparkEntry.queries(name)
-      val times = (1 to 2).map { _ =>
-        val s0 = meter.map(_.snapshot(spark.sparkContext))
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, scaledDir).count()
-          val sec = (System.nanoTime() - t0) / 1e9
-          for (m <- meter; b0 <- s0)
-            lastShuffleMb(name) = (m.snapshot(spark.sparkContext) - b0) / 1e6
-          sec
+      var shuffleMb = -1.0
+      var lastDf: Option[DataFrame] = None
+      def time(dir: String, measured: Boolean): Double = {
+        val times = (1 to 2).map { _ =>
+          val s0 = meter.map(_.snapshot(spark.sparkContext))
+          val t0 = System.nanoTime()
+          try {
+            val df = fn(spark, dir)
+            df.count()
+            val sec = (System.nanoTime() - t0) / 1e9
+            if (measured) {
+              for (m <- meter; b0 <- s0)
+                shuffleMb = (m.snapshot(spark.sparkContext) - b0) / 1e6
+              lastDf = Some(df)
+            }
+            sec
+          }
+          catch { case e: Throwable =>
+            System.err.println(s"[scale-smoke] $name @$dir failed: ${e.getMessage}")
+            -1.0
+          }
         }
+        if (times.exists(_ < 0)) -1.0 else times.min
+      }
+      val headS = time(sfDir, measured = false)
+      val smokeS = time(scaledDir, measured = true)
+      val hits = lastDf.toSeq.flatMap { df =>
+        try ScaleAudit.audit(df.queryExecution.executedPlan)
         catch { case e: Throwable =>
-          System.err.println(s"[scale-smoke] $name failed: ${e.getMessage}")
-          -1.0
+          Seq(s"AUDIT-ERROR: ${Option(e.getMessage).getOrElse(e.getClass.getName).take(120)}")
         }
       }
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+      name -> SmokeMeasure(headS, smokeS, shuffleMb, hits)
     }.toMap
   }
 }
