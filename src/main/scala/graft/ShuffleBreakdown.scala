@@ -4,7 +4,7 @@ package graft
   * bytes-written metric from the final adaptive plan — the per-node
   * version of ShuffleMeter's global counter, for attributing a query's
   * exchange volume to specific plan nodes.
-  *   runMain graft.ShuffleBreakdown <dir> <name>
+  *   runMain graft.ShuffleBreakdown <dir> <name[,name...]>
   */
 object ShuffleBreakdown {
   def main(args: Array[String]): Unit = {
@@ -47,10 +47,6 @@ object ShuffleBreakdown {
             println(f"  exchange $mb%9.1f MB $rows%12d rows  <- ${e.child.nodeName}")
             e.children.foreach(walk)
           case other => other.children.foreach(walk)
-        }
-        p match {
-          case r: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => ()
-          case _ => ()
         }
       }
       walk(df.queryExecution.executedPlan)

@@ -69,14 +69,34 @@ object AnalyticsQueries {
     * r11) — so the lifetime is managed EXPLICITLY: an ApplicationEnd
     * listener (registered once per session at first use) drops the
     * session's entries when its SparkContext stops, which also frees the
-    * checkpointed blocks themselves. Builds are at-most-once per key:
-    * the per-session map is locked around getOrElseUpdate so concurrent
-    * first consumers can't both materialize (and one leak) a fixture.
-    * Consumers must NOT unpersist — the cache owns the lifetime.
+    * checkpointed blocks themselves. Builds are at-most-once per key,
+    * memoized per key (ADVICE r12): the map hands out one lazy holder
+    * per key under a lock held only for the map insert, and the build
+    * itself (which runs Spark jobs) executes inside the HOLDER's lazy
+    * initializer — so two racers on the SAME key still build once, while
+    * consumers of other keys (or of an already-cached fixture) never
+    * block behind an in-flight build. Consumers must NOT unpersist — the
+    * cache owns the lifetime.
+    *
+    * Lifetime assumption (ADVICE r12): entries are evicted on
+    * SparkListenerApplicationEnd, i.e. when the CONTEXT stops. Every
+    * harness here (Bench / Verify / ScalaTest / the dev mains) is
+    * single-session-per-context, so that is exactly session teardown. A
+    * server-style embedding that spawns many `newSession()`s over one
+    * long-lived context would pin each session's fixtures until the
+    * context stops — such an embedding should key this cache by
+    * (contextId, sessionId) and sweep on session close; not needed for
+    * any in-repo consumer.
     */
   private val fixtureCache =
     new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession,
-      scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.DataFrame]]()
+      scala.collection.concurrent.TrieMap[String, Lazy[org.apache.spark.sql.DataFrame]]]()
+
+  /** Lazy holder with by-name construction — `value` runs the thunk
+    * at-most-once under the holder's own monitor (Scala `lazy val`
+    * semantics), decoupling build execution from the fixture-map lock.
+    */
+  private final class Lazy[T](thunk: () => T) { lazy val value: T = thunk() }
 
   private[operators] def sharedFixture(s: org.apache.spark.sql.SparkSession,
       key: String)(build: => org.apache.spark.sql.DataFrame)
@@ -91,7 +111,10 @@ object AnalyticsQueries {
         })
       scala.collection.concurrent.TrieMap.empty
     })
-    perSession.synchronized { perSession.getOrElseUpdate(key, build) }
+    val holder = perSession.synchronized {
+      perSession.getOrElseUpdate(key, new Lazy(() => build))
+    }
+    holder.value
   }
 
   private[operators] def sharedGraph(s: org.apache.spark.sql.SparkSession,

@@ -132,6 +132,9 @@ class WindowAuditSpec extends SparkSuite {
     val offenders = SparkEntry.all
       .filter(q => q.bench && !q.sideEffecting)
       .flatMap { q =>
+        // a query that fails to PLAN is an offender, not a clean pass —
+        // swallowing the Throwable here would let the exact audit this
+        // test exists for silently skip a broken query (ADVICE r12)
         val hits =
           try {
             val p = q.spark(spark, sf).queryExecution.executedPlan match {
@@ -148,9 +151,11 @@ class WindowAuditSpec extends SparkSuite {
                   }
                   reachesRawRdd(build)
                 } => j
-            }
-          } catch { case _: Throwable => Nil }
-        if (hits.isEmpty) Nil else Seq(q.name)
+            }.map(_ => "broadcast build reaches a checkpointed scan")
+          } catch { case e: Throwable =>
+            Seq(s"plan build failed: ${Option(e.getMessage).getOrElse(e.getClass.getName).take(120)}")
+          }
+        if (hits.isEmpty) Nil else Seq(s"${q.name}: ${hits.head}")
       }
     assert(offenders.isEmpty,
       s"benched queries broadcast-building a checkpointed table: ${offenders.mkString(", ")}")

@@ -29,6 +29,41 @@ class SharedFixtureSpec extends SparkSuite {
       s"fixture build ran ${builds.get()} times — the at-most-once lock is broken")
   }
 
+  test("a consumer of a different key does not block behind an in-flight build") {
+    // ADVICE r12: the r11 fix held the single per-session monitor for the
+    // whole build, so ANY consumer — another key or an already-cached
+    // fixture — queued behind an in-flight build. The r13 per-key lazy
+    // holder confines blocking to same-key racers; this drives a build
+    // that parks on a latch and proves an unrelated key still completes.
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val slow = new Thread(() => {
+      AnalyticsQueries.sharedFixture(spark, "fixture-spec-slow") {
+        started.countDown()
+        gate.await()
+        spark.range(1).toDF("id")
+      }
+      ()
+    })
+    slow.start()
+    assert(started.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
+    try {
+      val fast = pool.submit(new java.util.concurrent.Callable[Long] {
+        override def call(): Long =
+          AnalyticsQueries.sharedFixture(spark, "fixture-spec-fast") {
+            spark.range(5).toDF("id")
+          }.count()
+      })
+      // under the old whole-map lock this get() parks until `gate` opens
+      assert(fast.get(30, java.util.concurrent.TimeUnit.SECONDS) == 5L)
+    } finally {
+      gate.countDown()
+      pool.shutdown()
+      slow.join(30000)
+    }
+  }
+
   test("sharedFixture returns the same materialized plan to every consumer") {
     val a = AnalyticsQueries.sharedFixture(spark, "fixture-spec-identity") {
       spark.range(10).toDF("id").localCheckpoint(true)

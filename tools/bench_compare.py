@@ -28,7 +28,7 @@ def load(path):
         pass
     # truncated tail: recover complete maps by name
     out = {}
-    for key in ("queries", "shuffle_mb", "ratio_vs_headline"):
+    for key in ("queries", "head_s", "shuffle_mb", "ratio_vs_headline"):
         idx = raw.rfind(f'"{key}"')
         if idx < 0:
             continue
@@ -37,23 +37,35 @@ def load(path):
             continue
         body = frag[1].split("}", 1)[0]
         pairs = re.findall(r'"([a-z0-9_]+)":([0-9.\-]+)', body)
-        out.setdefault("scale_smoke" if key != "queries" else "_", {})
         tgt = out if key == "queries" else out.setdefault("scale_smoke", {})
         tgt[key] = {k: float(v) for k, v in pairs}
     return out
 
 
 def spearman(xs, ys):
+    """Rank correlation with average ranks for ties (heavily tied ratio
+    lists skew the no-correction d² formula)."""
     def rank(v):
         order = sorted(range(len(v)), key=lambda i: v[i])
         r = [0.0] * len(v)
-        for i, j in enumerate(order):
-            r[j] = i
+        i = 0
+        while i < len(order):
+            j = i
+            while j + 1 < len(order) and v[order[j + 1]] == v[order[i]]:
+                j += 1
+            avg = (i + j) / 2.0
+            for k in range(i, j + 1):
+                r[order[k]] = avg
+            i = j + 1
         return r
-    rx, ry = rank(xs), rank(ys)
     n = len(xs)
-    d2 = sum((a - b) ** 2 for a, b in zip(rx, ry))
-    return 1 - 6 * d2 / (n * (n * n - 1)) if n > 2 else float("nan")
+    if n <= 2:
+        return float("nan")
+    rx, ry = rank(xs), rank(ys)
+    mx, my = sum(rx) / n, sum(ry) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    den = (sum((a - mx) ** 2 for a in rx) * sum((b - my) ** 2 for b in ry)) ** 0.5
+    return num / den if den else float("nan")
 
 
 def main():
@@ -73,11 +85,13 @@ def main():
     sn = new.get("scale_smoke", {})
     ratios = sn.get("ratio_vs_headline", {})
     shuf = sn.get("shuffle_mb", {})
+    heads = sn.get("head_s", {})
     if ratios:
         worst = sorted(ratios.items(), key=lambda kv: -kv[1])[:10]
-        print("new worst smoke ratios:")
+        print("new worst smoke ratios (paired head_s when present):")
         for k, r in worst:
-            print(f"    {k:36s} ratio={r:6.2f} shuffle={shuf.get(k, float('nan')):8.1f} MB")
+            h = f" head={heads[k]:6.2f}s" if k in heads else ""
+            print(f"    {k:36s} ratio={r:6.2f}{h} shuffle={shuf.get(k, float('nan')):8.1f} MB")
     both = [k for k in ratios if k in shuf]
     if len(both) > 4:
         rho = spearman([ratios[k] for k in both], [shuf[k] for k in both])
