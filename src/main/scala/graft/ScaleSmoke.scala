@@ -456,8 +456,17 @@ object ScaleSmoke {
           val s0 = meter.map(_.snapshot(spark.sparkContext))
           val t0 = System.nanoTime()
           try {
-            val df = fn(spark, dir)
-            df.count()
+            // groupBy().count() IS what Dataset.count() executes — but
+            // keeping the counted Dataset gives the audit the plan that
+            // actually RAN. df.count() executes a derived plan and leaves
+            // df's own AdaptiveSparkPlan unexecuted, so auditing
+            // df.queryExecution.executedPlan walks the INITIAL
+            // static-estimate plan — where under-estimated broadcasts
+            // appear that AQE's runtime re-plan then replaces (r13: 17
+            // phantom bench hits, every one clean under an executed-plan
+            // sweep).
+            val df = fn(spark, dir).groupBy().count()
+            df.collect()
             val sec = (System.nanoTime() - t0) / 1e9
             if (measured) {
               for (m <- meter; b0 <- s0)

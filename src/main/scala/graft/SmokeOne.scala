@@ -20,19 +20,30 @@ object SmokeOne {
       val fn = SparkEntry.queries(n)
       // (best-of-2 seconds, last-run shuffle MB — bytes are
       // plan-deterministic, so they are the box-noise-free signal)
-      def time(d: String): (Double, Double) = {
+      def time(d: String): (Double, Double, Seq[String]) = {
         var mb = 0.0
+        var audit = Seq.empty[String]
         val ts = (1 to 2).map { _ =>
           val b0 = meter.snapshot(spark.sparkContext)
-          val t0 = System.nanoTime(); fn(spark, d).count()
+          val t0 = System.nanoTime()
+          // audit the counted plan that actually RAN (see ScaleSmoke.run:
+          // df.count() leaves df's own AdaptiveSparkPlan at its initial
+          // static-estimate state)
+          val df = fn(spark, d).groupBy().count(); df.collect()
           val sec = (System.nanoTime() - t0) / 1e9
           mb = (meter.snapshot(spark.sparkContext) - b0) / 1e6
+          // same FINAL-adaptive-plan cliff sweep the bench smoke emits —
+          // the adjudication tool must see what the graded artifact sees
+          audit = try ScaleAudit.audit(df.queryExecution.executedPlan)
+          catch { case e: Throwable => Seq(s"AUDIT-ERROR: ${e.getMessage}") }
           sec
         }
-        (ts.min, mb)
+        (ts.min, mb, audit)
       }
-      val (t1, mb1) = time(sfDir); val (t10, mb10) = time(scaled)
+      val (t1, mb1, a1) = time(sfDir); val (t10, mb10, a10) = time(scaled)
       println(f"[smoke] $n%-32s head=$t1%7.2fs x10=$t10%7.2fs ratio=${t10 / t1}%6.2f shuffleMB=$mb1%8.1f -> $mb10%8.1f")
+      a10.foreach(h => println(s"[smoke]   audit@10x: $h"))
+      a1.foreach(h => println(s"[smoke]   audit@head: $h"))
     }
     spark.stop()
   }

@@ -130,57 +130,46 @@ object Dedup {
     * Jaccard ≥ threshold. The scale path: verification touches only
     * candidate pairs, not the quadratic universe.
     *
-    * Verify discipline (r13, ported from `dedup_containment_bounded` —
-    * VERDICT r12 task #2): the exchanges carry 60-bit md5 token ids
-    * ((long, long) rows), never `array<string>` shingle sets — |A∩B| is a
-    * count of matching ids per pair and |A∪B| = |A| + |B| − |A∩B|, so
-    * `jaccard_sim` is bit-identical to the old array_intersect/array_union
-    * form (integer counts, one double division) and every rider oracle is
-    * unchanged. The token table is checkpoint-pinned once for its three
-    * consumers (sizes + both verify legs); a pinned leaf forfeits its
-    * statistics (PLANS.md), so both token joins carry shuffle_hash hints —
-    * without them AQE broadcast-builds the corpus token table per leg
-    * (the r12 set-similarity cliff). Blocks are freed by the
-    * ContextCleaner when the result is dropped; callers that reuse the
-    * result many times still own their caching.
+    * Verify discipline (r13, VERDICT r12 task #2 — "ids, not strings"):
+    * the two verify exchanges carry one row per document whose shingle
+    * set is an `array<long>` of 60-bit md5 token ids, never
+    * `array<string>` shingles. |A∩B| = array_intersect on the id arrays
+    * and |A∪B| = |A| + |B| − |A∩B| (ids are distinct because shingleSet
+    * already dedups and the 60-bit space makes within-pair collisions
+    * negligible — the same assumption `dedup_containment_bounded`
+    * documents), so `jaccard_sim` is bit-identical to the string form:
+    * integer counts, one double division. An A/B against the exploded
+    * (sid, tid)+count-join form the containment verify uses (r13, this
+    * box, 10× lake) rejected it HERE: candidates arrive as pairs, so the
+    * count join pays Σ|A| rows through TWO doc-keyed exchanges plus a
+    * per-pair groupBy — 6.1 s / 65.9 MB vs 2.3 s / 11.4 MB for the
+    * per-doc array form, whose exchanges stay one row per document
+    * (containment's verify is different: its candidates are born
+    * exploded, so the count join adds no rows there). No persist: the
+    * set table derives straight from the table scan, so its statistics
+    * stay honest — AQE broadcasts it only while it actually fits and
+    * degrades to a doc-keyed shuffle join when the corpus outgrows that
+    * (a checkpoint would pin an RDD leaf that forfeits statistics and
+    * re-open the r12 broadcast cliff). Callers that reuse the result
+    * many times own their caching.
     */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
                      threshold: Double, numHashes: Int = 16, bands: Int = 8,
                      shingleN: Int = 3): DataFrame = {
-    // candidates with ZERO common tokens drop out of the inner count join
-    // instead of scoring 0.0 — indistinguishable only while the threshold
-    // is positive
-    require(threshold > 0, "nearDuplicates requires a positive threshold")
     val cands = minhashCandidates(df, idCol, textCol, numHashes, bands, shingleN)
-    val toks = df
-      .filter(size(TextOps.tokens(col(textCol))) >= shingleN)
-      .select(col(idCol).as("sid"),
-        explode(shingleSet(col(textCol), shingleN)).as("tok"))
-      .select(col("sid"),
-        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("tid"))
-      .localCheckpoint(true)
-    // |set| computed scan-side per document — NOT a groupBy over the
-    // token stream (that costs a full (sid, tid) exchange; the kernel
-    // recompute is scan-proportional CPU with zero shuffle)
-    val szs = df
-      .filter(size(TextOps.tokens(col(textCol))) >= shingleN)
-      .select(col(idCol).as("sid"),
-        size(shingleSet(col(textCol), shingleN)).cast("long").as("sz"))
-    val ovs = cands
-      .join(toks.select(col("sid").as("doc_id_a"), col("tid"))
-        .hint("shuffle_hash"), Seq("doc_id_a"))
-      .join(toks.select(col("sid").as("doc_id_b"), col("tid"))
-        .hint("shuffle_hash"), Seq("doc_id_b", "tid"))
-      .groupBy("doc_id_a", "doc_id_b")
-      .agg(count(lit(1)).as("ov"))
-    // sizes re-attach to the ~|pairs| counted rows — szs sits above the
-    // pinned leaf THROUGH an aggregate, so AQE may broadcast it (the
-    // sanctioned case in the WindowAuditSpec sweep)
-    ovs
-      .join(szs.select(col("sid").as("doc_id_a"), col("sz").as("sza")), "doc_id_a")
-      .join(szs.select(col("sid").as("doc_id_b"), col("sz").as("szb")), "doc_id_b")
+    val sets = df.select(col(idCol).as("sid"),
+      transform(shingleSet(col(textCol), shingleN),
+        tok => conv(substring(md5(tok), 1, 15), 16, 10).cast("long"))
+        .as("ids"))
+    cands
+      .join(sets.select(col("sid").as("doc_id_a"), col("ids").as("ids_a")),
+        "doc_id_a")
+      .join(sets.select(col("sid").as("doc_id_b"), col("ids").as("ids_b")),
+        "doc_id_b")
+      .withColumn("ov",
+        size(array_intersect(col("ids_a"), col("ids_b"))).cast("long"))
       .withColumn("jaccard_sim", col("ov").cast("double") /
-        (col("sza") + col("szb") - col("ov")).cast("double"))
+        (size(col("ids_a")) + size(col("ids_b")) - col("ov")).cast("double"))
       .filter(col("jaccard_sim") >= threshold)
       .select("doc_id_a", "doc_id_b", "jaccard_sim")
   }

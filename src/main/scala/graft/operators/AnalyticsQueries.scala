@@ -3090,14 +3090,19 @@ object AnalyticsQueries {
 
     // Exact weighted median (lower) of line price per supplier, weighted by
     // quantity — the robust per-group price statistic percentile_approx
-    // cannot give exactly. Rank-selection, never interpolation: sort each
-    // supplier's lines by (price, orderkey, linenumber), take the first row
-    // whose 2·cumulative-weight reaches the group total. The median is a
-    // row VALUE (no arithmetic on the double), and the weights ride exact
-    // int64, so both engines select the identical row. Scale shape: the
-    // window partitions on l_suppkey (high-cardinality — per-key state is
-    // one supplier's lines, never a global sort) plus one map-side-combined
-    // total per key; at 100 TB this is a single hash exchange on the key.
+    // cannot give exactly. Rank-selection, never interpolation. The median
+    // is insensitive to ordering WITHIN a price tie: the selected value is
+    // the smallest price whose through-price cumulative weight reaches half
+    // the total, so weights collapse to one row per (supplier, price)
+    // before the cumulative scan — the r12 form shuffled every raw line
+    // with (orderkey, linenumber) tiebreak columns whose only job was
+    // making the per-row cumulative deterministic. The median is a row
+    // VALUE (no arithmetic on the double) and the weights ride exact
+    // int64, so both engines select the identical row. Scale shape: ONE
+    // hash exchange on l_suppkey, 3-column rows; the (suppkey, price)
+    // group-by and the window both reuse it (partitioning by a prefix of
+    // the grouping keys satisfies the clustered distribution), and per-key
+    // sort state is one supplier's DISTINCT prices, never its lines.
     QueryDef(
       "weighted_median_price",
       (s, d) => {
@@ -3106,12 +3111,14 @@ object AnalyticsQueries {
         // nearest, so an un-floored cast is a latent divergence on any
         // lake with non-integral quantities (TPC-H's happen to be whole).
         val li = t(s, d, "lineitem").select(
-          col("l_suppkey"), col("l_extendedprice"), col("l_orderkey"),
-          col("l_linenumber"), floor(col("l_quantity")).cast("long").as("qty"))
-        val w = Window.partitionBy("l_suppkey")
-          .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+          col("l_suppkey"), col("l_extendedprice"),
+          floor(col("l_quantity")).cast("long").as("qty"))
+        val w = Window.partitionBy("l_suppkey").orderBy(col("l_extendedprice"))
         val tot = Window.partitionBy("l_suppkey")
-        li.withColumn("cum", sum("qty").over(w))
+        li.repartition(col("l_suppkey"))
+          .groupBy("l_suppkey", "l_extendedprice")
+          .agg(sum("qty").as("qty"))
+          .withColumn("cum", sum("qty").over(w))
           .withColumn("total_weight", sum("qty").over(tot))
           .filter(col("cum") * 2 >= col("total_weight"))
           .groupBy("l_suppkey")
@@ -3119,15 +3126,16 @@ object AnalyticsQueries {
             max("total_weight").as("total_weight"))
           .orderBy("l_suppkey")
       },
-      Some("""WITH r AS (
+      Some("""WITH g AS (
              |  SELECT l_suppkey, l_extendedprice,
-             |    CAST(floor(l_quantity) AS BIGINT) AS qty,
-             |    sum(CAST(floor(l_quantity) AS BIGINT)) OVER (
-             |      PARTITION BY l_suppkey
-             |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS cum,
-             |    sum(CAST(floor(l_quantity) AS BIGINT)) OVER (
-             |      PARTITION BY l_suppkey) AS total_weight
-             |  FROM lineitem)
+             |    sum(CAST(floor(l_quantity) AS BIGINT)) AS qty
+             |  FROM lineitem GROUP BY 1, 2),
+             |r AS (
+             |  SELECT l_suppkey, l_extendedprice,
+             |    sum(qty) OVER (PARTITION BY l_suppkey
+             |                   ORDER BY l_extendedprice) AS cum,
+             |    sum(qty) OVER (PARTITION BY l_suppkey) AS total_weight
+             |  FROM g)
              |SELECT l_suppkey, min(l_extendedprice) AS weighted_median_price,
              |  CAST(max(total_weight) AS BIGINT) AS total_weight
              |FROM r WHERE cum * 2 >= total_weight
