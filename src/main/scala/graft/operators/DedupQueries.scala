@@ -63,14 +63,23 @@ object DedupQueries {
     // freq/szs stay groupBy side-tables JOINED back in (an r12 A/B
     // replaced them with count-over-partition windows: that forces
     // the full token stream through tid AND doc exchanges at every
-    // scale, 89.7 → 100.3 smoke MB, head +1.2 s — whereas the
-    // side-table form lets AQE broadcast them while they fit and
-    // degrade to shuffle joins only when the corpus outgrows that)
+    // scale, 89.7 → 100.3 smoke MB, head +1.2 s). r13 amendment: the
+    // attach joins are shuffle_hash-pinned with the AGGREGATE as the
+    // build — left free, AQE's runtime re-plan can flip the build to
+    // the checkpointed token table itself when the leaf's undersold
+    // estimate beats the aggregate's observed stage size (it DID, in
+    // simjoin's identical freq join at 10× — a corpus-sized broadcast
+    // in the final plan, caught by the r13 stage-descending
+    // ScaleAudit). The szs join keys on doc_id, which the window
+    // right after needs anyway, so that pin adds no exchange; the
+    // freq pin costs toks one tid exchange — the price of the build
+    // side never being the corpus.
     val freq = toks.groupBy("tid").agg(count(lit(1)).as("f"))
     val szs = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val wOrd = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("f"), col("tid"))
-    val sized = toks.join(freq, "tid").join(szs, "doc_id")
+    val sized = toks.join(freq.hint("shuffle_hash"), "tid")
+      .join(szs.hint("shuffle_hash"), "doc_id")
       .withColumn("pos", row_number().over(wOrd))
       // prefA and prefB both read the windowed table — pin the
       // freq/size joins + window once
@@ -540,7 +549,17 @@ object DedupQueries {
         val wOrd = org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id").orderBy(col("f"), col("tid"))
         val wSz = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-        val sized = toksP.join(freq, "tid")
+        // the freq attach is shuffle_hash-pinned with FREQ as the build:
+        // left free, AQE's runtime re-plan REVERSED the initial
+        // build-right choice here — the checkpointed leaf's undersold
+        // estimate beat freq's observed stage size, and the FINAL 10×
+        // plan broadcast-built the ENTIRE corpus token table to probe
+        // with freq (caught r13 by the stage-descending ScaleAudit; the
+        // pre-r13 walk stopped at the broadcast stage wrapper and
+        // certified this exact plan clean). The pin costs toksP one tid
+        // exchange; the alternative broadcast(freq) pin would never
+        // degrade when the shingle vocabulary outgrows the driver.
+        val sized = toksP.join(freq.hint("shuffle_hash"), "tid")
           .withColumn("pos", row_number().over(wOrd))
           .withColumn("sz", count(lit(1)).over(wSz))
         val prefix = sized.filter(

@@ -50,6 +50,26 @@ class PlanSpec extends SparkSuite {
       s"SCD2 must shuffle once on the key; found ${shuffles.size}")
   }
 
+  test("weighted_median_price rides ONE data-proportional exchange") {
+    // r13: the (suppkey, price) group-by, both windows, and the final
+    // aggregate all reuse the explicit repartition on l_suppkey
+    // (partitioning by a prefix of the grouping keys satisfies the
+    // clustered distribution); the only other exchange is the
+    // one-row-per-supplier range partitioning for the output ORDER BY.
+    val shuffles = collectAll(plan("weighted_median_price")) {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(shuffles.size == 2,
+      s"expected hash(suppkey) + range(output) exchanges only, found " +
+        s"${shuffles.size}: ${shuffles.map(_.outputPartitioning).mkString("; ")}")
+    val hashParts = shuffles.map(_.outputPartitioning).collect {
+      case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning => h
+    }
+    assert(hashParts.size == 1 &&
+      hashParts.head.expressions.map(_.toString).forall(_.contains("l_suppkey")),
+      s"the single hash exchange must key on l_suppkey alone: $hashParts")
+  }
+
   test("minhash near-dup pipeline computes the candidate subtree once") {
     // nearDuplicates dropped its persist() in round 2 on the claim that the
     // signature pipeline appears exactly once in the downstream join chain;
