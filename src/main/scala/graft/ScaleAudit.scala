@@ -85,11 +85,16 @@ object ScaleAudit {
     hits.distinct.toSeq
   }
 
+  /** runMain graft.ScaleAudit [sfDir] [factor] — sweep every smoke query's
+    * executed plan on the scaled lake (default 10×; a larger factor asks
+    * whether AQE makes the same decisions further up the curve).
+    */
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val factor = if (args.length > 1) args(1).toInt else ScaleSmoke.Factor
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt)
     spark.sparkContext.setLogLevel("ERROR")
-    val scaled = ScaleSmoke.ensureScaled(spark, sfDir)
+    val scaled = ScaleSmoke.ensureScaled(spark, sfDir, factor = factor)
     ScaleSmoke.smokeQueries.foreach { name =>
       try {
         val df = SparkEntry.queries(name)(spark, scaled)

@@ -41,21 +41,39 @@ object ScaleSmoke {
     "embeddings" -> (Seq("vec_id"), Nil))
 
   private val alphabet = "abcdefghijklmnopqrstuvwxyz"
-  private def rotated(k: Int): String =
-    alphabet.drop(k) + alphabet.take(k)
 
-  private def scaledTable(df: DataFrame, keys: Seq[String], texts: Seq[String]): DataFrame = {
+  /** Multipliers coprime to 26 — the `a` of the affine letter maps below. */
+  private val affineA = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+
+  /** Per-copy alphabet permutation. Copies < 26 keep the original Caesar
+    * rotation (so the standard 10× lake is bit-identical to every prior
+    * round's and its fingerprint never churns); beyond 26 a plain rotation
+    * WRAPS — copy 26 would share every token with copy 0 and manufacture
+    * cross-copy near-duplicates, superlinearizing LSH candidates by
+    * construction — so larger copies switch to affine maps
+    * i → (a·i + b) mod 26 with a coprime to 26: 312 distinct permutations,
+    * any two of which agree on at most 2 letters (no realistic shingle
+    * survives), keeping copies token-disjoint at any supported factor.
+    */
+  private[graft] def permuted(k: Int): String = {
+    val a = affineA(k / 26 % affineA.length)
+    val b = k % 26
+    (0 until 26).map(i => alphabet((a * i + b) % 26)).mkString
+  }
+
+  private def scaledTable(df: DataFrame, keys: Seq[String], texts: Seq[String],
+                          factor: Int): DataFrame = {
     if (tableIsFixed(keys, texts)) return df
-    val withCopy = df.withColumn("__copy", explode(lit((0 until Factor).toArray)))
+    val withCopy = df.withColumn("__copy", explode(lit((0 until factor).toArray)))
     val keyed = keys.foldLeft(withCopy) { (d, k) =>
       val orig = df.schema(k).dataType
       d.withColumn(k, (col(k) + col("__copy") * KeyOffset).cast(orig))
     }
     val texted = texts.foldLeft(keyed) { (d, t) =>
-      // per-copy Caesar rotation: copy 0 is the original corpus; other
+      // per-copy alphabet permutation: copy 0 is the original corpus; other
       // copies share no tokens with it, so cross-copy similarity is ~0
-      val rot = (1 until Factor).foldLeft(when(col("__copy") === 0, col(t))) {
-        (acc, k) => acc.when(col("__copy") === k, translate(col(t), alphabet, rotated(k)))
+      val rot = (1 until factor).foldLeft(when(col("__copy") === 0, col(t))) {
+        (acc, k) => acc.when(col("__copy") === k, translate(col(t), alphabet, permuted(k)))
       }
       d.withColumn(t, rot)
     }
@@ -72,8 +90,8 @@ object ScaleSmoke {
     * forces a rebuild instead of silently reusing a mismatched lake
     * (which would make `ratio_vs_headline` compare different datasets).
     */
-  private def fingerprint(sfDir: String): String =
-    s"src=$sfDir md5=${AtomicPublish.dirFingerprint(sfDir)} factor=$Factor gen=3"
+  private def fingerprint(sfDir: String, factor: Int): String =
+    s"src=$sfDir md5=${AtomicPublish.dirFingerprint(sfDir)} factor=$factor gen=3"
 
   /** Materialize the scaled lake once per (sfDir content, scaler version):
     * built in a temp dir and atomically published via [[AtomicPublish]],
@@ -91,20 +109,33 @@ object ScaleSmoke {
     * flag) lose all row-group pruning and the "superlinear" signal
     * measures the layout, not the operator. Range files keep min/max
     * stats tight, which is also how a real lake is written.
+    *
+    * `factor` defaults to the smoke's standard 10×; SmokeOne/ScaleAudit
+    * pass larger values (30, 100) to extend the trend line — each factor
+    * gets its own default outDir (`/tmp/graft_scaled_x<factor>`) and its
+    * own fingerprint, so differently-scaled lakes never alias.
     */
   def ensureScaled(spark: SparkSession, sfDir: String,
-                   outDir: String = "/tmp/graft_scaled_x10"): String =
-    AtomicPublish.ensure(outDir, fingerprint(sfDir)) { tmp =>
+                   outDir: String = "", factor: Int = Factor): String = {
+    // 312 = |affine permutations|: beyond it copies would share tokens
+    require(factor >= 2 && factor <= 312,
+      s"scale factor must be in [2, 312], got $factor")
+    val dst = if (outDir.nonEmpty) outDir else s"/tmp/graft_scaled_x$factor"
+    AtomicPublish.ensure(dst, fingerprint(sfDir, factor)) { tmp =>
+      // file count grows with the factor so per-file size (and so task
+      // granularity) matches the standard 10× lake's layout
+      val nFiles =
+        spark.sparkContext.defaultParallelism * math.max(1, factor / Factor)
       tableSpec.foreach { case (name, (keys, texts)) =>
         val src = spark.read.parquet(s"$sfDir/$name.parquet")
-        val scaled = scaledTable(src, keys, texts)
+        val scaled = scaledTable(src, keys, texts, factor)
         val out = if (tableIsFixed(keys, texts)) scaled
-                  else scaled.repartitionByRange(
-                    spark.sparkContext.defaultParallelism, col(keys.head))
+                  else scaled.repartitionByRange(nFiles, col(keys.head))
                     .sortWithinPartitions(keys.head)
         out.write.mode("overwrite").parquet(s"$tmp/$name.parquet")
       }
     }
+  }
 
   /** bench=true queries deliberately NOT in the 10× smoke. Rationale:
     * each is a single-scan + bounded-aggregate / bounded-window shape, or

@@ -655,31 +655,76 @@ object DedupQueries {
 
     // SimHash hamming-RADIUS search (the step beyond dedup_simhash's
     // exact-collision grouping): pairs within hamming distance 3 of each
-    // other's 60-bit fingerprints. Candidate generation is the pigeonhole
-    // multi-index — 4 bands of 15 bits; ≤3 differing bits can dirty at
-    // most 3 bands, so every qualifying pair shares ≥1 intact band and
-    // surfaces from a shuffled equi-join on (band, band_bits), never an
-    // all-pairs scan. bit_count(xor) then verifies exactly. The same
-    // banded join at 100 TB touches only per-bucket candidate sets (LSH
-    // economics, deterministic recall = 1 by construction for r ≤ 3).
+    // other's 60-bit fingerprints. Two r13 100×-stress lessons shape the
+    // plan; both are invisible at 10× and each alone leaves a
+    // corpus-proportional-squared term:
+    //  1. COLLAPSE IDENTICAL FINGERPRINTS FIRST. Dup-heavy corpora
+    //     concentrate documents onto few distinct fps (that is what the
+    //     query exists to find), so any index keyed per-DOCUMENT surfaces
+    //     every within-cluster pair per matching key — 130M pre-distinct
+    //     pair rows / 829 MB from 500k docs on the 100× lake. One
+    //     collect_list(doc_id) per distinct fp makes the index
+    //     distinct-fp-sized; the sorted id lists RIDE the band stream
+    //     (~25 B/row here) so the whole query consumes the aggregate
+    //     once — a separate radius-0 leg or an id join-back re-plans the
+    //     scan+kernel+aggregate per consumer (column pruning rewrites
+    //     the aggregate, so no exchange is shareable; measured as a full
+    //     second kernel pass, 23.2 s vs 11.2 s at 100×). Pair expansion
+    //     is output-proportional: the answer itself is Σ C(|cluster|,2).
+    //  2. KEY WIDTH IS THE SATURATION KNOB (Manku/Das/Garcia-Molina,
+    //     WWW'07 §3): single-block 15-bit keys saturate their 2^15 bucket
+    //     space past ~30k distinct fps and bucket pair expansion turns
+    //     quadratic (measured 121× shuffle growth for 10× data, 4.9 →
+    //     593 MB). 5 blocks of 12 bits keyed on every PAIR of blocks —
+    //     ≤3 dirty bits leave ≥2 intact blocks, so recall stays 1 by
+    //     pigeonhole — give C(5,2)=10 24-bit keys: 2^9× more bucket
+    //     space for a 2.5× wider (strictly linear, distinct-fp-sized)
+    //     key stream. Past ~10^8 distinct fps, step to m=6 blocks /
+    //     30-bit triple keys by the same rule.
     QueryDef(
       "dedup_simhash_hamming",
       (s, d) => {
         val fp = Dedup.simhash(t(s, d, "documents"), "doc_id", "text")
-        val bands = fp.select(col("doc_id"), col("simhash"),
-          explode(array((0 until 4).map(j => struct(
-            lit(j).as("band"),
-            shiftright(col("simhash"), 15 * j).bitwiseAND(lit(0x7fffL)).as("bits"))): _*)).as("b"))
-          .select(col("doc_id"), col("simhash"), col("b.band").as("band"), col("b.bits").as("bits"))
-        bands.select(col("doc_id").as("doc_id_a"), col("simhash").as("fp_a"),
+        val groups = fp.groupBy("simhash")
+          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        // multi-index over DISTINCT fingerprints, id lists riding along:
+        // `groups` is consumed exactly ONCE — a separate radius-0 leg or
+        // id join-back would re-plan the scan+kernel+aggregate subtree
+        // (column pruning rewrites the aggregate per consumer, so no
+        // exchange is shareable; measured as a 2nd full kernel pass)
+        val blockPairs = for { i <- 0 until 5; j <- (i + 1) until 5 } yield (i, j)
+        val bands = groups.select(col("simhash"), col("ids"),
+          explode(array(blockPairs.map { case (i, j) => struct(
+            lit(i * 5 + j).as("band"),
+            (shiftright(col("simhash"), 12 * i).bitwiseAND(lit(0xfffL)) * lit(4096L) +
+              shiftright(col("simhash"), 12 * j).bitwiseAND(lit(0xfffL))).as("bits")) }: _*)).as("b"))
+          .select(col("simhash"), col("ids"), col("b.band").as("band"), col("b.bits").as("bits"))
+        // fa <= fb: every group also meets ITSELF on all 10 keys — the
+        // identity rows are the radius-0 (identical-fingerprint) pairs.
+        // hamming filters BEFORE the distinct, so the collapse exchange
+        // carries only verified fp pairs (answer-sized, never candidates)
+        val fpPairs = bands.select(col("simhash").as("fa"), col("ids").as("ids_a"),
             col("band"), col("bits"))
-          .join(bands.select(col("doc_id").as("doc_id_b"), col("simhash").as("fp_b"),
+          .join(bands.select(col("simhash").as("fb"), col("ids").as("ids_b"),
             col("band"), col("bits")), Seq("band", "bits"))
-          .filter(col("doc_id_a") < col("doc_id_b"))
-          .select("doc_id_a", "doc_id_b", "fp_a", "fp_b").distinct() // collapse multi-band hits
-          .select(col("doc_id_a"), col("doc_id_b"),
-            expr("bit_count(fp_a ^ fp_b)").cast("long").as("hamming"))
+          .filter(col("fa") <= col("fb"))
+          .withColumn("hamming", expr("bit_count(fa ^ fb)").cast("long"))
           .filter(col("hamming") <= 3)
+          // collapse multi-key hits; ids are functionally determined by
+          // the fp key, so first() is value-deterministic here
+          .groupBy("fa", "fb", "hamming")
+          .agg(first(col("ids_a")).as("ids_a"), first(col("ids_b")).as("ids_b"))
+        // expand to doc pairs: within-group (i < j over the sorted list)
+        // for identity rows, full cross oriented by id otherwise — both
+        // output-proportional (the answer itself is Σ C(|cluster|,2))
+        fpPairs.select(explode(when(col("fa") === col("fb"),
+            flatten(transform(col("ids_a"), (x, i) =>
+              transform(slice(col("ids_a"), i + lit(2), size(col("ids_a"))),
+                y => struct(x.as("a"), y.as("b"))))))
+          .otherwise(flatten(transform(col("ids_a"), x =>
+            transform(col("ids_b"), y => struct(least(x, y).as("a"),
+              greatest(x, y).as("b"))))))).as("p"), col("hamming"))
+          .select(col("p.a").as("doc_id_a"), col("p.b").as("doc_id_b"), col("hamming"))
       },
       Some {
         val fpSql = simhashOracleSql("SELECT doc_id, CAST(%s AS BIGINT) AS simhash FROM voted")

@@ -40,6 +40,23 @@ class DedupSimSpec extends SparkSuite {
       s"near-dup pairs should have hamming well below random (~30): got $avgNearDup")
   }
 
+  test("hamming multi-index finds EXACTLY the brute-force radius-3 pairs") {
+    // the r13 100×-stress replaced 15-bit single-block keys (bucket space
+    // saturates → quadratic pair expansion) with 24-bit block-pair keys;
+    // this pins the pigeonhole contract the rewrite must preserve: recall
+    // 1 at radius 3 (and no phantom pairs) vs an all-pairs bit_count scan
+    val banded = graft.SparkEntry.queries("dedup_simhash_hamming")(spark, sf)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    val fps = Dedup.simhash(docs, "doc_id", "text")
+    val brute = fps.select(col("doc_id").as("doc_id_a"), col("simhash").as("fa"))
+      .crossJoin(fps.select(col("doc_id").as("doc_id_b"), col("simhash").as("fb")))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .filter(bit_count(col("fa").bitwiseXOR(col("fb"))) <= 3)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    assert(banded === brute,
+      s"multi-index diverged from brute force: missed=${brute -- banded} phantom=${banded -- brute}")
+  }
+
   test("exact dedup groups identical texts only") {
     val out = Dedup.exact(docs, "text", "doc_id")
     val n = docs.count()
