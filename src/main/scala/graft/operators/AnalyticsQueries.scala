@@ -3718,23 +3718,39 @@ object AnalyticsQueries {
     // 40% to the last, the middle 20% split evenly (1.0 / 0.5-0.5 for
     // 1-2 touch paths). The marketing read behind funnel analysis, kept
     // per-edge (no credit SUM — each row's credit is one exact division,
-    // identical IEEE on both engines). Scale shape: a per-user equi-join
-    // bounded by the attribution window, then one window pass per
-    // purchase for rank/count — never a global sort.
+    // identical IEEE on both engines). Scale shape (r13 SkewStress): the
+    // per-user equi-join is NOT "bounded by the attribution window" on
+    // its own — Spark plans equi-key + range-as-residual, materializing
+    // views(u)·purchases(u) rows per user BEFORE the time filter, which
+    // is quadratic in one hot key's mass (a 30%-hot user turned the whole
+    // query into a single 3.1 s task on a lake where it otherwise takes
+    // 0.5 s). The day-binned range join (RangeJoin.pointInInterval with
+    // the user as equi key) puts the time axis IN the join key: each
+    // purchase's 7-day window explodes into 8-9 day bins, each view maps
+    // to one bin, candidates shrink to per-(user, day) products, the
+    // residual re-checks the exact micro-resolution predicate, and a hot
+    // user's work spreads across its day bins' tasks. Rows out are
+    // bit-identical; then one window pass per purchase for rank/count —
+    // never a global sort.
     QueryDef(
       "multi_touch_attribution",
       (s, d) => {
         val ev = t(s, d, "events")
+        val dayUs = 86400000000L
+        // +1 µs on both bounds maps the original half-open interval
+        // (p_ts − 7d, p_ts] onto pointInInterval's [start, end)
         val purchases = ev.filter(col("event_type") === "purchase")
-          .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
-            col("ts").as("p_ts"))
+          .select(col("user_id").as("au"), col("event_id").as("purchase_id"),
+            col("ts").as("p_ts"),
+            (expr("unix_micros(CAST(ts AS TIMESTAMP))") - lit(7L * dayUs) + lit(1L))
+              .as("w_start"),
+            (expr("unix_micros(CAST(ts AS TIMESTAMP))") + lit(1L)).as("w_end"))
         val views = ev.filter(col("event_type") === "view")
-          .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
-            col("ts").as("v_ts"))
-        val touches = purchases.join(views,
-          col("p_user") === col("v_user") &&
-            col("v_ts") <= col("p_ts") &&
-            col("v_ts") > col("p_ts") - expr("INTERVAL 7 DAY"))
+          .select(col("user_id").as("au"), col("event_id").as("view_id"),
+            col("ts").as("v_ts"),
+            expr("unix_micros(CAST(ts AS TIMESTAMP))").as("v_us"))
+        val touches = RangeJoin.pointInInterval(views, purchases,
+            "v_us", "w_start", "w_end", binWidth = dayUs, equiKeys = Seq("au"))
         val w = Window.partitionBy("purchase_id")
           .orderBy(col("v_ts"), col("view_id"))
         val cnt = Window.partitionBy("purchase_id")

@@ -29,17 +29,26 @@ object RangeJoin {
     * `points(pointCol) ∈ [intervals(startCol), intervals(endCol))`.
     * All three columns must be integral (cast timestamps to epoch micros
     * first); column names must be distinct across the two inputs.
+    *
+    * `equiKeys` (same names on both sides) compose with the bin id: the
+    * equi+range case (per-user attribution windows, per-device sessions)
+    * matters for HOT KEYS — planned as equi-join + residual filter, Spark
+    * materializes |points(k)|·|intervals(k)| rows per key BEFORE the time
+    * filter, quadratic in one key's mass; with the bin in the join key the
+    * per-key term becomes Σ_bins |points(k,b)|·|spanning(k,b)|, bounded by
+    * the bin width, and a hot key's work spreads across its bins' tasks
+    * instead of one straggler (r13 SkewStress finding).
     */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
                       pointCol: String, startCol: String, endCol: String,
-                      binWidth: Long): DataFrame = {
+                      binWidth: Long, equiKeys: Seq[String] = Nil): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
     val bin = "__graft_bin"
     val p = points.withColumn(bin, expr(s"`$pointCol` div ${binWidth}L"))
     val i = intervals.withColumn(bin, explode(sequence(
       expr(s"`$startCol` div ${binWidth}L"),
       expr(s"`$endCol` div ${binWidth}L"))))
-    p.join(i, Seq(bin))
+    p.join(i, equiKeys :+ bin)
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop(bin)
   }
