@@ -44,8 +44,8 @@ import org.apache.spark.sql.functions._
 object SkewStress {
 
   private val probes = Seq("events_sessionize", "multi_touch_attribution",
-    "weighted_median_price", "skew_salted_join", "q21_waiting_supplier",
-    "mode_event_per_user")
+    "window_funnel_depth", "weighted_median_price", "skew_salted_join",
+    "q21_waiting_supplier", "mode_event_per_user")
 
   /** Per-stage task durations for the straggler profile. */
   private final class TaskMeter extends SparkListener {

@@ -4425,34 +4425,69 @@ object AnalyticsQueries {
     // COMPLETED WITHIN 7 DAYS of the signup — the conversion definition
     // marketing actually uses (funnel_signup_purchase counts ever-
     // ordered pairs; the window bound is what distinguishes a campaign
-    // conversion from a coincidence months later). Each step is an
-    // arg-min aggregate over a per-user equi join (first qualifying
-    // view per signup, then first qualifying purchase per chain) — at
-    // scale both joins shuffle on user_id and fanout is bounded by
-    // per-user event counts, never cross-user. Output: users per
-    // maximum funnel depth.
+    // conversion from a coincidence months later). Plan shape (r13
+    // SkewStress): each step wants only the FIRST qualifying successor
+    // per anchor, so ANY join formulation is the wrong algorithm — a
+    // per-user equi-join materializes signups(u)·views(u) pairs before
+    // its arg-min (96 s under a 30% hot user), and even the day-binned
+    // range join only divides that quadratic by the bins the events
+    // span. The production shape is ClickHouse's own: one per-user
+    // ORDERED SCAN — union the anchor and successor rows, sort ts
+    // DESCENDING within user, and take last(successor, ignoreNulls)
+    // over the incremental (unboundedPreceding, -1) ROWS frame — the
+    // closest strictly-later successor, O(n log n) per key, zero pair
+    // materialization, so a hot user costs one sort instead of a
+    // quadratic blowup. (The frame choice is load-bearing: the
+    // ascending twin needs (1, unboundedFollowing), which Spark
+    // re-scans per row — O(n²) per partition; the descending running
+    // frame is incremental.) Tie discipline: at equal ts the anchor
+    // sorts BEFORE its successors in the descending order (k
+    // descending), excluding same-instant successors exactly like the
+    // strict v_ts > s_ts predicate; among equal-ts successors the
+    // event_id-descending order makes last() pick the smallest id —
+    // min(struct(ts, id)) semantics, bit-identical to the join form
+    // and to the oracle. Output: users per maximum funnel depth.
     QueryDef(
       "window_funnel_depth",
       (s, d) => {
         val ev = t(s, d, "events")
           .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
-        val su = ev.filter(col("event_type") === "signup")
-          .select(col("user_id"), col("ts").as("s_ts"), col("event_id").as("s_id"))
-        val vw = ev.filter(col("event_type") === "view")
-          .select(col("user_id"), col("ts").as("v_ts"), col("event_id").as("v_id"))
+        // leg 1: first view strictly after each signup
+        val sv = ev.filter(col("event_type").isin("signup", "view"))
+          .select(col("user_id"), col("ts"), col("event_id"),
+            when(col("event_type") === "view", 0).otherwise(1).as("k"))
+        val w1 = Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("k").desc, col("event_id").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val s2 = sv
+          .withColumn("nv", last(
+            when(col("k") === 0, struct(col("ts").as("v_ts"), col("event_id").as("v_id"))),
+            ignoreNulls = true).over(w1))
+          .filter(col("k") === 1 && col("nv").isNotNull &&
+            col("nv.v_ts") <= col("ts") + expr("INTERVAL 7 DAYS"))
+          .select(col("user_id"), col("ts").as("s_ts"), col("event_id").as("s_id"),
+            col("nv.v_ts").as("v_ts"))
+        // leg 2: first purchase strictly after each chain's view, still
+        // inside the signup's 7-day window (anchor sits at v_ts; k=1
+        // keeps same-instant purchases out of the preceding frame)
+        val anchors = s2.select(col("user_id"), col("v_ts").as("ts"),
+          col("s_ts"), col("s_id"), lit(1).as("k"),
+          lit(null).cast("timestamp_ntz").as("pt"))
         val pu = ev.filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("ts").as("p_ts"))
-        val s2 = su.join(vw, Seq("user_id"))
-          .filter(col("v_ts") > col("s_ts") &&
-            col("v_ts") <= col("s_ts") + expr("INTERVAL 7 DAYS"))
-          .groupBy("user_id", "s_ts", "s_id")
-          .agg(min(struct(col("v_ts"), col("v_id"))).as("v"))
-          .select(col("user_id"), col("s_ts"), col("s_id"), col("v.v_ts").as("v_ts"))
-        val s3 = s2.join(pu, Seq("user_id"))
-          .filter(col("p_ts") > col("v_ts") &&
-            col("p_ts") <= col("s_ts") + expr("INTERVAL 7 DAYS"))
-          .groupBy("user_id", "s_ts", "s_id").agg(min("p_ts").as("p_ts"))
-        val u1 = su.groupBy("user_id").agg(count(lit(1)).as("n1"))
+          .select(col("user_id"), col("ts"),
+            lit(null).cast("timestamp_ntz").as("s_ts"),
+            lit(null).cast("long").as("s_id"), lit(0).as("k"),
+            col("ts").as("pt"))
+        val w2 = Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("k").desc, col("pt").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val s3 = anchors.unionByName(pu)
+          .withColumn("np", last(col("pt"), ignoreNulls = true).over(w2))
+          .filter(col("k") === 1 && col("np").isNotNull &&
+            col("np") <= col("s_ts") + expr("INTERVAL 7 DAYS"))
+          .select(col("user_id"), col("s_ts"), col("s_id"), col("np").as("p_ts"))
+        val u1 = sv.filter(col("k") === 1)
+          .groupBy("user_id").agg(count(lit(1)).as("n1"))
         val u2 = s2.groupBy("user_id").agg(count(lit(1)).as("n2"))
         val u3 = s3.groupBy("user_id").agg(count(lit(1)).as("n3"))
         u1.join(u2, Seq("user_id"), "left_outer")
