@@ -1,0 +1,168 @@
+package graft.operators
+
+import graft.SparkSuite
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import java.time.LocalDateTime
+
+/** Boundary-condition pins for the two r13 skew-fix rewrites.
+  *
+  * `window_funnel_depth` (ordered scan) and `multi_touch_attribution`
+  * (day-binned range join) replaced per-user theta joins whose strict /
+  * inclusive bounds and id tie-breaks were enforced by join predicates.
+  * The rewrites enforce the same semantics through SORT ORDER (anchor
+  * before same-instant successors, ids descending under a descending
+  * frame) and through ±1 µs bound shifts onto [start, end) bins — rules
+  * that are easy to get off-by-one and that the organic testdata barely
+  * exercises (micro-resolution timestamps rarely tie, and no event sits
+  * exactly 7 days from another). This spec crafts those exact
+  * collisions — same-instant signup/view, view at precisely s+7d,
+  * purchase at precisely v_ts and at the bin edge one day-bin away —
+  * and asserts both catalog queries equal their original join-form
+  * references row for row.
+  */
+class EventTimeBoundarySpec extends SparkSuite {
+  import spark.implicits._
+
+  private val T0 = LocalDateTime.of(2024, 3, 1, 12, 0, 0)
+  private def us(base: LocalDateTime, micros: Long): LocalDateTime =
+    base.plusNanos(micros * 1000L)
+  private val day = 86400000000L
+
+  /** (event_id, ts, user_id, event_type) — value/props unused by both queries */
+  private val rows: Seq[(Long, LocalDateTime, Long, String)] = Seq(
+    // u1: same-instant view excluded; first real view +1µs; purchase at
+    // v_ts excluded (strict >); purchase at exactly s+7d included
+    (101L, T0, 1L, "signup"),
+    (102L, T0, 1L, "view"),
+    (103L, us(T0, 1), 1L, "view"),
+    (104L, us(T0, 1), 1L, "purchase"),
+    (105L, us(T0, 7 * day), 1L, "purchase"),
+    // u2: view at exactly s+7d included; purchase at the same instant
+    // fails the strict p > v
+    (201L, T0, 2L, "signup"),
+    (202L, us(T0, 7 * day), 2L, "view"),
+    (203L, us(T0, 7 * day), 2L, "purchase"),
+    // u3: view one microsecond past the window
+    (301L, T0, 3L, "signup"),
+    (302L, us(T0, 7 * day + 1), 3L, "view"),
+    // u4: two same-instant signups, both chains must convert
+    (401L, T0, 4L, "signup"),
+    (402L, T0, 4L, "signup"),
+    (403L, us(T0, 3 * day), 4L, "view"),
+    (404L, us(T0, 5 * day), 4L, "purchase"),
+    // u6: same-ts view tie (ids 7 then 5 — min id wins); purchase at
+    // v_ts excluded, +1µs included
+    (607L, us(T0, 2 * day), 6L, "view"),
+    (605L, us(T0, 2 * day), 6L, "view"),
+    (601L, T0, 6L, "signup"),
+    (602L, us(T0, 2 * day), 6L, "purchase"),
+    (603L, us(T0, 2 * day + 1), 6L, "purchase"),
+    // u7: purchase BEFORE the first view must not complete the chain
+    (701L, T0, 7L, "signup"),
+    (702L, us(T0, 1 * day), 7L, "purchase"),
+    (703L, us(T0, 2 * day), 7L, "view"),
+    // u8: view before the signup is not a touch
+    (801L, T0, 8L, "signup"),
+    (802L, us(T0, -day), 8L, "view"),
+    // u9 (multi-touch bin edges): views at exactly p-7d (excluded),
+    // p-7d+1µs (included), a different-day-bin view 6d23h59m before
+    // (included), at p (included), p+1µs (excluded)
+    (901L, us(T0, 0), 9L, "purchase"),
+    (902L, us(T0, -7 * day), 9L, "view"),
+    (903L, us(T0, -7 * day + 1), 9L, "view"),
+    (904L, us(T0, -(7 * day) + 60000000L), 9L, "view"),
+    (905L, us(T0, 0), 9L, "view"),
+    (906L, us(T0, 1), 9L, "view"))
+
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-boundary").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    d
+  }
+
+  /** The pre-r13 join formulation of the funnel — the semantic reference. */
+  private def funnelReference(ev: DataFrame): DataFrame = {
+    val su = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("s_ts"), col("event_id").as("s_id"))
+    val vw = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("v_ts"), col("event_id").as("v_id"))
+    val pu = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"))
+    val s2 = su.join(vw, Seq("user_id"))
+      .filter(col("v_ts") > col("s_ts") &&
+        col("v_ts") <= col("s_ts") + expr("INTERVAL 7 DAYS"))
+      .groupBy("user_id", "s_ts", "s_id")
+      .agg(min(struct(col("v_ts"), col("v_id"))).as("v"))
+      .select(col("user_id"), col("s_ts"), col("s_id"), col("v.v_ts").as("v_ts"))
+    val s3 = s2.join(pu, Seq("user_id"))
+      .filter(col("p_ts") > col("v_ts") &&
+        col("p_ts") <= col("s_ts") + expr("INTERVAL 7 DAYS"))
+      .groupBy("user_id", "s_ts", "s_id").agg(min("p_ts").as("p_ts"))
+    val u1 = su.groupBy("user_id").agg(count(lit(1)).as("n1"))
+    val u2 = s2.groupBy("user_id").agg(count(lit(1)).as("n2"))
+    val u3 = s3.groupBy("user_id").agg(count(lit(1)).as("n3"))
+    u1.join(u2, Seq("user_id"), "left_outer")
+      .join(u3, Seq("user_id"), "left_outer")
+      .select(col("user_id"),
+        when(col("n3").isNotNull, 3L)
+          .when(col("n2").isNotNull, 2L).otherwise(1L).as("funnel_depth"))
+      .groupBy("funnel_depth").agg(count(lit(1)).as("n_users"))
+  }
+
+  /** The pre-r13 theta-join formulation of multi-touch — the reference. */
+  private def touchReference(ev: DataFrame): DataFrame = {
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+    val touches = purchases.join(views,
+      col("p_user") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") > col("p_ts") - expr("INTERVAL 7 DAY"))
+    val w = Window.partitionBy("purchase_id").orderBy(col("v_ts"), col("view_id"))
+    val cnt = Window.partitionBy("purchase_id")
+    touches
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(cnt))
+      .select(col("purchase_id"), col("view_id"),
+        col("rk").cast("long").as("rk"), col("n"),
+        when(col("n") === 1, lit(1.0))
+          .when(col("n") === 2, lit(0.5))
+          .when(col("rk") === 1 || col("rk") === col("n"), lit(0.4))
+          .otherwise(lit(0.2) / (col("n") - 2).cast("double"))
+          .as("credit"))
+  }
+
+  private def events: DataFrame = graft.QueryDef.t(spark, dir, "events")
+
+  test("funnel ordered scan matches the join reference on crafted tie/boundary cases") {
+    val got = graft.SparkEntry.queries("window_funnel_depth")(spark, dir)
+      .select("funnel_depth", "n_users").as[(Long, Long)].collect().toMap
+    val want = funnelReference(events)
+      .select("funnel_depth", "n_users").as[(Long, Long)].collect().toMap
+    assert(got === want, s"got $got want $want")
+    // the fixture must actually exercise each depth
+    assert(want.keySet === Set(1L, 2L, 3L), s"fixture degenerate: $want")
+  }
+
+  test("binned multi-touch matches the theta-join reference at the window edges") {
+    val key = (df: DataFrame) => df
+      .select("purchase_id", "view_id", "rk", "n", "credit")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    val got = key(graft.SparkEntry.queries("multi_touch_attribution")(spark, dir))
+    val want = key(touchReference(events))
+    assert(got === want,
+      s"missing=${want -- got} phantom=${got -- want}")
+    // the boundary views must be present/absent exactly as designed
+    val u9 = got.filter(_._1 == 901L).map(_._2)
+    assert(u9 === Set(903L, 904L, 905L), s"u9 touches: $u9")
+  }
+}
