@@ -321,7 +321,13 @@ object AnalyticsQueries {
     // (vp·(tn−t) + vn·(t−tp), all BIGINT) with ONE final double
     // division — no accumulated FP, engine-identical by construction.
     // Four bounded windows per user (past/future value+day carries);
-    // everything shuffles once on user_id.
+    // everything shuffles once on user_id. Both carry directions run
+    // INCREMENTAL growing frames (the future carry as last-non-null
+    // under day-DESCENDING order, not first-non-null over
+    // (currentRow, unboundedFollowing)): Spark re-evaluates shrinking
+    // UnboundedFollowing frames from scratch at every row — O(span²)
+    // per user — while the descending twin is O(span) after its sort
+    // (PLANS.md, the window_funnel_depth frame-direction rule).
     QueryDef(
       "timeseries_gapfill_linear",
       (s, d) => {
@@ -333,15 +339,16 @@ object AnalyticsQueries {
           .agg(min("day").as("d0"), max("day").as("d1"))
           .select(col("user_id"),
             explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
-        val w = Window.partitionBy("user_id").orderBy("day")
-        val wPast = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wFut = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val wPast = Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wFut = Window.partitionBy("user_id").orderBy(col("day").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         grid.join(daily, Seq("user_id", "day"), "left_outer")
           .withColumn("v_mic", (col("v_dec") * lit(1000000)).cast("long"))
           .withColumn("dp", last(when(col("v_mic").isNotNull, col("day")), ignoreNulls = true).over(wPast))
           .withColumn("vp", last(col("v_mic"), ignoreNulls = true).over(wPast))
-          .withColumn("dn", first(when(col("v_mic").isNotNull, col("day")), ignoreNulls = true).over(wFut))
-          .withColumn("vn", first(col("v_mic"), ignoreNulls = true).over(wFut))
+          .withColumn("dn", last(when(col("v_mic").isNotNull, col("day")), ignoreNulls = true).over(wFut))
+          .withColumn("vn", last(col("v_mic"), ignoreNulls = true).over(wFut))
           .select(col("user_id"), col("day"),
             coalesce(col("n"), lit(0L)).as("n_events"),
             when(col("v_mic").isNotNull,
