@@ -159,6 +159,37 @@ object Bench {
         sFailed, worst, smokeSec, buildSec)
     } else ("", Seq.empty[String], "[]", 0.0, 0.0)
 
+    // Hot-key stress gate (VERDICT r13 task #1; opt out with
+    // SPARK_GRAFT_SKEW_STRESS=0): every skew-sensitive catalog plan runs
+    // paired on the base lake and a 30%-hot-key variant; `stragglers: []`
+    // is the clean bar, and any regression toward the quadratic-join class
+    // SkewStress caught twice in r13 (multi_touch 22.9 s, funnel 96 s)
+    // re-flags every round instead of waiting for a hand-run sweep. Probe
+    // failures fail the process like headline/smoke failures.
+    val (skewJson, skewFailed, skewWallSec) =
+      if (sys.env.getOrElse("SPARK_GRAFT_SKEW_STRESS", "1") != "0") {
+        val tb0 = System.nanoTime()
+        val skewedDir = SkewStress.ensureSkewed(spark, sfDir)
+        val buildSec = (System.nanoTime() - tb0) / 1e9
+        val ts0 = System.nanoTime()
+        val rs = SkewStress.run(spark, sfDir, skewedDir)
+        val wallSec = (System.nanoTime() - ts0) / 1e9
+        val baseJ = rs.map { case (k, m) => "\"" + k + "\":" + f"${m.baseS}%.2f" }
+          .mkString("{", ",", "}")
+        val skewJ = rs.map { case (k, m) => "\"" + k + "\":" + f"${m.skewS}%.2f" }
+          .mkString("{", ",", "}")
+        val stragJ = rs.map { case (k, m) => "\"" + k + "\":" + f"${m.stragglerX}%.1f" }
+          .mkString("{", ",", "}")
+        val hotJ = rs.map { case (k, m) => "\"" + k + "\":" + f"${m.hotTaskShare}%.2f" }
+          .mkString("{", ",", "}")
+        val flagged = rs.collect { case (k, m) if SkewStress.isStraggler(m) => k }
+        val sFailed = rs.collect { case (k, m) if m.baseS < 0 || m.skewS < 0 => k }
+        val flagJ = flagged.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+        val failJ = sFailed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+        (s""","skew":{"hot_permille":${SkewStress.HotPermille},"build_s":${f"$buildSec%.1f"},"base_s":$baseJ,"skew_s":$skewJ,"straggler_x":$stragJ,"hot_task_pct":$hotJ,"failed":$failJ,"stragglers":$flagJ}""",
+          sFailed, wallSec)
+      } else ("", Seq.empty[String], 0.0)
+
     // failures are explicit in the JSON (a filtered-out -1 would make the
     // total look FASTER) and fail the process so no consumer can miss them
     val errorsJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
@@ -167,8 +198,8 @@ object Bench {
     // keeps only the tail of stdout, so the adjudicable numbers (wall-time
     // breakdown + worst smoke ratios with their shuffle volume) must be
     // the last bytes this process prints (VERDICT r11 task #1).
-    val wallJson = f""""wall":{"headline_s":$headlineWallSec%.1f,"smoke_s":$smokeWallSec%.1f,"lake_build_s":$buildWallSec%.1f}"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$shufJson,"failed":$failedJson,"errors":$errorsJson,"sf":"$sfDir"$smokeJson,$wallJson,"worst10":$worst10Json}"""
+    val wallJson = f""""wall":{"headline_s":$headlineWallSec%.1f,"smoke_s":$smokeWallSec%.1f,"lake_build_s":$buildWallSec%.1f,"skew_s":$skewWallSec%.1f}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$shufJson,"failed":$failedJson,"errors":$errorsJson,"sf":"$sfDir"$smokeJson$skewJson,$wallJson,"worst10":$worst10Json}"""
     println(line)
     // full-artifact sink (VERDICT r12 task #3): the driver keeps only the
     // tail of stdout, so the complete per-query maps are lost to
@@ -179,6 +210,6 @@ object Bench {
         (line + "\n").getBytes("UTF-8"))
     }
     spark.stop()
-    if (failed.nonEmpty || smokeFailed.nonEmpty) sys.exit(1)
+    if (failed.nonEmpty || smokeFailed.nonEmpty || skewFailed.nonEmpty) sys.exit(1)
   }
 }

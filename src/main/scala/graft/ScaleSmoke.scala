@@ -90,8 +90,22 @@ object ScaleSmoke {
     * forces a rebuild instead of silently reusing a mismatched lake
     * (which would make `ratio_vs_headline` compare different datasets).
     */
-  private def fingerprint(sfDir: String, factor: Int): String =
-    s"src=$sfDir md5=${AtomicPublish.dirFingerprint(sfDir)} factor=$factor gen=3"
+  private def fingerprint(sfDir: String, factor: Int): String = {
+    // Non-multiple-of-10 factors (dev trend sweeps) key their layout into
+    // the stamp so the r14 rounding fix invalidates any pre-fix lake; the
+    // standard 10×/100× stamps are unchanged — their multiplier is exact
+    // either way, and the driver's cached lake must not churn.
+    val layout = if (factor % Factor == 0) "" else s" files=${fileMultiplier(factor)}"
+    s"src=$sfDir md5=${AtomicPublish.dirFingerprint(sfDir)} factor=$factor gen=3$layout"
+  }
+
+  /** Per-table file-count multiplier vs the standard 10× layout: rounded,
+    * not floor-divided, so a factor-15/25 lake keeps per-file size (and so
+    * task granularity) within ~25% of the 10× layout instead of drifting
+    * up to ~2.5× (ADVICE r13).
+    */
+  private def fileMultiplier(factor: Int): Int =
+    math.max(1, math.round(factor.toDouble / Factor).toInt)
 
   /** Materialize the scaled lake once per (sfDir content, scaler version):
     * built in a temp dir and atomically published via [[AtomicPublish]],
@@ -125,7 +139,7 @@ object ScaleSmoke {
       // file count grows with the factor so per-file size (and so task
       // granularity) matches the standard 10× lake's layout
       val nFiles =
-        spark.sparkContext.defaultParallelism * math.max(1, factor / Factor)
+        spark.sparkContext.defaultParallelism * fileMultiplier(factor)
       tableSpec.foreach { case (name, (keys, texts)) =>
         val src = spark.read.parquet(s"$sfDir/$name.parquet")
         val scaled = scaledTable(src, keys, texts, factor)
@@ -324,6 +338,14 @@ object ScaleSmoke {
     // the checkpointed model table everything is vocab-bounded
     // (WindowGroupLimit top-k, three derived aggregates, broadcasts)
     "naive_bayes_train",
+    // events_sessionize_salted: the hot-key-safe twin of the smoked
+    // events_sessionize — same single events scan, strictly finer
+    // exchange keys ((user, 6h-block) vs (user)) plus a calendar-bounded
+    // block-summary stage, so its uniform 10x cost is bounded by the
+    // smoked representative's; its OWN axis is key mass, graded by the
+    // SkewStress gate where it must stay flat while the plain form
+    // shows the documented straggler
+    "events_sessionize_salted",
     // window_sliding_distinct is the documented NON-scale path — exact
     // countDistinct after a 7× explode, kept as the correctness twin of
     // hll_sliding_window_distinct (the 100 TB architecture, which stays

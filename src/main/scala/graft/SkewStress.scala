@@ -1,51 +1,152 @@
 package graft
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Dev-only: measure how the skew-sensitive catalog plans behave on a
-  * HOT-KEY lake — the one scale hazard the uniform 10×/100× lakes cannot
-  * exhibit (their copies multiply keys, never key mass). Production data
-  * is never uniform: one tracked user, one house-brand supplier, one
-  * retried order can own a double-digit share of a 100 TB fact table, and
-  * the failure mode is not shuffle VOLUME but a straggler — one task
-  * serializing a partition-sized key group while 999 executors idle.
+/** Hot-key stress gate: measure how every skew-sensitive catalog plan
+  * behaves on a HOT-KEY lake — the one scale hazard the uniform 10×/100×
+  * lakes cannot exhibit (their copies multiply keys, never key mass).
+  * Production data is never uniform: one tracked user, one house-brand
+  * supplier, one commodity part, one enterprise customer can own a
+  * double-digit share of a 100 TB fact table, and the failure mode is not
+  * shuffle VOLUME but either a straggler (one task serializing a
+  * partition-sized key group while 999 executors idle) or — the killer
+  * class this instrument caught twice in r13 — a join that is QUADRATIC in
+  * key mass (multi_touch_attribution 22.9 s, window_funnel_depth 96 s at a
+  * 30% hot share, both fixed).
   *
-  *   runMain graft.SkewStress <sfDir> [hotPermille]
+  * As of r14 this is a GRADED gate, not a dev probe: [[graft.Bench]] runs
+  * [[run]] over [[probes]] (every catalog query whose plan shuffles,
+  * windows, or joins on one of the four skewed axes) and emits a
+  * `"skew":{...,"stragglers":[...]}` summary into its JSON tail exactly
+  * like `scale_audit` — `stragglers: []` is the clean bar, and any plan
+  * regression toward the quadratic class re-flags every round instead of
+  * waiting for a hand-run sweep. Standalone sweeps:
   *
-  * Builds a variant lake (AtomicPublish, stamped) where `hotPermille`‰ of
-  * `events` rows collapse onto one user_id and the same share of
-  * `lineitem` rows onto one l_suppkey (an EXISTING supplier, so FK
-  * semantics survive); all other tables copy through unchanged. Each probe
-  * query then runs on the base and the skewed lake, printing paired
-  * seconds plus the worst stage's straggler profile: max task ms / median
-  * task ms within the stage carrying the most total task time. A plan
-  * that holds shows straggler ≈ hot-share · tasks (the hot task does its
-  * key's work, everything else proceeds); a plan that collapses shows
-  * wall-time ≈ the hot task alone.
+  *   runMain graft.SkewStress <sfDir> [hotPermille] [probeCsv|--debinned]
   *
-  * Expected behavior by class (documented in PERF_NOTES r13):
-  *  - per-key WINDOWS (events_sessionize): the hot key's group is
-  *    indivisible by semantics — the straggler factor IS the hot share,
-  *    and the mitigation is upstream (session-split or salt-and-merge),
-  *    not a plan change;
+  * `--debinned` swaps in a deliberately DE-BINNED attribution join (the
+  * exact pre-r13 quadratic shape) as a positive control: the gate must
+  * flag it, or the gate is measuring nothing (see PERF_NOTES r14).
+  *
+  * The skewed lake (built once per (testdata, permille) via AtomicPublish,
+  * stamped) collapses `hotPermille`‰ of `events.user_id`,
+  * `lineitem.l_suppkey`, `lineitem.l_partkey` and `orders.o_custkey` rows
+  * onto one hot key each (EXISTING dimension keys, so FK semantics
+  * survive); all other tables copy through unchanged. Each probe runs
+  * paired (base lake, then skewed lake, same contention window — the
+  * ratio-adjudication lesson of VERDICT r12 task #1) and records the worst
+  * stage's straggler profile: max task ms / median task ms within the
+  * stage carrying the most total task time.
+  *
+  * Expected behavior by class (measured r13, PERF_NOTES r13 #10/#11):
+  *  - per-key WINDOWS (events_sessionize, scd2_history): the hot key's
+  *    group is indivisible by semantics — the straggler factor IS the hot
+  *    share, the wall stays key-linear, and the mitigation is upstream
+  *    (events_sessionize_salted is that mitigation as a catalog query:
+  *    time-block salt + bounded boundary merge, flat by construction);
   *  - equi+range joins (multi_touch_attribution): quadratic per hot key
-  *    when planned as equi-join + residual — FIXED by day-binning the
-  *    time axis into the join key (30%-hot: 22.9 s → 5.1 s, straggler
-  *    1.2×; the residue is the answer itself);
-  *  - two-level decomposed windows (weighted_median_price): the hot
-  *    supplier's mass spreads over its DISTINCT price rows map-side, so
-  *    the per-key group that reaches the window is value-domain-bounded;
+  *    when planned as equi-join + residual — held linear by day-binning
+  *    the time axis into the join key;
+  *  - first-successor scans (window_funnel_depth): ANY join formulation
+  *    is the wrong algorithm; the per-user descending ordered scan is
+  *    key-linear;
+  *  - two-level decomposed windows (weighted_median_price,
+  *    mode_event_per_user): the hot key's mass collapses map-side onto
+  *    its value domain before any per-key window;
+  *  - aggregate-first joins (q21, q15, rfm, cohort): map-side combine
+  *    spreads the hot key's mass before the key ever reaches an exchange;
+  *  - degree-capped self-joins (link_prediction_common_nbrs): wedge
+  *    fanout is ≤ C(16,2) per node no matter how hot a part is;
   *  - salted joins (skew_salted_join): the salt fans the hot key across
   *    the configured factor by construction;
-  *  - AQE skew-join splits cover shuffle JOINS (q21's orders join), which
-  *    re-chunk a skewed partition without semantic limits.
+  *  - AQE skew-join splits cover plain shuffle JOINS, re-chunking a
+  *    skewed partition without semantic limits.
   */
 object SkewStress {
 
-  private val probes = Seq("events_sessionize", "multi_touch_attribution",
-    "window_funnel_depth", "weighted_median_price", "skew_salted_join",
-    "q21_waiting_supplier", "mode_event_per_user")
+  /** Default hot share: 30% of fact rows on one key per axis. */
+  val HotPermille = 300
+
+  /** Every bench catalog query whose plan keys on a skewed axis, grouped
+    * by the axis and the discipline that must hold it flat. Enforced ⊆
+    * catalog by CatalogPropertySpec.
+    */
+  val probes: Seq[String] = Seq(
+    // events.user_id — per-user windows (semantic straggler class: the
+    // hot group is indivisible, wall must stay key-linear)
+    "events_sessionize", "events_sessionize_salted", "scd2_history",
+    "event_trigram_paths", "time_weighted_avg", "window_value_family",
+    "window_running_distinct", "timeseries_gapfill_ffill",
+    "orders_gaps_islands",
+    // events.user_id — ordered scans / asof (key-linear by algorithm)
+    "window_funnel_depth", "asof_join_last_event", "asof_join_next_event",
+    "asof_join_nearest_event",
+    // events.user_id — equi+range join (day bin in the key)
+    "multi_touch_attribution",
+    // events.user_id — aggregate-first (map-side combine spreads the key)
+    "funnel_signup_purchase", "funnel_time_to_convert", "cohort_retention",
+    "markov_entropy_rate", "markov_holding_times", "path_regex_funnel",
+    "survival_km_conversion", "map_event_counts", "selfjoin_size_estimate",
+    "decile_lift_table", "cuped_adjustment_audit",
+    // events.user_id — two-level decomposed rank
+    "mode_event_per_user",
+    // lineitem.l_suppkey
+    "weighted_median_price", "q21_waiting_supplier", "q15_top_supplier",
+    "q20_excess_shippers", "distinct_counts", "ivm_delta_join",
+    "pagerank_one_step",
+    // lineitem.l_partkey — self-join / capped-wedge class
+    "copurchase_pairs", "link_prediction_common_nbrs",
+    "q17_small_qty_revenue",
+    // orders.o_custkey — per-customer windows and aggregates
+    "window_rank_family", "window_range_frame", "window_running_sum",
+    "q13_order_distribution", "q22_dormant_customers", "rfm_segmentation",
+    "interval_union_coverage", "gini_revenue_concentration",
+    "key_skew_profile",
+    // explicit skew disciplines
+    "skew_salted_join", "salt_factor_planner")
+
+  /** One paired probe result: base/skewed wall seconds plus the skewed
+    * run's straggler profile — the GLOBAL max task ms, with the median
+    * task ms and task count of the stage containing that max task —
+    * captured from the SAME run that produced the reported minimum wall
+    * (ADVICE r13).
+    */
+  final case class SkewMeasure(baseS: Double, skewS: Double,
+                               maxMs: Long, medMs: Long, nTasks: Int) {
+    def stragglerX: Double = if (medMs > 0) maxMs.toDouble / medMs else -1.0
+    /** Fraction of the skewed wall spent inside the single longest task —
+      * ≈1 means one task IS the query (the collapse signature). */
+    def hotTaskShare: Double = if (skewS > 0) maxMs / (skewS * 1000.0) else 0.0
+  }
+
+  /** The graded gate — two rules, each targeting one face of the
+    * hot-key-collapse class (both validated against the r14 sf0.1 sweep
+    * where every legitimate probe reads ≤1.6× wall ratio and ≤0.5 hot-task
+    * share, and both positive controls flag — PERF_NOTES r14):
+    *  1. WALL BLOWUP: skewed wall > 10× the paired base (and past a 4 s
+    *     floor) — catches quadratics whose work spreads over many tasks.
+    *     A key-linear plan at a 30% hot share measures ≤ ~7× (the binned
+    *     multi_touch reads 6.9× on the 10× lake); the r13 kills read
+    *     31×/50×+. The max(base, 0.3 s) denominator floor is the
+    *     floor_exempt policy of VERDICT r12 task #6.
+    *  2. HOT-TASK COLLAPSE: ≥60% of a ≥2 s skewed wall inside ONE task,
+    *     with the wall ≥2.5× the paired base — "wall-time ≈ the hot task
+    *     alone", the literal collapse definition, which fires well before
+    *     rule 1's wall floor (the de-binned attribution control at sf0.1:
+    *     2.8 s wall, 85% in one 2.4 s task, 4.7× base — a blowup rule 1
+    *     alone only sees on the 10× lake). Legitimate semantic stragglers
+    *     (per-user windows) stay under the 2 s floor at bench scale, and
+    *     uniform box drift moves BOTH paired walls, not the ratio.
+    */
+  def isStraggler(m: SkewMeasure): Boolean = {
+    val base = math.max(m.baseS, 0.3)
+    val wallBlowup = m.skewS > math.max(4.0, 10.0 * base)
+    val hotCollapse = m.skewS >= 2.0 && m.hotTaskShare >= 0.6 &&
+      m.skewS > 2.5 * base
+    wallBlowup || hotCollapse
+  }
 
   /** Per-stage task durations for the straggler profile. */
   private final class TaskMeter extends SparkListener {
@@ -55,71 +156,165 @@ object SkewStress {
       buf.synchronized { buf += t.taskInfo.duration }
     }
     def reset(): Unit = byStage.clear()
-    /** (maxTaskMs, medianTaskMs, nTasks) of the stage with the most total task time. */
+    /** (maxTaskMs, medianTaskMs, nTasks): the GLOBAL max task duration,
+      * with median/count of the stage containing that task. (The previous
+      * "stage with the most total task time" heuristic routinely picked a
+      * 1-task result stage and reported a meaningless 1.0× — the hot task
+      * itself is the signal the gate needs.)
+      */
     def worstStage(): (Long, Long, Int) = {
       val stages = byStage.readOnlySnapshot().values.map(b => b.synchronized(b.toSeq))
         .filter(_.nonEmpty)
       if (stages.isEmpty) return (0L, 0L, 0)
-      val worst = stages.maxBy(_.sum)
+      val worst = stages.maxBy(_.max)
       val sorted = worst.sorted
       (sorted.last, sorted(sorted.size / 2), sorted.size)
     }
   }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
-    val hotPermille = if (args.length > 1) args(1).toInt else 300
-    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt)
-    spark.sparkContext.setLogLevel("ERROR")
+  /** The hot user id: chosen OUTSIDE every real key range (user ids are
+    * dimension-table keys ≤ ~10^7 even on the 100× lake), so collapsing
+    * rows onto it never merges with an existing user's history.
+    */
+  private val HotUser = 424242424242L
 
-    val hotUser = 424242424242L
-    val skewed = AtomicPublish.ensure(s"/tmp/graft_skewed_p$hotPermille",
-      s"src=$sfDir md5=${AtomicPublish.dirFingerprint(sfDir)} p=$hotPermille gen=1") { tmp =>
+  private def stamp(sfDir: String, hotPermille: Int): String =
+    s"src=$sfDir md5=${AtomicPublish.dirFingerprint(sfDir)} p=$hotPermille gen=2"
+
+  /** Materialize the hot-key variant lake once per (testdata content,
+    * permille): `hotPermille`‰ of `events` rows collapse onto one user_id,
+    * the same share of `lineitem` rows onto one EXISTING l_suppkey and one
+    * EXISTING l_partkey (independent pseudo-random row slices), and of
+    * `orders` rows onto one EXISTING o_custkey; all other tables copy
+    * through unchanged, so FK semantics and dimension joins survive.
+    * pmod(xxhash64(row identity)) selects deterministic slices; the chosen
+    * rows keep their identity columns — only the key under test collapses.
+    */
+  def ensureSkewed(spark: SparkSession, sfDir: String,
+                   hotPermille: Int = HotPermille): String =
+    AtomicPublish.ensure(s"/tmp/graft_skewed_p$hotPermille",
+        stamp(sfDir, hotPermille)) { tmp =>
       val hotSupp = spark.read.parquet(s"$sfDir/supplier.parquet")
         .agg(min("s_suppkey")).head().getLong(0)
-      Seq("region", "nation", "customer", "supplier", "part", "orders",
+      val hotPart = spark.read.parquet(s"$sfDir/part.parquet")
+        .agg(min("p_partkey")).head().getLong(0)
+      val hotCust = spark.read.parquet(s"$sfDir/customer.parquet")
+        .agg(min("c_custkey")).head().getLong(0)
+      Seq("region", "nation", "customer", "supplier", "part",
           "documents", "embeddings").foreach { t =>
         spark.read.parquet(s"$sfDir/$t.parquet")
           .write.mode("overwrite").parquet(s"$tmp/$t.parquet")
       }
-      // pmod(hash) selects a deterministic ~hotPermille‰ row slice; the
-      // chosen rows keep their event_id/orderkey identity, only the key
-      // under test collapses
       spark.read.parquet(s"$sfDir/events.parquet")
         .withColumn("user_id",
           when(pmod(xxhash64(col("event_id")), lit(1000)) < hotPermille,
-            lit(hotUser)).otherwise(col("user_id")))
+            lit(HotUser)).otherwise(col("user_id")))
         .write.mode("overwrite").parquet(s"$tmp/events.parquet")
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .withColumn("l_suppkey",
           when(pmod(xxhash64(col("l_orderkey"), col("l_partkey")), lit(1000)) < hotPermille,
             lit(hotSupp)).otherwise(col("l_suppkey")))
+        // seed differs from the suppkey slice so the two hot sets are
+        // independent — a row can be hot on both axes, neither, or one
+        .withColumn("l_partkey",
+          when(pmod(xxhash64(col("l_orderkey"), col("l_linenumber"), lit(7L)), lit(1000)) < hotPermille,
+            lit(hotPart)).otherwise(col("l_partkey")))
         .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+      spark.read.parquet(s"$sfDir/orders.parquet")
+        .withColumn("o_custkey",
+          when(pmod(xxhash64(col("o_orderkey")), lit(1000)) < hotPermille,
+            lit(hotCust)).otherwise(col("o_custkey")))
+        .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
     }
 
+  /** Run each probe paired — best-of-2 on the base lake, then best-of-2 on
+    * the skewed lake, back to back so both walls share one contention
+    * window. The straggler profile is captured per run (the listener bus
+    * is drained BEFORE each reset, so run 1's async task events can never
+    * pollute run 2's profile — ADVICE r13) and the reported profile is the
+    * one from whichever run produced the reported minimum wall, so the
+    * paired numbers always describe the same execution.
+    */
+  def run(spark: SparkSession, sfDir: String, skewedDir: String,
+          names: Seq[String] = probes,
+          fns: Map[String, (SparkSession, String) => DataFrame] = SparkEntry.queries)
+      : Seq[(String, SkewMeasure)] = {
     val meter = new TaskMeter
     spark.sparkContext.addSparkListener(meter)
-    println(f"[skew] hot share = ${hotPermille / 10.0}%.1f%% of events.user_id and lineitem.l_suppkey rows")
-    probes.foreach { n =>
-      val fn = SparkEntry.queries(n)
-      def run(dir: String): (Double, Long, Long, Int) = {
-        // best-of-2 wall; straggler profile from the measured (2nd) run
-        val secs = (1 to 2).map { _ =>
-          meter.reset()
-          val t0 = System.nanoTime()
-          fn(spark, dir).groupBy().count().collect()
-          (System.nanoTime() - t0) / 1e9
-        }
-        org.apache.spark.GraftSparkInternals.drainListenerBus(spark.sparkContext)
-        val (mx, md, nt) = meter.worstStage()
-        (secs.min, mx, md, nt)
+    try {
+      names.map { n =>
+        val fn = fns(n)
+        def best(dir: String): (Double, (Long, Long, Int)) =
+          (1 to 2).map { _ =>
+            org.apache.spark.GraftSparkInternals.drainListenerBus(spark.sparkContext)
+            meter.reset()
+            val t0 = System.nanoTime()
+            val sec =
+              try { fn(spark, dir).groupBy().count().collect(); (System.nanoTime() - t0) / 1e9 }
+              catch { case e: Throwable =>
+                System.err.println(s"[skew] $n @$dir failed: ${e.getMessage}")
+                -1.0
+              }
+            org.apache.spark.GraftSparkInternals.drainListenerBus(spark.sparkContext)
+            (sec, meter.worstStage())
+          }.minBy(r => if (r._1 < 0) Double.MaxValue else r._1)
+        val (baseS, _) = best(sfDir)
+        val (skewS, (mx, md, nt)) = best(skewedDir)
+        n -> SkewMeasure(baseS, skewS, mx, md, nt)
       }
-      val (b, bMax, bMed, bN) = run(sfDir)
-      val (k, kMax, kMed, kN) = run(skewed)
-      val bStrag = if (bMed > 0) bMax.toDouble / bMed else -1.0
-      val kStrag = if (kMed > 0) kMax.toDouble / kMed else -1.0
-      println(f"[skew] $n%-28s base=$b%6.2fs (worst-stage max/med ${bMax}%5d/${bMed}%4d ms = $bStrag%5.1fx over $bN%3d tasks)  " +
-        f"skewed=$k%6.2fs (${kMax}%5d/${kMed}%4d ms = $kStrag%5.1fx over $kN%3d tasks)")
+    } finally spark.sparkContext.removeSparkListener(meter)
+  }
+
+  /** The positive control for [[isStraggler]]: multi_touch_attribution
+    * WITHOUT the day bin in the join key — the exact pre-r13 quadratic
+    * shape (per-user equi-join, 7-day residual AFTER the join
+    * materializes views(u)·purchases(u) rows). Never in the catalog;
+    * exists so `--debinned` can prove the gate flags the class it was
+    * built for.
+    */
+  private[graft] def debinnedAttribution(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = QueryDef.t(s, d, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("au"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("au"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+    val touches = purchases.join(views, "au")
+      .filter(col("v_ts") <= col("p_ts") &&
+        col("v_ts") > col("p_ts") - expr("INTERVAL 7 DAY"))
+    val w = Window.partitionBy("purchase_id").orderBy(col("v_ts"), col("view_id"))
+    val cnt = Window.partitionBy("purchase_id")
+    touches
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(cnt))
+      .select(col("purchase_id"), col("view_id"),
+        col("rk").cast("long").as("rk"), col("n"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val hotPermille = if (args.length > 1) args(1).toInt else HotPermille
+    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt)
+    spark.sparkContext.setLogLevel("ERROR")
+    val (names, fns) = args.drop(2).headOption match {
+      case Some("--debinned") =>
+        (Seq("multi_touch_attribution", "__debinned_attribution"),
+          SparkEntry.queries + ("__debinned_attribution" ->
+            ((s: SparkSession, d: String) => debinnedAttribution(s, d))))
+      case Some(csv) => (csv.split(",").toSeq.filter(_.nonEmpty).distinct,
+        SparkEntry.queries)
+      case None => (probes, SparkEntry.queries)
+    }
+    val skewed = ensureSkewed(spark, sfDir, hotPermille)
+    println(f"[skew] hot share = ${hotPermille / 10.0}%.1f%% of events.user_id, " +
+      "lineitem.{l_suppkey,l_partkey}, orders.o_custkey rows")
+    run(spark, sfDir, skewed, names, fns).foreach { case (n, m) =>
+      val flag = if (isStraggler(m)) "  <== STRAGGLER" else ""
+      println(f"[skew] $n%-30s base=${m.baseS}%6.2fs skewed=${m.skewS}%6.2fs " +
+        f"(max task ${m.maxMs}%5d ms = ${m.hotTaskShare * 100}%3.0f%% of wall, " +
+        f"${m.stragglerX}%5.1fx its stage median over ${m.nTasks}%3d tasks)$flag")
     }
     spark.stop()
   }

@@ -219,6 +219,79 @@ object Dedup {
       .select(col(idCol),
         graft.functions.GraftFunctions.simhashSignature(col(textCol)).as("simhash"))
 
+  /** Distinct-fingerprint groups for the hamming-radius index: one row per
+    * distinct [[simhash]] value carrying the SORTED doc_id list. Collapsing
+    * identical fingerprints BEFORE any banding is the first of the two r13
+    * saturation fixes: dup-heavy corpora concentrate documents onto few
+    * distinct fps (that is what the query exists to find), so an index
+    * keyed per-DOCUMENT surfaces every within-cluster pair under every
+    * matching key (measured: 130M pre-distinct pair rows / 829 MB from
+    * 500k docs on the 100× lake). Input: (doc_id, simhash); output:
+    * (simhash, ids).
+    */
+  def simhashGroups(fp: DataFrame): DataFrame =
+    fp.groupBy("simhash").agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+
+  /** Manku/Das/Garcia-Molina (WWW'07 §3) multi-index band stream over
+    * distinct-fingerprint groups: 5 blocks of 12 bits keyed on every PAIR
+    * of blocks — ≤3 dirty bits leave ≥2 intact blocks, so recall is 1 by
+    * pigeonhole at radius ≤3 — giving EXACTLY C(5,2) = 10 rows per
+    * distinct fingerprint (the saturation contract pinned by
+    * SimhashContractSpec: per-doc banding or a narrower key space is the
+    * 100×-quadratic regression class, 121× shuffle growth measured r13).
+    * The id lists RIDE the stream so the group aggregate is consumed
+    * once — a separate radius-0 leg or id join-back re-plans the
+    * scan+kernel+aggregate subtree per consumer. Past ~10^8 distinct fps,
+    * step to m=6 blocks / 30-bit triple keys by the same pigeonhole rule.
+    * Output: (simhash, ids, band, bits).
+    */
+  def simhashBands(groups: DataFrame): DataFrame = {
+    val blockPairs = for { i <- 0 until 5; j <- (i + 1) until 5 } yield (i, j)
+    groups.select(col("simhash"), col("ids"),
+        explode(array(blockPairs.map { case (i, j) => struct(
+          lit(i * 5 + j).as("band"),
+          (shiftright(col("simhash"), 12 * i).bitwiseAND(lit(0xfffL)) * lit(4096L) +
+            shiftright(col("simhash"), 12 * j).bitwiseAND(lit(0xfffL))).as("bits")) }: _*)).as("b"))
+      .select(col("simhash"), col("ids"), col("b.band").as("band"), col("b.bits").as("bits"))
+  }
+
+  /** Document pairs within hamming radius `maxHamming` (≤3 — the
+    * [[simhashBands]] pigeonhole bound) of each other's fingerprints,
+    * built from the banded multi-index: the fa <= fb self-meet makes every
+    * group meet ITSELF on all 10 keys, so identity rows are the radius-0
+    * (identical-fingerprint) pairs; hamming filters BEFORE the distinct so
+    * the collapse exchange carries only verified fp pairs (answer-sized,
+    * never candidates); and pair expansion is output-proportional — the
+    * answer itself is Σ C(|cluster|,2) over identical-fp clusters plus the
+    * cross-group matches. Output: (doc_id_a, doc_id_b, hamming).
+    */
+  def simhashHammingPairs(groups: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, s"block-pair index guarantees recall only to radius 3, got $maxHamming")
+    val bands = simhashBands(groups)
+    val fpPairs = bands.select(col("simhash").as("fa"), col("ids").as("ids_a"),
+        col("band"), col("bits"))
+      .join(bands.select(col("simhash").as("fb"), col("ids").as("ids_b"),
+        col("band"), col("bits")), Seq("band", "bits"))
+      .filter(col("fa") <= col("fb"))
+      .withColumn("hamming", expr("bit_count(fa ^ fb)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      // collapse multi-key hits; ids are functionally determined by
+      // the fp key, so first() is value-deterministic here
+      .groupBy("fa", "fb", "hamming")
+      .agg(first(col("ids_a")).as("ids_a"), first(col("ids_b")).as("ids_b"))
+    // expand to doc pairs: within-group (i < j over the sorted list)
+    // for identity rows, full cross oriented by id otherwise — both
+    // output-proportional (the answer itself is Σ C(|cluster|,2))
+    fpPairs.select(explode(when(col("fa") === col("fb"),
+        flatten(transform(col("ids_a"), (x, i) =>
+          transform(slice(col("ids_a"), i + lit(2), size(col("ids_a"))),
+            y => struct(x.as("a"), y.as("b"))))))
+      .otherwise(flatten(transform(col("ids_a"), x =>
+        transform(col("ids_b"), y => struct(least(x, y).as("a"),
+          greatest(x, y).as("b"))))))).as("p"), col("hamming"))
+      .select(col("p.a").as("doc_id_a"), col("p.b").as("doc_id_b"), col("hamming"))
+  }
+
   /** Connected components over an undirected edge list by iterative
     * min-label propagation: every node starts labeled with its own id;
     * each round a node takes the minimum label among itself and its

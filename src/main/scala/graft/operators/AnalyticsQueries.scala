@@ -420,6 +420,70 @@ object AnalyticsQueries {
              |        LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
              |      FROM events)""".stripMargin)),
 
+    // Salt-and-merge sessionization — the HOT-KEY-SAFE twin of
+    // events_sessionize, and the "upstream mitigation" that query's
+    // SkewStress scaladoc could previously only document (VERDICT r13 task
+    // #4). The plain form's per-user window is semantically indivisible:
+    // one bot user owning 30% of a 100 TB event log becomes one
+    // partition-sized sort task. Here the salt is the TIME AXIS itself —
+    // each user's stream splits at fixed 6-hour blocks (blk =
+    // epoch_ms div 21 600 000, monotone in ts, so block order IS event
+    // order), sessions are counted per (user, block), and block-boundary
+    // sessions merge in a second pass whose state is one summary row per
+    // (user, block) — bounded by the calendar (≤ 4·days rows per user),
+    // never by key mass. Decomposition: session_seq = starts in EARLIER
+    // blocks (prefix sum over the per-user block summaries) + starts in
+    // the current block up to the current row; a block's first event
+    // starts a session iff the gap from the PREVIOUS block's last event
+    // exceeds 30 min (lag over existing blocks bridges empty ones), which
+    // is exactly the plain form's prev-event test since max(ms) of the
+    // previous non-empty block is that event stream's immediate
+    // predecessor. Every exchange and window keys on (user_id, blk)
+    // except the calendar-bounded block-summary window — measured flat at
+    // a 30% hot user (straggler ~1×) where the plain form is the
+    // documented straggler. Output is bit-identical to events_sessionize
+    // (same oracle SQL; equality also CI-pinned by
+    // EventTimeBoundarySpec on boundary-tie fixtures).
+    QueryDef(
+      "events_sessionize_salted",
+      (s, d) => {
+        val wBlk = Window.partitionBy("user_id", "blk").orderBy("ts", "event_id")
+        val run = wBlk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val withIn = t(s, d, "events")
+          .withColumn("ms", unix_millis(col("ts").cast("timestamp")))
+          .withColumn("blk", expr("unix_millis(CAST(ts AS TIMESTAMP)) div 21600000"))
+          .withColumn("prev_ms", lag(col("ms"), 1).over(wBlk))
+          .withColumn("inner_new",
+            when(col("prev_ms").isNotNull && col("ms") - col("prev_ms") > 1800000L, 1L)
+              .otherwise(0L))
+        val wBlocks = Window.partitionBy("user_id").orderBy("blk")
+        val blocks = withIn.groupBy("user_id", "blk")
+          .agg(min("ms").as("first_ms"), max("ms").as("last_ms"),
+            sum("inner_new").as("inner_starts"))
+        val prevLast = lag(col("last_ms"), 1).over(wBlocks)
+        val blk2 = blocks
+          .withColumn("first_new",
+            when(prevLast.isNull || col("first_ms") - prevLast > 1800000L, 1L)
+              .otherwise(0L))
+          .withColumn("offset", coalesce(
+            sum(col("inner_starts") + col("first_new"))
+              .over(wBlocks.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("user_id", "blk", "first_new", "offset")
+        withIn.join(blk2, Seq("user_id", "blk"))
+          .withColumn("start_flag",
+            when(col("prev_ms").isNull, col("first_new")).otherwise(col("inner_new")))
+          .select(col("user_id"), col("event_id"),
+            (col("offset") + sum(col("start_flag")).over(run)).as("session_seq"))
+      },
+      Some("""SELECT user_id, event_id,
+             |  CAST(SUM(CASE WHEN prev_ts IS NULL
+             |           OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000 THEN 1 ELSE 0 END)
+             |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+             |FROM (SELECT user_id, event_id, ts,
+             |        LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+             |      FROM events)""".stripMargin)),
+
     // The ranking-function family over one deterministic total order
     // (unique tiebreak keys keep ties — and therefore rank/ntile output —
     // engine-independent).
@@ -2695,8 +2759,16 @@ object AnalyticsQueries {
     // Everything is integer: the exactness boolean is the contract that
     // the estimator arithmetic is right, not approximately right. The
     // histogram is one map-side-combinable aggregate; the top-100 is
-    // TakeOrdered (never a global sort); the "actual" leg counts the real
-    // self-join at sf scale to keep the oracle honest.
+    // TakeOrdered (never a global sort). The "actual" audit leg counts
+    // the self-join WITHOUT materializing it: each probe row joins the
+    // histogram and contributes its partner count c(u), so
+    // sum(c) = Σ c_u² = |A ⋈ A| exactly — a row-linear plan through a
+    // different operator path (raw-row ⋈ aggregate, then a sum) than the
+    // estimator's c·c. The r14 SkewStress gate caught the original
+    // materializing form (events ⋈ events, then count) as this round's
+    // one quadratic: at a 30% hot user the hot key alone expands to
+    // 0.09·|events|² rows — 0.44 s → 6.77 s at sf0.1, and a cluster
+    // killer at 100 TB — for a count that never needed the rows.
     QueryDef(
       "selfjoin_size_estimate",
       (s, d) => {
@@ -2707,7 +2779,7 @@ object AnalyticsQueries {
         val top = hist.orderBy(col("c").desc, col("user_id")).limit(100)
           .agg(sum(col("c") * col("c")).as("est_top100"))
         val ev = t(s, d, "events").select(col("user_id"))
-        val actual = ev.join(ev, "user_id").agg(count(lit(1)).as("actual_rows"))
+        val actual = ev.join(hist, "user_id").agg(sum(col("c")).as("actual_rows"))
         est.crossJoin(top).crossJoin(actual)
           .withColumn("estimate_exact", col("est_full") === col("actual_rows"))
       },
@@ -2722,8 +2794,8 @@ object AnalyticsQueries {
              |  SELECT CAST(sum(c * c) AS BIGINT) AS est_top100
              |  FROM (SELECT c FROM hist ORDER BY c DESC, user_id LIMIT 100)),
              |actual AS (
-             |  SELECT CAST(count(*) AS BIGINT) AS actual_rows
-             |  FROM events a JOIN events b USING (user_id))
+             |  SELECT CAST(sum(c) AS BIGINT) AS actual_rows
+             |  FROM events a JOIN hist USING (user_id))
              |SELECT n_keys, est_full, est_top100, actual_rows,
              |  est_full = actual_rows AS estimate_exact
              |FROM est CROSS JOIN top CROSS JOIN actual""".stripMargin)),

@@ -684,47 +684,17 @@ object DedupQueries {
     QueryDef(
       "dedup_simhash_hamming",
       (s, d) => {
-        val fp = Dedup.simhash(t(s, d, "documents"), "doc_id", "text")
-        val groups = fp.groupBy("simhash")
-          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
         // multi-index over DISTINCT fingerprints, id lists riding along:
-        // `groups` is consumed exactly ONCE — a separate radius-0 leg or
-        // id join-back would re-plan the scan+kernel+aggregate subtree
-        // (column pruning rewrites the aggregate per consumer, so no
-        // exchange is shareable; measured as a 2nd full kernel pass)
-        val blockPairs = for { i <- 0 until 5; j <- (i + 1) until 5 } yield (i, j)
-        val bands = groups.select(col("simhash"), col("ids"),
-          explode(array(blockPairs.map { case (i, j) => struct(
-            lit(i * 5 + j).as("band"),
-            (shiftright(col("simhash"), 12 * i).bitwiseAND(lit(0xfffL)) * lit(4096L) +
-              shiftright(col("simhash"), 12 * j).bitwiseAND(lit(0xfffL))).as("bits")) }: _*)).as("b"))
-          .select(col("simhash"), col("ids"), col("b.band").as("band"), col("b.bits").as("bits"))
-        // fa <= fb: every group also meets ITSELF on all 10 keys — the
-        // identity rows are the radius-0 (identical-fingerprint) pairs.
-        // hamming filters BEFORE the distinct, so the collapse exchange
-        // carries only verified fp pairs (answer-sized, never candidates)
-        val fpPairs = bands.select(col("simhash").as("fa"), col("ids").as("ids_a"),
-            col("band"), col("bits"))
-          .join(bands.select(col("simhash").as("fb"), col("ids").as("ids_b"),
-            col("band"), col("bits")), Seq("band", "bits"))
-          .filter(col("fa") <= col("fb"))
-          .withColumn("hamming", expr("bit_count(fa ^ fb)").cast("long"))
-          .filter(col("hamming") <= 3)
-          // collapse multi-key hits; ids are functionally determined by
-          // the fp key, so first() is value-deterministic here
-          .groupBy("fa", "fb", "hamming")
-          .agg(first(col("ids_a")).as("ids_a"), first(col("ids_b")).as("ids_b"))
-        // expand to doc pairs: within-group (i < j over the sorted list)
-        // for identity rows, full cross oriented by id otherwise — both
-        // output-proportional (the answer itself is Σ C(|cluster|,2))
-        fpPairs.select(explode(when(col("fa") === col("fb"),
-            flatten(transform(col("ids_a"), (x, i) =>
-              transform(slice(col("ids_a"), i + lit(2), size(col("ids_a"))),
-                y => struct(x.as("a"), y.as("b"))))))
-          .otherwise(flatten(transform(col("ids_a"), x =>
-            transform(col("ids_b"), y => struct(least(x, y).as("a"),
-              greatest(x, y).as("b"))))))).as("p"), col("hamming"))
-          .select(col("p.a").as("doc_id_a"), col("p.b").as("doc_id_b"), col("hamming"))
+        // the group aggregate is consumed exactly ONCE — a separate
+        // radius-0 leg or id join-back would re-plan the
+        // scan+kernel+aggregate subtree (column pruning rewrites the
+        // aggregate per consumer, so no exchange is shareable; measured
+        // as a 2nd full kernel pass). Plan pieces live in Dedup so
+        // SimhashContractSpec can pin the band-stream cardinality
+        // (C(5,2)=10 rows per DISTINCT fp) and the output-proportional
+        // pair expansion — the two r13 saturation fixes — in CI.
+        val fp = Dedup.simhash(t(s, d, "documents"), "doc_id", "text")
+        Dedup.simhashHammingPairs(Dedup.simhashGroups(fp))
       },
       Some {
         val fpSql = simhashOracleSql("SELECT doc_id, CAST(%s AS BIGINT) AS simhash FROM voted")

@@ -34,6 +34,13 @@ class CatalogPropertySpec extends SparkSuite {
     val both = smoked.intersect(exempt)
     assert(both.isEmpty,
       s"queries cannot be both smoked and exempt: ${both.mkString(", ")}")
+    // the skew gate's probe registry must also hold only live catalog
+    // names (a renamed query would otherwise crash the Bench tail)
+    val staleProbes = graft.SkewStress.probes.toSet -- SparkEntry.all.map(_.name).toSet
+    assert(staleProbes.isEmpty,
+      s"SkewStress probes naming no live catalog query: ${staleProbes.mkString(", ")}")
+    assert(graft.SkewStress.probes.distinct.size == graft.SkewStress.probes.size,
+      "duplicate SkewStress probes would double-run and double-report")
   }
 
   /** Write a one-table lake under a temp dir and return the dir. */

@@ -165,4 +165,65 @@ class EventTimeBoundarySpec extends SparkSuite {
     val u9 = got.filter(_._1 == 901L).map(_._2)
     assert(u9 === Set(903L, 904L, 905L), s"u9 touches: $u9")
   }
+
+  // ---- events_sessionize_salted: the r14 salt-and-merge rewrite must be
+  // bit-identical to the plain per-user window, most of all AT the 6-hour
+  // salt-block edges its decomposition introduces (a gap bridging a block
+  // boundary, a gap of exactly 30 min across one, sessions spanning
+  // EMPTY blocks, same-instant ties at a boundary) — and on a randomized
+  // stream where every such collision happens by volume.
+
+  private val blockMs = 21600000L // 6h, the query's salt width
+  private def atMs(ms: Long): LocalDateTime =
+    LocalDateTime.of(1970, 1, 1, 0, 0).plusNanos(ms * 1000000L)
+
+  private lazy val saltDir: String = {
+    val gap = 1800000L // the 30-min threshold (strictly-greater starts a session)
+    val crafted: Seq[(Long, LocalDateTime, Long, String)] = Seq(
+      // uA: one 26-hour session crossing 4 block edges (10-min steps)
+      (1 to 156).map(i => (1000L + i, atMs(4 * blockMs + i * 600000L), 21L, "view")),
+      // uB: gap of EXACTLY 30 min across a block edge (same session),
+      // then 30 min + 1 ms across the next edge (new session)
+      Seq((2001L, atMs(blockMs - 1000L), 22L, "view"),
+          (2002L, atMs(blockMs - 1000L + gap), 22L, "view"),
+          (2003L, atMs(2 * blockMs - 1000L), 22L, "view"),
+          (2004L, atMs(2 * blockMs - 1000L + gap + 1L), 22L, "view")),
+      // uC: empty blocks between events; same-instant tie AT an edge
+      Seq((3001L, atMs(500L), 23L, "view"),
+          (3002L, atMs(4 * blockMs), 23L, "view"),
+          (3003L, atMs(4 * blockMs), 23L, "purchase"),
+          (3004L, atMs(9 * blockMs + 42L), 23L, "view")),
+      // uD: single event
+      Seq((4001L, atMs(7 * blockMs + 7L), 24L, "view"))
+    ).flatten
+    val rnd = new scala.util.Random(20260816L)
+    // randomized stream: 400 events, 8 users, 3 days — ties and 30-min
+    // straddles occur by volume (ts quantized to 10 min so exact-gap and
+    // same-instant collisions are common)
+    val fuzz = (1 to 400).map { i =>
+      (9000L + i, atMs(rnd.nextInt(432) * 600000L), 30L + rnd.nextInt(8), "view")
+    }
+    val d = java.nio.file.Files.createTempDirectory("graft-salt").toString
+    (crafted ++ fuzz).toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("salt-and-merge sessionize equals the per-user window at salt-block edges") {
+    val key = (df: DataFrame) => df
+      .select("user_id", "event_id", "session_seq")
+      .as[(Long, Long, Long)].collect().toSet
+    val got = key(graft.SparkEntry.queries("events_sessionize_salted")(spark, saltDir))
+    val want = key(graft.SparkEntry.queries("events_sessionize")(spark, saltDir))
+    assert(got === want, s"missing=${(want -- got).take(10)} phantom=${(got -- want).take(10)}")
+    // the crafted cases resolve as designed: uA is one session, uB's
+    // exact-30-min boundary gap merges while +1ms splits, uC bridges
+    // empty blocks into new sessions
+    val byUser = want.groupBy(_._1)
+    assert(byUser(21L).map(_._3) === Set(1L), "uA must be one session")
+    assert(byUser(22L).toSeq.sortBy(_._2).map(_._3) === Seq(1L, 1L, 2L, 3L), "uB boundary gaps")
+    assert(byUser(23L).toSeq.sortBy(_._2).map(_._3) === Seq(1L, 2L, 2L, 3L), "uC empty blocks + tie")
+    assert(byUser(24L).map(_._3) === Set(1L), "uD singleton")
+  }
 }
