@@ -38,6 +38,11 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000)
       .groupBy("l_returnflag").count().collect()
     val fns = SparkEntry.queries
+    // Materialize.force executes each query's OWN plan (r14: the old
+    // .count() materializer planned a derived aggregate whose optimization
+    // pruned pure-window plans down to an empty-schema scan and dropped
+    // final sorts — the window family was never being measured; see
+    // Materialize's scaladoc).
     // best-of-3: the first execution of each distinct plan pays 0.3-2s of
     // Janino codegen compilation plus JIT warm-up that a second run only
     // partially absorbs (measured: several queries need 3 executions to
@@ -59,7 +64,7 @@ object Bench {
         val s0 = meter.snapshot(spark.sparkContext)
         val t0 = System.nanoTime()
         try {
-          fns(name)(spark, sfDir).count()
+          Materialize.force(fns(name)(spark, sfDir))
           val sec = (System.nanoTime() - t0) / 1e9
           shuffleMb(name) = (meter.snapshot(spark.sparkContext) - s0) / 1e6
           sec

@@ -509,17 +509,16 @@ object ScaleSmoke {
           val s0 = meter.map(_.snapshot(spark.sparkContext))
           val t0 = System.nanoTime()
           try {
-            // groupBy().count() IS what Dataset.count() executes — but
-            // keeping the counted Dataset gives the audit the plan that
-            // actually RAN. df.count() executes a derived plan and leaves
-            // df's own AdaptiveSparkPlan unexecuted, so auditing
-            // df.queryExecution.executedPlan walks the INITIAL
-            // static-estimate plan — where under-estimated broadcasts
-            // appear that AQE's runtime re-plan then replaces (r13: 17
-            // phantom bench hits, every one clean under an executed-plan
-            // sweep).
-            val df = fn(spark, dir).groupBy().count()
-            df.collect()
+            // Materialize.force executes df's OWN plan (r14: the previous
+            // groupBy().count() materializer let Catalyst prune pure-window
+            // plans to an empty-schema scan and drop final sorts — see
+            // Materialize's scaladoc) and leaves df's AdaptiveSparkPlan
+            // finalized, so the audit walks the plan that actually RAN
+            // (the r13 phantom-hit lesson: an unexecuted df's
+            // executedPlan is the INITIAL static-estimate plan, where
+            // under-estimated broadcasts appear that AQE then replaces).
+            val df = fn(spark, dir)
+            Materialize.force(df)
             val sec = (System.nanoTime() - t0) / 1e9
             if (measured) {
               for (m <- meter; b0 <- s0)

@@ -250,7 +250,10 @@ object SkewStress {
             meter.reset()
             val t0 = System.nanoTime()
             val sec =
-              try { fn(spark, dir).groupBy().count().collect(); (System.nanoTime() - t0) / 1e9 }
+              // Materialize.force: the query's OWN plan, full output — a
+              // derived count would prune the very windows the per-key
+              // probes exist to stress (see Materialize's scaladoc)
+              try { Materialize.force(fn(spark, dir)); (System.nanoTime() - t0) / 1e9 }
               catch { case e: Throwable =>
                 System.err.println(s"[skew] $n @$dir failed: ${e.getMessage}")
                 -1.0

@@ -30,10 +30,11 @@ object SmokeOne {
         val ts = (1 to 2).map { _ =>
           val b0 = meter.snapshot(spark.sparkContext)
           val t0 = System.nanoTime()
-          // audit the counted plan that actually RAN (see ScaleSmoke.run:
-          // df.count() leaves df's own AdaptiveSparkPlan at its initial
-          // static-estimate state)
-          val df = fn(spark, d).groupBy().count(); df.collect()
+          // Materialize.force executes df's OWN plan fully (no derived
+          // count that would prune windows/sorts — see Materialize) and
+          // finalizes its AdaptiveSparkPlan, so the audit below walks the
+          // plan that actually RAN
+          val df = fn(spark, d); Materialize.force(df)
           val sec = (System.nanoTime() - t0) / 1e9
           mb = (meter.snapshot(spark.sparkContext) - b0) / 1e6
           // same FINAL-adaptive-plan cliff sweep the bench smoke emits —

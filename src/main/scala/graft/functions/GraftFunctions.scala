@@ -61,12 +61,27 @@ object GraftFunctions {
           s"bloom_might_contain_long(filter, value) takes 2 arguments, got ${other.size}")
       },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "md5_permille",
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(id, salt) => Md5Permille(id,
+          stringLiteral(salt, "md5_permille(id, salt)"))
+        case other => throw new IllegalArgumentException(
+          s"md5_permille(id, salt) takes 2 arguments, got ${other.size}")
+      },
+      "built-in")
   }
 
   private def intLiteral(e: Expression, ctx: String): Int = e match {
     case Literal(v: Int, _) => v
     case other if other.foldable => other.eval().asInstanceOf[Number].intValue()
     case _ => throw new IllegalArgumentException(s"$ctx: n must be a literal")
+  }
+
+  private def stringLiteral(e: Expression, ctx: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+    case other if other.foldable => other.eval().toString
+    case _ => throw new IllegalArgumentException(s"$ctx: salt must be a literal")
   }
 
   /** Column-API wrapper; auto-registers in the active session. */
@@ -100,5 +115,11 @@ object GraftFunctions {
   def bloomMightContainLong(filterBytes: Array[Byte], v: Column): Column = {
     register(SparkSession.active)
     call_function("bloom_might_contain_long", lit(filterBytes), v)
+  }
+
+  /** Column-API wrapper; auto-registers in the active session. */
+  def md5Permille(id: Column, salt: String): Column = {
+    register(SparkSession.active)
+    call_function("md5_permille", id, lit(salt))
   }
 }

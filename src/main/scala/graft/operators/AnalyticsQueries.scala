@@ -2806,17 +2806,40 @@ object AnalyticsQueries {
     // at very different percentiles). percent_rank's (rank−1)/(n−1) is a
     // ratio of exact integers, so the normalized value is one identical
     // IEEE division on both engines; ties share a rank by definition.
-    // Scale: the window shuffles once on lang and sorts within partition;
-    // a 100 TB single-language corpus upgrades to a range-partitioned
-    // two-pass rank (sort by value, offset by per-range counts) — same
-    // output contract.
+    //
+    // Scale (r14): lang is the one NATIVELY hot key in every lake — en is
+    // 41% of this corpus and ~half of any real crawl — so the naive
+    // per-lang window (one sort task holding the whole English corpus)
+    // is the events_sessionize collapse with no salt lever. But unlike a
+    // session chain, percent_rank is a pure function of the per-language
+    // VALUE HISTOGRAM: rank(v) = 1 + Σ_{v'<v} cnt(v'), n = Σ cnt, ties
+    // share the first row's rank by definition. So the plan is the
+    // weighted_median_price decomposition — collapse to one row per
+    // (lang, n_chars) map-side FIRST, run the rank window over the
+    // DISTINCT length domain (≤ a few thousand rows per language at ANY
+    // corpus size), and hash-join the histogram back on (lang, n_chars),
+    // an exchange the hot language spreads across its whole value
+    // domain. No row-proportional per-key sort anywhere; identical
+    // output (pr is functionally determined by (lang, n_chars)), oracle
+    // untouched. This lands the upgrade the r13 scaladoc only promised
+    // ("a 100 TB single-language corpus upgrades to a two-pass rank").
     QueryDef(
       "quality_percentile_norm",
       (s, d) => {
-        val w = Window.partitionBy("lang").orderBy("n_chars")
+        val wCum = Window.partitionBy("lang").orderBy("n_chars")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wLang = Window.partitionBy("lang")
+        val hist = t(s, d, "documents")
+          .groupBy("lang", "n_chars").agg(count(lit(1)).as("cnt"))
+          .withColumn("smaller", coalesce(sum("cnt").over(wCum), lit(0L)))
+          .withColumn("n", sum("cnt").over(wLang))
+          .select(col("lang"), col("n_chars"),
+            when(col("n") === 1, lit(0.0))
+              .otherwise(col("smaller").cast("double") /
+                (col("n") - 1).cast("double")).as("pr"))
         t(s, d, "documents")
           .select(col("doc_id"), col("lang"), col("n_chars"))
-          .withColumn("pr", percent_rank().over(w))
+          .join(hist, Seq("lang", "n_chars"))
       },
       Some("""SELECT doc_id, lang, n_chars,
              |  percent_rank() OVER (PARTITION BY lang ORDER BY n_chars) AS pr

@@ -29,9 +29,18 @@ object PipelineQueries {
   /** Uniform hash in [0, 1e6) from a salted md5 of the id — deterministic,
     * engine-portable, independent across salts (a "seed" is a new salt).
     */
+  /** Salted md5-permille — the deterministic split/sample/permutation
+    * primitive, mirrored in DuckDB by [[hashSqlExpr]]. Since r14 the Spark
+    * side rides the [[graft.functions.Md5Permille]] codegen kernel:
+    * arithmetic-identical to the old
+    * `conv(substring(md5(concat(salt, id)),1,15),16,10) % 1e6` Column
+    * formula (equality CI-pinned in FunctionsSpec), but without the
+    * per-row MessageDigest allocation and hex-string → conv re-parse that
+    * made the 64-rep permutation kernels the honest bench's top cost
+    * (bh_fdr_control 35 s → ~8 s at sf0.1).
+    */
   private[operators] def hashPermille(id: Column, salt: String): Column =
-    conv(substring(md5(concat(lit(salt + ":"), id.cast("string"))), 1, 15), 16, 10)
-      .cast("long") % 1000000L
+    graft.functions.GraftFunctions.md5Permille(id.cast("string"), salt)
 
   private[operators] def hashSqlExpr(idSql: String, salt: String): String =
     s"CAST(('0x' || substr(md5('$salt:' || CAST($idSql AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000"

@@ -41,9 +41,18 @@ object StatQueries {
     // tied value v (count m, c_lt smaller rows) contribute
     // v·(m·c_lt + m(m+1)/2) exactly, so the only ordered window runs
     // over distinct cent values (≪ rows; at 100 TB upgrade to a
-    // range-partitioned two-pass cumulative count, same contract — and
-    // route rs/tot through DECIMAL(38,0): the BIGINT rank-sum holds to
-    // ~10⁵ customers × 10⁹ cents).
+    // range-partitioned two-pass cumulative count, same contract). The
+    // rank-sum AND the final n·tot / (n+1)·tot products ride
+    // DECIMAL(38,0): in BIGINT they hold only to ~10⁵ customers × 10⁹
+    // cents, and the r14 honest-materializer 100× sweep (1.5M
+    // customers, n·tot ≈ 3.4e19 > 2⁶³) hit the ANSI long-overflow the
+    // old count()-pruned sweeps never executed. Per-row factors stay
+    // integer (m·c_lt ≤ n·m fits to ~10⁹ customers); only the
+    // cent-weighted accumulation and the scalar products widen. Outputs
+    // are unchanged — the
+    // final division consumes the same exact integers on both engines
+    // (DuckDB's BIGINT sum already promotes to HUGEINT; the explicit
+    // DECIMAL cast mirrors the widening so both sides stay bit-exact).
     QueryDef(
       "gini_revenue_concentration",
       (s, d) => {
@@ -58,13 +67,16 @@ object StatQueries {
           .agg(
             sum(col("m")).as("n"),
             sum(col("cent_bin") * col("m")).as("tot"),
-            sum(col("cent_bin") * (col("m") * col("c_lt") + expr("m * (m + 1) div 2")))
+            sum(col("cent_bin").cast(DecimalType(38, 0)) *
+                (col("m") * col("c_lt") + expr("m * (m + 1) div 2")))
               .as("rs"))
           .select(
             col("n").as("n_customers"),
             col("tot").as("total_cents"),
-            round((lit(2L) * col("rs") - (col("n") + lit(1L)) * col("tot")).cast("double") /
-              (col("n") * col("tot")).cast("double") * lit(1e9))
+            round((lit(2L) * col("rs") -
+                (col("n") + lit(1L)).cast(DecimalType(38, 0)) * col("tot"))
+                .cast("double") /
+              (col("n").cast(DecimalType(38, 0)) * col("tot")).cast("double") * lit(1e9))
               .cast("long").as("gini_nano"))
       },
       Some("""WITH cents AS (
@@ -79,11 +91,12 @@ object StatQueries {
              |agg AS (
              |  SELECT CAST(sum(m) AS BIGINT) AS n,
              |    CAST(sum(cents * m) AS BIGINT) AS tot,
-             |    CAST(sum(cents * (m * c_lt + (m * (m + 1)) // 2)) AS BIGINT) AS rs
+             |    CAST(sum(CAST(cents AS DECIMAL(38,0)) * (m * c_lt + (m * (m + 1)) // 2))
+             |      AS DECIMAL(38,0)) AS rs
              |  FROM cum)
              |SELECT n AS n_customers, tot AS total_cents,
-             |  CAST(round(CAST(2 * rs - (n + 1) * tot AS DOUBLE)
-             |    / CAST(n * tot AS DOUBLE) * 1e9) AS BIGINT) AS gini_nano
+             |  CAST(round(CAST(2 * rs - CAST(n + 1 AS DECIMAL(38,0)) * tot AS DOUBLE)
+             |    / CAST(CAST(n AS DECIMAL(38,0)) * tot AS DOUBLE) * 1e9) AS BIGINT) AS gini_nano
              |FROM agg""".stripMargin)),
 
     // Chi-square test of independence between the corpus `lang` and
@@ -512,6 +525,9 @@ object StatQueries {
             (col("sa").cast("double") / col("na").cast("double") -
               col("sb").cast("double") / col("nb").cast("double")).as("obs_diff"))
         val reps = base
+          // same pre-fanout repartition as bh_fdr_control: the 64-rep md5
+          // kernel must not inherit the lake's 1-2 input splits
+          .repartition(col("event_id"))
           .select(col("event_id"), col("cents"),
             explode(expr("sequence(0, 63)")).as("r"))
           .crossJoin(broadcast(obs.select(col("na").as("na_o"), col("nb").as("nb_o"))))
@@ -1729,18 +1745,60 @@ object StatQueries {
         val obs = types.select(col("event_type"), col("na"),
           meanDiff(col("sa"), col("na")).as("obs_diff"))
         val reps = base
+          // spread the 64-rep md5 permutation kernel across all cores
+          // BEFORE the fanout: the sf-scale lake is 1-2 parquet splits,
+          // and without an exchange the multi-M-hash compute inherits
+          // that parallelism (honest-materializer finding, r14; same
+          // discipline as Dedup.simhash/minhash). Repartitioning the
+          // PRE-explode rows keeps the exchange 64× smaller than the
+          // stream it parallelizes.
+          .repartition(col("event_id"))
           .select(col("event_id"), col("cents"),
             explode(expr("sequence(0, 63)")).as("r"))
-          .join(types.select(col("event_type").as("tt"), col("na").as("na_t"),
-            col("nn")))
-          .withColumn("flip",
-            PipelineQueries.hashPermille(concat(col("event_id").cast("string"),
-              lit("#"), col("r").cast("string"), lit("#"), col("tt")), "bh") <
-              expr("na_t * 1000000 div nn"))
-          .groupBy("tt", "r").agg(
-            sum(when(col("flip"), col("cents"))).as("sa_r"),
-            count(when(col("flip"), 1)).as("na_r"))
-        val stats = reps.join(broadcast(grand))
+          // ONE base hash per (event, rep); each type's permutation is
+          // the derived stream (b + c_t) mod 1e6 — marginally uniform per
+          // type (a constant shift permutes the uniform b), so every
+          // type's permutation test is valid; the cross-type draws are
+          // correlated, which BH tolerates (PRDS) and which buys 5× fewer
+          // md5 calls — the r14 honest sweep put the per-(event,rep,type)
+          // form at the top of the whole bench (32M hashes, 22 s at
+          // sf0.1 even on the codegen kernel).
+          .withColumn("b", PipelineQueries.hashPermille(
+            concat(col("event_id").cast("string"), lit("#"),
+              col("r").cast("string")), "bh"))
+        // The type dimension is a bounded ENUM (the event-type domain),
+        // so it compiles into the aggregate instead of fanning rows out:
+        // a broadcast-join-with-types materializes |rows|·|types| joined
+        // rows (320M at 10× — the honest bench's top cost even after the
+        // kernel hash), where one pass with |types| conditional
+        // sum/count pairs touches each (event, rep) row exactly once.
+        // The enum collect is the house bounded-lookup class (like the
+        // 1-row bound lookups and the eval-ngram cache — bounded by the
+        // domain, never by data volume); c_t replays the kernel's own
+        // arithmetic driver-side so the compiled constants are the same
+        // values the oracle computes in SQL.
+        val typeRows = types
+          .select(col("event_type"), col("na"), col("nn")).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .sortBy(_._1)
+        val flips = typeRows.map { case (tname, naT, nn) =>
+          val cT = graft.functions.Md5PermilleUtil.permille(
+            "bhT:".getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            org.apache.spark.unsafe.types.UTF8String.fromString(tname))
+          tname -> ((col("b") + lit(cT)) % 1000000L < lit(naT * 1000000L / nn))
+        }
+        val aggExprs = flips.zipWithIndex.flatMap { case ((_, flip), i) =>
+          Seq(sum(when(flip, col("cents"))).as(s"sa_$i"),
+            count(when(flip, 1)).as(s"na_$i"))
+        }
+        val perRep = reps.groupBy("r").agg(aggExprs.head, aggExprs.tail: _*)
+        val repsByType = perRep.select(explode(array(
+          flips.zipWithIndex.map { case ((tname, _), i) => struct(
+            lit(tname).as("tt"), col(s"sa_$i").as("sa_r"),
+            col(s"na_$i").as("na_r")) }: _*)).as("s"))
+          .select(col("s.tt").as("tt"), col("s.sa_r").as("sa_r"),
+            col("s.na_r").as("na_r"))
+        val stats = repsByType.join(broadcast(grand))
           .select(col("tt").as("event_type"),
             meanDiff(col("sa_r"), col("na_r")).as("stat"))
         val ks = stats.join(obs, Seq("event_type"))
@@ -1777,20 +1835,23 @@ object StatQueries {
              |    abs(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
              |      - CAST(ss - sa AS DOUBLE) / CAST(nn - na AS DOUBLE)) AS obs_diff
              |  FROM tot CROSS JOIN grand),
+             |hashed AS (
+             |  SELECT b.cents, g.r,
+             |    (${PipelineQueries.hashSqlExpr(
+                    "CAST(b.event_id AS VARCHAR) || '#' || CAST(g.r AS VARCHAR)",
+                    "bh")}) AS bh
+             |  FROM base b CROSS JOIN (SELECT unnest(range(0, 64)) AS r) g),
              |reps AS (
-             |  SELECT t.event_type AS tt, g.r,
-             |    CAST(sum(CASE WHEN
-             |      (${PipelineQueries.hashSqlExpr(
-                      "CAST(b.event_id AS VARCHAR) || '#' || CAST(g.r AS VARCHAR) || '#' || t.event_type",
-                      "bh")}) < t.na * 1000000 // nn
-             |      THEN b.cents END) AS BIGINT) AS sa_r,
-             |    CAST(count(CASE WHEN
-             |      (${PipelineQueries.hashSqlExpr(
-                      "CAST(b.event_id AS VARCHAR) || '#' || CAST(g.r AS VARCHAR) || '#' || t.event_type",
-                      "bh")}) < t.na * 1000000 // nn
+             |  SELECT t.event_type AS tt, h.r,
+             |    CAST(sum(CASE WHEN (h.bh +
+             |      (${PipelineQueries.hashSqlExpr("t.event_type", "bhT")}))
+             |      % 1000000 < t.na * 1000000 // nn
+             |      THEN h.cents END) AS BIGINT) AS sa_r,
+             |    CAST(count(CASE WHEN (h.bh +
+             |      (${PipelineQueries.hashSqlExpr("t.event_type", "bhT")}))
+             |      % 1000000 < t.na * 1000000 // nn
              |      THEN 1 END) AS BIGINT) AS na_r
-             |  FROM base b
-             |  CROSS JOIN (SELECT unnest(range(0, 64)) AS r) g
+             |  FROM hashed h
              |  CROSS JOIN tot t CROSS JOIN grand
              |  GROUP BY 1, 2),
              |ks AS (

@@ -142,6 +142,34 @@ class FunctionsSpec extends SparkSuite {
     }
   }
 
+  test("md5_permille == conv/substring/md5 Column formulation on random strings") {
+    val idGen = Gen.oneOf(Gen.alphaNumStr.map(_.take(24)), Gen.const(""),
+      Gen.const("é漢#42"), Gen.choose(Long.MinValue, Long.MaxValue).map(_.toString))
+    val ids = (1 to 300).flatMap(i => idGen(Gen.Parameters.default, Seed(900 + i.toLong))) ++
+      Seq("", "0", "1#2#view", "424242424242#63#purchase")
+    val df = ids.toDF("id")
+    for (salt <- Seq("bh", "perm", "split", "x")) {
+      val legacy = conv(substring(md5(concat(lit(salt + ":"), col("id"))), 1, 15), 16, 10)
+        .cast("long") % 1000000L
+      val diff = df.select(
+        GraftFunctions.md5Permille(col("id"), salt).as("kernel"),
+        legacy.as("sql"))
+        .filter(not(col("kernel") <=> col("sql")))
+      assert(diff.count() == 0, s"salt=$salt: kernel diverges from the Column " +
+        s"formula; e.g. ${diff.limit(1).collect().mkString}")
+    }
+  }
+
+  test("md5_permille survives the interpreted (non-codegen) path") {
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+        "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val out = Seq("a", "b").toDF("id")
+        .select(GraftFunctions.md5Permille(col("id"), "t").as("h"))
+        .collect().map(_.getLong(0))
+      assert(out.forall(v => v >= 0 && v < 1000000L))
+    }
+  }
+
   test("minhash_signature survives the interpreted (non-codegen) path") {
     withSQLConf("spark.sql.codegen.wholeStage" -> "false",
         "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
