@@ -4,8 +4,11 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and
   * prints one JSON line {"metric":…,"value":…,"queries":{…},"sf":…}.
-  * Each query is fully materialized via count() (forces every operator,
-  * keeps the measured plan identical to the verify path).
+  * Each query is fully materialized via [[Materialize.force]] — the
+  * query's OWN physical plan executed to completion, every output row
+  * and column produced (a derived `count()` would let Catalyst prune
+  * windows/sorts/aggregate values out of the measured plan — the r14
+  * materializer defect; see Materialize's scaladoc).
   */
 object Bench {
   def main(args: Array[String]): Unit = {

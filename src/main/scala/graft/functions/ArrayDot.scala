@@ -41,6 +41,23 @@ object ArrayDotUtil {
   */
 case class ArrayDot(left: Expression, right: Expression) extends BinaryExpression {
 
+  // analysis-time contract (ADVICE r14, applied registry-wide): each side
+  // independently array<float> or array<double> — a TypeCollection under
+  // ExpectsInputTypes can't express the per-side independence, so the
+  // check is explicit
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression): Boolean = e.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"array_dot expects array<float|double> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
   private def elemIsFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
     case ArrayType(DoubleType, _) => false

@@ -1,8 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static kernel for [[Md5Permille]] — public static so generated code can
@@ -60,7 +60,13 @@ object Md5PermilleUtil {
   * The salt is a compile-time constant, so its `salt:` prefix bytes are
   * baked into the expression once, not concatenated per row.
   */
-case class Md5Permille(child: Expression, salt: String) extends UnaryExpression {
+case class Md5Permille(child: Expression, salt: String) extends UnaryExpression
+    with ExpectsInputTypes {
+
+  // analysis-time contract (ADVICE r14): md5_permille is a registered
+  // session SQL function, so a non-string id must fail resolution, not
+  // surface as a runtime ClassCastException / Janino compile error
+  override def inputTypes = Seq(StringType)
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable

@@ -1,9 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static kernel for [[MinhashSignature]] — public static so generated
@@ -75,11 +75,14 @@ object MinhashUtil {
   * so the DuckDB oracles are unchanged.
   */
 case class MinhashSignature(child: Expression, numHashes: Int, n: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
 
   require(numHashes >= 1 && numHashes <= 16,
     "numHashes must be in [1, 16] (h1 + 15·h2 < 2^35 bounds the affine family)")
   require(n >= 1, "shingle size must be >= 1")
+
+  // analysis-time contract (ADVICE r14, applied registry-wide)
+  override def inputTypes = Seq(StringType)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true

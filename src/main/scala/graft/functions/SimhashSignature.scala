@@ -1,8 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static kernel for [[SimhashSignature]] — public static so generated
@@ -74,7 +74,11 @@ object SimhashUtil {
   * banded hamming self-join consumes it directly. Same shape (and
   * measured win) as [[MinhashSignature]].
   */
-case class SimhashSignature(child: Expression) extends UnaryExpression {
+case class SimhashSignature(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+
+  // analysis-time contract (ADVICE r14, applied registry-wide)
+  override def inputTypes = Seq(StringType)
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable

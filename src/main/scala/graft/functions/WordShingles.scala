@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
@@ -52,9 +52,14 @@ object ShingleUtil {
   * whole-stage codegen and allocates one string per shingle.
   */
 case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
 
   require(n >= 1, "shingle size must be >= 1")
+
+  // analysis-time contract (ADVICE r14, applied registry-wide): a
+  // non-string argument to the registered SQL function must fail
+  // resolution, not surface as a runtime ClassCastException
+  override def inputTypes = Seq(StringType)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"

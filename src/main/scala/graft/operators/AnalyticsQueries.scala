@@ -2823,6 +2823,14 @@ object AnalyticsQueries {
     // output (pr is functionally determined by (lang, n_chars)), oracle
     // untouched. This lands the upgrade the r13 scaladoc only promised
     // ("a 100 TB single-language corpus upgrades to a two-pass rank").
+    //
+    // NULL semantics (ADVICE r14): the join-back is NULL-SAFE (<=>), so a
+    // NULL lang or n_chars still matches its histogram group instead of
+    // dropping the row; groupBy already retains NULL groups, Spark's asc
+    // window ordering puts NULLs first, and the oracle pins NULLS FIRST
+    // to match (DuckDB defaults to NULLS LAST) — a NULL-n_chars row then
+    // ranks 0.0 identically on both engines. Pinned on a NULL-bearing
+    // frame by AnalyticsNullSpec.
     QueryDef(
       "quality_percentile_norm",
       (s, d) => {
@@ -2833,16 +2841,18 @@ object AnalyticsQueries {
           .groupBy("lang", "n_chars").agg(count(lit(1)).as("cnt"))
           .withColumn("smaller", coalesce(sum("cnt").over(wCum), lit(0L)))
           .withColumn("n", sum("cnt").over(wLang))
-          .select(col("lang"), col("n_chars"),
+          .select(col("lang").as("h_lang"), col("n_chars").as("h_n_chars"),
             when(col("n") === 1, lit(0.0))
               .otherwise(col("smaller").cast("double") /
                 (col("n") - 1).cast("double")).as("pr"))
-        t(s, d, "documents")
+        val docs = t(s, d, "documents")
           .select(col("doc_id"), col("lang"), col("n_chars"))
-          .join(hist, Seq("lang", "n_chars"))
+        docs.join(hist, docs("lang") <=> hist("h_lang") &&
+            docs("n_chars") <=> hist("h_n_chars"))
+          .select(col("doc_id"), col("lang"), col("n_chars"), col("pr"))
       },
       Some("""SELECT doc_id, lang, n_chars,
-             |  percent_rank() OVER (PARTITION BY lang ORDER BY n_chars) AS pr
+             |  percent_rank() OVER (PARTITION BY lang ORDER BY n_chars NULLS FIRST) AS pr
              |FROM documents""".stripMargin)),
 
     // One k-core peeling round over the co-purchase graph (k=4): drop

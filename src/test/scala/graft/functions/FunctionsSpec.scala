@@ -234,6 +234,24 @@ class FunctionsSpec extends SparkSuite {
     }
   }
 
+  test("registered SQL functions reject wrong input types at analysis time") {
+    // ADVICE r14: misuse of the session-registered functions must fail
+    // resolution (DATATYPE_MISMATCH), not surface as a runtime
+    // ClassCastException or a Janino compile error mid-job
+    GraftFunctions.register(spark)
+    Seq((1L, Array(0.5f, 0.25f))).toDF("n", "vec")
+      .createOrReplaceTempView("typed_probe")
+    for (q <- Seq(
+        "SELECT md5_permille(n, 's') FROM typed_probe",
+        "SELECT word_shingles(n, 3) FROM typed_probe",
+        "SELECT simhash_signature(n) FROM typed_probe",
+        "SELECT minhash_signature(n, 4, 2) FROM typed_probe",
+        "SELECT array_dot(n, vec) FROM typed_probe",
+        "SELECT array_dot(vec, array('a')) FROM typed_probe")) {
+      intercept[org.apache.spark.sql.AnalysisException](spark.sql(q))
+    }
+  }
+
   private def withSQLConf(pairs: (String, String)*)(body: => Unit): Unit = {
     val conf = spark.conf
     val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }
