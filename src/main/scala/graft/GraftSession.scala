@@ -17,7 +17,14 @@ object GraftSession {
     SparkSession.builder()
       .master(s"local[$cores]")
       .appName("graft")
-      .config("spark.sql.shuffle.partitions", cores.toString)
+      // default: one shuffle partition per core (right for the sf0.1
+      // bench lake). SPARK_GRAFT_SHUFFLE_PARTITIONS overrides for
+      // adjudication sweeps on the 100× lakes, where 16 partitions over
+      // ~14 GB force external sort/agg spill that a real cluster (whose
+      // partition count scales with the data) never sees — the
+      // copurchase_pairs time-trend adjudication of VERDICT r14 task #1
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cores.toString))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -18,23 +18,34 @@ import org.apache.spark.sql.functions._
   *
   * As of r14 this is a GRADED gate, not a dev probe: [[graft.Bench]] runs
   * [[run]] over [[probes]] (every catalog query whose plan shuffles,
-  * windows, or joins on one of the four skewed axes) and emits a
+  * windows, or joins on one of the five skewed axes) and emits a
   * `"skew":{...,"stragglers":[...]}` summary into its JSON tail exactly
   * like `scale_audit` — `stragglers: []` is the clean bar, and any plan
   * regression toward the quadratic class re-flags every round instead of
   * waiting for a hand-run sweep. Standalone sweeps:
   *
-  *   runMain graft.SkewStress <sfDir> [hotPermille] [probeCsv|--debinned]
+  *   runMain graft.SkewStress <sfDir> [hotPermille]
+  *     [probeCsv|--debinned|--globalsorted]
   *
   * `--debinned` swaps in a deliberately DE-BINNED attribution join (the
   * exact pre-r13 quadratic shape) as a positive control: the gate must
   * flag it, or the gate is measuring nothing (see PERF_NOTES r14).
+  * `--globalsorted` is the lang-axis positive control (r15): the naive
+  * row-level per-language percentile window — one sort task holding the
+  * hot language's whole corpus — next to quality_percentile_norm's
+  * histogram decomposition of the same semantics, which must read clean
+  * in the same window. documents is ~6 k rows at sf0.1 (the corpus table
+  * is ~100× lighter than the fact tables the other axes stress), so this
+  * control proves against the 10× lake: measured 3.05 s wall at 89%
+  * single-task share → rule-3 flag, while quality_percentile_norm reads
+  * 0.59 s at 12% share in the same window.
   *
   * The skewed lake (built once per (testdata, permille) via AtomicPublish,
   * stamped) collapses `hotPermille`‰ of `events.user_id`,
   * `lineitem.l_suppkey`, `lineitem.l_partkey` and `orders.o_custkey` rows
   * onto one hot key each (EXISTING dimension keys, so FK semantics
-  * survive); all other tables copy through unchanged. Each probe runs
+  * survive) and the same share of `documents` rows onto the corpus's
+  * modal `lang`; all other tables copy through unchanged. Each probe runs
   * paired (base lake, then skewed lake, same contention window — the
   * ratio-adjudication lesson of VERDICT r12 task #1) and records the worst
   * stage's straggler profile: max task ms / median task ms within the
@@ -72,6 +83,13 @@ object SkewStress {
   /** Every bench catalog query whose plan keys on a skewed axis, grouped
     * by the axis and the discipline that must hold it flat. Enforced ⊆
     * catalog by CatalogPropertySpec.
+    *
+    * The `documents.lang` axis (r15, VERDICT r14 task #2) is the one
+    * NATIVELY hot key in every real corpus — `en` is 41% of this one and
+    * ~half of any production crawl — so the text family's hot-lang
+    * disciplines (histogram-decomposed ranks, per-lang aggregates,
+    * WindowGroupLimit'd top-k) are proved here the same way the other
+    * four axes were proved in r14, instead of claimed by construction.
     */
   val probes: Seq[String] = Seq(
     // events.user_id — per-user windows (semantic straggler class: the
@@ -104,6 +122,14 @@ object SkewStress {
     "q13_order_distribution", "q22_dormant_customers", "rfm_segmentation",
     "interval_union_coverage", "gini_revenue_concentration",
     "key_skew_profile",
+    // documents.lang — the natively hot corpus key: decomposed ranks
+    // (histogram join-back), per-lang aggregate-first plans, and
+    // WindowGroupLimit'd per-lang top-k; the straggler shape they must
+    // avoid is one sort task holding the hot language's whole corpus
+    // (the __globalsorted positive control below IS that shape)
+    "quality_percentile_norm", "quality_median_filter",
+    "sample_topk_per_lang", "sample_balance_langs", "oov_rate_per_lang",
+    "quantile_normalize_sources",
     // explicit skew disciplines
     "skew_salted_join", "salt_factor_planner")
 
@@ -139,13 +165,26 @@ object SkewStress {
     *     alone only sees on the 10× lake). Legitimate semantic stragglers
     *     (per-user windows) stay under the 2 s floor at bench scale, and
     *     uniform box drift moves BOTH paired walls, not the ratio.
+    *  3. NATIVE-HOT COLLAPSE (r15): ≥75% of a ≥2 s wall inside ONE task,
+    *     with NO base-ratio guard. Rules 1-2 are pair-DIFFERENTIAL — they
+    *     compare against the base lake — which makes them structurally
+    *     blind to a key that is hot in the base data itself: `en` is 41%
+    *     of the base corpus, so the naive per-lang percentile sort is
+    *     just as collapsed on the base lake and the skew/base ratio never
+    *     moves (measured: the __globalsorted control reads 3.05 s at 89%
+    *     share but only 1.56× its equally-collapsed base). Calibration on
+    *     the r14 probe sweep: the highest legitimate share is 0.64 (at a
+    *     1.55 s wall) and the highest legitimate ≥2 s wall carries 0.49
+    *     share, so 0.75∧2 s clears every clean probe with margin while
+    *     both positive controls (debinned 0.85, globalsorted 0.89) flag.
     */
   def isStraggler(m: SkewMeasure): Boolean = {
     val base = math.max(m.baseS, 0.3)
     val wallBlowup = m.skewS > math.max(4.0, 10.0 * base)
     val hotCollapse = m.skewS >= 2.0 && m.hotTaskShare >= 0.6 &&
       m.skewS > 2.5 * base
-    wallBlowup || hotCollapse
+    val nativeHotCollapse = m.skewS >= 2.0 && m.hotTaskShare >= 0.75
+    wallBlowup || hotCollapse || nativeHotCollapse
   }
 
   /** Per-stage task durations for the straggler profile. */
@@ -179,20 +218,27 @@ object SkewStress {
   private val HotUser = 424242424242L
 
   private def stamp(sfDir: String, hotPermille: Int): String =
-    s"src=$sfDir md5=${AtomicPublish.dirFingerprint(sfDir)} p=$hotPermille gen=2"
+    s"src=$sfDir md5=${AtomicPublish.dirFingerprint(sfDir)} p=$hotPermille gen=3"
 
   /** Materialize the hot-key variant lake once per (testdata content,
     * permille): `hotPermille`‰ of `events` rows collapse onto one user_id,
     * the same share of `lineitem` rows onto one EXISTING l_suppkey and one
-    * EXISTING l_partkey (independent pseudo-random row slices), and of
-    * `orders` rows onto one EXISTING o_custkey; all other tables copy
-    * through unchanged, so FK semantics and dimension joins survive.
+    * EXISTING l_partkey (independent pseudo-random row slices), of
+    * `orders` rows onto one EXISTING o_custkey, and of `documents` rows
+    * onto the corpus's MODAL lang (stacking on its native share — `en` at
+    * 41% reaches ~59% at the default 300‰, past the "half the crawl is
+    * English" bar of VERDICT r14 task #2); all other tables copy through
+    * unchanged, so FK semantics and dimension joins survive.
     * pmod(xxhash64(row identity)) selects deterministic slices; the chosen
     * rows keep their identity columns — only the key under test collapses.
     */
   def ensureSkewed(spark: SparkSession, sfDir: String,
                    hotPermille: Int = HotPermille): String =
-    AtomicPublish.ensure(s"/tmp/graft_skewed_p$hotPermille",
+    // dir keyed by source-lake basename too: a control/adjudication run
+    // against the 10× lake must not clobber the bench's sf0.1 variant
+    // (each would otherwise rebuild over the other via the src= stamp)
+    AtomicPublish.ensure(
+        s"/tmp/graft_skewed_p${hotPermille}_${new java.io.File(sfDir).getName}",
         stamp(sfDir, hotPermille)) { tmp =>
       val hotSupp = spark.read.parquet(s"$sfDir/supplier.parquet")
         .agg(min("s_suppkey")).head().getLong(0)
@@ -200,11 +246,22 @@ object SkewStress {
         .agg(min("p_partkey")).head().getLong(0)
       val hotCust = spark.read.parquet(s"$sfDir/customer.parquet")
         .agg(min("c_custkey")).head().getLong(0)
+      // the modal language (bounded domain — same 1-row lookup class as
+      // the dimension keys above): collapsing onto it STACKS the hot
+      // share on the language's native mass instead of diluting it
+      val hotLang = spark.read.parquet(s"$sfDir/documents.parquet")
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("lang")).head().getString(0)
       Seq("region", "nation", "customer", "supplier", "part",
-          "documents", "embeddings").foreach { t =>
+          "embeddings").foreach { t =>
         spark.read.parquet(s"$sfDir/$t.parquet")
           .write.mode("overwrite").parquet(s"$tmp/$t.parquet")
       }
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .withColumn("lang",
+          when(pmod(xxhash64(col("doc_id"), lit(13L)), lit(1000)) < hotPermille,
+            lit(hotLang)).otherwise(col("lang")))
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
       spark.read.parquet(s"$sfDir/events.parquet")
         .withColumn("user_id",
           when(pmod(xxhash64(col("event_id")), lit(1000)) < hotPermille,
@@ -296,6 +353,27 @@ object SkewStress {
         col("rk").cast("long").as("rk"), col("n"))
   }
 
+  /** The lang-axis positive control (VERDICT r14 task #2): the NAIVE
+    * row-level per-language percentile — percent_rank over every (doc,
+    * token) row, partitioned by lang — exactly the one-sort-task-holds-
+    * the-hot-language collapse that quality_percentile_norm's histogram
+    * decomposition exists to avoid (token granularity, because at sf0.1
+    * the doc-level sort finishes under the gate's 2 s floor; the shape
+    * under test — a row-proportional per-lang sort — is the same). Never
+    * in the catalog; exists so `--globalsorted` can prove the gate flags
+    * the class the lang probes are graded against.
+    */
+  private[graft] def globalSortedPercentile(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = QueryDef.t(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+    val w = Window.partitionBy("lang").orderBy(col("tok"), col("doc_id"))
+    toks.withColumn("pr", percent_rank().over(w))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_tokens"), avg("pr").as("mean_pr"))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val hotPermille = if (args.length > 1) args(1).toInt else HotPermille
@@ -306,13 +384,17 @@ object SkewStress {
         (Seq("multi_touch_attribution", "__debinned_attribution"),
           SparkEntry.queries + ("__debinned_attribution" ->
             ((s: SparkSession, d: String) => debinnedAttribution(s, d))))
+      case Some("--globalsorted") =>
+        (Seq("quality_percentile_norm", "__globalsorted_percentile"),
+          SparkEntry.queries + ("__globalsorted_percentile" ->
+            ((s: SparkSession, d: String) => globalSortedPercentile(s, d))))
       case Some(csv) => (csv.split(",").toSeq.filter(_.nonEmpty).distinct,
         SparkEntry.queries)
       case None => (probes, SparkEntry.queries)
     }
     val skewed = ensureSkewed(spark, sfDir, hotPermille)
     println(f"[skew] hot share = ${hotPermille / 10.0}%.1f%% of events.user_id, " +
-      "lineitem.{l_suppkey,l_partkey}, orders.o_custkey rows")
+      "lineitem.{l_suppkey,l_partkey}, orders.o_custkey, documents.lang rows")
     run(spark, sfDir, skewed, names, fns).foreach { case (n, m) =>
       val flag = if (isStraggler(m)) "  <== STRAGGLER" else ""
       println(f"[skew] $n%-30s base=${m.baseS}%6.2fs skewed=${m.skewS}%6.2fs " +
