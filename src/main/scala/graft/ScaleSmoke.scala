@@ -228,7 +228,8 @@ object ScaleSmoke {
     "scalar_null_funcs", "scalar_regex_funcs", "map_event_counts",
     "variant_shred_extract", "split_train_val_test", "sample_balance_langs",
     "decontam_ngram_overlap", "decontam_minhash_fuzzy", "chunk_docs_overlap",
-    "sample_topk_per_lang", "profile_numeric_columns",
+    "sample_topk_per_lang", "sample_weighted_topk",
+    "profile_numeric_columns",
     "profile_numeric_sketch", "dataset_card_stats", "mix_weighted_sources",
     "vocab_coverage_top100", "oov_rate_per_lang", "source_mix_entropy",
     "curriculum_buckets", "shard_manifest_greedy", "worker_snake_balance",

@@ -313,6 +313,56 @@ object PipelineQueries {
            |  FROM documents) WHERE rk <= 10""".stripMargin
       }),
 
+    // WEIGHTED top-k sampling per source — priority sampling where a
+    // document's selection odds scale with an integer quality weight
+    // (here 1..5 from 150-char length buckets): its key is the MINIMUM of w
+    // independent salted hashes, so a weight-5 doc holds five lottery
+    // tickets against a weight-1 doc's one. This is the integer-exact
+    // sibling of exponential-jump/A-ES weighted reservoir sampling
+    // (Efraimidis-Spirakis keys u^(1/w)): pow/log would differ by an ulp
+    // between JVM and DuckDB libm and could flip adjacent ranks, while
+    // min-of-w-draws is pure 60-bit md5 arithmetic both engines compute
+    // bit-identically — and it is deterministic across retries, which a
+    // rand()-based sampler on a 100 TB run is not. The w ≤ 5 draws are
+    // five codegen'd hash columns gated by `least(h1, w≥2 ? h2 : ∞, …)`
+    // — no explode, no HOF, no join — and rank ≤ k compiles to
+    // WindowGroupLimit: each shard keeps a k-row heap map-side, so a hot
+    // source never concentrates a sort task (the sample_topk_per_lang
+    // discipline).
+    QueryDef(
+      "sample_weighted_topk",
+      (s, d) => {
+        val inf = lit(1000000L) // > any permille key = "no ticket"
+        val hs = (1 to 5).map(j => hashPermille(
+          concat(col("doc_id").cast("string"), lit(s"#$j")), "wsamp"))
+        val key = least(hs.head +: (2 to 5).map(j =>
+          when(col("w") >= j, hs(j - 1)).otherwise(inf)): _*)
+        val rw = Window.partitionBy("source").orderBy(col("key"), col("doc_id"))
+        t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            expr("1L + least(4L, n_chars div 150)").as("w"))
+          .withColumn("key", key)
+          .withColumn("rk", row_number().over(rw))
+          .filter(col("rk") <= 10)
+          .select(col("doc_id"), col("source"), col("w"), col("key"),
+            col("rk").cast("long").as("rk"))
+      },
+      Some {
+        def h(j: Int) = hashSqlExpr(s"doc_id || '#$j'", "wsamp")
+        val key = s"least(${h(1)}, " +
+          (2 to 5).map(j => s"CASE WHEN w >= $j THEN ${h(j)} ELSE 1000000 END")
+            .mkString(", ") + ")"
+        s"""WITH ws AS (
+           |  SELECT doc_id, source,
+           |    CAST(1 + least(4, n_chars // 150) AS BIGINT) AS w
+           |  FROM documents),
+           |keyed AS (SELECT doc_id, source, w, CAST($key AS BIGINT) AS key FROM ws)
+           |SELECT doc_id, source, w, key, rk FROM (
+           |  SELECT doc_id, source, w, key,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY key, doc_id) AS BIGINT) AS rk
+           |  FROM keyed) WHERE rk <= 10""".stripMargin
+      }),
+
     // Single-pass column profiler (the data-quality screen run before any
     // table enters a training pipeline): per numeric column, non-null
     // count, exact distinct count, min, max — ONE scan produces all of it
