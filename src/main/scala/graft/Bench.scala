@@ -35,6 +35,7 @@ object Bench {
       .config("spark.io.compression.codec", "zstd")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftSession.quietKnownNoise() // the part-* glob WARN trace, once per read
     // Warm the session (codegen compiler, parquet footer reads, shuffle
     // machinery) so the first measured query doesn't absorb JVM startup.
     spark.range(1000000).selectExpr("sum(id)").collect()

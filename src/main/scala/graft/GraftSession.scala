@@ -12,9 +12,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object GraftSession {
 
+  /** Silence the one benign-but-alarming log source: reading an NDJSON
+    * glob (`lake/part-*` — the reference's own scan pattern, SURVEY S1)
+    * makes FileStreamSink.hasMetadata stat the LITERAL glob path and log
+    * the resulting FileNotFoundException with a full ~60-line stack trace
+    * at WARN, once per envelope read, in every Verify/Bench artifact log.
+    * Level change is scoped to that single logger; everything else keeps
+    * the session's level.
+    */
+  def quietKnownNoise(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink",
+      org.apache.logging.log4j.Level.ERROR)
+
   /** Build a local session with scale-appropriate defaults. */
-  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
-    SparkSession.builder()
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val session = SparkSession.builder()
       .master(s"local[$cores]")
       .appName("graft")
       // default: one shuffle partition per core (right for the sf0.1
@@ -47,6 +60,12 @@ object GraftSession {
       // per-session; data dirs persist and are overwritten on re-create)
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .getOrCreate()
+    // AFTER getOrCreate: Spark's log4j2 re-initialization during session
+    // creation replaces any configuration set beforehand (verified — a
+    // pre-create setLevel reads back as INFO afterwards)
+    quietKnownNoise()
+    session
+  }
 
   /** Read one of the driver-provided testdata tables (delegates to
     * [[graft.QueryDef.t]], which also normalizes the `events.ts`

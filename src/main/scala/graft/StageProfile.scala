@@ -58,7 +58,7 @@ object StageProfile {
       org.apache.spark.GraftSparkInternals.drainListenerBus(spark.sparkContext)
       println(f"== $name rep $r/$reps wall=$wall%.2fs @ $dir ==")
       println(f"${"stage"}%7s ${"tasks"}%6s ${"sum_s"}%8s ${"max_s"}%7s " +
-        f"${"med_s"}%7s ${"gc%%"}%5s ${"spill"}%8s ${"sh_rd"}%8s ${"sh_wr"}%8s ${"input"}%8s")
+        f"${"med_s"}%7s ${"gc%"}%5s ${"spill"}%8s ${"sh_rd"}%8s ${"sh_wr"}%8s ${"input"}%8s")
       stages.toSeq.sortBy(-_._2.sumMs).foreach { case (id, a) =>
         val med = { val s = a.durations.sorted; if (s.isEmpty) 0L else s(s.size / 2) }
         val gcPct = if (a.sumMs > 0) 100.0 * a.gcMs / a.sumMs else 0.0

@@ -28,6 +28,7 @@ object Verify {
       .config("spark.io.compression.codec", "zstd")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftSession.quietKnownNoise() // the part-* glob WARN trace, once per read
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => nameFilter.matches(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

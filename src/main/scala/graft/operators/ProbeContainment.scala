@@ -35,10 +35,13 @@ object ProbeContainment {
     val prefB = sized.filter(
       col("pos") <= col("sz") - expr("(sz + 4) div 5") + 1)
       .groupBy("tid").agg(count(lit(1)).as("nb"))
+    // coalesce: sum/max over an empty join are NULL, and the empty case
+    // (a lake whose docs all fall under the 3-token floor) is exactly the
+    // small-lake sanity run this probe gets pointed at first
     val row = prefA.join(prefB, "tid")
-      .agg(sum(col("na") * col("nb")).as("raw_matches"),
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("raw_matches"),
         count(lit(1)).as("n_join_tids"),
-        max(col("na") * col("nb")).as("worst_tid_matches"))
+        coalesce(max(col("na") * col("nb")), lit(0L)).as("worst_tid_matches"))
       .head()
     println(s"[probe] dir=$dir cands=$nCands raw_matches=${row.getLong(0)} " +
       s"join_tids=${row.getLong(1)} worst_tid=${row.getLong(2)}")

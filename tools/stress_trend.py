@@ -102,8 +102,10 @@ def classify(cls, scale, tl, th, ml, mh):
         if mh > MB_NOISE:
             flags.append(f"CLASS-VIOLATION zero: hi={mh:.1f}MB > {MB_NOISE:.0f}MB")
     elif kind == "transition":
-        cap = cls["hi_mb_cap"]
-        if mh > cap:
+        cap = cls.get("hi_mb_cap")
+        if cap is None:
+            flags.append("MIS-ANNOTATED transition: hi_mb_cap required")
+        elif mh > cap:
             flags.append(f"CLASS-VIOLATION transition: hi={mh:.1f}MB > cap={cap}MB")
     elif kind == "linear":
         if mt == mt:  # lo side past the floor: the ratio is real
@@ -127,8 +129,10 @@ def classify(cls, scale, tl, th, ml, mh):
     elif tkind == "floor_exempt":
         pass
     elif tkind == "annotated":
-        cap = cls["t_cap_s"]
-        if th > cap:
+        cap = cls.get("t_cap_s")
+        if cap is None:
+            flags.append("MIS-ANNOTATED time-annotated: t_cap_s required")
+        elif th > cap:
             flags.append(
                 f"CLASS-VIOLATION time-annotated: hi={th:.1f}s > cap={cap}s "
                 f"({cls.get('t_note', 'no note')})")
@@ -168,7 +172,9 @@ def run(lo_log, hi_log, lo_f, hi_f, manifest_path, partial, out=print):
     if missing:
         flags.extend(f"{q} <== only in one sweep" for q in missing)
         out("only in one sweep: " + ", ".join(missing))
-    stale = sorted(k for k in set(manifest) - (set(lo) & set(hi))
+    # stale = in NEITHER log; a query in exactly one log already gets its
+    # own "only in one sweep" flag and must not also read as stale
+    stale = sorted(k for k in set(manifest) - (set(lo) | set(hi))
                    if not k.startswith("_"))
     if stale:
         out("manifest rows not in this sweep: " + ", ".join(stale))
@@ -234,9 +240,14 @@ def selftest():
         ("zero_ok", (2.0, 0.1), (20.0, 0.3), {"class": "zero"}, False),
         ("zero_blown", (2.0, 0.1), (20.0, 30.0), {"class": "zero"}, True),
         ("unclassified", (2.0, 1.0), (20.0, 10.0), None, True),
+        ("missing_t_cap", (2.0, 50.0), (45.0, 500.0),
+         {"class": "linear", "time": "annotated", "t_note": "oops"}, True),
+        ("missing_mb_cap", (2.0, 5.0), (20.0, 300.0),
+         {"class": "transition"}, True),
     ]
     manifest = {n: m for n, _, _, m, _ in cases if m is not None}
     manifest["stale_row"] = {"class": "linear"}  # must flag without --partial
+    manifest["lopsided_row"] = {"class": "linear"}  # in lo log only
     with tempfile.TemporaryDirectory() as d:
         lo_p, hi_p, mf_p = (os.path.join(d, x)
                             for x in ("lo.log", "hi.log", "m.json"))
@@ -245,6 +256,7 @@ def selftest():
                 l, h = smoke(n, tl, th, ml, mh)
                 lo_f.write(l)
                 hi_f.write(h)
+            lo_f.write(smoke("lopsided_row", 2.0, 20.0, 5.0, 50.0)[0])
         json.dump(manifest, open(mf_p, "w"))
         flags = run(lo_p, hi_p, "10", "100", mf_p, partial=False,
                     out=lambda *_: None)
@@ -255,6 +267,11 @@ def selftest():
                 bad.append(f"{n}: expected flag={expect}, got {n in flagged}")
         if "stale_row" not in flagged:
             bad.append("stale_row: expected STALE flag, got none")
+        lop = [f for f in flags if f.startswith("lopsided_row")]
+        if not any("only in one sweep" in f for f in lop):
+            bad.append("lopsided_row: expected an only-in-one-sweep flag")
+        if any("STALE" in f for f in lop):
+            bad.append("lopsided_row: half-present row must not read STALE")
         flags_p = run(lo_p, hi_p, "10", "100", mf_p, partial=True,
                       out=lambda *_: None)
         if any(f.startswith("stale_row") for f in flags_p):
@@ -264,7 +281,7 @@ def selftest():
             for b in bad:
                 print(" ", b)
             return 1
-        print(f"selftest: {len(cases) + 2} controls behave "
+        print(f"selftest: {len(cases) + 4} controls behave "
               "(incl. the synthetic 20x time row flagging)")
         return 0
 
