@@ -140,6 +140,28 @@ class PlanSpec extends SparkSuite {
     assert(limits.nonEmpty, "expected WindowGroupLimitExec below the rank filter")
   }
 
+  test("weighted top-k sampling keeps the group limit map-side and prunes text") {
+    // same discipline as sample_topk_per_lang, plus: the five hash draws
+    // must not drag the text column through the scan (w comes from
+    // n_chars), and a Partial WindowGroupLimit must sit BELOW the
+    // exchange so each shard ships at most k rows per source
+    val p = plan("sample_weighted_topk")
+    val limits = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }
+    assert(limits.exists(_.mode.toString.contains("Partial")),
+      "expected a map-side Partial WindowGroupLimitExec below the exchange")
+    val scans = collectAll(p) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    scans.foreach { s =>
+      val cols = s.schema.fieldNames.toSet
+      assert(!cols.contains("text"),
+        s"weighted sampling must not read text; scan reads $cols")
+    }
+  }
+
   test("q6 reads only its four columns with all filters pushed") {
     val scans = collectAll(plan("q6_forecast_revenue")) {
       case s: org.apache.spark.sql.execution.FileSourceScanExec => s
