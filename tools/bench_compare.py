@@ -75,7 +75,12 @@ def main():
     if common:
         moves = sorted(((qn[k] / qo[k], k) for k in common), reverse=True)
         med = statistics.median(m for m, _ in moves)
-        print(f"headline: {len(common)} comparable, median new/old = {med:.2f} (box factor)")
+        # no silent caps: say what the 0.3 s floor excluded, or a reader
+        # assumes every query was compared
+        floored = sum(1 for k in qn if k in qo and 0 < qo[k] <= 0.3)
+        only = len(set(qn) ^ set(qo))
+        print(f"headline: {len(common)} comparable, median new/old = {med:.2f} (box factor); "
+              f"{floored} under the 0.3 s old-side ratio floor, {only} in one file only")
         print("  top regressions (vs box factor):")
         for m, k in moves[:8]:
             print(f"    {k:36s} {qo[k]:6.2f}s -> {qn[k]:6.2f}s  ({m / med:.2f}x adj)")
