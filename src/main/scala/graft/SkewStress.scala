@@ -233,12 +233,17 @@ object SkewStress {
     * rows keep their identity columns — only the key under test collapses.
     */
   def ensureSkewed(spark: SparkSession, sfDir: String,
-                   hotPermille: Int = HotPermille): String =
-    // dir keyed by source-lake basename too: a control/adjudication run
-    // against the 10× lake must not clobber the bench's sf0.1 variant
-    // (each would otherwise rebuild over the other via the src= stamp)
+                   hotPermille: Int = HotPermille): String = {
+    // dir keyed by source-lake basename + a short hash of the ABSOLUTE
+    // path: a control/adjudication run against the 10× lake must not
+    // clobber the bench's sf0.1 variant, and two lakes sharing a basename
+    // at different paths (a copied sf0.1) must not thrash each other
+    // through the src= stamp either (ADVICE r15)
+    val abs = new java.io.File(sfDir).getAbsolutePath
+    val pathTag = java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
     AtomicPublish.ensure(
-        s"/tmp/graft_skewed_p${hotPermille}_${new java.io.File(sfDir).getName}",
+        s"/tmp/graft_skewed_p${hotPermille}_${new java.io.File(sfDir).getName}_$pathTag",
         stamp(sfDir, hotPermille)) { tmp =>
       val hotSupp = spark.read.parquet(s"$sfDir/supplier.parquet")
         .agg(min("s_suppkey")).head().getLong(0)
@@ -283,6 +288,7 @@ object SkewStress {
             lit(hotCust)).otherwise(col("o_custkey")))
         .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
     }
+  }
 
   /** Run each probe paired — best-of-2 on the base lake, then best-of-2 on
     * the skewed lake, back to back so both walls share one contention

@@ -11,6 +11,27 @@ trait SparkSuite extends AnyFunSuite {
 }
 
 object SparkSuite {
+  /** Create a temp directory that is recursively deleted when the test JVM
+    * exits (ADVICE r15: suites were leaking graft-* parquet dirs into /tmp
+    * on every run). One shutdown hook for all registered dirs.
+    */
+  def scratchDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    cleanupDirs.synchronized { cleanupDirs += d }
+    d.toString
+  }
+
+  private val cleanupDirs = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    cleanupDirs.synchronized(cleanupDirs.toSeq).foreach { root =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: java.io.IOException => () } // best-effort at exit
+    }))
+
   lazy val session: SparkSession = {
     val wh = java.nio.file.Files.createTempDirectory("graft-warehouse")
     SparkSession.builder()

@@ -20,7 +20,7 @@ class AnalyticsNullSpec extends SparkSuite {
   import spark.implicits._
 
   private lazy val dir: String = {
-    val d = java.nio.file.Files.createTempDirectory("graft-nulls").toString
+    val d = graft.SparkSuite.scratchDir("graft-nulls") // self-cleaning (ADVICE r15)
     Seq(
       (1L, Some("en"), Some(10L)),
       (2L, Some("en"), Some(10L)), // tie — shares 10's rank

@@ -79,8 +79,15 @@ def main():
         # assumes every query was compared
         floored = sum(1 for k in qn if k in qo and 0 < qo[k] <= 0.3)
         only = len(set(qn) ^ set(qo))
+        # ADVICE r15: a query recorded as failed (-1.0) on either side is in
+        # neither the floored nor the only-in-one-file bucket — count it
+        # explicitly or comparable-count shrinkage from failures is silent
+        failed = sorted(k for k in qn if k in qo and (qo[k] <= 0 or qn[k] <= 0))
         print(f"headline: {len(common)} comparable, median new/old = {med:.2f} (box factor); "
-              f"{floored} under the 0.3 s old-side ratio floor, {only} in one file only")
+              f"{floored} under the 0.3 s old-side ratio floor, {only} in one file only, "
+              f"{len(failed)} failed on a side")
+        if failed:
+            print("  failed on a side: " + ", ".join(failed))
         print("  top regressions (vs box factor):")
         for m, k in moves[:8]:
             print(f"    {k:36s} {qo[k]:6.2f}s -> {qn[k]:6.2f}s  ({m / med:.2f}x adj)")
