@@ -199,6 +199,32 @@ object Bench {
           sFailed, wallSec)
       } else ("", Seq.empty[String], 0.0)
 
+    // Streaming-throughput bar (VERDICT r15 task #1; opt out with
+    // SPARK_GRAFT_STREAM_BENCH=0): the two flagship transformWithState
+    // legs (SCD2 incremental, LSH at-ingest dedup) run over 20 real
+    // micro-batches each; the tail reports rows/s + batch p50/p95 + final
+    // vs expected state rows, and `below_floor: []` is the clean bar —
+    // a leg under its pinned rows/s floor or whose converged state-row
+    // count drifts from the batch-expected distinct keys re-flags every
+    // round (a state leak is invisible to the correctness replay, which
+    // only checks converged OUTPUT). A leg that throws fails the process
+    // like headline failures.
+    val (streamJson, streamFailed, streamWallSec) =
+      if (sys.env.getOrElse("SPARK_GRAFT_STREAM_BENCH", "1") != "0") {
+        val t0 = System.nanoTime()
+        try {
+          val legs = Seq(
+            StreamingThroughput.scd2Leg(spark, "/tmp/graft_stream_tp"),
+            StreamingThroughput.lshLeg(spark, sfDir, "/tmp/graft_stream_tp"))
+          (s""","streaming":${StreamingThroughput.benchJson(legs)}""",
+            Seq.empty[String], (System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] streaming leg failed: ${e.getMessage}")
+          (s""","streaming":{"failed":${jstr(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}")}}""",
+            Seq("streaming"), (System.nanoTime() - t0) / 1e9)
+        }
+      } else ("", Seq.empty[String], 0.0)
+
     // failures are explicit in the JSON (a filtered-out -1 would make the
     // total look FASTER) and fail the process so no consumer can miss them
     val errorsJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
@@ -207,8 +233,8 @@ object Bench {
     // keeps only the tail of stdout, so the adjudicable numbers (wall-time
     // breakdown + worst smoke ratios with their shuffle volume) must be
     // the last bytes this process prints (VERDICT r11 task #1).
-    val wallJson = f""""wall":{"headline_s":$headlineWallSec%.1f,"smoke_s":$smokeWallSec%.1f,"lake_build_s":$buildWallSec%.1f,"skew_s":$skewWallSec%.1f}"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$shufJson,"failed":$failedJson,"errors":$errorsJson,"sf":"$sfDir"$smokeJson$skewJson,$wallJson,"worst10":$worst10Json}"""
+    val wallJson = f""""wall":{"headline_s":$headlineWallSec%.1f,"smoke_s":$smokeWallSec%.1f,"lake_build_s":$buildWallSec%.1f,"skew_s":$skewWallSec%.1f,"streaming_s":$streamWallSec%.1f}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$shufJson,"failed":$failedJson,"errors":$errorsJson,"sf":"$sfDir"$smokeJson$skewJson$streamJson,$wallJson,"worst10":$worst10Json}"""
     println(line)
     // full-artifact sink (VERDICT r12 task #3): the driver keeps only the
     // tail of stdout, so the complete per-query maps are lost to
@@ -219,6 +245,7 @@ object Bench {
         (line + "\n").getBytes("UTF-8"))
     }
     spark.stop()
-    if (failed.nonEmpty || smokeFailed.nonEmpty || skewFailed.nonEmpty) sys.exit(1)
+    if (failed.nonEmpty || smokeFailed.nonEmpty || skewFailed.nonEmpty ||
+      streamFailed.nonEmpty) sys.exit(1)
   }
 }

@@ -61,6 +61,19 @@ object ScaleSmoke {
     (0 until 26).map(i => alphabet((a * i + b) % 26)).mkString
   }
 
+  /** Per-copy alphabet permutation of a text column: copy 0 is the
+    * original corpus; other copies share no tokens with it, so cross-copy
+    * similarity is ~0. Shared with [[StreamingThroughput]]'s scaled-corpus
+    * staging so the streaming dedup ingests the same token-disjoint
+    * construction the scale smoke is proved on.
+    */
+  private[graft] def rotatedText(text: org.apache.spark.sql.Column,
+                                 copy: org.apache.spark.sql.Column,
+                                 copies: Int): org.apache.spark.sql.Column =
+    (1 until copies).foldLeft(when(copy === 0, text)) {
+      (acc, k) => acc.when(copy === k, translate(text, alphabet, permuted(k)))
+    }
+
   private def scaledTable(df: DataFrame, keys: Seq[String], texts: Seq[String],
                           factor: Int): DataFrame = {
     if (tableIsFixed(keys, texts)) return df
@@ -70,12 +83,7 @@ object ScaleSmoke {
       d.withColumn(k, (col(k) + col("__copy") * KeyOffset).cast(orig))
     }
     val texted = texts.foldLeft(keyed) { (d, t) =>
-      // per-copy alphabet permutation: copy 0 is the original corpus; other
-      // copies share no tokens with it, so cross-copy similarity is ~0
-      val rot = (1 until factor).foldLeft(when(col("__copy") === 0, col(t))) {
-        (acc, k) => acc.when(col("__copy") === k, translate(col(t), alphabet, permuted(k)))
-      }
-      d.withColumn(t, rot)
+      d.withColumn(t, rotatedText(col(t), col("__copy"), factor))
     }
     texted.drop("__copy")
   }

@@ -14,6 +14,22 @@ import org.apache.spark.sql.functions._
   *   sbt 'runMain graft.Throughput [millions]'
   */
 object Throughput {
+
+  /** Debezium-shaped NDJSON envelope for synthetic event `id` (lsn = id,
+    * ~n/keys versions per key) — shared with [[StreamingThroughput]] so the
+    * batch and streaming measurements ingest the identical event stream.
+    */
+  private[graft] def envelopeValue(keys: Long): org.apache.spark.sql.Column =
+    to_json(struct(struct(
+      lit(null).cast(CdcSchemas.productsRow).as("before"),
+      struct((col("id") % keys).cast("int").as("id"),
+        concat(lit("name-"), col("id") % 1000).as("name"),
+        lit("desc").as("description"),
+        (col("id") % 10000).cast("double").as("price")).as("after"),
+      when(col("id") < keys, "c").otherwise("u").as("op"),
+      (lit(1733333333000L) + col("id")).as("ts_ms"),
+      struct(col("id").as("lsn")).as("source")).as("payload")))
+
   def main(args: Array[String]): Unit = {
     val millions = args.headOption.map(_.toInt).getOrElse(1)
     val n = millions * 1000000L
@@ -24,15 +40,7 @@ object Throughput {
 
     val dir = "/tmp/graft_throughput_lake"
     val t0 = System.nanoTime()
-    spark.range(n).select(to_json(struct(struct(
-        lit(null).cast(CdcSchemas.productsRow).as("before"),
-        struct((col("id") % keys).cast("int").as("id"),
-          concat(lit("name-"), col("id") % 1000).as("name"),
-          lit("desc").as("description"),
-          (col("id") % 10000).cast("double").as("price")).as("after"),
-        when(col("id") < keys, "c").otherwise("u").as("op"),
-        (lit(1733333333000L) + col("id")).as("ts_ms"),
-        struct(col("id").as("lsn")).as("source")).as("payload"))).as("value"))
+    spark.range(n).select(envelopeValue(keys).as("value"))
       .write.mode("overwrite").text(dir)
     val tWrite = (System.nanoTime() - t0) / 1e9
 
