@@ -53,10 +53,12 @@ blind to by construction):
                floor across rounds and would flap).
   annotated    an adjudicated non-linear time trend with a measured cause:
                requires `t_cap_s` (absolute hi-side wall cap, ~2x the
-               measured seconds) and `t_note` (the one-line cause). A
-               regression past the cap re-flags; the annotation is the
-               paper trail the r13 verdict demanded live in the gate, not
-               in PERF_NOTES prose.
+               measured seconds), `t_note` (the one-line cause), and
+               `t_evidence` (repo-relative path to the committed probe
+               artifact that PROVED the cause — VERDICT r15 task #5: an
+               annotation whose evidence lives only in prose can't be
+               re-adjudicated; the gate now fails if the file is missing).
+               A regression past the cap re-flags.
 
 A query in the sweep but not the manifest is a flag: every new smoke query
 must declare its class. A manifest row with no query in the sweep is ALSO
@@ -77,6 +79,8 @@ PAT = re.compile(
 
 DEFAULT_MANIFEST = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "stress_classes.json")
+# t_evidence paths are repo-relative (the repo root is tools/..)
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 MB_FLOOR = 0.05   # lo-side shuffle floor: below this a byte ratio is noise
 MB_NOISE = 8.0    # absolute allowance for scan/footer/stats traffic
@@ -130,12 +134,19 @@ def classify(cls, scale, tl, th, ml, mh):
         pass
     elif tkind == "annotated":
         cap = cls.get("t_cap_s")
+        ev = cls.get("t_evidence")
         if cap is None:
             flags.append("MIS-ANNOTATED time-annotated: t_cap_s required")
         elif th > cap:
             flags.append(
                 f"CLASS-VIOLATION time-annotated: hi={th:.1f}s > cap={cap}s "
                 f"({cls.get('t_note', 'no note')})")
+        if ev is None:
+            flags.append("MIS-ANNOTATED time-annotated: t_evidence (committed "
+                         "probe artifact path) required")
+        elif not os.path.exists(os.path.join(REPO_ROOT, ev)):
+            flags.append(f"MIS-ANNOTATED time-annotated: t_evidence {ev!r} "
+                         "does not exist")
     else:
         flags.append(f"UNKNOWN TIME CLASS {tkind!r}")
     return mt, flags
@@ -223,10 +234,19 @@ def selftest():
          {"class": "linear", "time": "floor_exempt"}, False),
         ("time_annotated_ok", (2.0, 50.0), (45.0, 500.0),
          {"class": "linear", "time": "annotated", "t_cap_s": 90.0,
-          "t_note": "adjudicated"}, False),
+          "t_note": "adjudicated",
+          "t_evidence": "tools/stress_trend.py"}, False),  # any committed file
         ("time_annotated_blown", (2.0, 50.0), (95.0, 500.0),
          {"class": "linear", "time": "annotated", "t_cap_s": 90.0,
-          "t_note": "adjudicated"}, True),
+          "t_note": "adjudicated",
+          "t_evidence": "tools/stress_trend.py"}, True),
+        ("missing_t_evidence", (2.0, 50.0), (45.0, 500.0),
+         {"class": "linear", "time": "annotated", "t_cap_s": 90.0,
+          "t_note": "adjudicated"}, True),  # VERDICT r15 task #5
+        ("dangling_t_evidence", (2.0, 50.0), (45.0, 500.0),
+         {"class": "linear", "time": "annotated", "t_cap_s": 90.0,
+          "t_note": "adjudicated",
+          "t_evidence": "bench/evidence/does_not_exist.txt"}, True),
         ("mb_quadratic", (2.0, 50.0), (20.0, 5000.0),
          {"class": "linear"}, True),               # 100x bytes at scale 10
         ("mb_subfloor_blowup", (2.0, 0.01), (20.0, 400.0),
