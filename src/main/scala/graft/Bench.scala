@@ -11,6 +11,28 @@ import org.apache.spark.sql.SparkSession
   * materializer defect; see Materialize's scaladoc).
   */
 object Bench {
+
+  /** Box-factor canary (VERDICT r15 task #4): 8 short catalog queries
+    * spanning scan/join/window/shuffle/CPU, with their REFERENCE seconds
+    * pinned from the committed r15 closing artifact (bench/bench_r15a
+    * .json — same code, known box). Every bench run re-times them as part
+    * of the headline pass (zero extra wall) and emits
+    * `box_factor: {median, per_canary}`; a judge adjudicates "2–6×
+    * regression or box drift?" from the artifact ALONE — uniform
+    * per-canary factors ≈ the suspect ratio mean drift, factors ≈1 with
+    * one query blown mean a real regression. bench_compare.py normalizes
+    * by the canary drift automatically when both files carry it.
+    */
+  val CanaryRef: Seq[(String, Double)] = Seq(
+    "q1_pricing_summary" -> 1.461, // parquet scan + wide agg
+    "q3_shipping_priority" -> 1.023, // 3-way join
+    "scd2_history" -> 0.407, // per-key window
+    "window_rank_family" -> 0.541, // rank/frame window matrix
+    "dedup_minhash_candidates" -> 0.553, // codegen kernel + band shuffle
+    "text_tfidf_topterms" -> 1.233, // explode + two-level agg
+    "bm25_topk" -> 1.232, // CPU scoring + group-limit
+    "profile_numeric_sketch" -> 2.260) // CPU sketch (the r15 drift family)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -199,6 +221,26 @@ object Bench {
           sFailed, wallSec)
       } else ("", Seq.empty[String], 0.0)
 
+    // Box-factor canary: measured/reference per canary (headline numbers
+    // reused — no extra executions), median across the present ones.
+    val resMap = results.toMap
+    val perCanary = CanaryRef.flatMap { case (n, ref) =>
+      resMap.get(n).filter(_ > 0).map(n -> _ / ref)
+    }
+    val canaryMissing = CanaryRef.collect {
+      case (n, _) if !resMap.get(n).exists(_ > 0) => n
+    }
+    val canaryMedian = if (perCanary.isEmpty) -1.0 else {
+      val s = perCanary.map(_._2).sorted
+      s(s.size / 2)
+    }
+    val canaryJson = {
+      val per = perCanary.map { case (n, f) => "\"" + n + "\":" + f"$f%.2f" }
+        .mkString("{", ",", "}")
+      val miss = canaryMissing.map("\"" + _ + "\"").mkString("[", ",", "]")
+      s""","box_factor":{"ref":"bench_r15a","median":${f"$canaryMedian%.2f"},"per_canary":$per,"missing":$miss}"""
+    }
+
     // Streaming-throughput bar (VERDICT r15 task #1; opt out with
     // SPARK_GRAFT_STREAM_BENCH=0): the two flagship transformWithState
     // legs (SCD2 incremental, LSH at-ingest dedup) run over 20 real
@@ -234,7 +276,7 @@ object Bench {
     // breakdown + worst smoke ratios with their shuffle volume) must be
     // the last bytes this process prints (VERDICT r11 task #1).
     val wallJson = f""""wall":{"headline_s":$headlineWallSec%.1f,"smoke_s":$smokeWallSec%.1f,"lake_build_s":$buildWallSec%.1f,"skew_s":$skewWallSec%.1f,"streaming_s":$streamWallSec%.1f}"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$shufJson,"failed":$failedJson,"errors":$errorsJson,"sf":"$sfDir"$smokeJson$skewJson$streamJson,$wallJson,"worst10":$worst10Json}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$shufJson,"failed":$failedJson,"errors":$errorsJson,"sf":"$sfDir"$smokeJson$skewJson$streamJson$canaryJson,$wallJson,"worst10":$worst10Json}"""
     println(line)
     // full-artifact sink (VERDICT r12 task #3): the driver keeps only the
     // tail of stdout, so the complete per-query maps are lost to

@@ -41,6 +41,12 @@ class CatalogPropertySpec extends SparkSuite {
       s"SkewStress probes naming no live catalog query: ${staleProbes.mkString(", ")}")
     assert(graft.SkewStress.probes.distinct.size == graft.SkewStress.probes.size,
       "duplicate SkewStress probes would double-run and double-report")
+    // the box-factor canaries must stay BENCHED catalog queries — a
+    // rename/de-bench would silently shrink the canary set the drift
+    // adjudication rests on (VERDICT r15 task #4)
+    val staleCanaries = graft.Bench.CanaryRef.map(_._1).toSet -- bench
+    assert(staleCanaries.isEmpty,
+      s"Bench canaries naming no live bench query: ${staleCanaries.mkString(", ")}")
   }
 
   /** Write a one-table lake under a temp dir and return the dir. */

@@ -39,6 +39,9 @@ def load(path):
         pairs = re.findall(r'"([a-z0-9_]+)":([0-9.\-]+)', body)
         tgt = out if key == "queries" else out.setdefault("scale_smoke", {})
         tgt[key] = {k: float(v) for k, v in pairs}
+    m = re.search(r'"box_factor":\{"ref":"([^"]*)","median":([0-9.\-]+)', raw)
+    if m:
+        out["box_factor"] = {"ref": m.group(1), "median": float(m.group(2))}
     return out
 
 
@@ -72,9 +75,19 @@ def main():
     old, new = load(sys.argv[1]), load(sys.argv[2])
     qo, qn = old.get("queries", {}), new.get("queries", {})
     common = [k for k in qn if k in qo and qo[k] > 0.3 and qn[k] > 0]
+    # canary-based normalizer (VERDICT r15 task #4): when both artifacts
+    # carry the pinned-canary box factor, the box drift is their ratio —
+    # immune to real regressions polluting the median-of-moves estimate
+    bfo = (old.get("box_factor") or {}).get("median")
+    bfn = (new.get("box_factor") or {}).get("median")
+    canary = None
+    if bfo and bfn and bfo > 0 and bfn > 0:
+        canary = bfn / bfo
+        print(f"canary box factor: old={bfo:.2f} new={bfn:.2f} "
+              f"(vs {new.get('box_factor', {}).get('ref', '?')}) -> drift {canary:.2f}x")
     if common:
         moves = sorted(((qn[k] / qo[k], k) for k in common), reverse=True)
-        med = statistics.median(m for m, _ in moves)
+        med = canary if canary is not None else statistics.median(m for m, _ in moves)
         # no silent caps: say what the 0.3 s floor excluded, or a reader
         # assumes every query was compared
         floored = sum(1 for k in qn if k in qo and 0 < qo[k] <= 0.3)
@@ -83,7 +96,8 @@ def main():
         # neither the floored nor the only-in-one-file bucket — count it
         # explicitly or comparable-count shrinkage from failures is silent
         failed = sorted(k for k in qn if k in qo and (qo[k] <= 0 or qn[k] <= 0))
-        print(f"headline: {len(common)} comparable, median new/old = {med:.2f} (box factor); "
+        norm = "canary drift" if canary is not None else "median new/old"
+        print(f"headline: {len(common)} comparable, {norm} = {med:.2f} (box factor); "
               f"{floored} under the 0.3 s old-side ratio floor, {only} in one file only, "
               f"{len(failed)} failed on a side")
         if failed:
