@@ -209,7 +209,8 @@ object ScaleSmoke {
     "hll_intersection_audit", "window_interval_range_sum",
     "drift_ks_statistic", "drift_psi_bins", "graph_degree_assortativity",
     "acf_daily_events", "fd_profile_audit", "salt_factor_planner",
-    "window_funnel_depth", "boruvka_msf_round", "text_token_stats",
+    "window_funnel_depth", "multi_touch_last_n", "boruvka_msf_round",
+    "text_token_stats",
     "text_repetition_ratio", "text_lang_id", "lang_id_confusion",
     "text_quality_score", "corpus_quality_gate", "quality_median_filter",
     "text_lang_pivot", "text_bpe_tokens", "text_fingerprint",

@@ -101,8 +101,12 @@ object SkewStress {
     // events.user_id — ordered scans / asof (key-linear by algorithm)
     "window_funnel_depth", "asof_join_last_event", "asof_join_next_event",
     "asof_join_nearest_event",
-    // events.user_id — equi+range join (day bin in the key)
-    "multi_touch_attribution",
+    // events.user_id — equi+range join (day bin in the key; NOTE the
+    // ANSWER is all qualifying pairs, quadratic in hot-key mass — held
+    // acceptable at sf0.1-skew scale, flagged honestly at the 10× skewed
+    // lake where the hot answer is 744M rows; multi_touch_last_n is the
+    // output-capped scale path, r16)
+    "multi_touch_attribution", "multi_touch_last_n",
     // events.user_id — aggregate-first (map-side combine spreads the key)
     "funnel_signup_purchase", "funnel_time_to_convert", "cohort_retention",
     "markov_entropy_rate", "markov_holding_times", "path_regex_funnel",
@@ -178,12 +182,19 @@ object SkewStress {
     *     share, so 0.75∧2 s clears every clean probe with margin while
     *     both positive controls (debinned 0.85, globalsorted 0.89) flag.
     */
-  def isStraggler(m: SkewMeasure): Boolean = {
-    val base = math.max(m.baseS, 0.3)
-    val wallBlowup = m.skewS > math.max(4.0, 10.0 * base)
-    val hotCollapse = m.skewS >= 2.0 && m.hotTaskShare >= 0.6 &&
+  /** `floorScale` (VERDICT r15 task #3): running the gate on the 10× lake
+    * scales the ABSOLUTE seconds floors with the data (4 s / 2 s / 2 s
+    * and the 0.3 s base-denominator floor × the factor) — a 10×-lake probe
+    * legitimately takes ~10× the wall, so unscaled floors would flag
+    * every honest probe; the RATIO thresholds (10×, 2.5×) and the
+    * hot-task-share thresholds (0.6, 0.75) are scale-free and stay put.
+    */
+  def isStraggler(m: SkewMeasure, floorScale: Double = 1.0): Boolean = {
+    val base = math.max(m.baseS, 0.3 * floorScale)
+    val wallBlowup = m.skewS > math.max(4.0 * floorScale, 10.0 * base)
+    val hotCollapse = m.skewS >= 2.0 * floorScale && m.hotTaskShare >= 0.6 &&
       m.skewS > 2.5 * base
-    val nativeHotCollapse = m.skewS >= 2.0 && m.hotTaskShare >= 0.75
+    val nativeHotCollapse = m.skewS >= 2.0 * floorScale && m.hotTaskShare >= 0.75
     wallBlowup || hotCollapse || nativeHotCollapse
   }
 
@@ -381,11 +392,18 @@ object SkewStress {
   }
 
   def main(args: Array[String]): Unit = {
-    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
-    val hotPermille = if (args.length > 1) args(1).toInt else HotPermille
+    // --scale=N scales the gate's absolute floors for a scaled source
+    // lake (the once-per-round 10× sweep of the quadratic-prone families,
+    // VERDICT r15 task #3); positional args are unchanged.
+    val floorScale = args.collectFirst {
+      case a if a.startsWith("--scale=") => a.stripPrefix("--scale=").toDouble
+    }.getOrElse(1.0)
+    val pos = args.filterNot(_.startsWith("--scale="))
+    val sfDir = if (pos.nonEmpty) pos(0) else "/root/testdata/sf0.1"
+    val hotPermille = if (pos.length > 1) pos(1).toInt else HotPermille
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt)
     spark.sparkContext.setLogLevel("ERROR")
-    val (names, fns) = args.drop(2).headOption match {
+    val (names, fns) = pos.drop(2).headOption match {
       case Some("--debinned") =>
         (Seq("multi_touch_attribution", "__debinned_attribution"),
           SparkEntry.queries + ("__debinned_attribution" ->
@@ -400,13 +418,23 @@ object SkewStress {
     }
     val skewed = ensureSkewed(spark, sfDir, hotPermille)
     println(f"[skew] hot share = ${hotPermille / 10.0}%.1f%% of events.user_id, " +
-      "lineitem.{l_suppkey,l_partkey}, orders.o_custkey, documents.lang rows")
-    run(spark, sfDir, skewed, names, fns).foreach { case (n, m) =>
-      val flag = if (isStraggler(m)) "  <== STRAGGLER" else ""
+      "lineitem.{l_suppkey,l_partkey}, orders.o_custkey, documents.lang rows" +
+      (if (floorScale != 1.0) f" (floors x$floorScale%.0f)" else ""))
+    val rs = run(spark, sfDir, skewed, names, fns)
+    rs.foreach { case (n, m) =>
+      val flag = if (isStraggler(m, floorScale)) "  <== STRAGGLER" else ""
       println(f"[skew] $n%-30s base=${m.baseS}%6.2fs skewed=${m.skewS}%6.2fs " +
         f"(max task ${m.maxMs}%5d ms = ${m.hotTaskShare * 100}%3.0f%% of wall, " +
         f"${m.stragglerX}%5.1fx its stage median over ${m.nTasks}%3d tasks)$flag")
     }
+    // machine-readable summary line (the committed skew10x artifact)
+    val per = rs.map { case (n, m) =>
+      s""""$n":{"base_s":${f"${m.baseS}%.2f"},"skew_s":${f"${m.skewS}%.2f"},""" +
+        s""""hot_task_pct":${f"${m.hotTaskShare}%.2f"},"straggler_x":${f"${m.stragglerX}%.1f"}}"""
+    }.mkString("{", ",", "}")
+    val flagged = rs.collect { case (n, m) if isStraggler(m, floorScale) => n }
+      .sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"skew_sweep","src":"$sfDir","hot_permille":$hotPermille,"floor_scale":$floorScale,"probes":$per,"stragglers":$flagged}""")
     spark.stop()
   }
 }

@@ -3897,6 +3897,123 @@ object AnalyticsQueries {
              |       ELSE 0.2 / CAST(n - 2 AS DOUBLE) END AS credit
              |FROM r ORDER BY purchase_id, rk""".stripMargin)),
 
+    // CAPPED multi-touch attribution — U-shaped credit over the LAST 8
+    // views inside each purchase's 7-day window. This is the 100 TB scale
+    // path next to multi_touch_attribution, whose answer is ALL
+    // qualifying (purchase, view) pairs and therefore inherently
+    // QUADRATIC in a hot user's key mass: the r16 skewed-10×-lake sweep
+    // measured it at 278 s vs a 2.2 s base — work spread fine (straggler
+    // 1.5×, 34% max-task share; the day-bin discipline held), but the
+    // ANSWER was 744,612,495 rows for the one 30%-hot user
+    // (bench/skew10x_r16.json). No join algorithm fixes an output that
+    // big; production attribution caps the touchpoints per conversion
+    // (the standard U-shaped / position-based model attributes over the
+    // last N touches). Capping changes the algorithm class:
+    //
+    //  - Views get a per-user SEQUENCE NUMBER (one per-key ordered scan).
+    //  - Each purchase finds vmax = seq of the last view at-or-before it,
+    //    and vprev = view count at the window's open edge — two
+    //    window_funnel_depth-style ordered scans (PLANS.md r13: phrase
+    //    "nearest preceding" as last() over the incremental
+    //    (unboundedPreceding, -1) frame, strictness in the sort key:
+    //    same-instant views sort BEFORE the purchase anchor for the
+    //    inclusive <=, AFTER the shifted anchor for the strict >).
+    //  - The kept range [max(vprev+1, vmax-7), vmax] is ≤8 wide; explode
+    //    it and equi-join back on (user, seq) — every key matches exactly
+    //    one view, so the join is OUTPUT-proportional: O(purchases × 8)
+    //    rows total, per-user cost linear in key mass (the ordered scans
+    //    sort, never pair). rk and n fall out arithmetically — no second
+    //    window over pairs anywhere.
+    //
+    // Proven on the r16 skewed-10× sweep next to the uncapped form:
+    // 3.3 s at a 26% max-task share in the same window where uncapped
+    // reads 278 s.
+    QueryDef(
+      "multi_touch_last_n",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val dayUs = 86400000000L
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id").as("au"), col("event_id").as("view_id"),
+            expr("unix_micros(CAST(ts AS TIMESTAMP))").as("v_us"))
+        val wSeq = Window.partitionBy("au").orderBy(col("v_us"), col("view_id"))
+        val vseq = views.withColumn("vseq", row_number().over(wSeq))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("au"), col("event_id").as("purchase_id"),
+            expr("unix_micros(CAST(ts AS TIMESTAMP))").as("p_us"))
+        // scan 1: vmax — views sort before a same-instant purchase
+        // (kind 0 < 1), so the (unboundedPreceding, -1) frame realizes
+        // the INCLUSIVE v_ts <= p_ts in the sort key
+        val sA = vseq.select(col("au"), col("v_us").as("ts_us"),
+            lit(0).as("kind"), col("vseq"),
+            lit(null).cast("long").as("purchase_id"))
+          .unionByName(purchases.select(col("au"), col("p_us").as("ts_us"),
+            lit(1).as("kind"), lit(null).cast("int").as("vseq"),
+            col("purchase_id")))
+        val wScan = Window.partitionBy("au").orderBy(col("ts_us"), col("kind"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val vmaxDf = sA
+          .withColumn("vmax", last(col("vseq"), ignoreNulls = true).over(wScan))
+          .filter(col("kind") === 1)
+          .select(col("au"), col("purchase_id"), col("vmax"))
+        // scan 2: vprev — the shifted anchor (p_ts − 7d, +1 µs for the
+        // STRICT >) sorts before same-instant views (kind 0 < 1), so the
+        // frame counts exactly the views outside the window
+        val sB = vseq.select(col("au"), col("v_us").as("ts_us"),
+            lit(1).as("kind"), col("vseq"),
+            lit(null).cast("long").as("purchase_id"))
+          .unionByName(purchases.select(col("au"),
+            (col("p_us") - lit(7L * dayUs) + lit(1L)).as("ts_us"),
+            lit(0).as("kind"), lit(null).cast("int").as("vseq"),
+            col("purchase_id")))
+        val vprevDf = sB
+          .withColumn("vp", last(col("vseq"), ignoreNulls = true).over(wScan))
+          .filter(col("kind") === 0)
+          .select(col("purchase_id").as("pid2"),
+            coalesce(col("vp"), lit(0)).as("vprev"))
+        val ranges = vmaxDf
+          .join(vprevDf, col("purchase_id") === col("pid2"))
+          .filter(col("vmax").isNotNull && col("vmax") > col("vprev"))
+          .select(col("au"), col("purchase_id"),
+            greatest(col("vprev") + 1, col("vmax") - 7).as("lo"),
+            col("vmax").as("hi"))
+        ranges
+          .select(col("au"), col("purchase_id"), col("lo"), col("hi"),
+            explode(sequence(col("lo"), col("hi"))).as("vseq"))
+          .join(vseq.select(col("au"), col("vseq"), col("view_id")),
+            Seq("au", "vseq"))
+          .withColumn("rk", (col("vseq") - col("lo") + 1).cast("long"))
+          .withColumn("n", (col("hi") - col("lo") + 1).cast("long"))
+          .select(col("purchase_id"), col("view_id"), col("rk"), col("n"),
+            when(col("n") === 1, lit(1.0))
+              .when(col("n") === 2, lit(0.5))
+              .when(col("rk") === 1 || col("rk") === col("n"), lit(0.4))
+              .otherwise(lit(0.2) / (col("n") - 2).cast("double"))
+              .as("credit"))
+          .orderBy("purchase_id", "rk")
+      },
+      Some("""WITH touches AS (
+             |  SELECT p.event_id AS purchase_id, v.event_id AS view_id, v.ts AS v_ts,
+             |    ROW_NUMBER() OVER (PARTITION BY p.event_id
+             |                       ORDER BY v.ts DESC, v.event_id DESC) AS rd
+             |  FROM events p JOIN events v
+             |    ON p.user_id = v.user_id
+             |   AND p.event_type = 'purchase' AND v.event_type = 'view'
+             |   AND v.ts <= p.ts AND v.ts > p.ts - INTERVAL 7 DAY),
+             |kept AS (SELECT purchase_id, view_id, v_ts FROM touches WHERE rd <= 8),
+             |r AS (
+             |  SELECT purchase_id, view_id,
+             |    ROW_NUMBER() OVER (PARTITION BY purchase_id
+             |                       ORDER BY v_ts, view_id) AS rk,
+             |    CAST(count(*) OVER (PARTITION BY purchase_id) AS BIGINT) AS n
+             |  FROM kept)
+             |SELECT purchase_id, view_id, rk, n,
+             |  CASE WHEN n = 1 THEN 1.0
+             |       WHEN n = 2 THEN 0.5
+             |       WHEN rk = 1 OR rk = n THEN 0.4
+             |       ELSE 0.2 / CAST(n - 2 AS DOUBLE) END AS credit
+             |FROM r ORDER BY purchase_id, rk""".stripMargin)),
+
     // Time-INTERVAL range frame: each order sees its customer's trailing
     // 7-day revenue — the event-time sliding window expressed as a WINDOW
     // FRAME (RANGE BETWEEN INTERVAL ... PRECEDING), not a self-join. The

@@ -46,6 +46,20 @@ class SkewRulesSpec extends AnyFunSuite {
     assert(!isStraggler(m(0.5, 1.9, 1800)))
   }
 
+  test("floorScale scales the absolute floors, not the ratios (10x sweep)") {
+    // a wall under the scaled trust floor: flags at scale 1 (rule 2's
+    // absolute floors were calibrated on sf0.1 walls), clean at scale 10
+    // where only ≥20 s walls are past scheduling/semantic-straggler noise
+    assert(isStraggler(m(1.0, 5.0, 4000)))
+    assert(!isStraggler(m(1.0, 5.0, 4000), floorScale = 10.0))
+    // the de-binned control's shape AT 10x: collapse share with the wall
+    // blown past the scaled floors — must still flag at scale 10
+    assert(isStraggler(m(6.0, 96.0, 82000), floorScale = 10.0)) // rule 1
+    assert(isStraggler(m(20.0, 55.0, 47000), floorScale = 10.0)) // rules 2/3
+    // under the scaled wall floor: clean regardless of share
+    assert(!isStraggler(m(5.0, 19.0, 17000), floorScale = 10.0))
+  }
+
   test("the worst legitimate r14/r15 probe profiles stay clean") {
     // ivm_delta_join: highest legitimate hot-task share (0.64 at 1.55 s)
     assert(!isStraggler(m(1.61, 1.55, 992)))

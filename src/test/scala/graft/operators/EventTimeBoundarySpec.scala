@@ -226,4 +226,102 @@ class EventTimeBoundarySpec extends SparkSuite {
     assert(byUser(23L).toSeq.sortBy(_._2).map(_._3) === Seq(1L, 2L, 2L, 3L), "uC empty blocks + tie")
     assert(byUser(24L).map(_._3) === Set(1L), "uD singleton")
   }
+
+  // ---- multi_touch_last_n (r16): the seq-range rewrite must equal the
+  // capped join reference exactly where its arithmetic can be off by one
+  // — at the 8-touch cap cut, at the 7-day open edge (strict >, realized
+  // by the +1 µs shifted anchor's sort position), at the inclusive p_ts
+  // edge, and under same-instant view ties straddling the cap.
+
+  /** The join-form reference: all qualifying pairs, keep the last 8 by
+    * (v_ts, view_id) descending, re-rank ascending.
+    */
+  private def cappedReference(ev: DataFrame): DataFrame = {
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+    val wDesc = Window.partitionBy("purchase_id")
+      .orderBy(col("v_ts").desc, col("view_id").desc)
+    val kept = purchases.join(views,
+        col("p_user") === col("v_user") &&
+          col("v_ts") <= col("p_ts") &&
+          col("v_ts") > col("p_ts") - expr("INTERVAL 7 DAY"))
+      .withColumn("rd", row_number().over(wDesc))
+      .filter(col("rd") <= 8)
+    val w = Window.partitionBy("purchase_id").orderBy(col("v_ts"), col("view_id"))
+    val cnt = Window.partitionBy("purchase_id")
+    kept
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(cnt))
+      .select(col("purchase_id"), col("view_id"),
+        col("rk").cast("long").as("rk"), col("n"),
+        when(col("n") === 1, lit(1.0))
+          .when(col("n") === 2, lit(0.5))
+          .when(col("rk") === 1 || col("rk") === col("n"), lit(0.4))
+          .otherwise(lit(0.2) / (col("n") - 2).cast("double"))
+          .as("credit"))
+  }
+
+  private lazy val cappedDir: String = {
+    val crafted: Seq[(Long, LocalDateTime, Long, String)] = Seq(
+      // u11: 12 hourly views then a purchase — the cap must keep exactly
+      // the LAST 8 (ids 5004..5011), rk 1..8, n=8
+      (1 to 12).map(i => (5000L + i - 1, us(T0, i * 3600000000L), 11L, "view")) ++
+        Seq((5100L, us(T0, 13 * 3600000000L), 11L, "purchase")),
+      // u12: 10 views BEFORE the window plus 4 inside — the window edge
+      // cuts deeper than the cap (n=4, vprev+1 > vmax-7); boundary views
+      // at exactly p-7d (out, strict >) and p-7d+1µs (in)
+      (1 to 10).map(i => (6000L + i, us(T0, -(8 * day) + i * 60000000L), 12L, "view")) ++
+        Seq((6020L, us(T0, -7 * day), 12L, "view"), // exactly p-7d: out
+            (6021L, us(T0, -7 * day + 1), 12L, "view"), // +1µs: in
+            (6022L, us(T0, -3 * day), 12L, "view"),
+            (6023L, us(T0, -day), 12L, "view"),
+            (6024L, us(T0, 0), 12L, "view"), // exactly p_ts: in
+            (6100L, us(T0, 0), 12L, "purchase")),
+      // u13: 10 same-instant views at the cap edge — the cut must keep
+      // the 8 highest ids (deterministic (v_ts, view_id) order)
+      (1 to 10).map(i => (7000L + i, us(T0, day), 13L, "view")) ++
+        Seq((7100L, us(T0, 2 * day), 13L, "purchase")),
+      // u14: purchase with no views in window — absent from the output
+      Seq((8001L, us(T0, -(7 * day) - 1), 14L, "view"),
+          (8100L, us(T0, 0), 14L, "purchase")),
+      // u15: two purchases 1µs apart sharing the same two views — the
+      // view AT the first purchase's instant must count for BOTH
+      // (inclusive <=), and neither purchase's range double-consumes
+      Seq((9001L, us(T0, -day), 15L, "view"),
+          (9002L, us(T0, 0), 15L, "view"),
+          (9100L, us(T0, 0), 15L, "purchase"),
+          (9101L, us(T0, 1), 15L, "purchase"))
+    ).flatten
+    val d = java.nio.file.Files.createTempDirectory("graft-capped").toString
+    crafted.toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("capped multi-touch equals the join reference at cap and window edges") {
+    val key = (df: DataFrame) => df
+      .select("purchase_id", "view_id", "rk", "n", "credit")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    val got = key(graft.SparkEntry.queries("multi_touch_last_n")(spark, cappedDir))
+    val want = key(cappedReference(graft.QueryDef.t(spark, cappedDir, "events")))
+    assert(got === want, s"missing=${want -- got} phantom=${got -- want}")
+    val byPurchase = got.groupBy(_._1)
+    // u11: exactly the last 8 of 12
+    assert(byPurchase(5100L).map(_._2) === (5004L to 5011L).toSet)
+    assert(byPurchase(5100L).forall(_._4 == 8L))
+    // u12: window cuts deeper than the cap — 4 in-window views
+    assert(byPurchase(6100L).map(_._2) === Set(6021L, 6022L, 6023L, 6024L))
+    // u13: same-instant tie cut keeps the 8 highest ids
+    assert(byPurchase(7100L).map(_._2) === (7003L to 7010L).toSet)
+    // u14: no in-window views -> no rows
+    assert(!byPurchase.contains(8100L))
+    // u15: the view AT the first purchase's instant counts for both
+    assert(byPurchase(9100L).map(_._2) === Set(9001L, 9002L))
+    assert(byPurchase(9101L).map(_._2) === Set(9001L, 9002L))
+  }
 }
