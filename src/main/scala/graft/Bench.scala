@@ -258,7 +258,8 @@ object Bench {
           val legs = Seq(
             StreamingThroughput.scd2Leg(spark, "/tmp/graft_stream_tp"),
             StreamingThroughput.lshLeg(spark, sfDir, "/tmp/graft_stream_tp"))
-          (s""","streaming":${StreamingThroughput.benchJson(legs)}""",
+          val recovery = Some(StreamingThroughput.recoveryLeg(spark, "/tmp/graft_stream_tp"))
+          (s""","streaming":${StreamingThroughput.benchJson(legs, recovery)}""",
             Seq.empty[String], (System.nanoTime() - t0) / 1e9)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] streaming leg failed: ${e.getMessage}")

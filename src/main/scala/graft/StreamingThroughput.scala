@@ -287,32 +287,146 @@ object StreamingThroughput {
     drive(spark, () => start(), "lsh_dedup_ingest", totalDocs, expected)
   }
 
+  /** One kill-and-resume measurement over the SCD2 incremental leg
+    * (r16 extension of the throughput artifact): stop the stream
+    * mid-flight after `stopAfter` committed batches, restart from the
+    * checkpoint, and measure what the exactly-once story actually costs
+    * and guarantees — recovery latency to the first post-restart commit,
+    * how many batches replayed (a torn batch re-runs under its original
+    * id; committed ones must not), and the END-STATE exactness the
+    * documented at-least-once→upsert contract promises: distinct
+    * (id, lsn) emissions == every version exactly once, converged state
+    * rows == distinct keys. The oracle legs prove replay ≡ batch on
+    * converged OUTPUT; this is the only measurement that would catch a
+    * checkpoint that silently re-ingests (duplicate versions) or loses
+    * state (missing keys) across a restart.
+    */
+  final case class RecoveryResult(preStopBatches: Int, replayedBatches: Int,
+                                  postRestartBatches: Int, recoveryFirstCommitS: Double,
+                                  distinctVersions: Long, expectedVersions: Long,
+                                  stateRowsFinal: Long, expectedStateRows: Long) {
+    def clean: Boolean =
+      distinctVersions == expectedVersions && stateRowsFinal == expectedStateRows
+    def json: String =
+      s""""scd2_recovery":{"pre_stop_batches":$preStopBatches,""" +
+        s""""replayed_batches":$replayedBatches,"post_restart_batches":$postRestartBatches,""" +
+        s""""recovery_first_commit_s":${f"$recoveryFirstCommitS%.2f"},""" +
+        s""""distinct_versions":$distinctVersions,"expected_versions":$expectedVersions,""" +
+        s""""state_rows_final":$stateRowsFinal,"state_rows_expected":$expectedStateRows}"""
+  }
+
+  def recoveryLeg(spark: SparkSession, scratchRoot: String,
+                  n: Long = Scd2Events, slices: Int = Scd2Slices,
+                  stopAfter: Int = 10): RecoveryResult = {
+    import spark.implicits._
+    val lake = ensureEnvelopeSlices(spark, n, slices)
+    val scratch = freshDir(s"$scratchRoot/scd2_recovery")
+    val out = s"$scratch/emissions"
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "400")
+    try {
+      def start() = {
+        val envelopes = Scd2Streaming.readEnvelopeStream(
+          spark, s"$lake/b*/part-*", CdcSchemas.productsRow, maxFilesPerTrigger = 1)
+        val events = envelopes
+          .filter(col("payload.op").isNotNull)
+          .select(
+            coalesce(col("payload.after.id"), col("payload.before.id"))
+              .cast("int").as("id"),
+            col("payload.source.lsn").cast("long").as("lsn"),
+            col("payload.ts_ms").cast("long").as("tsMs"),
+            map(lit("name"), col("payload.after.name")).as("attrs"),
+            col("payload.op").as("op"))
+          .filter(col("id").isNotNull)
+          .as[Scd2Streaming.KeyEvent]
+        Scd2Streaming.incremental(events)
+          .writeStream
+          .foreachBatch { (b: Dataset[Scd2Streaming.VersionRow], _: Long) =>
+            b.write.mode("append").parquet(out)
+            ()
+          }
+          .option("checkpointLocation", s"$scratch/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+      }
+      // phase 1: run until `stopAfter` batches have committed, then stop
+      // mid-flight (the in-flight batch is torn — the checkpoint replays
+      // it under the same id on restart)
+      val q1 = start()
+      while (q1.isActive &&
+        (q1.lastProgress == null || q1.lastProgress.batchId < stopAfter - 1)) {
+        Thread.sleep(100)
+      }
+      q1.stop()
+      q1.awaitTermination()
+      val committed1 = q1.recentProgress.map(_.batchId).toSet
+      // phase 2: restart from the checkpoint and drain to completion
+      val t0 = System.nanoTime()
+      val q2 = start()
+      while (q2.isActive && q2.lastProgress == null) Thread.sleep(50)
+      val firstCommitS = (System.nanoTime() - t0) / 1e9
+      q2.awaitTermination()
+      val prog2 = q2.recentProgress.toSeq
+      val committed2 = prog2.map(_.batchId).toSet
+      val stateFinal = prog2.sortBy(_.batchId).lastOption
+        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+      // end-state exactness: every (id, lsn) version emitted at least
+      // once and countable exactly once after the documented sink-side
+      // upsert (dedup on the version key)
+      val distinctVersions = spark.read.parquet(out)
+        .select("id", "lsn").distinct().count()
+      RecoveryResult(
+        preStopBatches = committed1.size,
+        replayedBatches = (committed1 & committed2).size,
+        postRestartBatches = committed2.size,
+        recoveryFirstCommitS = firstCommitS,
+        distinctVersions = distinctVersions, expectedVersions = n,
+        stateRowsFinal = stateFinal, expectedStateRows = n / 10)
+    } finally prior match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   /** The graded bar: legs under their rows/s floor, plus any leg whose
     * converged state-row count differs from the batch-expected distinct
     * keys (suffix `_state`: a leak or an early eviction).
     */
-  def belowFloor(legs: Seq[LegResult]): Seq[String] =
+  def belowFloor(legs: Seq[LegResult],
+                 recovery: Option[RecoveryResult] = None): Seq[String] =
     legs.flatMap { l =>
       val floor = Floors.getOrElse(l.leg, 0.0)
       val slow = if (l.rowsPerS < floor) Seq(l.leg) else Nil
       val leak = if (l.stateRowsFinal != l.expectedStateRows)
         Seq(s"${l.leg}_state") else Nil
       slow ++ leak
+    } ++ recovery.toSeq.flatMap { r =>
+      val dup = if (r.distinctVersions != r.expectedVersions)
+        Seq("scd2_recovery_versions") else Nil
+      val st = if (r.stateRowsFinal != r.expectedStateRows)
+        Seq("scd2_recovery_state") else Nil
+      dup ++ st
     }
 
   /** Compact JSON for the bench tail (per-batch arrays omitted — the full
     * artifact comes from this object's main).
     */
-  def benchJson(legs: Seq[LegResult]): String = {
+  def benchJson(legs: Seq[LegResult],
+                recovery: Option[RecoveryResult] = None): String = {
     val per = legs.map { l =>
       s""""${l.leg}":{"rows_per_s":${f"${l.rowsPerS}%.0f"},"p50_ms":${l.p50Ms},""" +
         s""""p95_ms":${l.p95Ms},"data_batches":${l.dataBatches.size},""" +
         s""""state_rows_final":${l.stateRowsFinal},"state_rows_expected":${l.expectedStateRows}}"""
     }.mkString(",")
+    val rec = recovery.map("," + _.json).getOrElse("")
     val floors = Floors.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":${f"$v%.0f"}""" }.mkString("{", ",", "}")
-    val bf = belowFloor(legs).sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    s"""{$per,"floors":$floors,"below_floor":$bf}"""
+    val bf = belowFloor(legs, recovery).sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    s"""{$per$rec,"floors":$floors,"below_floor":$bf}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -322,16 +436,19 @@ object StreamingThroughput {
     spark.sparkContext.setLogLevel("WARN")
     val scratch = "/tmp/graft_stream_tp"
     val legs = Seq(scd2Leg(spark, scratch), lshLeg(spark, sfDir, scratch))
+    val recovery = Some(recoveryLeg(spark, scratch))
     val legsJson = legs.map(_.json).mkString(",")
-    val bf = belowFloor(legs).sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val recJson = recovery.map("," + _.json).getOrElse("")
+    val bf = belowFloor(legs, recovery).sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val floors = Floors.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":${f"$v%.0f"}""" }.mkString("{", ",", "}")
-    val line = s"""{"metric":"streaming_throughput","sf":"$sfDir",$legsJson,"floors":$floors,"below_floor":$bf}"""
+    val line = s"""{"metric":"streaming_throughput","sf":"$sfDir",$legsJson$recJson,"floors":$floors,"below_floor":$bf}"""
     println(line)
     outPath.foreach { p =>
       java.nio.file.Files.write(java.nio.file.Paths.get(p), (line + "\n").getBytes("UTF-8"))
     }
     spark.stop()
-    if (belowFloor(legs).nonEmpty) sys.exit(1)
+    if (belowFloor(legs, recovery).nonEmpty) sys.exit(1)
   }
 }

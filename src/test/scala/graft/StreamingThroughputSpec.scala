@@ -54,6 +54,24 @@ class StreamingThroughputSpec extends SparkSuite {
     assert(parsed.columns.contains("below_floor"))
   }
 
+  test("a real tiny kill-and-resume recovery leg converges exactly") {
+    val r = StreamingThroughput.recoveryLeg(spark,
+      SparkSuite.scratchDir("graft-streamrec"), n = 2000, slices = 4,
+      stopAfter = 2)
+    // the restart must drain the lake: all 4 slices committed across the
+    // two query incarnations, with end-state exactness — every (id, lsn)
+    // version exactly once after the sink-side dedup, state == keys
+    assert(r.preStopBatches >= 1)
+    assert(r.distinctVersions === 2000L)
+    assert(r.stateRowsFinal === 200L)
+    assert(r.clean)
+    assert(StreamingThroughput.belowFloor(Nil, Some(r)) === Nil)
+    // a corrupted recovery must flag through the bar
+    val bad = r.copy(distinctVersions = 2001L, stateRowsFinal = 199L)
+    assert(StreamingThroughput.belowFloor(Nil, Some(bad)) ===
+      Seq("scd2_recovery_versions", "scd2_recovery_state"))
+  }
+
   test("a real tiny scd2 leg harvests per-batch progress and exact state rows") {
     // 2000 events over 4 slices, 200 keys — seconds, not minutes, at local[4]
     val r = StreamingThroughput.scd2Leg(spark,
