@@ -209,7 +209,7 @@ object ScaleSmoke {
     "hll_intersection_audit", "window_interval_range_sum",
     "drift_ks_statistic", "drift_psi_bins", "graph_degree_assortativity",
     "acf_daily_events", "fd_profile_audit", "salt_factor_planner",
-    "window_funnel_depth", "multi_touch_last_n", "boruvka_msf_round",
+    "window_funnel_depth", "boruvka_msf_round",
     "text_token_stats",
     "text_repetition_ratio", "text_lang_id", "lang_id_confusion",
     "text_quality_score", "corpus_quality_gate", "quality_median_filter",
@@ -396,6 +396,11 @@ object ScaleSmoke {
     // keep it linear; key offsets keep copies disjoint and 10^8 % 16 = 0
     // preserves the color classes per copy)
     "dedup_incremental_newbatch", "graph_triangle_census",
+    // round 16: the output-capped attribution born from the 10×-skew
+    // catch — smoked (not exempt) because it exists precisely to hold a
+    // scale property (O(purchases × 8) output, ordered scans in place of
+    // the pair join), so its 10×/100× trend is the contract to watch
+    "multi_touch_last_n",
     // round 7: the corpus-global shingle window (the dup-ngram shuffle is
     // the exact-dedup cardinality class — must scale with distinct
     // shingles) and the source-pair shingle matrix (per-shingle expansion
