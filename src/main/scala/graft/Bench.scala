@@ -190,6 +190,35 @@ object Bench {
         sFailed, worst, smokeSec, buildSec)
     } else ("", Seq.empty[String], "[]", 0.0, 0.0)
 
+    // Box-factor canary (moved ahead of the skew/streaming sections in
+    // r17: their absolute floors are normalized by it — VERDICT r16 task
+    // #3): measured/reference per canary (headline numbers reused — no
+    // extra executions), median across the present ones.
+    val resMap = results.toMap
+    val perCanary = CanaryRef.flatMap { case (n, ref) =>
+      resMap.get(n).filter(_ > 0).map(n -> _ / ref)
+    }
+    val canaryMissing = CanaryRef.collect {
+      case (n, _) if !resMap.get(n).exists(_ > 0) => n
+    }
+    val canaryMedian = if (perCanary.isEmpty) -1.0 else {
+      val s = perCanary.map(_._2).sorted
+      s(s.size / 2)
+    }
+    val canaryJson = {
+      val per = perCanary.map { case (n, f) => "\"" + n + "\":" + f"$f%.2f" }
+        .mkString("{", ",", "}")
+      val miss = canaryMissing.map("\"" + _ + "\"").mkString("[", ",", "]")
+      s""","box_factor":{"ref":"bench_r15a","median":${f"$canaryMedian%.2f"},"per_canary":$per,"missing":$miss}"""
+    }
+    // The skew gate's absolute seconds floors scale UP on a slow box (a
+    // wall floor is time — slowness inflates it); the streaming rows/s
+    // floors scale DOWN (throughput deflates). Both use the same clamped
+    // relaxation [1, 3] — a fast box never tightens a pinned floor, and
+    // an extreme canary reading cannot hide a genuine collapse
+    // (PERF_NOTES r17; controls in SkewRulesSpec/StreamingThroughputSpec).
+    val boxRelax = StreamingThroughput.floorRelax(canaryMedian)
+
     // Hot-key stress gate (VERDICT r13 task #1; opt out with
     // SPARK_GRAFT_SKEW_STRESS=0): every skew-sensitive catalog plan runs
     // paired on the base lake and a 30%-hot-key variant; `stragglers: []`
@@ -213,33 +242,15 @@ object Bench {
           .mkString("{", ",", "}")
         val hotJ = rs.map { case (k, m) => "\"" + k + "\":" + f"${m.hotTaskShare}%.2f" }
           .mkString("{", ",", "}")
-        val flagged = rs.collect { case (k, m) if SkewStress.isStraggler(m) => k }
+        val flagged = rs.collect {
+          case (k, m) if SkewStress.isStraggler(m, floorScale = boxRelax) => k
+        }
         val sFailed = rs.collect { case (k, m) if m.baseS < 0 || m.skewS < 0 => k }
         val flagJ = flagged.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
         val failJ = sFailed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-        (s""","skew":{"hot_permille":${SkewStress.HotPermille},"build_s":${f"$buildSec%.1f"},"base_s":$baseJ,"skew_s":$skewJ,"straggler_x":$stragJ,"hot_task_pct":$hotJ,"failed":$failJ,"stragglers":$flagJ}""",
+        (s""","skew":{"hot_permille":${SkewStress.HotPermille},"build_s":${f"$buildSec%.1f"},"floor_relax":${f"$boxRelax%.2f"},"base_s":$baseJ,"skew_s":$skewJ,"straggler_x":$stragJ,"hot_task_pct":$hotJ,"failed":$failJ,"stragglers":$flagJ}""",
           sFailed, wallSec)
       } else ("", Seq.empty[String], 0.0)
-
-    // Box-factor canary: measured/reference per canary (headline numbers
-    // reused — no extra executions), median across the present ones.
-    val resMap = results.toMap
-    val perCanary = CanaryRef.flatMap { case (n, ref) =>
-      resMap.get(n).filter(_ > 0).map(n -> _ / ref)
-    }
-    val canaryMissing = CanaryRef.collect {
-      case (n, _) if !resMap.get(n).exists(_ > 0) => n
-    }
-    val canaryMedian = if (perCanary.isEmpty) -1.0 else {
-      val s = perCanary.map(_._2).sorted
-      s(s.size / 2)
-    }
-    val canaryJson = {
-      val per = perCanary.map { case (n, f) => "\"" + n + "\":" + f"$f%.2f" }
-        .mkString("{", ",", "}")
-      val miss = canaryMissing.map("\"" + _ + "\"").mkString("[", ",", "]")
-      s""","box_factor":{"ref":"bench_r15a","median":${f"$canaryMedian%.2f"},"per_canary":$per,"missing":$miss}"""
-    }
 
     // Streaming-throughput bar (VERDICT r15 task #1; opt out with
     // SPARK_GRAFT_STREAM_BENCH=0): the two flagship transformWithState
@@ -259,7 +270,7 @@ object Bench {
             StreamingThroughput.scd2Leg(spark, "/tmp/graft_stream_tp"),
             StreamingThroughput.lshLeg(spark, sfDir, "/tmp/graft_stream_tp"))
           val recovery = Some(StreamingThroughput.recoveryLeg(spark, "/tmp/graft_stream_tp"))
-          (s""","streaming":${StreamingThroughput.benchJson(legs, recovery)}""",
+          (s""","streaming":${StreamingThroughput.benchJson(legs, recovery, boxRelax)}""",
             Seq.empty[String], (System.nanoTime() - t0) / 1e9)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] streaming leg failed: ${e.getMessage}")

@@ -440,9 +440,9 @@ object ScaleSmoke {
     // window (distinct-shingle cardinality class, same exchange as the
     // dup-ngram fraction)
     "topk_similar_per_doc", "weighted_median_price", "ngram_novelty_rate",
-    // the attribution pair join: growth must track events within the
-    // 7-day window per user, never the purchases x views cross product
-    "multi_touch_attribution",
+    // (multi_touch_attribution left the smoke set in r17 with its
+    // bench=false demotion — its answer is quadratic in hot-key mass by
+    // semantics, and multi_touch_last_n above is the smoked scale path)
     // round 8 batch 2: the duplicated-span extractor (two shingle-keyed
     // shuffles — the count-distinct and the semi join back — growth must
     // track the distinct-shingle set; the Caesar-rotated copies keep

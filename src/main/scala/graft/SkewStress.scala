@@ -101,11 +101,12 @@ object SkewStress {
     // events.user_id — ordered scans / asof (key-linear by algorithm)
     "window_funnel_depth", "asof_join_last_event", "asof_join_next_event",
     "asof_join_nearest_event",
-    // events.user_id — equi+range join (day bin in the key; NOTE the
-    // ANSWER is all qualifying pairs, quadratic in hot-key mass — held
-    // acceptable at sf0.1-skew scale, flagged honestly at the 10× skewed
-    // lake where the hot answer is 744M rows; multi_touch_last_n is the
-    // output-capped scale path, r16)
+    // events.user_id — equi+range join (day bin in the key). The uncapped
+    // form is bench=false since r17 (its ANSWER is quadratic in hot-key
+    // mass — 744M pairs for the 30%-hot user on the 10× lake — which no
+    // join algorithm fixes) but stays probed HERE at sf0.1, where the
+    // answer-size term is small, so the day-bin join discipline itself
+    // remains graded; multi_touch_last_n is the benched scale path.
     "multi_touch_attribution", "multi_touch_last_n",
     // events.user_id — aggregate-first (map-side combine spreads the key)
     "funnel_signup_purchase", "funnel_time_to_convert", "cohort_retention",

@@ -46,8 +46,15 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamingThroughput {
 
-  /** One micro-batch observation (from StreamingQueryProgress). */
-  final case class BatchStat(batchId: Long, rows: Long, execMs: Long, stateRows: Long)
+  /** One micro-batch observation (from StreamingQueryProgress).
+    * `stateBytes` is stateOperators.memoryUsedBytes summed — for RocksDB
+    * the provider's reported total memory (blocks + memtable + SST
+    * readers), the actual executor footprint the 100 TB sizing question
+    * is about (VERDICT r16 task #2: row COUNTS alone can't show whether
+    * a linearly-growing key space is becoming the cluster's RAM budget).
+    */
+  final case class BatchStat(batchId: Long, rows: Long, execMs: Long,
+                             stateRows: Long, stateBytes: Long)
 
   /** One leg's full measurement. */
   final case class LegResult(leg: String, totalRows: Long, wallS: Double,
@@ -61,18 +68,30 @@ object StreamingThroughput {
     }
     def p50Ms: Long = pct(0.50)
     def p95Ms: Long = pct(0.95)
+    /** p95 over the data batches EXCLUDING the first (batch-0 absorbs the
+      * RocksDB store open + column-family setup — measured 7.5 s vs a
+      * 1.3–2.4 s steady state on the SCD2 leg — so the plain p95 is
+      * warmup-dominated and regression-blind; VERDICT r16 task #4).
+      */
+    def p95SteadyMs: Long = {
+      val s = dataBatches.drop(1).map(_.execMs).sorted
+      if (s.isEmpty) -1L else s(math.min(s.size - 1, (0.95 * s.size).toInt))
+    }
     def stateRowsFinal: Long = dataBatches.lastOption.map(_.stateRows).getOrElse(-1L)
     def stateRowsMax: Long = if (batches.isEmpty) -1L else batches.map(_.stateRows).max
+    def stateBytesFinal: Long = dataBatches.lastOption.map(_.stateBytes).getOrElse(-1L)
     def json: String = {
       def arr(f: BatchStat => Long) = batches.map(f).mkString("[", ",", "]")
       s""""$leg":{"rows":$totalRows,"batches":${batches.size},""" +
         s""""data_batches":${dataBatches.size},"rows_per_s":${f"$rowsPerS%.0f"},""" +
         s""""exec_s":${f"$execS%.2f"},"wall_s":${f"$wallS%.2f"},""" +
-        s""""p50_ms":${p50Ms},"p95_ms":${p95Ms},""" +
+        s""""p50_ms":${p50Ms},"p95_ms":${p95Ms},"p95_steady_ms":${p95SteadyMs},""" +
         s""""state_rows_final":$stateRowsFinal,"state_rows_max":$stateRowsMax,""" +
         s""""state_rows_expected":$expectedStateRows,""" +
+        s""""state_bytes_final":$stateBytesFinal,""" +
         s""""batch_rows":${arr(_.rows)},"batch_ms":${arr(_.execMs)},""" +
-        s""""batch_state_rows":${arr(_.stateRows)}}"""
+        s""""batch_state_rows":${arr(_.stateRows)},""" +
+        s""""batch_state_bytes":${arr(_.stateBytes)}}"""
     }
   }
 
@@ -169,37 +188,52 @@ object StreamingThroughput {
         ScaleSmoke.rotatedText(col("text"), col("__copy"), copies).as("text"))
   }
 
+  /** Run `body` with the RocksDB state-store provider and a progress
+    * retention wide enough for every micro-batch, restoring BOTH confs
+    * afterwards (ADVICE r16: numRecentProgressUpdates used to leak into
+    * the rest of the shared Bench session, and the save/restore block was
+    * duplicated between drive() and recoveryLeg()).
+    */
+  private def withStreamingConf[T](spark: SparkSession)(body: => T): T = {
+    val keys = Seq(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      // every micro-batch must survive in recentProgress or p95/state
+      // growth are computed over a truncated window (default retention 100)
+      "spark.sql.streaming.numRecentProgressUpdates" -> "400")
+    val prior = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** Per-batch stats from a completed query's progress history. */
+  private def harvest(q: org.apache.spark.sql.streaming.StreamingQuery): Seq[BatchStat] =
+    q.recentProgress.toSeq.map { p =>
+      val execMs = Option(p.durationMs.get("triggerExecution"))
+        .map(_.longValue()).getOrElse(-1L)
+      val stateRows = p.stateOperators.map(_.numRowsTotal).sum
+      val stateBytes = p.stateOperators.map(_.memoryUsedBytes).sum
+      BatchStat(p.batchId, p.numInputRows, execMs, stateRows, stateBytes)
+    }.sortBy(_.batchId)
+
   /** Run one AvailableNow stream to completion and harvest per-batch
     * stats from its progress history. `start` must build and start the
     * query; state rows come from stateOperators.numRowsTotal.
     */
   private def drive(spark: SparkSession,
                     start: () => org.apache.spark.sql.streaming.StreamingQuery,
-                    leg: String, totalRows: Long, expectedState: Long): LegResult = {
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prior = spark.conf.getOption(providerKey)
-    spark.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    // every micro-batch must survive in recentProgress or p95/state-growth
-    // are computed over a truncated window (default retention is 100)
-    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "400")
-    try {
+                    leg: String, totalRows: Long, expectedState: Long): LegResult =
+    withStreamingConf(spark) {
       val t0 = System.nanoTime()
       val q = start()
       q.awaitTermination()
       val wallS = (System.nanoTime() - t0) / 1e9
-      val batches = q.recentProgress.toSeq.map { p =>
-        val execMs = Option(p.durationMs.get("triggerExecution"))
-          .map(_.longValue()).getOrElse(-1L)
-        val stateRows = p.stateOperators.map(_.numRowsTotal).sum
-        BatchStat(p.batchId, p.numInputRows, execMs, stateRows)
-      }.sortBy(_.batchId)
-      LegResult(leg, totalRows, wallS, expectedState, batches)
-    } finally prior match {
-      case Some(v) => spark.conf.set(providerKey, v)
-      case None => spark.conf.unset(providerKey)
+      LegResult(leg, totalRows, wallS, expectedState, harvest(q))
     }
-  }
 
   /** SCD2 incremental leg: envelope NDJSON slices → parse → typed change
     * events → [[Scd2Streaming.incremental]] (per-key ValueState event log)
@@ -322,12 +356,7 @@ object StreamingThroughput {
     val lake = ensureEnvelopeSlices(spark, n, slices)
     val scratch = freshDir(s"$scratchRoot/scd2_recovery")
     val out = s"$scratch/emissions"
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prior = spark.conf.getOption(providerKey)
-    spark.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "400")
-    try {
+    withStreamingConf(spark) {
       def start() = {
         val envelopes = Scd2Streaming.readEnvelopeStream(
           spark, s"$lake/b*/part-*", CdcSchemas.productsRow, maxFilesPerTrigger = 1)
@@ -385,20 +414,36 @@ object StreamingThroughput {
         recoveryFirstCommitS = firstCommitS,
         distinctVersions = distinctVersions, expectedVersions = n,
         stateRowsFinal = stateFinal, expectedStateRows = n / 10)
-    } finally prior match {
-      case Some(v) => spark.conf.set(providerKey, v)
-      case None => spark.conf.unset(providerKey)
     }
   }
 
-  /** The graded bar: legs under their rows/s floor, plus any leg whose
-    * converged state-row count differs from the batch-expected distinct
-    * keys (suffix `_state`: a leak or an early eviction).
+  /** Box-normalization clamp for the absolute rows/s floors (VERDICT r16
+    * task #3): the floors are raw numbers pinned on the r16 bench box, and
+    * the box itself drifts 0.3–3× round to round (the canary's measured
+    * band) — so a slow driver box could flag a healthy build. A canary
+    * box factor > 1 (box slower than the reference run) DIVIDES the floor
+    * by up to 3×; a fast box never TIGHTENS a floor (measured throughput
+    * is higher there — the pinned floor is already conservative), and the
+    * relaxation caps at 3× so a genuinely collapsed leg cannot hide
+    * behind an extreme canary reading. Validated by synthetic controls in
+    * StreamingThroughputSpec: a 3×-slow box does not false-flag, a real
+    * 5× throughput collapse on a normal box still does.
+    */
+  def floorRelax(boxFactor: Double): Double =
+    if (boxFactor.isNaN || boxFactor <= 0) 1.0
+    else math.min(3.0, math.max(1.0, boxFactor))
+
+  /** The graded bar: legs under their (box-normalized) rows/s floor, plus
+    * any leg whose converged state-row count differs from the
+    * batch-expected distinct keys (suffix `_state`: a leak or an early
+    * eviction). `boxFactor` is the bench canary median (1.0 = reference
+    * box; see [[floorRelax]]).
     */
   def belowFloor(legs: Seq[LegResult],
-                 recovery: Option[RecoveryResult] = None): Seq[String] =
+                 recovery: Option[RecoveryResult] = None,
+                 boxFactor: Double = 1.0): Seq[String] =
     legs.flatMap { l =>
-      val floor = Floors.getOrElse(l.leg, 0.0)
+      val floor = Floors.getOrElse(l.leg, 0.0) / floorRelax(boxFactor)
       val slow = if (l.rowsPerS < floor) Seq(l.leg) else Nil
       val leak = if (l.stateRowsFinal != l.expectedStateRows)
         Seq(s"${l.leg}_state") else Nil
@@ -415,18 +460,21 @@ object StreamingThroughput {
     * artifact comes from this object's main).
     */
   def benchJson(legs: Seq[LegResult],
-                recovery: Option[RecoveryResult] = None): String = {
+                recovery: Option[RecoveryResult] = None,
+                boxFactor: Double = 1.0): String = {
     val per = legs.map { l =>
       s""""${l.leg}":{"rows_per_s":${f"${l.rowsPerS}%.0f"},"p50_ms":${l.p50Ms},""" +
-        s""""p95_ms":${l.p95Ms},"data_batches":${l.dataBatches.size},""" +
-        s""""state_rows_final":${l.stateRowsFinal},"state_rows_expected":${l.expectedStateRows}}"""
+        s""""p95_ms":${l.p95Ms},"p95_steady_ms":${l.p95SteadyMs},""" +
+        s""""data_batches":${l.dataBatches.size},""" +
+        s""""state_rows_final":${l.stateRowsFinal},"state_rows_expected":${l.expectedStateRows},""" +
+        s""""state_bytes_final":${l.stateBytesFinal}}"""
     }.mkString(",")
     val rec = recovery.map("," + _.json).getOrElse("")
     val floors = Floors.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":${f"$v%.0f"}""" }.mkString("{", ",", "}")
-    val bf = belowFloor(legs, recovery).sorted
+    val bf = belowFloor(legs, recovery, boxFactor).sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    s"""{$per$rec,"floors":$floors,"below_floor":$bf}"""
+    s"""{$per$rec,"floors":$floors,"floor_relax":${f"${floorRelax(boxFactor)}%.2f"},"below_floor":$bf}"""
   }
 
   def main(args: Array[String]): Unit = {

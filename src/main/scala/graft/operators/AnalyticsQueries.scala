@@ -3895,7 +3895,17 @@ object AnalyticsQueries {
              |       WHEN n = 2 THEN 0.5
              |       WHEN rk = 1 OR rk = n THEN 0.4
              |       ELSE 0.2 / CAST(n - 2 AS DOUBLE) END AS credit
-             |FROM r ORDER BY purchase_id, rk""".stripMargin)),
+             |FROM r ORDER BY purchase_id, rk""".stripMargin),
+      // r17: semantics baseline only (the dedup_containment precedent,
+      // DedupQueries.scala) — the r16 skewed-10× sweep proved the ANSWER
+      // is quadratic in hot-key mass (744,612,495 qualifying pairs for
+      // one 30%-hot user, 239 s vs 2.3 s base with the work perfectly
+      // spread), which no join algorithm fixes; the benched scale path
+      // is multi_touch_last_n below (output O(purchases × 8)). Stays in
+      // SkewStress.probes so the day-bin JOIN discipline — which is
+      // correct and must not regress — remains graded at sf0.1, where
+      // the answer-size term is small.
+      bench = false),
 
     // CAPPED multi-touch attribution — U-shaped credit over the LAST 8
     // views inside each purchase's 7-day window. This is the 100 TB scale
@@ -3914,7 +3924,7 @@ object AnalyticsQueries {
     //  - Each purchase finds vmax = seq of the last view at-or-before it,
     //    and vprev = view count at the window's open edge — two
     //    window_funnel_depth-style ordered scans (PLANS.md r13: phrase
-    //    "nearest preceding" as last() over the incremental
+    //    "nearest preceding" as max(vseq) over the incremental
     //    (unboundedPreceding, -1) frame, strictness in the sort key:
     //    same-instant views sort BEFORE the purchase anchor for the
     //    inclusive <=, AFTER the shifted anchor for the strict >).
@@ -3950,10 +3960,17 @@ object AnalyticsQueries {
           .unionByName(purchases.select(col("au"), col("p_us").as("ts_us"),
             lit(1).as("kind"), lit(null).cast("int").as("vseq"),
             col("purchase_id")))
+        // max(vseq) over the incremental frame, NOT last(..., ignoreNulls):
+        // vseq is monotone in the frame's own sort order, so the in-frame
+        // max IS the intended "last at-or-before" sequence — and unlike
+        // last(), it is independent of how same-timestamp views happen to
+        // be ordered within the window sort (last() only worked because
+        // the upstream row_number sort survived as stable-sort input
+        // order; AQE/retries can break that — ADVICE r16).
         val wScan = Window.partitionBy("au").orderBy(col("ts_us"), col("kind"))
           .rowsBetween(Window.unboundedPreceding, -1)
         val vmaxDf = sA
-          .withColumn("vmax", last(col("vseq"), ignoreNulls = true).over(wScan))
+          .withColumn("vmax", max(col("vseq")).over(wScan))
           .filter(col("kind") === 1)
           .select(col("au"), col("purchase_id"), col("vmax"))
         // scan 2: vprev — the shifted anchor (p_ts − 7d, +1 µs for the
@@ -3967,7 +3984,7 @@ object AnalyticsQueries {
             lit(0).as("kind"), lit(null).cast("int").as("vseq"),
             col("purchase_id")))
         val vprevDf = sB
-          .withColumn("vp", last(col("vseq"), ignoreNulls = true).over(wScan))
+          .withColumn("vp", max(col("vseq")).over(wScan))
           .filter(col("kind") === 0)
           .select(col("purchase_id").as("pid2"),
             coalesce(col("vp"), lit(0)).as("vprev"))

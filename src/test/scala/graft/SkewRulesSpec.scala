@@ -60,6 +60,24 @@ class SkewRulesSpec extends AnyFunSuite {
     assert(!isStraggler(m(5.0, 19.0, 17000), floorScale = 10.0))
   }
 
+  test("box-relaxed floors (r17): a 3x-slow box does not false-flag, a " +
+    "genuine collapse still does") {
+    // Bench passes floorScale = StreamingThroughput.floorRelax(canary
+    // median) so the ABSOLUTE seconds floors track box drift while the
+    // scale-free ratio/share thresholds stay put (VERDICT r16 task #3).
+    // An honest probe whose paired walls both inflated 3x on a slow box:
+    // rule 2's 2 s wall floor (x3 = 6 s) keeps the moderate-share
+    // semantic straggler clean where a raw floor would flag it...
+    val inflated = m(1.7, 5.1, 3400, med = 900) // 67% share at 3x walls
+    assert(isStraggler(inflated)) // raw floors: flags (the false positive)
+    assert(!isStraggler(inflated, floorScale = 3.0))
+    // ...while the de-binned collapse shape, 3x-inflated, still flags:
+    // 8.4 s >= 6 s scaled floor, 85% share, 4.7x its paired base
+    assert(isStraggler(m(1.8, 8.4, 7140), floorScale = 3.0))
+    // and a true quadratic blowup clears the scaled rule-1 floor easily
+    assert(isStraggler(m(1.3, 69.0, 30000), floorScale = 3.0))
+  }
+
   test("the worst legitimate r14/r15 probe profiles stay clean") {
     // ivm_delta_join: highest legitimate hot-task share (0.64 at 1.55 s)
     assert(!isStraggler(m(1.61, 1.55, 992)))

@@ -14,7 +14,8 @@ class StreamingThroughputSpec extends SparkSuite {
   private def leg(name: String, rowsPerBatch: Long, execMs: Long,
                   stateFinal: Long, expected: Long): LegResult =
     LegResult(name, rowsPerBatch * 4, wallS = 4 * execMs / 1000.0, expected,
-      (0 until 4).map(i => BatchStat(i, rowsPerBatch, execMs, stateFinal)))
+      (0 until 4).map(i =>
+        BatchStat(i, rowsPerBatch, execMs, stateFinal, stateFinal * 64)))
 
   test("belowFloor flags a leg under its rows/s floor") {
     // 100 rows/batch over 1 s batches = 100 rows/s, floor is 15000
@@ -34,12 +35,60 @@ class StreamingThroughputSpec extends SparkSuite {
 
   test("p50/p95 come from data batches only and rows_per_s excludes idle batches") {
     val r = LegResult("scd2_incremental", 300, 10.0, 3,
-      Seq(BatchStat(0, 100, 100, 1), BatchStat(1, 100, 200, 2),
-        BatchStat(2, 100, 300, 3), BatchStat(3, 0, 5000, 3))) // trailing idle batch
+      Seq(BatchStat(0, 100, 100, 1, 64), BatchStat(1, 100, 200, 2, 128),
+        BatchStat(2, 100, 300, 3, 192),
+        BatchStat(3, 0, 5000, 3, 192))) // trailing idle batch
     assert(r.p50Ms === 200L)
     assert(r.p95Ms === 300L)
     assert(math.abs(r.rowsPerS - 300 / 0.6) < 1e-9)
     assert(r.stateRowsFinal === 3L) // last DATA batch, not the idle tail
+    assert(r.stateBytesFinal === 192L)
+  }
+
+  test("p95_steady excludes the batch-0 store warmup (VERDICT r16 task #4)") {
+    // batch 0 pays a 7.5 s RocksDB open; steady batches are 1.3-2.4 s —
+    // the plain p95 reads the warmup, the steady p95 must not
+    val r = LegResult("scd2_incremental", 500, 20.0, 5,
+      Seq(BatchStat(0, 100, 7500, 1, 64), BatchStat(1, 100, 1300, 2, 128),
+        BatchStat(2, 100, 1800, 3, 192), BatchStat(3, 100, 2100, 4, 256),
+        BatchStat(4, 100, 2400, 5, 320)))
+    assert(r.p95Ms === 7500L)
+    assert(r.p95SteadyMs === 2400L)
+    // a leg with only the warmup batch has no steady signal
+    val one = LegResult("scd2_incremental", 100, 8.0, 1,
+      Seq(BatchStat(0, 100, 7500, 1, 64)))
+    assert(one.p95SteadyMs === -1L)
+  }
+
+  test("box-factor floor normalization: 3x-slow box does not false-flag, " +
+    "a genuine 5x collapse still does (VERDICT r16 task #3)") {
+    // steady state is ~61k rows/s against a 15k floor. A 3x-slow box
+    // measures ~20k — above the raw floor but with the 4x margin gone;
+    // craft the harder case: 7.5k rows/s (under the raw floor) must pass
+    // once the canary says the box is 3x slow (floor relaxes to 5k) ...
+    val boxSlow = leg("scd2_incremental", 7500, 1000, 10, 10)
+    assert(StreamingThroughput.belowFloor(Seq(boxSlow)) === Seq("scd2_incremental"))
+    assert(StreamingThroughput.belowFloor(Seq(boxSlow), boxFactor = 3.0) === Nil)
+    // ... while a genuine 5x collapse (61k -> 12.2k) on a NORMAL box
+    // still flags,
+    val collapsed = leg("scd2_incremental", 12200, 1000, 10, 10)
+    assert(StreamingThroughput.belowFloor(Seq(collapsed), boxFactor = 1.0) ===
+      Seq("scd2_incremental"))
+    // and the same collapse on a 3x-slow box (12.2k/3 = 4.07k < 5k)
+    // flags through the relaxed floor too
+    val collapsedSlow = leg("scd2_incremental", 4066, 1000, 10, 10)
+    assert(StreamingThroughput.belowFloor(Seq(collapsedSlow), boxFactor = 3.0) ===
+      Seq("scd2_incremental"))
+    // the relaxation clamps: a fast box never tightens a pinned floor,
+    // an extreme canary reading caps at 3x, junk readings are identity
+    assert(StreamingThroughput.floorRelax(0.4) === 1.0)
+    assert(StreamingThroughput.floorRelax(10.0) === 3.0)
+    assert(StreamingThroughput.floorRelax(-1.0) === 1.0)
+    assert(StreamingThroughput.floorRelax(Double.NaN) === 1.0)
+    // state-leak detection is NOT box-relative — it must fire regardless
+    val leak = leg("lsh_dedup_ingest", 100000, 1000, 11, 10)
+    assert(StreamingThroughput.belowFloor(Seq(leak), boxFactor = 3.0) ===
+      Seq("lsh_dedup_ingest_state"))
   }
 
   test("benchJson carries the bar and parses as JSON") {

@@ -79,7 +79,7 @@ class EventTimeBoundarySpec extends SparkSuite {
     (906L, us(T0, 1), 9L, "view"))
 
   private lazy val dir: String = {
-    val d = java.nio.file.Files.createTempDirectory("graft-boundary").toString
+    val d = graft.SparkSuite.scratchDir("graft-boundary")
     rows.toDF("event_id", "ts", "user_id", "event_type")
       .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
       .write.mode("overwrite").parquet(s"$d/events.parquet")
@@ -203,7 +203,7 @@ class EventTimeBoundarySpec extends SparkSuite {
     val fuzz = (1 to 400).map { i =>
       (9000L + i, atMs(rnd.nextInt(432) * 600000L), 30L + rnd.nextInt(8), "view")
     }
-    val d = java.nio.file.Files.createTempDirectory("graft-salt").toString
+    val d = graft.SparkSuite.scratchDir("graft-salt")
     (crafted ++ fuzz).toDF("event_id", "ts", "user_id", "event_type")
       .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
       .write.mode("overwrite").parquet(s"$d/events.parquet")
@@ -296,7 +296,7 @@ class EventTimeBoundarySpec extends SparkSuite {
           (9100L, us(T0, 0), 15L, "purchase"),
           (9101L, us(T0, 1), 15L, "purchase"))
     ).flatten
-    val d = java.nio.file.Files.createTempDirectory("graft-capped").toString
+    val d = graft.SparkSuite.scratchDir("graft-capped")
     crafted.toDF("event_id", "ts", "user_id", "event_type")
       .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
       .write.mode("overwrite").parquet(s"$d/events.parquet")
