@@ -268,7 +268,8 @@ object Bench {
         try {
           val legs = Seq(
             StreamingThroughput.scd2Leg(spark, "/tmp/graft_stream_tp"),
-            StreamingThroughput.lshLeg(spark, sfDir, "/tmp/graft_stream_tp"))
+            StreamingThroughput.lshLeg(spark, sfDir, "/tmp/graft_stream_tp"),
+            StreamingThroughput.lshTtlLeg(spark, sfDir, "/tmp/graft_stream_tp"))
           val recovery = Some(StreamingThroughput.recoveryLeg(spark, "/tmp/graft_stream_tp"))
           (s""","streaming":${StreamingThroughput.benchJson(legs, recovery, boxRelax)}""",
             Seq.empty[String], (System.nanoTime() - t0) / 1e9)

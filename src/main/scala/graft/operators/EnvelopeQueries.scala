@@ -106,6 +106,62 @@ object EnvelopeQueries {
     UsersLakeDir
   }
 
+  /** Drifted ENVELOPE lake (VERDICT r16 task #5): the reference's own
+    * schema-drift quirk (generator `NUMERIC` vs initdb `REAL` vs artifact
+    * `DECIMAL(10,2)` — SURVEY §1.1) plus `"include.schema.changes":
+    * "false"` means an ALTERed source table shows up ONLY as new keys
+    * inside the envelope JSON, mid-stream, with no schema event. This
+    * lake stages exactly that: gen1 envelopes are plain products rows;
+    * gen2 envelopes (strictly higher lsn/ts, same key space) gain a
+    * `category` attribute inside before/after. A consumer that declares
+    * the WIDE schema reads gen1's missing key as NULL silently — the
+    * behavior `streaming_scd2_schema_drift` pins against the batch
+    * rebuild over the unioned lake.
+    */
+  private[operators] val DriftLakeDir = "/tmp/graft_cdc_drift_lake"
+  private val DriftEvents = 6000L // per generation
+  private val DriftKeys = DriftEvents / 5
+
+  /** The products row WIDENED by the drifted column — what a reader that
+    * has seen the new generation declares for the whole lake.
+    */
+  private[operators] val productsRowV2: org.apache.spark.sql.types.StructType =
+    CdcSchemas.productsRow.add("category", org.apache.spark.sql.types.StringType)
+
+  private[operators] def buildDriftLake(s: SparkSession): String = {
+    graft.AtomicPublish.ensure(DriftLakeDir) { tmp =>
+      def gen(offset: Long, withCategory: Boolean, out: String): Unit = {
+        val id = col("id") % DriftKeys
+        val base = Seq(
+          id.cast("int").as("id"),
+          concat(lit("name-"), (col("id") % 997).cast("string")).as("name"),
+          concat(lit("desc-"), (col("id") % 31).cast("string")).as("description"),
+          ((col("id") % 10000).cast("double") / 100.0).as("price"))
+        // gen1's JSON simply LACKS the category key (schema-less NDJSON —
+        // the wire truth of a pre-ALTER envelope), it is not a null field
+        val row = struct(base ++ (if (withCategory)
+          Seq(concat(lit("cat-"), (col("id") % 7).cast("string")).as("category"))
+          else Nil): _*)
+        val op = when(lit(offset == 0L) && col("id") < DriftKeys, "c")
+          .when(col("id") % 17 === 0, "d")
+          .when(col("id") % 13 === 0, "r")
+          .otherwise("u")
+        val nullRow = lit(null).cast(
+          if (withCategory) productsRowV2 else CdcSchemas.productsRow)
+        s.range(DriftEvents).select(to_json(struct(struct(
+          when(op === "d", row).otherwise(nullRow).as("before"),
+          when(op =!= "d", row).otherwise(nullRow).as("after"),
+          op.as("op"),
+          (lit(1733555555000L) + (col("id") + offset) * 211L).as("ts_ms"),
+          struct((col("id") + offset).as("lsn")).as("source")).as("payload"))).as("value"))
+          .coalesce(2).write.text(out)
+      }
+      gen(0L, withCategory = false, s"$tmp/gen1")
+      gen(DriftEvents, withCategory = true, s"$tmp/gen2")
+    }
+    DriftLakeDir
+  }
+
   /** Two deterministic parquet "generations" with drifted schemas (gen2
     * adds `category`); fully synthetic, byte-stable, published once via
     * [[graft.AtomicPublish]] like the envelope lakes above.

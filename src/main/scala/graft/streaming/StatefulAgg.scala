@@ -184,6 +184,73 @@ object StatefulAgg {
     }
   }
 
+  /** HORIZON-bounded band-owner state — the bounded-growth answer for
+    * [[BandOwner]] (VERDICT r16 task #2: first-seen band state grows
+    * linearly with the corpus by design, and at 100 TB it IS the
+    * cluster's RocksDB footprint). The production dedup contract this
+    * encodes: a document is a duplicate only if a band-sharing document
+    * arrived within the last `horizonDocs` documents — older corpus is
+    * assumed already compacted/partitioned elsewhere, so its bands need
+    * not be held hot. Two mechanisms, deliberately separate:
+    *
+    *  - SEMANTICS (deterministic, oracle-checkable): per key, state is
+    *    (owner = min doc_id of the current RUN, lastSeen). A run breaks
+    *    when the gap to the previous arrival of the band exceeds the
+    *    horizon — the owner resets BEFORE the flag is computed, so
+    *    `dup(d) ⇔ previous band arrival p exists AND d − p ≤ horizon`
+    *    (exactly a LAG window in SQL — the DuckDB oracle of
+    *    streaming_lsh_dedup_ttl). Purely per-key arithmetic over the
+    *    ingestion order: independent of micro-batch boundaries.
+    *  - FOOTPRINT (event-time timers): doc_id is the stream's clock
+    *    (arrival order by the staging contract), so the stream carries
+    *    ts = timestamp_seconds(doc_id) + a 0 s watermark; every arrival
+    *    registers a timer at (lastSeen + horizon + 1) s, and the timer
+    *    deletes the row once the watermark proves every future doc_id is
+    *    past the horizon. Deletion can only happen where the lazy reset
+    *    would have fired anyway (watermark ≤ next arrival's id on a
+    *    monotone stream), so it NEVER changes output — it converts the
+    *    reset from "row lingers, value ignored" to "row gone": state is
+    *    O(bands seen within the trailing horizon), constant for a fixed
+    *    horizon no matter how long the stream runs. A re-seen band
+    *    advances lastSeen, so stale timers re-check against live state
+    *    and pass through without deleting.
+    */
+  final class BandOwnerTtl(horizonDocs: Long)
+      extends StatefulProcessor[String, (Long, String), BandFlag] {
+    @transient private var st: ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long)](
+        "run", Encoders.product[(Long, Long)], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[(Long, String)],
+                                 timerValues: TimerValues): Iterator[BandFlag] = {
+      var (owner, lastSeen) =
+        if (st.exists()) st.get() else (Long.MaxValue, Long.MinValue)
+      val flags = rows.map(_._1).toArray.sorted.map { d =>
+        if (lastSeen != Long.MinValue && d - lastSeen > horizonDocs)
+          owner = Long.MaxValue // run break: the horizon passed unseen
+        val f = BandFlag(d, key, owner < d)
+        if (d < owner) owner = d
+        lastSeen = d
+        f
+      }
+      st.update((owner, lastSeen))
+      getHandle.registerTimer((lastSeen + horizonDocs + 1) * 1000L)
+      flags.iterator
+    }
+
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[BandFlag] = {
+      // delete only if the band was NOT re-seen since this timer was set
+      // (a re-arrival advanced lastSeen and registered a fresher timer)
+      if (st.exists() &&
+          expired.getExpiryTimeInMs >= (st.get()._2 + horizonDocs + 1) * 1000L)
+        st.clear()
+      Iterator.empty
+    }
+  }
+
   /** One finalized (user, day) window. `dnum` is epoch days. */
   case class DayClose(user_id: Long, dnum: Long, n_events: Long, sum_cents: Long)
 

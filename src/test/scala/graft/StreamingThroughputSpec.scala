@@ -121,6 +121,27 @@ class StreamingThroughputSpec extends SparkSuite {
       Seq("scd2_recovery_versions", "scd2_recovery_state"))
   }
 
+  test("a real tiny lsh TTL leg stays under its survivor bound and " +
+    "harvests state bytes") {
+    val r = StreamingThroughput.lshTtlLeg(spark, "/root/testdata/sf0.001",
+      SparkSuite.scratchDir("graft-streamttl"), copies = 2, slices = 4,
+      horizonDocs = 20)
+    assert(r.stateBound)
+    assert(r.dataBatches.nonEmpty)
+    assert(r.dataBatches.map(_.rows).sum === r.totalRows)
+    // the bound contract the bench bar grades: survivors <= bands seen in
+    // the trailing horizon + watermark-lag window
+    assert(r.stateRowsFinal <= r.expectedStateRows,
+      s"TTL state ${r.stateRowsFinal} blew the bound ${r.expectedStateRows}")
+    // (rows inflated past the rows/s floor: this asserts the BOUND rule
+    // wiring specifically, not tiny-scale throughput)
+    assert(StreamingThroughput.belowFloor(
+      Seq(r.copy(totalRows = r.totalRows * 100000))) === Nil)
+    // state BYTES must be harvested (the r17 footprint series): RocksDB
+    // reports nonzero memory once any key is stored
+    assert(r.dataBatches.last.stateBytes > 0L)
+  }
+
   test("a real tiny scd2 leg harvests per-batch progress and exact state rows") {
     // 2000 events over 4 slices, 200 keys — seconds, not minutes, at local[4]
     val r = StreamingThroughput.scd2Leg(spark,

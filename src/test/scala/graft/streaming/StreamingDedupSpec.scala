@@ -145,4 +145,65 @@ class StreamingDedupSpec extends SparkSuite {
     assert(three == want && rowwise == want,
       "flags depend on micro-batch boundaries")
   }
+
+  test("BandOwnerTtl: horizon semantics equal the LAG rule under any " +
+      "slicing, and timers actually delete expired state rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val H = 5L
+    // per band, arrivals straddling the horizon: gaps <=5 keep the run
+    // alive (dup), a gap >5 breaks it (re-admitted as a new first-seen)
+    val pairs = Seq(
+      1L -> "b1", 3L -> "b1",               // gap 2: dup
+      2L -> "b2",
+      10L -> "b1",                          // gap 7 > 5: NOT dup
+      12L -> "b1", 14L -> "b2",             // gaps 2 / 12: dup / not
+      30L -> "b3", 33L -> "b1", 34L -> "b3") // 33: gap 21, not; 34: gap 4, dup
+    def run(batches: Seq[Seq[(Long, String)]], name: String)
+        : (Set[(Long, String, Boolean)], Long) = {
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prior = spark.conf.getOption(providerKey)
+      spark.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val input = MemoryStream[(Long, String)]
+        val flags = input.toDF().toDF("doc_id", "band")
+          .withColumn("ts", timestamp_seconds(col("doc_id")))
+          .withWatermark("ts", "0 seconds")
+          .select("doc_id", "band").as[(Long, String)]
+          .groupByKey(_._2)
+          .transformWithState(new StatefulAgg.BandOwnerTtl(H),
+            org.apache.spark.sql.streaming.TimeMode.EventTime(),
+            org.apache.spark.sql.streaming.OutputMode.Append())
+        val q = flags.writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+        q.stop()
+        (spark.table(name).as[StatefulAgg.BandFlag].collect()
+          .map(f => (f.doc_id, f.band, f.dup)).toSet, stateRows)
+      } finally prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+    // the LAG rule: dup <=> previous arrival of the band within H
+    val byBand = pairs.groupBy(_._2).view.mapValues(_.map(_._1).sorted).toMap
+    val want = pairs.map { case (d, b) =>
+      val prev = byBand(b).filter(_ < d).lastOption
+      (d, b, prev.exists(d - _ <= H))
+    }.toSet
+    val (one, _) = run(Seq(pairs.sortBy(_._1)), "ttl_one")
+    val sorted = pairs.sortBy(_._1)
+    val (three, _) = run(
+      Seq(sorted.take(4), sorted.slice(4, 7), sorted.drop(7)), "ttl_three")
+    val (rowwise, endState) = run(sorted.map(Seq(_)), "ttl_rowwise")
+    assert(one == want, s"single-batch TTL flags diverge from the LAG rule: $one")
+    assert(three == want && rowwise == want,
+      "TTL flags depend on micro-batch boundaries")
+    // footprint: by the last batch (doc 34, watermark 33 s after the
+    // prior batch) every band whose lastSeen + H + 1 <= 33 must be GONE —
+    // b2 (lastSeen 14) expired; b1 (re-seen at 33) and b3 (30, 34) live
+    assert(endState <= 2 + 1, // live value-state rows + timer slack
+      s"expired band state not deleted: $endState rows at end")
+  }
 }
