@@ -597,9 +597,16 @@ object RelationalQueries {
     // WITH RECURSIVE (Spark 4's UnionLoop): bounded path expansion over
     // the event-type transition graph. The recursion runs over the
     // AGGREGATED edge catalog — |event types|² rows, scale-free — never
-    // the raw event stream, so each iteration is a join against a
-    // broadcast-sized relation no matter the input SF; the only
-    // data-sized work is the one windowed pass that derives the edges.
+    // the raw event stream. r17 (guide §2.4/§3.3): UnionLoop inlines a
+    // plain CTE into the loop BODY, so the data-sized leg (events scan +
+    // per-user LEAD window + distinct) re-executed on EVERY iteration —
+    // 4 full passes over the lake for one edge catalog (measured in the
+    // committed before-plan: the Window sits under UnionLoop). The edge
+    // derivation is now materialized ONCE (eager localCheckpoint — the
+    // house lineage-pin) and only the scale-free edge table enters the
+    // loop; at 100 TB the loop body goes from 4 lake scans to 4 joins
+    // against a |types|² relation. Same edge set, same recursion, same
+    // rows — oracle unchanged.
     // Depth is capped by a counter column (4 hops), keeping the loop
     // finite on both engines without relying on engine-level recursion
     // limits.
@@ -607,17 +614,18 @@ object RelationalQueries {
       "recursive_cte_paths",
       (s, d) => {
         t(s, d, "events").createOrReplaceTempView("events_v")
-        s.sql("""WITH RECURSIVE edges AS (
-                |  SELECT DISTINCT src, dst FROM (
-                |    SELECT event_type AS src,
-                |      LEAD(event_type) OVER (PARTITION BY user_id
-                |                             ORDER BY ts, event_id) AS dst
-                |    FROM events_v) WHERE dst IS NOT NULL),
-                |paths(path, terminal, depth) AS (
+        val edges = s.sql("""SELECT DISTINCT src, dst FROM (
+                |  SELECT event_type AS src,
+                |    LEAD(event_type) OVER (PARTITION BY user_id
+                |                           ORDER BY ts, event_id) AS dst
+                |  FROM events_v) WHERE dst IS NOT NULL""".stripMargin)
+          .localCheckpoint(true)
+        edges.createOrReplaceTempView("rec_cte_edges_v")
+        s.sql("""WITH RECURSIVE paths(path, terminal, depth) AS (
                 |  SELECT 'signup', 'signup', 1
                 |  UNION ALL
                 |  SELECT concat(p.path, '>', e.dst), e.dst, p.depth + 1
-                |  FROM paths p JOIN edges e ON p.terminal = e.src
+                |  FROM paths p JOIN rec_cte_edges_v e ON p.terminal = e.src
                 |  WHERE p.depth < 4)
                 |SELECT path, terminal, CAST(depth AS BIGINT) AS depth
                 |FROM paths""".stripMargin)

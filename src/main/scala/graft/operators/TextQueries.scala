@@ -50,8 +50,26 @@ object TextQueries {
         def dupFrac(a: org.apache.spark.sql.Column) = when(size(a) > 0,
           lit(1.0) - size(array_distinct(a)).cast("double") / size(a).cast("double"))
           .otherwise(lit(0.0))
-        val topCount = array_max(
-          transform(array_distinct(bg), x => size(filter(bg, y => y === x))))
+        // r17 (guide §1.2 step 2 — per-task work): the most-frequent-bigram
+        // count was "for each DISTINCT bigram, filter-count the whole
+        // array" — O(distinct·n) per document, the catalog's one
+        // quadratic-in-doc-length expression (1.71 s at sf0.1, zero
+        // shuffle). Equal multiset counts are run lengths in the SORTED
+        // array, so one sort + one linear fold computes the same integer:
+        // max run of equal adjacent elements = max bigram frequency.
+        // O(n log n) per doc, same value, same output columns.
+        // acc.prev starts "" which no real bigram equals (bigrams contain
+        // a space); n_bigrams > 0 is guarded by the surrounding `when`.
+        val topCount = aggregate(
+          array_sort(bg),
+          struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+          (acc, x) => {
+            val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+              .otherwise(lit(1))
+            struct(x.as("prev"), run.as("run"),
+              greatest(acc.getField("best"), run).as("best"))
+          },
+          acc => acc.getField("best"))
         t(s, d, "documents").select(
           col("doc_id"),
           size(bg).cast("long").as("n_bigrams"),

@@ -501,6 +501,21 @@ class PlanSpec extends SparkSuite {
       case u: org.apache.spark.sql.execution.UnionLoopExec => u
     }
     assert(loops.size == 1, s"expected one UnionLoop, found ${loops.size}")
+    // r17 pin: the loop BODY must consume the materialized edge catalog,
+    // never re-derive it — UnionLoop executes its body once per
+    // iteration, so a Window/parquet scan inside the loop re-runs the
+    // whole data-sized leg every hop (measured: 4 extra event-lake
+    // passes, 3.43 s → 1.83 s at sf0.1, 10× shuffle 107.8 → 15.4 MB).
+    val body = loops.head
+    val windowsInBody = body.collectWithSubqueries {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    val scansInBody = body.collectWithSubqueries {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(windowsInBody.isEmpty && scansInBody.isEmpty,
+      s"recursion body must join the checkpointed edge table, found " +
+        s"${windowsInBody.size} windows / ${scansInBody.size} file scans inside the loop")
   }
 
   test("matryoshka audit scores once: both rankings ride one q_id exchange") {
