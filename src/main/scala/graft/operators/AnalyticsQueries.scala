@@ -3156,6 +3156,15 @@ object AnalyticsQueries {
     QueryDef(
       "basket_rule_lift",
       (s, d) => {
+        // r17 note (measured, left lazy): eager-checkpointing the shared
+        // `items` distinct looked like the round-11 multi-consumer fix
+        // (5 lineitem scans in the before-plan) but BENCHED SLOWER
+        // (2.92 → 3.50 s at sf0.1, 5.11 → 5.98 s at 10×): the self-join
+        // already shares one exchange via ReusedExchange, the remaining
+        // re-scans are cheap 11 MB parquet aggregates, and the pin adds a
+        // full materialization plus a stats-blind leaf (the ANF
+        // pin-rejection class, PERF_NOTES r16). Lazy is the measured
+        // winner here.
         val items = t(s, d, "lineitem")
           .select(col("l_orderkey"), col("l_partkey")).distinct()
         val nOrd = items.select(col("l_orderkey")).distinct()
@@ -3167,11 +3176,16 @@ object AnalyticsQueries {
           .filter(col("part_a") < col("part_b"))
           .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_ab"))
           .orderBy(col("n_ab").desc, col("part_a"), col("part_b")).limit(20)
-        pairs
-          .join(broadcast(freq.select(col("l_partkey").as("part_a"),
-            col("n_x").as("n_a"))), "part_a")
-          .join(broadcast(freq.select(col("l_partkey").as("part_b"),
-            col("n_x").as("n_b"))), "part_b")
+        // r17 broadcast direction flip: the old form broadcast FREQ (one
+        // row per part — corpus-proportional, the 100 TB driver-OOM side)
+        // to decorate 20 rows; broadcasting the LIMIT-20 pairs side costs
+        // constant bytes at any scale and leaves freq streaming (§3.1:
+        // broadcast the side that fits BY CONSTRUCTION).
+        broadcast(broadcast(pairs)
+          .join(freq.select(col("l_partkey").as("part_a"),
+            col("n_x").as("n_a")), "part_a"))
+          .join(freq.select(col("l_partkey").as("part_b"),
+            col("n_x").as("n_b")), "part_b")
           .crossJoin(broadcast(nOrd))
           .select(col("part_a"), col("part_b"), col("n_ab"), col("n_a"),
             col("n_b"), col("n_orders"),

@@ -1445,18 +1445,30 @@ object DedupQueries {
           .select("doc_id_a", "doc_id_b")
         // 60-bit md5 token ids (the simjoin discipline, r12): the
         // (doc, token)-keyed exchanges move longs, not raw unigrams;
-        // identical id assignment replays in the oracle
+        // identical id assignment replays in the oracle.
+        // r17: tc has FOUR consumers (both ov sides + the two lens
+        // attaches) and each instantiation re-planned the whole
+        // explode+md5+count subtree — 4 corpus scans and 4 hash passes
+        // for one table (guide §2.4: share the pass; the simjoin-toksP
+        // precedent). One eager localCheckpoint hashes each token once.
         val tc = t(s, d, "documents")
           .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
           .select(col("doc_id"),
             conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("tid"))
           .groupBy("doc_id", "tid").agg(count(lit(1)).as("c"))
+          .localCheckpoint(true)
         val lens = tc.groupBy("doc_id").agg(sum("c").as("len"))
+        // shuffle_hash pins on the tc sides: the checkpointed RDD leaf
+        // undersells its stats, so AQE broadcast-built the CORPUS token
+        // table (the r13 cliff class — caught here by ScaleAudit's
+        // build<-checkpointed-rdd sweep the moment tc was pinned); SHJ
+        // keeps the build partition-bounded, same as the containment
+        // verify legs.
         val ov = pairs
-          .join(tc.select(col("doc_id").as("doc_id_a"), col("tid"), col("c").as("ca")),
-            Seq("doc_id_a"))
-          .join(tc.select(col("doc_id").as("doc_id_b"), col("tid"), col("c").as("cb")),
-            Seq("doc_id_b", "tid"))
+          .join(tc.select(col("doc_id").as("doc_id_a"), col("tid"), col("c").as("ca"))
+            .hint("shuffle_hash"), Seq("doc_id_a"))
+          .join(tc.select(col("doc_id").as("doc_id_b"), col("tid"), col("c").as("cb"))
+            .hint("shuffle_hash"), Seq("doc_id_b", "tid"))
           .groupBy("doc_id_a", "doc_id_b")
           .agg(sum(least(col("ca"), col("cb"))).as("overlap"))
         ov
@@ -1511,20 +1523,33 @@ object DedupQueries {
     QueryDef(
       "bleu2_neardup_pairs",
       (s, d) => {
+        // r17 multi-consumer pins (guide §2.4; measured in the committed
+        // before-plan: 60 exchanges, 20 document scans — the lazy LSH
+        // pair pipeline re-planned under each of its 3 consumers and each
+        // n-gram count table under each of its 3-4): `pairs` (one LSH
+        // run), `uni`, `bi` (one explode+count each) are eager-
+        // checkpointed, so the whole query runs the candidate pipeline
+        // once and each n-gram pass once. Same rows, oracle unchanged.
         val pairs = Dedup.nearDuplicates(t(s, d, "documents"), "doc_id", "text",
           threshold = 0.2, numHashes = 16, bands = 8)
           .select(col("doc_id_a"), col("doc_id_b"))
+          .localCheckpoint(true)
         val docs = t(s, d, "documents")
         def grams(n: Int) = docs.select(col("doc_id"),
           explode(graft.dedup.Dedup.shingles(col("text"), n)).as("g"))
           .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+          .localCheckpoint(true)
         val uni = grams(1); val bi = grams(2)
+        // shuffle_hash pins on the n-gram-table sides: checkpointed RDD
+        // leaves undersell stats and AQE broadcast-built the corpus
+        // tables (ScaleAudit build<-checkpointed-rdd; the r13 cliff
+        // class) — SHJ keeps the build partition-bounded.
         def leg(tc: org.apache.spark.sql.DataFrame, nm: String) = {
           val ov = pairs
-            .join(tc.select(col("doc_id").as("doc_id_a"), col("g"), col("c").as("ca")),
-              Seq("doc_id_a"))
-            .join(tc.select(col("doc_id").as("doc_id_b"), col("g"), col("c").as("cb")),
-              Seq("doc_id_b", "g"))
+            .join(tc.select(col("doc_id").as("doc_id_a"), col("g"), col("c").as("ca"))
+              .hint("shuffle_hash"), Seq("doc_id_a"))
+            .join(tc.select(col("doc_id").as("doc_id_b"), col("g"), col("c").as("cb"))
+              .hint("shuffle_hash"), Seq("doc_id_b", "g"))
             .groupBy("doc_id_a", "doc_id_b")
             .agg(sum(least(col("ca"), col("cb"))).as(s"clip_$nm"))
           val lens = tc.groupBy("doc_id").agg(sum("c").as("len"))
