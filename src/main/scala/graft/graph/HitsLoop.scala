@@ -46,7 +46,12 @@ object HitsLoop {
     */
   def normalize(rawIn: DataFrame, outCol: String): DataFrame = {
     val raw = rawIn.localCheckpoint(true)
-    val tot = raw.agg(sum(col("raw")).as("tot")).localCheckpoint(true)
+    // r17: no checkpoint on the 1-row total — unlike pagerank's node
+    // count (reused across all rounds), each half-round's `tot` has ONE
+    // consumer, so the eager pin only added a synchronous job dispatch
+    // per half-round (6 per query); the broadcast computes the same
+    // 1-row aggregate over the pinned `raw` exactly once either way.
+    val tot = raw.agg(sum(col("raw")).as("tot"))
     raw.crossJoin(broadcast(tot))
       .select(col("node"),
         expr(s"CAST((raw * ${PageRankLoop.TotalMass}) div tot AS BIGINT)")
