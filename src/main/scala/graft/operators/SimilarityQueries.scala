@@ -1330,14 +1330,24 @@ object SimilarityQueries {
         val simVU = round(Similarity.dot(col("va"), col("vb")) /
           (col("na") * col("nb")) * lit(1e12)).cast("long")
         val byV = w.partitionBy("v").orderBy(col("sim_q").desc, col("u"))
+        // r17: `base` (the bucket-candidate dot-product join + top-4
+        // window — this query's expensive leg) had FOUR consumers (both
+        // und orientations, universe, baseAgg) and `und` three; each
+        // instantiation re-planned the whole join (48 exchanges in the
+        // committed before-plan). Pin each once — the same
+        // multi-consumer rule the assignment table above already
+        // carries; both tables are ≤4 rows per vector, so the
+        // materialization is id-proportional.
         val base = va.join(vb, Seq("centroid_id"))
           .filter(col("v") =!= col("u"))
           .withColumn("sim_q", simVU)
           .withColumn("rn", row_number().over(byV)).filter(col("rn") <= 4)
           .select("v", "u", "sim_q")
+          .localCheckpoint(true)
         val und = base.select("v", "u")
           .unionByName(base.select(col("u").as("v"), col("v").as("u")))
           .distinct()
+          .localCheckpoint(true)
         val proposals = und.select(col("v"), col("u").as("m"))
           .join(und.select(col("v").as("m"), col("u").as("u2")), Seq("m"))
           .filter(col("v") =!= col("u2"))
