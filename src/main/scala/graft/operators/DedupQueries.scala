@@ -401,8 +401,13 @@ object DedupQueries {
     QueryDef(
       "topk_similar_per_doc",
       (s, d) => {
+        // r17 multi-consumer pin (the nn_descent rule): the whole LSH
+        // candidate+verify pipeline re-planned under BOTH symmetrization
+        // branches (6 document scans in the executed plan); one eager
+        // checkpoint runs it once — pair-proportional rows.
         val pairs = Dedup.nearDuplicates(t(s, d, "documents"), "doc_id", "text",
           threshold = 0.05)
+          .localCheckpoint(true)
         val sym = pairs.select(col("doc_id_a").as("doc_id"),
             col("doc_id_b").as("similar_doc"), col("jaccard_sim"))
           .unionAll(pairs.select(col("doc_id_b").as("doc_id"),

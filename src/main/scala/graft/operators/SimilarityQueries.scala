@@ -145,11 +145,17 @@ object SimilarityQueries {
             struct(col("csim"), (-col("centroid_id")).as("nc"))).as("best"))
           .select(col("id"), col("best.vec").as("vec"),
             col("best.centroid_id").as("centroid_id"))
+          // r17 multi-consumer pins (the nn_descent rule): the 8-way
+          // crossJoin+argmax assignment and the residual table each had
+          // 2-3 lazy consumers and re-planned per consumer (17 embedding
+          // scans in the executed plan); both are id-proportional.
+          .localCheckpoint(true)
         val resid = assigned
           .join(broadcast(cents.select(col("centroid_id"), col("cvec"))), Seq("centroid_id"))
           .withColumn("rv",
             expr("zip_with(vec, cvec, (a, b) -> CAST(a AS DOUBLE) - CAST(b AS DOUBLE))"))
           .select(col("id"), col("centroid_id"), col("rv"))
+          .localCheckpoint(true)
         val cb = Similarity.pqCodebook(
           resid.filter(col("id") < 16).select(col("id"), col("rv").as("vec")),
           "id", "vec", m = 4, subDim = 16)
@@ -280,6 +286,11 @@ object SimilarityQueries {
             struct(col("csim"), (-col("centroid_id")).as("nc"))).as("best"))
           .select(col("id"), col("best.centroid_id").as("centroid_id"),
             (round((lit(1.0) - col("best.csim")) * lit(1e9))).cast("long").as("dist_q"))
+          // r17 multi-consumer pin (the nn_descent rule): sizes, the
+          // median rank, and the deviation leg each re-planned the 8-way
+          // crossJoin+argmax (14 embedding scans in the executed plan);
+          // the pinned table is 3 narrow columns per vector.
+          .localCheckpoint(true)
         val byDist = w.partitionBy("centroid_id").orderBy(col("dist_q"), col("id"))
         val sizes = assigned.groupBy("centroid_id").agg(count(lit(1)).as("n_c"))
         val med = assigned
@@ -631,9 +642,14 @@ object SimilarityQueries {
         val q = broadcast(assign(emb.filter(col("id") < 50))
           .select(col("id").as("q_id"), col("vec").as("qvec"),
             col("vnorm").as("qnorm"), col("centroid_id").as("q_cent")))
+        // r17 multi-consumer pins (the nn_descent rule): the corpus
+        // assignment `c` fed both the brute and IVF legs and the IVF
+        // top-10 fed two consumers — each re-planned the 8-way
+        // crossJoin+argmax (12 embedding scans in the executed plan).
         val c = assign(emb.filter(col("id") >= 50))
           .select(col("id").as("c_id"), col("vec").as("cvec2"),
             col("vnorm").as("cnorm2"), col("centroid_id").as("c_cent"))
+          .localCheckpoint(true)
         val simQ = round(Similarity.dot(col("qvec"), col("cvec2")) /
           (col("qnorm") * col("cnorm2")) * lit(1e12)).cast("long")
         val byQ = w.partitionBy("q_id").orderBy(col("sim_q").desc, col("c_id"))
@@ -644,6 +660,7 @@ object SimilarityQueries {
           .withColumn("sim_q", simQ)
           .withColumn("rn", row_number().over(byQ)).filter(col("rn") <= 10)
           .select("q_id", "c_id")
+          .localCheckpoint(true)
         val ivfK = ivf.groupBy("q_id").agg(count(lit(1)).as("ivf_k"))
         brute.join(ivf.withColumn("hit", lit(1L)), Seq("q_id", "c_id"), "left_outer")
           .groupBy("q_id")
@@ -1193,9 +1210,16 @@ object SimilarityQueries {
           .withColumn("crank", row_number().over(byQc))
           .filter(col("crank") <= 4)
           .select(col("q_id").as("p_qid"), col("centroid_id"), col("crank")))
+        // r17 multi-consumer pins (the nn_descent rule): `c` fed the
+        // candidate and brute legs, the scored candidate stream fed the
+        // top-10 window AND the scan counter, and the brute truth fed two
+        // consumers — 16 embedding scans in the executed plan. `cand` is
+        // pinned AFTER projecting away the vectors (ids + sim only), so
+        // the materialization never carries the 64-float arrays.
         val c = assign(emb.filter(col("id") >= 50))
           .select(col("id").as("c_id"), col("vec").as("cvec2"),
             col("vnorm").as("cnorm2"), col("centroid_id"))
+          .localCheckpoint(true)
         val simQ = round(Similarity.dot(col("qvec"), col("cvec2")) /
           (col("qnorm") * col("cnorm2")) * lit(1e12)).cast("long")
         val cand = c.join(qcents, Seq("centroid_id"))
@@ -1203,6 +1227,8 @@ object SimilarityQueries {
           .withColumn("nprobe", explode(array(lit(1), lit(2), lit(4))))
           .filter(col("crank") <= col("nprobe"))
           .withColumn("sim_q", simQ)
+          .select("nprobe", "q_id", "c_id", "sim_q")
+          .localCheckpoint(true)
         val byQn = w.partitionBy("q_id", "nprobe")
           .orderBy(col("sim_q").desc, col("c_id"))
         val approx = cand
@@ -1213,6 +1239,7 @@ object SimilarityQueries {
         val brute = c.crossJoin(q).withColumn("sim_q", simQ)
           .withColumn("rn", row_number().over(byQ)).filter(col("rn") <= 10)
           .select("q_id", "c_id")
+          .localCheckpoint(true)
         val truthN = brute.groupBy().agg(count(lit(1)).as("n_truth"))
         approx.join(brute.withColumn("hit", lit(1L)), Seq("q_id", "c_id"), "left_outer")
           .groupBy("nprobe")
